@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's correctness gate (NOT part of the library).
+
+Usage: scripts/check.py <sfDir> <verifyOutDir>
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` was already run
+  2. registers each testdata parquet as a DuckDB view named after the table
+  3. runs every oracle_sql.json query and compares against the Spark parquet
+     dump: row count, schema (column names), and exact values with columns
+     sorted by name (mirrors the driver's hash-compare).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_files:
+            print(f"FAIL {name}: no spark result parquet"); failures += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+        exp = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            failures += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); failures += 1; continue
+        # exact value compare (driver hashes values — no float tolerance)
+        mismatch = None
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            try:
+                eq = (a.astype("object").where(a.notna(), None)
+                      == b.astype("object").where(b.notna(), None))
+            except Exception:
+                eq = pd.Series([False] * len(a))
+            if not eq.all():
+                i = int(eq.idxmin())
+                mismatch = (c, i, a.iloc[i], b.iloc[i]); break
+        if mismatch:
+            c, i, av, bv = mismatch
+            print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries pass")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()

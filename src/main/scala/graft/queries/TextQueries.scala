@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.{Clean, Tokenize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-processing queries over the `documents` table — the reference's
+  * cleaning/tokenization chain (SURVEY §2.3-2.4) re-hosted as batch queries
+  * with DuckDB oracles.
+  */
+object TextQueries {
+
+  /** Flagship: the reference's full clean→tokenize→stop-word chain
+    * (`SGDC/sgdc.py:41-56`) as one relational query:
+    * scan → project(clean) → explode → filter → agg → sort.
+    *
+    * Scale notes: explode + hash-agg on token is the classic word-count
+    * shape — map-side partial aggregation bounds the shuffle at
+    * |vocab|×partitions regardless of corpus size.
+    */
+  def cleanTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Tokenize.tokenize(Clean.clean(col("text")))).as("token"))
+      .where(not(col("token").isin(Tokenize.stopWords: _*)))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_clean_tokens" -> cleanTokens
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_clean_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split_regex(${Clean.cleanSql("text")}, '\\s+')) AS token
+         |  FROM documents
+         |)
+         |SELECT token, count(*) AS cnt
+         |FROM toks
+         |WHERE token <> '' AND token NOT IN (${Tokenize.stopWordsSqlList})
+         |GROUP BY token
+         |ORDER BY cnt DESC, token""".stripMargin
+  )
+}
