@@ -10,10 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def registries = Seq(
-    (queries0.queries, queries0.oracles)
+    (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles)
   )
-
-  private def queries0 = graft.queries.TextQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,465 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core over the testdata star schema (SURVEY §2.2–2.7): the
+  * predicate / join / aggregation / window / set-op surface the engine adds
+  * beyond the reference's fixed pipeline, each with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules (SURVEY §5.1):
+  *   - double sums go through `DECIMAL(18,s)` (exact, order-independent) and
+  *     back to `DOUBLE` — `dsum` below mirrors `CAST(sum(CAST(x AS
+  *     DECIMAL)) AS DOUBLE)` in DuckDB;
+  *   - averages are `sum/count` with one double division, never engine `avg`;
+  *   - timestamps never leave a query raw — formatted to strings;
+  *   - every query ends in a total ORDER BY over a unique key;
+  *   - DuckDB integer sums are `::BIGINT` (it widens to HUGEINT, Spark to
+  *     LONG).
+  *
+  * Scale notes: filters sit directly on parquet scans (pushdown + column
+  * pruning); dimension joins (`region`, `nation`, `supplier`, `customer`)
+  * are broadcast so the fact table never shuffles for them; aggregations are
+  * partial (map-side combine) by construction.
+  */
+object RelationalQueries {
+
+  /** Exact order-independent sum of a double column: via decimal, back to
+    * double. Scale 4 is identity for 2-decimal generated values and never
+    * hits a rounding tie (a tie would need a dyadic rational ending in 5).
+    */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def dsumSql(x: String, scale: Int = 4): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // ——— q02: range + comparison predicates, pushdown-eligible ———
+  def filterRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
+             col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — order by
+      // every output column so the order is total (oracle-hash determinism).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+               col("l_extendedprice"))
+
+  // ——— q03: IN + LIKE predicates ———
+  def filterInLike(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .where(col("p_brand").isin("Brand#1", "Brand#22", "Brand#33") &&
+             col("p_type").like("P%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+              col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  // ——— q04: TPC-H Q1-shaped hash aggregation ———
+  def aggSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ——— q05: equi join (broadcast dim) + aggregation ———
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+
+  // ——— q06: 5-way star join, broadcast dims, filter pushdown ———
+  def joinStar(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+              .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                     col("o_orderdate") <  lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  // ——— q07: left-semi join (EXISTS) ———
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  // ——— q08: left-anti join (NOT EXISTS) ———
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // ——— q09: theta join (equi prefix + range residual) ———
+  def thetaJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(Tables.customer(s, dir),
+            col("s_nationkey") === col("c_nationkey") &&
+            col("s_acctbal") > col("c_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("s_suppkey"))
+
+  // ——— q10: ROLLUP w/ grouping_id ———
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+           grouping_id().cast(LongType).as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("cnt"), col("sum_qty"), col("gid"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  // ——— q11: CUBE ———
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+           grouping_id().cast(LongType).as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+              col("cnt"), col("sum_price"), col("gid"))
+      .orderBy(col("gid"), col("orderstatus"), col("orderpriority"))
+
+  // ——— q12: ranking window, top-3 per group ———
+  def windowTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // ——— q13: running-sum window frame ———
+  // (l_orderkey, l_linenumber) duplicates exist, so the window order carries
+  // l_quantity as a tiebreaker (rows tying on all four contribute identical
+  // running values) and the output order spans every output column.
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+               col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .withColumn("run_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+  }
+
+  // ——— q14: lag/lead analytics over the event stream ———
+  // First-row-per-user lag is NULL; the correctness gate hashes values and
+  // float NULLs are not hash-stable across engines, so declared output keeps
+  // only rows with a predecessor (null-free columns — SURVEY §5.1).
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .where(col("prev_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  // ——— q15: global top-k ———
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  // ——— q16: INTERSECT (distinct) ———
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ——— q17: EXCEPT (distinct) ———
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.where(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ——— q18: UNION (distinct) ———
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .union(o.where(col("o_totalprice") > 400000).select(col("o_custkey")))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  // ——— q19: JSON extraction from events.props ———
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  // ——— q20: date-part extraction + agg ———
+  def dateParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"),
+               month(col("o_orderdate")).cast(LongType).as("o_month"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  // ——— q21: scalar string functions ———
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+              upper(col("c_name")).as("name_upper"),
+              substring(col("c_name"), 1, 5).as("name_pfx"),
+              length(col("c_name")).cast(LongType).as("name_len"),
+              concat(col("c_name"), lit("-"), col("c_mktsegment")).as("name_seg"))
+      .orderBy(col("c_custkey"))
+
+  // ——— q22: scalar math functions ———
+  // `charge` is rounded in DECIMAL space: rounding the double product
+  // directly ties engine-specifically on values like x.xx4999…; the
+  // double→decimal(18,4) cast is deterministic from the double bits on both
+  // engines, and decimal round-half-up then agrees exactly.
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round((col("l_extendedprice").cast(DecimalType(18, 4)) *
+                     (lit(1) + col("l_tax")).cast(DecimalType(8, 4))), 2)
+                .cast(DoubleType).as("charge"),
+              ceil(col("l_discount") * 100).cast(LongType).as("disc_ceil"),
+              floor(col("l_discount") * 100).cast(LongType).as("disc_floor"),
+              sqrt(col("l_quantity")).as("qty_sqrt"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge"),
+               col("qty_sqrt"))
+
+  // ——— q23: distinct aggregation ———
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_filter_range"    -> filterRange,
+    "q03_filter_in_like"  -> filterInLike,
+    "q04_agg_summary"     -> aggSummary,
+    "q05_join_agg"        -> joinAgg,
+    "q06_join_star"       -> joinStar,
+    "q07_semi_join"       -> semiJoin,
+    "q08_anti_join"       -> antiJoin,
+    "q09_theta_join"      -> thetaJoin,
+    "q10_rollup"          -> rollupAgg,
+    "q11_cube"            -> cubeAgg,
+    "q12_window_topk"     -> windowTopkPerGroup,
+    "q13_window_running"  -> windowRunning,
+    "q14_window_lag"      -> windowLag,
+    "q15_topk_global"     -> topkGlobal,
+    "q16_set_intersect"   -> setIntersect,
+    "q17_set_except"      -> setExcept,
+    "q18_set_union"       -> setUnion,
+    "q19_json_extract"    -> jsonExtract,
+    "q20_date_parts"      -> dateParts,
+    "q21_string_funcs"    -> stringFuncs,
+    "q22_math_funcs"      -> mathFuncs,
+    "q23_distinct_agg"    -> distinctAgg
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q02_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q03_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_brand IN ('Brand#1','Brand#22','Brand#33') AND p_type LIKE 'P%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q04_agg_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS sum_disc_price,
+         |  ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '2001-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q05_join_agg" ->
+      s"""SELECT c_mktsegment, ${dsumSql("o_totalprice")} AS revenue, count(*) AS cnt
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_join_star" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice*(1-l_discount)", 6)} AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_theta_join" ->
+      """SELECT s_suppkey, count(*) AS cnt
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q10_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |       coalesce(l_linestatus, 'ALL') AS linestatus,
+         |       count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "q11_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         |       count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price,
+         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
+
+    "q12_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, run_qty""".stripMargin,
+
+    "q14_window_lag" ->
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        |         value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |  FROM events)
+        |WHERE prev_value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q15_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q16_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q17_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q18_set_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q20_date_parts" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+         |       count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY o_year, o_month
+         |ORDER BY o_year, o_month""".stripMargin,
+
+    "q21_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper, substr(c_name, 1, 5) AS name_pfx,
+        |       CAST(length(c_name) AS BIGINT) AS name_len,
+        |       c_name || '-' || c_mktsegment AS name_seg
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q22_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                  CAST(1 + l_tax AS DECIMAL(8,4)), 2) AS DOUBLE) AS charge,
+        |       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_ceil,
+        |       CAST(floor(l_discount * 100) AS BIGINT) AS disc_floor,
+        |       sqrt(l_quantity) AS qty_sqrt
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, charge, qty_sqrt""".stripMargin,
+
+    "q23_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}
