@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def registries = Seq(
     (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
-    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles)
+    (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
+    (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
+    (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
+    (graft.queries.TextStatsQueries.queries, graft.queries.TextStatsQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

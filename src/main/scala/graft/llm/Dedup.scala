@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication primitives for large-scale corpus curation: exact
+  * (digest-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Everything here is declarative DataFrame code over codegen'd builtins —
+  * no UDFs — so Catalyst keeps pushdown/partial-agg, and every hash is
+  * `md5` (bit-identical in DuckDB) so the whole family is exact-oracle-able.
+  *
+  * Scale design (100 TB posture):
+  *   - exact dedup groups by a 128-bit digest, never by the full text, so
+  *     the shuffle carries 32-byte keys instead of documents;
+  *   - MinHash/LSH replaces the O(n²) pair space with per-band
+  *     bucket-equality joins; true Jaccard is verified only on candidates;
+  *   - SimHash pairs join on 12-bit fingerprint bands (pigeonhole: hamming
+  *     ≤ 3 ⇒ at least one of 4 bands equal), again no crossJoin.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, token) pairs — the token-set view of each document. */
+  def tokenSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+      .distinct()
+
+  /** SQL twin of [[tokenSet]] as a CTE body over `documents`. */
+  val tokenSetSql: String =
+    """SELECT DISTINCT doc_id, t FROM (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |  FROM documents) WHERE t <> ''""".stripMargin
+
+  /** Distinct word `n`-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("s"))
+      .distinct()
+
+  /** SQL twin of [[shingles]] (DuckDB list slicing is 1-based inclusive). */
+  def shinglesSql(n: Int): String =
+    s"""SELECT DISTINCT doc_id, array_to_string(w[i+1:i+$n], ' ') AS s FROM (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents) , unnest(range(0, greatest(len(w) - ${n - 1}, 0))) AS u(i)""".stripMargin
+
+  // ——— MinHash ————————————————————————————————————————————————————————
+  // k permutation-free min-hashes: h_i(S) = min over tokens of the hex
+  // string md5(i || '|' || token). Lexicographic MIN over fixed-length hex
+  // strings is a valid uniform min-hash and is identical in both engines.
+
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand: Int = MinHashK / Bands
+
+  /** (doc_id, h0..h{k-1}) minhash signature from a (doc_id, t) token set. */
+  def minhashSig(tokens: DataFrame): DataFrame = {
+    val aggs = (0 until MinHashK)
+      .map(i => min(md5(concat(lit(s"$i|"), col("t")))).as(s"h$i"))
+    tokens.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SQL agg list matching [[minhashSig]]. */
+  def minhashSigAggSql: String =
+    (0 until MinHashK).map(i => s"min(md5('$i|' || t)) AS h$i").mkString(", ")
+
+  /** (doc_id, band, bv): one md5-compressed bucket key per LSH band. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { j =>
+      val hs = (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * j + r}"))
+      struct(lit(j).as("band"), md5(concat(hs: _*)).as("bv"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+  }
+
+  /** SQL twin of [[minhashBands]] as a UNION ALL over `sig`. */
+  def minhashBandsSql: String =
+    (0 until Bands).map { j =>
+      val hs = (0 until RowsPerBand).map(r => s"h${RowsPerBand * j + r}").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($hs) AS bv FROM sig"
+    }.mkString("\nUNION ALL\n")
+
+  // ——— SimHash ————————————————————————————————————————————————————————
+  // 48-bit weighted SimHash. Bit b of a token comes from hex digit
+  // b/4 of md5(token): the digit's bit of weight (8 >> b%4). Both engines
+  // read the same hex string, so signs agree exactly; weights are token
+  // frequencies, all-integer math.
+
+  val SimHashBits = 48
+
+  /** Hex digits having the given weight-bit (8/4/2/1) set. */
+  private val HexWithBit: Map[Int, String] = Map(
+    8 -> "89abcdef", 4 -> "4567cdef", 2 -> "2367abef", 1 -> "13579bdf")
+
+  private def bitPos(b: Int): Int = b / 4 + 1
+  private def bitWeight(b: Int): Int = 8 >> (b % 4)
+
+  /** (doc_id, simhash) from documents; token-frequency weighted. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokCnt = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val sums = (0 until SimHashBits).map { b =>
+      val hit = substring(md5(col("t")), bitPos(b), 1)
+        .isin(HexWithBit(bitWeight(b)).map(_.toString): _*)
+      sum(when(hit, col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
+    }
+    val fp = (0 until SimHashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tokCnt.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SQL twins: the 48 per-bit signed sums, and the fingerprint assembly. */
+  def simhashSumsSql: String =
+    (0 until SimHashBits).map { b =>
+      val chars = HexWithBit(bitWeight(b)).map(c => s"'$c'").mkString(",")
+      s"sum(CASE WHEN substr(md5(t), ${bitPos(b)}, 1) IN ($chars) THEN cnt ELSE -cnt END) AS s$b"
+    }.mkString(", ")
+
+  def simhashAssembleSql: String =
+    "CAST(" + (0 until SimHashBits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
+
+  /** Split a 48-bit fingerprint into 4 12-bit band values (pigeonhole for
+    * hamming-distance ≤ 3 candidate generation). */
+  def simhashBand(fp: Column, j: Int): Column =
+    shiftright(fp, 12 * j).bitwiseAND(lit(4095L))
+
+  def simhashBandSql(fp: String, j: Int): String =
+    s"(($fp >> ${12 * j}) & 4095)"
+}

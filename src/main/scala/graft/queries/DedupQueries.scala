@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication over `documents` (training-data curation surface):
+  * exact digest dedup, brute n-gram Jaccard, MinHash signatures,
+  * MinHash+LSH verified near-dups, SimHash fingerprints, SimHash banded
+  * near-dups. All md5-based and exact-oracle-able (graft.llm.Dedup).
+  */
+object DedupQueries {
+
+  /** q24 — exact dedup: group by 128-bit digest, keep the smallest doc_id.
+    * At scale the shuffle key is the digest, never the document body. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("doc_id"), col("dup_cnt"))
+      .orderBy(col("doc_id"))
+
+  /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5 via an inverted
+    * shingle join (bounded by Σ_shingle count², never a crossJoin). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
+    pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(j >= 0.5)
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q26 — 16-way MinHash signature per document (concatenated hex mins). */
+  def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSig(Dedup.tokenSet(Tables.documents(s, dir)))
+    val cols = (0 until Dedup.MinHashK).map(i => col(s"h$i"))
+    sig.select(col("doc_id"), concat(cols: _*).as("sig")).orderBy(col("doc_id"))
+  }
+
+  /** q27 — the LSH scale path: banded MinHash over word-3-gram shingles,
+    * then true shingle Jaccard ≥ 0.5 verified on candidates only. Same
+    * near-dup definition as brute-force q25, so the two results measure
+    * LSH recall directly. (Unigram token sets are degenerate here: the
+    * tiny shared vocabulary makes thousands of documents share one
+    * identical token set, so every band collides and the candidate set
+    * goes quadratic — 3-gram shingles keep buckets small.) */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
+      .withColumnRenamed("s", "t")
+    val bands = Dedup.minhashBands(Dedup.minhashSig(dt))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(dt.as("x"), col("x.doc_id") === col("da"))
+      .join(dt.as("y"), col("y.doc_id") === col("db") && col("y.t") === col("x.t"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
+    common
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .where(j >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), j.as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q28 — 48-bit frequency-weighted SimHash fingerprint per document. */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** q29 — SimHash near-dups: 12-bit band-equality candidates (pigeonhole
+    * guarantees recall for hamming ≤ 3), hamming verified via
+    * bit_count(xor). */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fp = Dedup.simhash(Tables.documents(s, dir))
+    val bandCols = (0 until 4).map(j =>
+      struct(lit(j).as("band"), Dedup.simhashBand(col("simhash"), j).as("bv")))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dedup_exact"      -> dedupExact,
+    "q25_dedup_ngram_jacc" -> ngramJaccard,
+    "q26_minhash_sig"      -> minhashSig,
+    "q27_minhash_neardup"  -> minhashNearDup,
+    "q28_simhash"          -> simhash,
+    "q29_simhash_neardup"  -> simhashNearDup
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q25_dedup_ngram_jacc" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(3)}),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+         |FROM pairs
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q26_minhash_sig" ->
+      s"""WITH dt AS (${Dedup.tokenSetSql}),
+         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dt GROUP BY doc_id)
+         |SELECT doc_id, ${(0 until Dedup.MinHashK).map(i => s"h$i").mkString(" || ")} AS sig
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q27_minhash_neardup" ->
+      s"""WITH dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
+         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dt GROUP BY doc_id),
+         |bands AS (${Dedup.minhashBandsSql}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+         |common AS (
+         |  SELECT da, db, count(*) AS c
+         |  FROM cand
+         |  JOIN dt x ON x.doc_id = da
+         |  JOIN dt y ON y.doc_id = db AND y.t = x.t
+         |  GROUP BY da, db)
+         |SELECT da AS doc_a, db AS doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+         |FROM common
+         |JOIN sz sa ON da = sa.doc_id
+         |JOIN sz sb ON db = sb.doc_id
+         |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, t, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |    FROM documents) WHERE t <> '' GROUP BY doc_id, t),
+         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM tc GROUP BY doc_id)
+         |SELECT doc_id, ${Dedup.simhashAssembleSql} AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q29_simhash_neardup" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, t, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |    FROM documents) WHERE t <> '' GROUP BY doc_id, t),
+         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM tc GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ${Dedup.simhashAssembleSql} AS simhash FROM s),
+         |bands AS (
+         |${(0 until 4).map(j =>
+            s"  SELECT doc_id, simhash, $j AS band, ${Dedup.simhashBandSql("simhash", j)} AS bv FROM fp")
+            .mkString("\n  UNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

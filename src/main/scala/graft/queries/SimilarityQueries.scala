@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity search over the `embeddings` table (64-dim `array<float>`):
+  * brute-force cosine as the correctness baseline, sign-LSH bucketing as
+  * the scale path. Cosine is a strict left-fold (graft.llm.VectorOps) and
+  * bit-matches DuckDB's `list_cosine_similarity`, so everything here is
+  * exact-oracle-able.
+  *
+  * Scale posture: the brute crossJoin is O(n·q) with q a fixed query set —
+  * acceptable only because q is bounded; the LSH variant replaces it with
+  * a bucket-equality join whose cost is Σ_bucket |q∩bucket|·|bucket|.
+  */
+object SimilarityQueries {
+
+  private val QuerySetSize = 50
+  private val K = 5
+  // 8 sign bits → 256 buckets: at testdata scale most queries keep a few
+  // bucket-mates (recall demo); at cluster scale the bit count is the
+  // recall/cost dial.
+  private val LshBits = 8
+
+  /** Vectors with their norm precomputed once per row — the pair stage
+    * then pays a single 64-term dot per pair (`dot/(nrm_a*nrm_b)` is the
+    * identical expression tree to `dot/(sqrt(dot aa)*sqrt(dot bb))`, so
+    * oracle parity is preserved while per-pair work drops 3×). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+
+  /** q30 — brute near-dup pairs: all (a<b) with cosine ≥ 0.4. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q31 — brute-force cosine top-k for a fixed query set (vec_id < 50). */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** q32 — sign-LSH ANN: bucket on the sign pattern of the first 16
+    * components, rank only within the query's bucket. Approximate by
+    * design but deterministic, and the join replaces the crossJoin. */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+      .withColumn("bkt", VectorOps.signBucket(col("embedding"), LshBits))
+    val q = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bkt").as("qbkt"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(e, col("qbkt") === col("bkt") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_embed_neardup" -> embedNearDup,
+    "q31_knn_brute"     -> knnBrute,
+    "q32_knn_lsh"       -> knnLsh
+  )
+
+  private val nrmSql =
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+  private val pairCosSql =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.nrm * b.nrm)"
+  private val qCosSql =
+    "list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) / (q.qnrm * e.nrm)"
+
+  val oracles: Map[String, String] = Map(
+    "q30_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $pairCosSql AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $pairCosSql >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q31_knn_brute" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+         |  FROM e WHERE vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
+         |  FROM q, e WHERE e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos, rn FROM r
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+
+    "q32_knn_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm,
+         |         ${VectorOps.signBucketSql("embedding", LshBits)} AS bkt
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, bkt AS qbkt
+         |  FROM e WHERE vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
+         |  FROM q JOIN e ON q.qbkt = e.bkt AND e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM c)
+         |SELECT query_id, neighbor_id, cos, rn FROM r
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+  )
+}

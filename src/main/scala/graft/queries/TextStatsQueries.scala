@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.Tokenize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators over `documents` for corpus curation:
+  * marker-based language ID, quality scoring, per-source token statistics,
+  * rolling-hash fingerprinting, and the reference's StringIndexer (SURVEY
+  * §2.4 T5) as a pure SQL window. All exact-oracle-able.
+  */
+object TextStatsQueries {
+
+  /** Per-language function-word marker lists for the n-gram-free heuristic
+    * language ID. Order of the map = alphabetical = argmax tiebreak order.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne"),
+    "zh" -> Seq("的", "是", "了", "在", "不"))
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  private def markerHits(words: Column, markers: Seq[String]): Column =
+    size(filter(words, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** q33 — heuristic language ID: count marker-word hits per language,
+    * predict the argmax (ties → alphabetical), compare to the label. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val withScores = LangMarkers.foldLeft(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), toks.as("w"))) {
+      case (df, (code, markers)) =>
+        df.withColumn(s"s_$code", markerHits(col("w"), markers).cast(LongType))
+    }
+    val g = greatest(LangMarkers.map { case (c, _) => col(s"s_$c") }: _*)
+    // `when` chains are first-match, mirroring the SQL CASE's tiebreak order.
+    val chain = LangMarkers.tail.foldLeft(
+      when(col(s"s_${LangMarkers.head._1}") === g, lit(LangMarkers.head._1))) {
+      case (acc, (c, _)) => acc.when(col(s"s_$c") === g, lit(c))
+    }
+    withScores
+      .select(col("doc_id"), chain.as("pred_lang"), col("lang"),
+        when(chain === col("lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q34 — quality scoring: token count, type-token ratio, stop-word
+    * ratio, mean token length, and a bounded composite score. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Tokenize.stopWords.map(lit): _*)
+    val base = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val n = size(col("w")).cast(LongType)
+    val uniq = size(array_distinct(col("w"))).cast(DoubleType) / size(col("w"))
+    val stop = size(filter(col("w"), t => array_contains(stopArr, t)))
+      .cast(DoubleType) / size(col("w"))
+    val meanLen = aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+      .cast(DoubleType) / size(col("w"))
+    val score = lit(0.3) * uniq + lit(0.3) * (lit(1.0) - stop) +
+      lit(0.4) * least(lit(1.0), size(col("w")).cast(DoubleType) / lit(100.0))
+    base.select(col("doc_id"), n.as("n_tokens"), uniq.as("uniq_ratio"),
+        stop.as("stop_ratio"), meanLen.as("mean_token_len"), score.as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q35 — per-source corpus statistics (doc counts, token totals,
+    * vocabulary size, average length). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), toks.as("w"))
+    val perSource = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast(LongType)).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val vocab = Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("t"))
+      .where(col("t") =!= "").distinct()
+      .groupBy("source").agg(count(lit(1)).as("distinct_tokens"))
+    perSource.join(vocab, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"), col("total_chars"),
+        (col("total_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q36 — rolling-hash document fingerprint: the minimum md5 over all
+    * 8-char grams (winnowing with a single global window). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("g"))
+      .groupBy("doc_id").agg(min(col("g")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** q37 — the reference's StringIndexer (T5) as SQL: index labels by
+    * descending frequency, ties alphabetical (`SGDC/sgdc.py:65`). */
+  def stringIndexerSql(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir).groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("lang"))
+    cnt.select(col("lang"), col("cnt"),
+        (dense_rank().over(w) - 1).cast(LongType).as("idx"))
+      .orderBy(col("idx"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_lang_id"        -> langId,
+    "q34_quality_score"  -> qualityScore,
+    "q35_token_stats"    -> tokenStats,
+    "q36_fingerprint"    -> fingerprint,
+    "q37_string_indexer" -> stringIndexerSql
+  )
+
+  private def markersSqlList(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q33_lang_id" -> {
+      val scores = LangMarkers.map { case (c, ms) =>
+        s"len(list_filter(w, t -> list_contains(${markersSqlList(ms)}, t)))::BIGINT AS s_$c"
+      }.mkString(",\n         ")
+      val g = LangMarkers.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+      val chain = LangMarkers.map { case (c, _) => s"WHEN s_$c = g THEN '$c'" }
+        .mkString("CASE ", " ", " ELSE '??' END")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |         $scores
+         |  FROM t),
+         |gg AS (SELECT *, $g AS g FROM sc)
+         |SELECT doc_id, $chain AS pred_lang, lang,
+         |       CASE WHEN ($chain) = lang THEN 1 ELSE 0 END::BIGINT AS correct
+         |FROM gg ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(w)::BIGINT AS n_tokens,
+         |  len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
+         |  len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w) AS stop_ratio,
+         |  list_sum(list_transform(w, t -> len(t)))::DOUBLE / len(w) AS mean_token_len,
+         |  0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
+         |    + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
+         |    + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE) AS score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q35_token_stats" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |per_source AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM d GROUP BY source),
+        |vocab AS (
+        |  SELECT source, count(*) AS distinct_tokens FROM (
+        |    SELECT DISTINCT source, t FROM (
+        |      SELECT source, unnest(w) AS t FROM d) WHERE t <> '')
+        |  GROUP BY source)
+        |SELECT p.source, n_docs, total_tokens, distinct_tokens, total_chars,
+        |       total_tokens::DOUBLE / n_docs AS avg_tokens
+        |FROM per_source p JOIN vocab v ON p.source = v.source
+        |ORDER BY p.source""".stripMargin,
+
+    "q36_fingerprint" ->
+      """SELECT doc_id, min(md5(substr(text, i, 8))) AS fp
+        |FROM documents, unnest(range(1, len(text) - 6)) AS u(i)
+        |WHERE len(text) >= 8
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q37_string_indexer" ->
+      """SELECT lang, count(*) AS cnt,
+        |       CAST(dense_rank() OVER (ORDER BY count(*) DESC, lang) - 1 AS BIGINT) AS idx
+        |FROM documents GROUP BY lang ORDER BY idx""".stripMargin
+  )
+}
