@@ -1,0 +1,53 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's per-batch evaluation metrics (SURVEY §2.5 A3) as
+  * distributed DataFrame aggregates — never a driver-side label collect.
+  *
+  * The reference computes these with sklearn on collected numpy arrays
+  * (`SGDC/sgdc.py:102-113`): confusion matrix, accuracy, F1, precision,
+  * recall, and `mean_squared_error` logged under the wrong name "rmse" —
+  * we name it `mse` (SURVEY §2.11.1).
+  */
+object Metrics {
+
+  /** Confusion counts: one row per (label, prediction) pair. */
+  def confusion(scored: DataFrame,
+                labelCol: String = "target",
+                predCol: String = "prediction"): DataFrame =
+    scored.groupBy(col(labelCol).as("label"), col(predCol).as("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("label"), col("prediction"))
+
+  /** One-row frame: accuracy, precision, recall, f1, mse for the positive
+    * class (1.0). Ratios of conditional counts; `when` guards 0/0 → 0. */
+  def binary(scored: DataFrame,
+             labelCol: String = "target",
+             predCol: String = "prediction"): DataFrame = {
+    val l = col(labelCol); val p = col(predCol)
+    val tp = sum(when(l === 1.0 && p === 1.0, 1L).otherwise(0L))
+    val fp = sum(when(l === 0.0 && p === 1.0, 1L).otherwise(0L))
+    val fn = sum(when(l === 1.0 && p === 0.0, 1L).otherwise(0L))
+    scored.agg(
+      avg(when(l === p, 1.0).otherwise(0.0)).as("accuracy"),
+      (tp.cast("double") / greatest(tp + fp, lit(1L))).as("precision"),
+      (tp.cast("double") / greatest(tp + fn, lit(1L))).as("recall"),
+      (lit(2.0) * tp / greatest(lit(2L) * tp + fp + fn, lit(1L))).as("f1"),
+      avg(pow(l - p, 2)).as("mse"))
+  }
+
+  case class BinaryMetrics(accuracy: Double, precision: Double,
+                           recall: Double, f1: Double, mse: Double)
+
+  /** Collapse the one-row aggregate to a case class (driver receives five
+    * doubles — the only data that ever leaves the executors). */
+  def binaryCollect(scored: DataFrame,
+                    labelCol: String = "target",
+                    predCol: String = "prediction"): BinaryMetrics = {
+    val r = binary(scored, labelCol, predCol).head()
+    BinaryMetrics(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+  }
+}

@@ -26,8 +26,25 @@ object TextQueries {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
 
+  /** q38 — the reference's full training-side chain including the Porter2
+    * stemmer (T3): clean → tokenize → stop-words → stem → count. No
+    * DuckDB twin for the stemmer (FTS extension is offline-unavailable),
+    * so this query is declared without an oracle — the driver records a
+    * rows-only check; algorithm correctness is covered by Porter2Spec's
+    * golden vectors.
+    */
+  def stemTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(
+        Tokenize.stemTokens(
+          Tokenize.removeStopWords(
+            Tokenize.tokenize(Clean.clean(col("text")))))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_clean_tokens" -> cleanTokens
+    "q01_clean_tokens" -> cleanTokens,
+    "q38_stem_tokens"  -> stemTokens
   )
 
   val oracles: Map[String, String] = Map(

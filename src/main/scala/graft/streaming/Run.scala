@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.io.{File, FileOutputStream, ObjectInputStream, ObjectOutputStream, FileInputStream}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ml.{Featurize, Incremental, Metrics}
+
+/** The reference's training pipelines (EP1, SURVEY §3) on Structured
+  * Streaming: 5 s micro-batches → featurize → incremental update →
+  * holdout metrics → CSV/TXT/model sinks (K1–K4).
+  *
+  * Differences from the reference, by design (SURVEY §2.11):
+  *   - fixed label map instead of per-batch StringIndexer refit;
+  *   - the metric is named `mse`, not `rmse`;
+  *   - model weights AND counters checkpoint to disk each batch, so a
+  *     restart resumes both (the reference reloads the pickle but resets
+  *     its in-memory counters);
+  *   - state crossing executor→driver is weight-sized, never the batch.
+  */
+object Run {
+
+  /** Serializable snapshot persisted per batch (mirrors the reference's
+    * per-batch `joblib.dump`, `SGDC/sgdc.py:90`). */
+  case class TrainState(model: Incremental.LinearModel,
+                        var iter: Long, var bestF1: Double)
+    extends Serializable
+
+  def saveState(s: TrainState, path: String): Unit = {
+    val out = new ObjectOutputStream(new FileOutputStream(path))
+    try out.writeObject(s) finally out.close()
+  }
+
+  def loadState(path: String): Option[TrainState] =
+    if (!new File(path).exists()) None
+    else {
+      val in = new ObjectInputStream(new FileInputStream(path))
+      try Some(in.readObject().asInstanceOf[TrainState]) finally in.close()
+    }
+
+  sealed trait Algo
+  case object Sgd extends Algo
+  case object Pa extends Algo
+
+  /** Start the incremental-training stream over a (Label, Tweet) stream
+    * frame (already envelope-decoded — compose with Ingest.socketLines +
+    * Ingest.decodeEnvelope for the reference's exact source).
+    *
+    * Per batch (cf. `SGDC/sgdc.py:31-126`): featurize → 80:20 split
+    * (seed 42, M5) → partial_fit on the train split → score holdout →
+    * metrics CSV append + stats TXT overwrite + state checkpoint, with a
+    * best-F1 model copy on improvement (K2–K4).
+    */
+  def trainingStream(records: DataFrame, algo: Algo, outDir: String,
+                     tag: String = "3000", stem: Boolean = true,
+                     triggerMs: Long = 5000L): StreamingQuery = {
+    new File(outDir).mkdirs()
+    val statePath = s"$outDir/model_$tag.bin"
+    val bestPath = s"$outDir/model_bestfsc_$tag.bin"
+    val csvPath = Paths.get(s"$outDir/stats_$tag.csv")
+    if (!Files.exists(csvPath))
+      Files.writeString(csvPath, "iter,f1,maxf1,acc,precision,recall,batchsize,mse\n")
+
+    val state = loadState(statePath).getOrElse(
+      TrainState(new Incremental.LinearModel(Featurize.NumFeatures), 0L, 0.0))
+
+    records.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", s"$outDir/_checkpoint_$tag")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val featurized = Featurize.featurize(batch, stem)
+          val Array(train, test) = featurized.randomSplit(Array(0.8, 0.2), seed = 42)
+          algo match {
+            case Sgd => Incremental.SgdHinge.partialFit(state.model, train)
+            case Pa  => Incremental.PassiveAggressive.partialFit(state.model, train)
+          }
+          val m = Metrics.binaryCollect(state.model.predictCol(test))
+          state.iter += 1
+          val batchSize = batch.count()
+          Files.writeString(csvPath,
+            f"${state.iter},${m.f1}%.6f,${math.max(state.bestF1, m.f1)}%.6f," +
+              f"${m.accuracy}%.6f,${m.precision}%.6f,${m.recall}%.6f," +
+              f"$batchSize,${m.mse}%.6f\n",
+            StandardOpenOption.APPEND)
+          Files.writeString(Paths.get(s"$outDir/stats_$tag.txt"),
+            s"iter=${state.iter}\nf1=${m.f1}\nbest_f1=${math.max(state.bestF1, m.f1)}\n" +
+              s"batch_size=$batchSize\n")
+          if (m.f1 > state.bestF1) {
+            state.bestF1 = m.f1
+            saveState(state, bestPath)
+          }
+          saveState(state, statePath)
+        }
+        ()
+      }
+      .start()
+  }
+}

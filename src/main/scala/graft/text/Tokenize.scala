@@ -38,4 +38,12 @@ object Tokenize {
     val stop = array(stopWords.map(lit): _*)
     filter(c, t => !array_contains(stop, t))
   }
+
+  /** T3 — Porter2-stem every token via the engine's `graft_stem`
+    * expression (graft.functions.StemWord); mirrors the reference's
+    * per-token NLTK stemmer UDF (`SGDC/sgdc.py:59-61`) without leaving
+    * the JVM.
+    */
+  def stemTokens(c: Column): Column =
+    transform(c, t => call_function("graft_stem", t))
 }

@@ -1,0 +1,33 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // labels:      1  1  1  0  0  0
+  // predictions: 1  1  0  1  0  0   → tp=2 fp=1 fn=1 tn=2
+  private lazy val scored = Seq(
+    (1.0, 1.0), (1.0, 1.0), (1.0, 0.0),
+    (0.0, 1.0), (0.0, 0.0), (0.0, 0.0)).toDF("target", "prediction")
+
+  test("binary metrics match hand computation") {
+    val m = Metrics.binaryCollect(scored)
+    assert(math.abs(m.accuracy - 4.0 / 6) < 1e-12)
+    assert(math.abs(m.precision - 2.0 / 3) < 1e-12)
+    assert(math.abs(m.recall - 2.0 / 3) < 1e-12)
+    assert(math.abs(m.f1 - 2.0 / 3) < 1e-12)   // 2tp/(2tp+fp+fn) = 4/6
+    assert(math.abs(m.mse - 2.0 / 6) < 1e-12)
+  }
+
+  test("confusion matrix counts every (label, prediction) cell") {
+    val cm = Metrics.confusion(scored).as[(Double, Double, Long)].collect().toSet
+    assert(cm == Set((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 0.0, 1L), (1.0, 1.0, 2L)))
+  }
+
+  test("degenerate all-negative predictions do not divide by zero") {
+    val d = Seq((1.0, 0.0), (0.0, 0.0)).toDF("target", "prediction")
+    val m = Metrics.binaryCollect(d)
+    assert(m.precision == 0.0 && m.recall == 0.0 && m.f1 == 0.0)
+  }
+}

