@@ -14,7 +14,9 @@ object SparkEntry {
     (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
     (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracles),
     (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
-    (graft.queries.TextStatsQueries.queries, graft.queries.TextStatsQueries.oracles)
+    (graft.queries.TextStatsQueries.queries, graft.queries.TextStatsQueries.oracles),
+    (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
+    (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Event-time windowing (SURVEY §2.10) exercised in batch form so the
+  * exact same operators used by the streaming paths get DuckDB oracles:
+  * tumbling windows via `window()`, session windows via
+  * `session_window()`, and frozen-weight linear inference (M6) as a pure
+  * column expression over embeddings.
+  *
+  * Timestamps never leave a query raw — formatted as UTC strings
+  * (SURVEY §5.1). Tumbling buckets align identically in both engines:
+  * Spark aligns to the epoch, DuckDB's `time_bucket` to 2000-01-01, and
+  * the two origins differ by an exact multiple of five minutes.
+  */
+object WindowQueries {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** q39 — tumbling 5-minute event-time windows per event_type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType18_6)).cast(DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), TsFmt).as("w_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  private def DecimalType18_6 = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** q40 — session windows per user: a session breaks after 30 idle
+    * minutes; Spark's `session_window` in batch mode vs the classic
+    * gaps-and-islands SQL formulation. */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType18_6)).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), TsFmt).as("session_start"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Deterministic pseudo-random frozen weights for q41 (integer-derived
+    * rationals — identical literals on both engines). */
+  private val FrozenW: Seq[Double] =
+    (0 until VectorOps.Dim).map(j => (((j * 2654435761L) % 1000L) - 500L) / 1000.0)
+
+  /** q41 — frozen-weight linear inference (the reference's M6
+    * `model.predict` with a loaded pickle, `TESTING .py:76-77`) as a
+    * column expression: score = w·x, prediction = score > 0. */
+  def linearScore(s: SparkSession, dir: String): DataFrame = {
+    val w = array(FrozenW.map(lit): _*)
+    val score = VectorOps.dot(VectorOps.toDoubleArr(col("embedding")), w)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), score.as("score"),
+        when(score > 0, 1L).otherwise(0L).as("prediction"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q42 — prediction-quality aggregation on top of q41: confusion cells
+    * against the stored label (binary: label == 0 vs != 0), i.e. the A3
+    * metric aggregation shape with an oracle. */
+  def scoreConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = array(FrozenW.map(lit): _*)
+    val score = VectorOps.dot(VectorOps.toDoubleArr(col("embedding")), w)
+    Tables.embeddings(s, dir)
+      .select(when(col("label") === 0, 0L).otherwise(1L).as("y"),
+        when(score > 0, 1L).otherwise(0L).as("pred"))
+      .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("y"), col("pred"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_tumbling_window" -> tumbling,
+    "q40_session_window"  -> sessions,
+    "q41_linear_score"    -> linearScore,
+    "q42_score_confusion" -> scoreConfusion
+  )
+
+  private val frozenWSql = FrozenW.map(_.toString).mkString("[", ", ", "]")
+  private val scoreSql =
+    s"list_dot_product(embedding::DOUBLE[], $frozenWSql::DOUBLE[])"
+
+  val oracles: Map[String, String] = Map(
+    "q39_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL 5 MINUTE, ts), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q40_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q41_linear_score" ->
+      s"""SELECT vec_id, $scoreSql AS score,
+         |       CASE WHEN $scoreSql > 0 THEN 1 ELSE 0 END::BIGINT AS prediction,
+         |       label
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q42_score_confusion" ->
+      s"""SELECT (CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS y,
+         |       (CASE WHEN $scoreSql > 0 THEN 1 ELSE 0 END)::BIGINT AS pred,
+         |       count(*) AS cnt
+         |FROM embeddings
+         |GROUP BY 1, 2
+         |ORDER BY y, pred""".stripMargin
+  )
+}
