@@ -76,11 +76,37 @@ object WindowQueries {
       .orderBy(col("y"), col("pred"))
   }
 
+  /** q44 — sliding windows (10-minute length, 5-minute slide): every
+    * event lands in exactly two windows; the oracle reproduces that by
+    * unnesting the two candidate window starts per event. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType18_6)).cast(DoubleType).as("sum_value"))
+      .select(date_format(col("w.start"), TsFmt).as("w_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** q45 — approx_count_distinct (HLL++) next to the exact count: the
+    * approximate value has no cross-engine oracle (different sketches),
+    * so this query is declared without one (rows-only check); the spec
+    * asserts the estimate lands within the documented error bound. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_tumbling_window" -> tumbling,
     "q40_session_window"  -> sessions,
     "q41_linear_score"    -> linearScore,
-    "q42_score_confusion" -> scoreConfusion
+    "q42_score_confusion" -> scoreConfusion,
+    "q44_sliding_window"  -> sliding,
+    "q45_approx_distinct" -> approxDistinct
   )
 
   private val frozenWSql = FrozenW.map(_.toString).mkString("[", ", ", "]")
@@ -129,6 +155,21 @@ object WindowQueries {
          |       count(*) AS cnt
          |FROM embeddings
          |GROUP BY 1, 2
-         |ORDER BY y, pred""".stripMargin
+         |ORDER BY y, pred""".stripMargin,
+
+    "q44_sliding_window" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         time_bucket(INTERVAL 5 MINUTE, ts) AS bkt
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, unnest([bkt, bkt - INTERVAL 5 MINUTE]) AS ws
+        |  FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w
+        |GROUP BY ws, event_type
+        |ORDER BY w_start, event_type""".stripMargin
   )
 }
