@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection tool: `runMain graft.Explain <queryName> [sfDir]`
+  * prints the formatted physical plan for any registered query (all of
+  * them with no args). Used to audit the scale checklist per operator:
+  * PushedFilters reach the parquet scan, ReadSchema is pruned, dimension
+  * joins broadcast, aggregates are partial, WholeStageCodegen spans are
+  * wide.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = args.headOption match {
+      case Some(n) => Seq(n)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
