@@ -267,6 +267,42 @@ object RelationalQueries {
            count(lit(1)).as("cnt"))
       .orderBy(col("o_orderstatus"))
 
+  // ——— q46: multiset set ops (UNION ALL / EXCEPT ALL / INTERSECT ALL) ———
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high   = o.where(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    val f      = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    urgent.union(high)                 // UNION ALL (bag semantics)
+      .exceptAll(f)                    // EXCEPT ALL
+      .intersectAll(urgent)            // INTERSECT ALL
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ——— q47: date arithmetic (trunc, add, diff, dow) ———
+  // Derived date columns are formatted to strings (SURVEY §5.1).
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(col("o_orderdate") + expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast(LongType).as("days_to_ref"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  // ——— q48: extended string functions ———
+  def stringExtra(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_digits"),
+        lpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+        translate(col("c_name"), "#", "-").as("name_dash"),
+        instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+        reverse(col("c_mktsegment")).as("seg_rev"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -289,7 +325,10 @@ object RelationalQueries {
     "q20_date_parts"      -> dateParts,
     "q21_string_funcs"    -> stringFuncs,
     "q22_math_funcs"      -> mathFuncs,
-    "q23_distinct_agg"    -> distinctAgg
+    "q23_distinct_agg"    -> distinctAgg,
+    "q46_set_ops_all"     -> setOpsAll,
+    "q47_date_arith"      -> dateArith,
+    "q48_string_extra"    -> stringExtra
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +499,39 @@ object RelationalQueries {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS cnt
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q46_set_ops_all" ->
+      """WITH u AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |e AS (
+        |  SELECT o_custkey FROM u
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |i AS (
+        |  SELECT o_custkey FROM e
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, count(*) AS cnt FROM i
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q47_date_arith" ->
+      """SELECT o_orderkey,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+        |       CAST(date_diff('day', o_orderdate::DATE, DATE '1999-01-01') AS BIGINT) AS days_to_ref,
+        |       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q48_string_extra" ->
+      """SELECT c_custkey,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
+        |       lpad(c_mktsegment, 12, '.') AS seg_pad,
+        |       replace(c_name, '#', '-') AS name_dash,
+        |       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |       reverse(c_mktsegment) AS seg_rev
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
