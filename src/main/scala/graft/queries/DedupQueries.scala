@@ -25,7 +25,9 @@ object DedupQueries {
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5 via an inverted
     * shingle join (bounded by Σ_shingle count², never a crossJoin). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+    // the shingle set feeds three plan branches (sizes + both join sides);
+    // persist it so the explode+distinct shuffle happens once
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3).persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -55,8 +57,9 @@ object DedupQueries {
     * identical token set, so every band collides and the candidate set
     * goes quadratic — 3-gram shingles keep buckets small.) */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    // reused by signature agg, size agg, and both verification join sides
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .withColumnRenamed("s", "t")
+      .withColumnRenamed("s", "t").persist()
     val bands = Dedup.minhashBands(Dedup.minhashSig(dt))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -86,7 +89,8 @@ object DedupQueries {
     * guarantees recall for hamming ≤ 3), hamming verified via
     * bit_count(xor). */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val fp = Dedup.simhash(Tables.documents(s, dir))
+    // both self-join sides derive from the 48-aggregation fingerprint pass
+    val fp = Dedup.simhash(Tables.documents(s, dir)).persist()
     val bandCols = (0 until 4).map(j =>
       struct(lit(j).as("band"), Dedup.simhashBand(col("simhash"), j).as("bv")))
     val bands = fp.select(col("doc_id"), col("simhash"),

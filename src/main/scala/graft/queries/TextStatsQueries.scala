@@ -67,14 +67,20 @@ object TextStatsQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** q35 — per-source corpus statistics (doc counts, token totals,
-    * vocabulary size, average length). */
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style coarse classes: letter
+    * runs, digit runs, single punctuation) — identical regex semantics in
+    * Spark (Java regex) and DuckDB (RE2) for this subset. */
+  private val BpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** q35 — per-source corpus statistics: doc counts, whitespace-token and
+    * BPE-ish-token totals, vocabulary size, average length. */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("source"), col("n_chars"), toks.as("w"))
+      .select(col("source"), col("n_chars"), toks.as("w"), col("text"))
     val perSource = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("w")).cast(LongType)).as("total_tokens"),
+      sum(regexp_count(col("text"), lit(BpeRe)).cast(LongType)).as("total_bpe_tokens"),
       sum(col("n_chars")).as("total_chars"))
     val vocab = Tables.documents(s, dir)
       .select(col("source"), explode(toks).as("t"))
@@ -82,7 +88,7 @@ object TextStatsQueries {
       .groupBy("source").agg(count(lit(1)).as("distinct_tokens"))
     perSource.join(vocab, "source")
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        col("distinct_tokens"), col("total_chars"),
+        col("total_bpe_tokens"), col("distinct_tokens"), col("total_chars"),
         (col("total_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"))
       .orderBy(col("source"))
   }
@@ -157,11 +163,13 @@ object TextStatsQueries {
 
     "q35_token_stats" ->
       """WITH d AS (
-        |  SELECT source, n_chars, string_split_regex(trim(text), '\s+') AS w
+        |  SELECT source, n_chars, text,
+        |         string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
         |per_source AS (
         |  SELECT source, count(*) AS n_docs,
         |         CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+        |         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
         |         CAST(sum(n_chars) AS BIGINT) AS total_chars
         |  FROM d GROUP BY source),
         |vocab AS (
@@ -169,7 +177,8 @@ object TextStatsQueries {
         |    SELECT DISTINCT source, t FROM (
         |      SELECT source, unnest(w) AS t FROM d) WHERE t <> '')
         |  GROUP BY source)
-        |SELECT p.source, n_docs, total_tokens, distinct_tokens, total_chars,
+        |SELECT p.source, n_docs, total_tokens, total_bpe_tokens,
+        |       distinct_tokens, total_chars,
         |       total_tokens::DOUBLE / n_docs AS avg_tokens
         |FROM per_source p JOIN vocab v ON p.source = v.source
         |ORDER BY p.source""".stripMargin,

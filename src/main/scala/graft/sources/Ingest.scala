@@ -35,7 +35,9 @@ object Ingest {
     val rec = split(col("rec"), ",", 2)
     lines
       .select(explode(from_json(col("value"), ArrayType(StringType))).as("rec"))
-      .select(rec.getItem(0).as("Label"), rec.getItem(1).as("Tweet"))
+      // `get` (not getItem): a record without a comma yields a NULL Tweet
+      // instead of an ANSI index error; F1's null-drop then removes it.
+      .select(get(rec, lit(0)).as("Label"), get(rec, lit(1)).as("Tweet"))
   }
 
   /** Batch variant for already-split records (tests, replay files). */

@@ -55,7 +55,8 @@ object Run {
     */
   def trainingStream(records: DataFrame, algo: Algo, outDir: String,
                      tag: String = "3000", stem: Boolean = true,
-                     triggerMs: Long = 5000L): StreamingQuery = {
+                     triggerMs: Long = 5000L,
+                     consoleSample: Boolean = false): StreamingQuery = {
     new File(outDir).mkdirs()
     val statePath = s"$outDir/model_$tag.bin"
     val bestPath = s"$outDir/model_bestfsc_$tag.bin"
@@ -71,6 +72,9 @@ object Run {
       .option("checkpointLocation", s"$outDir/_checkpoint_$tag")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // K1 — per-batch console sample (the reference's df.show(5),
+          // `TESTING .py:67`), off by default.
+          if (consoleSample) batch.show(5)
           val featurized = Featurize.featurize(batch, stem)
           val Array(train, test) = featurized.randomSplit(Array(0.8, 0.2), seed = 42)
           algo match {
