@@ -21,6 +21,9 @@ class Porter2Spec extends AnyFunSuite {
     "national" -> "nation", "rational" -> "ration",
     "conditional" -> "condit", "electricity" -> "electr",
     "generously" -> "generous", "generate" -> "generat",
+    "organization" -> "organ", "happiness" -> "happi",
+    "ability" -> "abil", "logical" -> "logic",
+    "geology" -> "geolog", "radically" -> "radic",
     // exception list 1
     "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
     "tying" -> "tie", "early" -> "earli", "only" -> "onli", "news" -> "news",
