@@ -303,6 +303,49 @@ object RelationalQueries {
         reverse(col("c_mktsegment")).as("seg_rev"))
       .orderBy(col("c_custkey"))
 
+  // ——— q49: GROUPING SETS (explicit set list, not rollup/cube) ———
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("cnt"), col("sum_price"), col("gid"))
+      .orderBy(col("gid"), col("orderstatus"), col("orderpriority"))
+
+  // ——— q50: exact percentiles/median ———
+  // Restricted to the integer-valued l_quantity so the interpolation at
+  // quarter positions is exact dyadic arithmetic on both engines.
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("median(l_quantity)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+
+  // ——— q51: skew-resistant two-phase (salted) aggregation ———
+  // l_returnflag has 3 hot values — the classic skew shape. Phase 1
+  // aggregates on (key, salt=pmod(l_orderkey,16)) spreading each hot key
+  // over 16 reducers; phase 2 merges the 48 partials. Decimal partials
+  // keep the result bit-equal to the single-phase oracle GROUP BY.
+  def saltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("part_qty"),
+        count(lit(1)).as("part_cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part_qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("part_cnt")).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -328,7 +371,10 @@ object RelationalQueries {
     "q23_distinct_agg"    -> distinctAgg,
     "q46_set_ops_all"     -> setOpsAll,
     "q47_date_arith"      -> dateArith,
-    "q48_string_extra"    -> stringExtra
+    "q48_string_extra"    -> stringExtra,
+    "q49_grouping_sets"   -> groupingSets,
+    "q50_percentiles"     -> percentiles,
+    "q51_salted_agg"      -> saltedAgg
   )
 
   val oracles: Map[String, String] = Map(
@@ -532,6 +578,28 @@ object RelationalQueries {
         |       replace(c_name, '#', '-') AS name_dash,
         |       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
         |       reverse(c_mktsegment) AS seg_rev
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q49_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         |       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         |       count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price,
+         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
+
+    "q50_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       median(l_quantity) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       min(l_quantity) AS qmin,
+        |       max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_salted_agg" ->
+      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

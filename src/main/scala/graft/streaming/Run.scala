@@ -44,6 +44,41 @@ object Run {
   case object Sgd extends Algo
   case object Pa extends Algo
 
+  /** EP2 — the reference's inference-only pipeline (`TESTING .py`):
+    * featurize each micro-batch (no stemming, matching its quirk of
+    * scoring with train-time-stemmed weights on unstemmed features —
+    * here controlled by `stem`), score the WHOLE batch with a frozen
+    * model, append metrics. No split, no training, no model writes.
+    */
+  def inferenceStream(records: DataFrame, statePath: String, outDir: String,
+                      tag: String = "infer", stem: Boolean = false,
+                      triggerMs: Long = 5000L): StreamingQuery = {
+    new File(outDir).mkdirs()
+    val model = loadState(statePath)
+      .getOrElse(throw new IllegalArgumentException(s"no model at $statePath"))
+      .model
+    val csvPath = Paths.get(s"$outDir/infer_$tag.csv")
+    if (!Files.exists(csvPath))
+      Files.writeString(csvPath, "batch,f1,acc,precision,recall,n,mse\n")
+    var batchNo = 0L
+    records.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", s"$outDir/_checkpoint_infer_$tag")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = model.predictCol(Featurize.featurize(batch, stem))
+          val m = Metrics.binaryCollect(scored)
+          batchNo += 1
+          Files.writeString(csvPath,
+            f"$batchNo,${m.f1}%.6f,${m.accuracy}%.6f,${m.precision}%.6f," +
+              f"${m.recall}%.6f,${batch.count()},${m.mse}%.6f\n",
+            StandardOpenOption.APPEND)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Start the incremental-training stream over a (Label, Tweet) stream
     * frame (already envelope-decoded — compose with Ingest.socketLines +
     * Ingest.decodeEnvelope for the reference's exact source).

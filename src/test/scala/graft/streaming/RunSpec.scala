@@ -45,6 +45,38 @@ class RunSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$outDir/model_bestfsc_test.bin")))
   }
 
+  test("inference stream (EP2) scores whole batches with a frozen model") {
+    val outDir = Files.createTempDirectory("graft-infer").toString
+    implicit val sqlCtx = spark.sqlContext
+
+    // train a model to freeze
+    val trainStream = MemoryStream[String]
+    val tq = Run.trainingStream(Ingest.decodeEnvelope(trainStream.toDF()), Run.Pa,
+      outDir, tag = "frozen", stem = false, triggerMs = 50L)
+    try {
+      trainStream.addData(envelope((1 to 40).map(i =>
+        if (i % 2 == 0) ("4", "good great nice fine") else ("0", "bad awful sad poor"))))
+      tq.processAllAvailable()
+    } finally tq.stop()
+
+    // frozen inference on a fresh stream
+    val inferStream = MemoryStream[String]
+    val iq = Run.inferenceStream(Ingest.decodeEnvelope(inferStream.toDF()),
+      s"$outDir/model_frozen.bin", outDir, tag = "t", stem = false, triggerMs = 50L)
+    try {
+      inferStream.addData(envelope(Seq(("4", "good great"), ("0", "bad awful"))))
+      iq.processAllAvailable()
+    } finally iq.stop()
+
+    val csv = Files.readAllLines(Paths.get(s"$outDir/infer_t.csv"))
+    assert(csv.get(0) == "batch,f1,acc,precision,recall,n,mse")
+    assert(csv.size() == 2)
+    // separable vocabulary scored by the trained model → perfect accuracy
+    assert(csv.get(1).split(",")(2).toDouble == 1.0)
+    // no model files written by inference
+    assert(!Files.exists(Paths.get(s"$outDir/model_t.bin")))
+  }
+
   test("restart resumes iteration counter and weights from disk") {
     val outDir = Files.createTempDirectory("graft-stream2").toString
     implicit val sqlCtx = spark.sqlContext
