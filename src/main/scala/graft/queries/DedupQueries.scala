@@ -25,12 +25,16 @@ object DedupQueries {
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5 via an inverted
     * shingle join (bounded by Σ_shingle count², never a crossJoin). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // the shingle set feeds three plan branches (sizes + both join sides);
-    // persist it so the explode+distinct shuffle happens once
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3).persist()
+    // The shingle set feeds three plan branches (sizes + both join sides):
+    // persist it so the explode+distinct shuffle happens once, and carry
+    // 8-byte xxhash64 keys instead of ~20-char shingle strings through
+    // the inverted-index join (engine-internal only — the declared output
+    // is doc pairs + jaccard, so oracle parity is unaffected).
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
@@ -60,7 +64,9 @@ object DedupQueries {
     // reused by signature agg, size agg, and both verification join sides
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
       .withColumnRenamed("s", "t").persist()
-    val bands = Dedup.minhashBands(Dedup.minhashSig(dt))
+    // both candidate-join sides read the bands; persist to run the
+    // 16-way md5 signature aggregation once
+    val bands = Dedup.minhashBands(Dedup.minhashSig(dt)).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -68,9 +74,11 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // verification joins on hashed shingle keys (internal; output unaffected)
+    val dth = dt.select(col("doc_id"), xxhash64(col("t")).as("h"))
     val common = cand
-      .join(dt.as("x"), col("x.doc_id") === col("da"))
-      .join(dt.as("y"), col("y.doc_id") === col("db") && col("y.t") === col("x.t"))
+      .join(dth.as("x"), col("x.doc_id") === col("da"))
+      .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
     val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
     common
