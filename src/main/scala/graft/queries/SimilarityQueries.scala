@@ -81,10 +81,28 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q52 — the LSH scale path for near-dup pairs: candidates share a
+    * sign bucket (bucket-equality join, no crossJoin), verified at
+    * cosine ≥ 0.4. Approximate by design (cross-bucket near-dups are
+    * missed — recall measured against brute-force q30); deterministic,
+    * so it carries its own exact oracle. */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+      .withColumn("bkt", VectorOps.signBucket(col("embedding"), LshBits))
+    val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= 0.4)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cos.as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
-    "q32_knn_lsh"       -> knnLsh
+    "q32_knn_lsh"       -> knnLsh,
+    "q52_embed_neardup_lsh" -> embedNearDupLsh
   )
 
   private val nrmSql =
@@ -137,6 +155,16 @@ object SimilarityQueries {
          |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
          |  FROM c)
          |SELECT query_id, neighbor_id, cos, rn FROM r
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+
+    "q52_embed_neardup_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm,
+         |         ${VectorOps.signBucketSql("embedding", LshBits)} AS bkt
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $pairCosSql AS cos
+         |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE $pairCosSql >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
