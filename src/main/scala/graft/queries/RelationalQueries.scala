@@ -346,6 +346,18 @@ object RelationalQueries {
         sum(col("part_cnt")).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  // ——— q53: pivot (the confusion-matrix shape from SURVEY A3) ———
+  // Explicit value list keeps the output schema static and deterministic.
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -374,7 +386,8 @@ object RelationalQueries {
     "q48_string_extra"    -> stringExtra,
     "q49_grouping_sets"   -> groupingSets,
     "q50_percentiles"     -> percentiles,
-    "q51_salted_agg"      -> saltedAgg
+    "q51_salted_agg"      -> saltedAgg,
+    "q53_pivot"           -> pivotAgg
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +613,13 @@ object RelationalQueries {
 
     "q51_salted_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty, count(*) AS cnt
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
