@@ -116,13 +116,38 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q54 — the MLlib-builtin MinHash path (SURVEY §4's decision-table
+    * alternative to the hand-rolled q27): HashingTF token sets →
+    * `MinHashLSH.approxSimilarityJoin` at Jaccard distance ≤ 0.5.
+    * Deterministic under the fixed seed but the hash parameters are not
+    * reproducible in DuckDB — declared without an oracle (rows-only).
+    */
+  def minhashMllib(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // 3-gram shingles, same near-dup definition as q25/q27 — unigram
+    // token sets are degenerate on this corpus (identical sets → huge
+    // LSH buckets → quadratic join; measured 500 s at sf0.1)
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+      .groupBy("doc_id").agg(collect_list(col("s")).as("w"))
+    val tf = new HashingTF().setInputCol("w").setOutputCol("tfv")
+      .setNumFeatures(1 << 18).setBinary(true).transform(sh)
+    val model = new MinHashLSH().setInputCol("tfv").setOutputCol("mh")
+      .setNumHashTables(4).setSeed(42L).fit(tf)
+    model.approxSimilarityJoin(tf, tf, 0.5, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"), col("dist"))
+      .where(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_exact"      -> dedupExact,
     "q25_dedup_ngram_jacc" -> ngramJaccard,
     "q26_minhash_sig"      -> minhashSig,
     "q27_minhash_neardup"  -> minhashNearDup,
     "q28_simhash"          -> simhash,
-    "q29_simhash_neardup"  -> simhashNearDup
+    "q29_simhash_neardup"  -> simhashNearDup,
+    "q54_minhash_mllib"    -> minhashMllib
   )
 
   val oracles: Map[String, String] = Map(
