@@ -31,14 +31,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def okInput(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case org.apache.spark.sql.types.NullType => true // NULL literal → null out
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) =>
-        TypeCheckResult.TypeCheckFailure(
-          s"graft_dot expects (array<double>, array<double>), got ($l, $r)")
-    }
+    if (okInput(left.dataType) && okInput(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), " +
+        s"got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = DoubleType
 

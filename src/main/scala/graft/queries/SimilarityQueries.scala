@@ -98,11 +98,50 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  private val IvfCells = 16
+  private val IvfProbes = 2
+
+  /** q55 — IVF (inverted-file) ANN, the second scale path beside
+    * sign-LSH: every vector is assigned to its nearest coarse-codebook
+    * cell (here the codebook is the first 16 vectors — deterministic so
+    * the oracle holds; at scale it would be k-means-trained, the
+    * structure is identical), queries probe their 2 nearest cells, and
+    * ranking happens only inside the probed cells. Join cost is
+    * Σ_cell |queries probing cell|·|cell| — never a crossJoin.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.where(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // L2²(v,c) = ||v||² − 2·v·c + ||c||²
+    val dist = col("nrm") * col("nrm") -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+    val cells = assigned.where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = assigned.where(col("rk") <= IvfProbes && col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
     "q32_knn_lsh"       -> knnLsh,
-    "q52_embed_neardup_lsh" -> embedNearDupLsh
+    "q52_embed_neardup_lsh" -> embedNearDupLsh,
+    "q55_knn_ivf"       -> knnIvf
   )
 
   private val nrmSql =
@@ -165,6 +204,40 @@ object SimilarityQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $pairCosSql AS cos
          |FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE $pairCosSql >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q55_knn_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+         |  FROM e WHERE vec_id < $IvfCells),
+         |a AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+         |         e.nrm * e.nrm
+         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+         |           + c.cnrm * c.cnrm AS dist
+         |  FROM e, cents c),
+         |r AS (
+         |  SELECT vec_id, embedding, nrm, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |  FROM a),
+         |cells AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM r WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid AS probe
+         |  FROM r WHERE rk <= $IvfProbes AND vec_id < $QuerySetSize),
+         |c2 AS (
+         |  SELECT query_id, cells.vec_id AS neighbor_id,
+         |         list_dot_product(qv::DOUBLE[], cells.embedding::DOUBLE[])
+         |           / (qnrm * cells.nrm) AS cos
+         |  FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+         |  FROM c2)
+         |SELECT query_id, neighbor_id, cos, rn FROM rr
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
   )
 }

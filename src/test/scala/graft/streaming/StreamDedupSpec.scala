@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.StreamDedup.Doc
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first occurrence passes, duplicates drop — within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val query = StreamDedup.firstSeen(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(Doc(3, "alpha"), Doc(1, "alpha"), Doc(2, "beta"))
+      query.processAllAvailable()
+      stream.addData(Doc(9, "alpha"), Doc(5, "gamma"), Doc(7, "beta"))
+      query.processAllAvailable()
+
+      val kept = spark.table("dedup_test")
+        .as[StreamDedup.Deduped].collect().map(_.docId).sorted.toSeq
+      // "alpha" kept once (smallest id in its first batch), "beta" once,
+      // "gamma" from batch 2; batch-2 re-occurrences dropped
+      assert(kept == Seq(1L, 2L, 5L))
+    } finally query.stop()
+  }
+}
