@@ -62,19 +62,26 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** q32 — sign-LSH ANN: bucket on the sign pattern of the first 16
-    * components, rank only within the query's bucket. Approximate by
-    * design but deterministic, and the join replaces the crossJoin. */
+  /** q32 — multi-probe sign-LSH ANN: bucket on the sign pattern of the
+    * first 8 components; each query probes its own bucket plus all 8
+    * Hamming-1 neighbors (a sign near a hyperplane flips under small
+    * perturbation — probing adjacent buckets is the standard multi-probe
+    * recall fix). 9 bucket-equality probes instead of a crossJoin. */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
       .withColumn("bkt", VectorOps.signBucket(col("embedding"), LshBits))
+    val probeArr = array(
+      (col("qbkt") +: (0 until LshBits).map(j =>
+        col("qbkt").bitwiseXOR(lit(1L << j)))): _*)
     val q = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bkt").as("qbkt"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        explode(probeArr).as("probe"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(e, col("qbkt") === col("bkt") && col("vec_id") =!= col("query_id"))
+    q.join(e, col("probe") === col("bkt") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= K)
@@ -99,7 +106,7 @@ object SimilarityQueries {
   }
 
   private val IvfCells = 16
-  private val IvfProbes = 2
+  private val IvfProbes = 4
 
   /** q55 — IVF (inverted-file) ANN, the second scale path beside
     * sign-LSH: every vector is assigned to its nearest coarse-codebook
@@ -177,24 +184,29 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, cos, rn FROM r
          |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
-    "q32_knn_lsh" ->
+    "q32_knn_lsh" -> {
+      val probeList = ("qbkt" +: (0 until LshBits).map(j => s"xor(qbkt, ${1L << j})"))
+        .mkString("[", ", ", "]")
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $nrmSql AS nrm,
          |         ${VectorOps.signBucketSql("embedding", LshBits)} AS bkt
          |  FROM embeddings),
-         |q AS (
+         |q0 AS (
          |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, bkt AS qbkt
          |  FROM e WHERE vec_id < $QuerySetSize),
+         |q AS (
+         |  SELECT query_id, qv, qnrm, unnest($probeList) AS probe FROM q0),
          |c AS (
          |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
-         |  FROM q JOIN e ON q.qbkt = e.bkt AND e.vec_id <> q.query_id),
+         |  FROM q JOIN e ON q.probe = e.bkt AND e.vec_id <> q.query_id),
          |r AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
          |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
          |  FROM c)
          |SELECT query_id, neighbor_id, cos, rn FROM r
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
 
     "q52_embed_neardup_lsh" ->
       s"""WITH e AS (
