@@ -358,6 +358,44 @@ object RelationalQueries {
         col("P").as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  // ——— q56: JSON object → map, exploded and re-aggregated ———
+  def jsonMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(explode(from_json(col("props"),
+        MapType(StringType, LongType))).as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .orderBy(col("k"))
+
+  // ——— q57: correlated-subquery shape (above per-nation average) ———
+  // Decomposed to the join form on both engines so the average is the
+  // same single decimal-sum/count division.
+  def corrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("nation_avg"))
+    Tables.customer(s, dir)
+      .join(broadcast(avgBal), col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ——— q58: first_value / last_value / ntile windows ———
+  def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val globalOrd = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        ntile(4).over(globalOrd).cast(LongType).as("price_quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -387,7 +425,10 @@ object RelationalQueries {
     "q49_grouping_sets"   -> groupingSets,
     "q50_percentiles"     -> percentiles,
     "q51_salted_agg"      -> saltedAgg,
-    "q53_pivot"           -> pivotAgg
+    "q53_pivot"           -> pivotAgg,
+    "q56_json_map"        -> jsonMap,
+    "q57_corr_subquery"   -> corrSubquery,
+    "q58_window_firstlast" -> windowFirstLast
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,6 +661,33 @@ object RelationalQueries {
         |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
         |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
         |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q56_json_map" ->
+      """SELECT k, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q57_corr_subquery" ->
+      s"""WITH nation_avg AS (
+         |  SELECT c_nationkey AS nk,
+         |         ${dsumSql("c_acctbal")} / count(*) AS nation_avg
+         |  FROM customer GROUP BY c_nationkey)
+         |SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+         |FROM customer JOIN nation_avg ON c_nationkey = nk
+         |WHERE c_acctbal > nation_avg
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q58_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       last_value(o_orderkey) OVER w AS last_order,
+        |       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+        |         AS price_quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
