@@ -143,12 +143,28 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q59 — array-function surface over the embedding column: size,
+    * order-independent extrema (exact on floats), and an
+    * order-controlled sum via dot-with-ones (strict left fold on both
+    * engines — a groupless `list_sum` would have engine-defined order). */
+  def arrayOps(s: SparkSession, dir: String): DataFrame = {
+    val ones = array(Seq.fill(VectorOps.Dim)(lit(1.0)): _*)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("n"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        VectorOps.dot(VectorOps.toDoubleArr(col("embedding")), ones).as("vsum"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
-    "q55_knn_ivf"       -> knnIvf
+    "q55_knn_ivf"       -> knnIvf,
+    "q59_array_ops"     -> arrayOps
   )
 
   private val nrmSql =
@@ -250,6 +266,16 @@ object SimilarityQueries {
          |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
          |  FROM c2)
          |SELECT query_id, neighbor_id, cos, rn FROM rr
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+
+    "q59_array_ops" -> {
+      val ones = Seq.fill(VectorOps.Dim)("1.0").mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         |       CAST(len(embedding) AS BIGINT) AS n,
+         |       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+         |       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+         |       list_dot_product(embedding::DOUBLE[], $ones::DOUBLE[]) AS vsum
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }
   )
 }
