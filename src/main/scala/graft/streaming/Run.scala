@@ -22,9 +22,31 @@ import graft.ml.{Featurize, Incremental, Metrics}
   */
 object Run {
 
+  /** One of the four incremental models behind a common train/score
+    * face, so the stream loop and checkpoints are model-agnostic. */
+  sealed trait ModelState extends Serializable {
+    def partialFit(train: DataFrame): Unit
+    /** Adds a `prediction` column (class id / cluster id). */
+    def predict(df: DataFrame): DataFrame
+  }
+  final class LinearState(val m: Incremental.LinearModel,
+                          update: (Incremental.LinearModel, DataFrame) => Unit)
+    extends ModelState {
+    def partialFit(train: DataFrame): Unit = update(m, train)
+    def predict(df: DataFrame): DataFrame = m.predictCol(df)
+  }
+  final class NbState(val nb: Incremental.BernoulliNB) extends ModelState {
+    def partialFit(train: DataFrame): Unit = nb.partialFit(train)
+    def predict(df: DataFrame): DataFrame = nb.toLinear.predictCol(df)
+  }
+  final class KmState(val km: Incremental.MiniBatchKMeans) extends ModelState {
+    def partialFit(train: DataFrame): Unit = km.partialFit(train)
+    def predict(df: DataFrame): DataFrame = km.predictCol(df)
+  }
+
   /** Serializable snapshot persisted per batch (mirrors the reference's
     * per-batch `joblib.dump`, `SGDC/sgdc.py:90`). */
-  case class TrainState(model: Incremental.LinearModel,
+  case class TrainState(model: ModelState,
                         var iter: Long, var bestF1: Double)
     extends Serializable
 
@@ -43,6 +65,18 @@ object Run {
   sealed trait Algo
   case object Sgd extends Algo
   case object Pa extends Algo
+  case object Bnb extends Algo
+  case object Kmeans extends Algo
+
+  private def freshState(algo: Algo): ModelState = algo match {
+    case Sgd => new LinearState(new Incremental.LinearModel(Featurize.NumFeatures),
+      Incremental.SgdHinge.partialFit)
+    case Pa => new LinearState(new Incremental.LinearModel(Featurize.NumFeatures),
+      Incremental.PassiveAggressive.partialFit)
+    case Bnb => new NbState(new Incremental.BernoulliNB(Featurize.NumFeatures))
+    case Kmeans => new KmState(
+      new Incremental.MiniBatchKMeans(k = 2, dim = Featurize.NumFeatures))
+  }
 
   /** EP2 — the reference's inference-only pipeline (`TESTING .py`):
     * featurize each micro-batch (no stemming, matching its quirk of
@@ -54,7 +88,7 @@ object Run {
                       tag: String = "infer", stem: Boolean = false,
                       triggerMs: Long = 5000L): StreamingQuery = {
     new File(outDir).mkdirs()
-    val model = loadState(statePath)
+    val model: ModelState = loadState(statePath)
       .getOrElse(throw new IllegalArgumentException(s"no model at $statePath"))
       .model
     val csvPath = Paths.get(s"$outDir/infer_$tag.csv")
@@ -66,7 +100,7 @@ object Run {
       .option("checkpointLocation", s"$outDir/_checkpoint_infer_$tag")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val scored = model.predictCol(Featurize.featurize(batch, stem))
+          val scored = model.predict(Featurize.featurize(batch, stem))
           val m = Metrics.binaryCollect(scored)
           batchNo += 1
           Files.writeString(csvPath,
@@ -100,7 +134,7 @@ object Run {
       Files.writeString(csvPath, "iter,f1,maxf1,acc,precision,recall,batchsize,mse\n")
 
     val state = loadState(statePath).getOrElse(
-      TrainState(new Incremental.LinearModel(Featurize.NumFeatures), 0L, 0.0))
+      TrainState(freshState(algo), 0L, 0.0))
 
     records.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -112,11 +146,21 @@ object Run {
           if (consoleSample) batch.show(5)
           val featurized = Featurize.featurize(batch, stem)
           val Array(train, test) = featurized.randomSplit(Array(0.8, 0.2), seed = 42)
-          algo match {
-            case Sgd => Incremental.SgdHinge.partialFit(state.model, train)
-            case Pa  => Incremental.PassiveAggressive.partialFit(state.model, train)
+          state.model.partialFit(train)
+          val scored = state.model.predict(test)
+          // K-means emits arbitrary cluster ids; scoring them directly as
+          // class labels is the reference's quirk (SURVEY §2.11.3) — here
+          // metrics use the id↔label alignment with the higher accuracy.
+          val m = algo match {
+            case Kmeans =>
+              import org.apache.spark.sql.functions.{col, lit}
+              val flipped = scored.withColumn("prediction",
+                lit(1.0) - col("prediction"))
+              val (asIs, flip) =
+                (Metrics.binaryCollect(scored), Metrics.binaryCollect(flipped))
+              if (flip.accuracy > asIs.accuracy) flip else asIs
+            case _ => Metrics.binaryCollect(scored)
           }
-          val m = Metrics.binaryCollect(state.model.predictCol(test))
           state.iter += 1
           val batchSize = batch.count()
           Files.writeString(csvPath,

@@ -45,6 +45,51 @@ class RunSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$outDir/model_bestfsc_test.bin")))
   }
 
+  test("BNB streaming training accumulates counts and classifies") {
+    val outDir = Files.createTempDirectory("graft-bnb").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = Run.trainingStream(Ingest.decodeEnvelope(stream.toDF()), Run.Bnb,
+      outDir, tag = "bnb", stem = false, triggerMs = 50L)
+    try {
+      for (_ <- 1 to 2) {
+        stream.addData(envelope((1 to 40).map(i =>
+          if (i % 2 == 0) ("4", "good great nice") else ("0", "bad awful sad"))))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val csv = Files.readAllLines(Paths.get(s"$outDir/stats_bnb.csv"))
+    assert(csv.size() == 3)
+    // separable vocabulary → second-batch holdout accuracy is perfect
+    assert(csv.get(2).split(",")(3).toDouble == 1.0, csv.get(2))
+    val st = Run.loadState(s"$outDir/model_bnb.bin").get
+    assert(st.model.isInstanceOf[Run.NbState])
+    // counts merged across both batches
+    assert(st.model.asInstanceOf[Run.NbState].nb.classCount.sum == 64L)
+  }
+
+  test("k-means streaming training clusters with alignment-corrected metrics") {
+    val outDir = Files.createTempDirectory("graft-km").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = Run.trainingStream(Ingest.decodeEnvelope(stream.toDF()), Run.Kmeans,
+      outDir, tag = "km", stem = false, triggerMs = 50L)
+    try {
+      for (_ <- 1 to 2) {
+        stream.addData(envelope((1 to 60).map(i =>
+          if (i % 2 == 0) ("4", "good great nice fine happy")
+          else ("0", "bad awful sad poor gloomy"))))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val csv = Files.readAllLines(Paths.get(s"$outDir/stats_km.csv"))
+    assert(csv.size() == 3)
+    // two disjoint vocabularies → clusters align perfectly with labels
+    assert(csv.get(2).split(",")(3).toDouble == 1.0, csv.get(2))
+    assert(Run.loadState(s"$outDir/model_km.bin").get.model
+      .isInstanceOf[Run.KmState])
+  }
+
   test("inference stream (EP2) scores whole batches with a frozen model") {
     val outDir = Files.createTempDirectory("graft-infer").toString
     implicit val sqlCtx = spark.sqlContext
