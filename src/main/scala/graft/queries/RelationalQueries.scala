@@ -396,6 +396,27 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // ——— q60: the SQL entry path ———
+  // One ANSI string, executed verbatim by BOTH engines: Spark parses it
+  // through spark.sql over registered views (exercising Catalyst's
+  // parser and EXISTS decorrelation), DuckDB runs the identical text as
+  // the oracle. TPC-H Q4 shape.
+  val SqlSurfaceText: String =
+    """SELECT o_orderpriority, count(*) AS cnt
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(SqlSurfaceText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -428,7 +449,8 @@ object RelationalQueries {
     "q53_pivot"           -> pivotAgg,
     "q56_json_map"        -> jsonMap,
     "q57_corr_subquery"   -> corrSubquery,
-    "q58_window_firstlast" -> windowFirstLast
+    "q58_window_firstlast" -> windowFirstLast,
+    "q60_sql_surface"     -> sqlSurface
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,6 +710,8 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q60_sql_surface" -> SqlSurfaceText
   )
 }
