@@ -122,10 +122,16 @@ object Run {
     * metrics CSV append + stats TXT overwrite + state checkpoint, with a
     * best-F1 model copy on improvement (K2–K4).
     */
+  /** `dynamicLabel = true` reproduces the reference's per-batch
+    * StringIndexer refit (T5, `SGDC/sgdc.py:65,71`) instead of the fixed
+    * 0/4 map: the label→index mapping is re-derived from batch
+    * frequencies every trigger, so it can flip between micro-batches —
+    * kept for behavioral parity, off by default (SURVEY §2.11.2). */
   def trainingStream(records: DataFrame, algo: Algo, outDir: String,
                      tag: String = "3000", stem: Boolean = true,
                      triggerMs: Long = 5000L,
-                     consoleSample: Boolean = false): StreamingQuery = {
+                     consoleSample: Boolean = false,
+                     dynamicLabel: Boolean = false): StreamingQuery = {
     new File(outDir).mkdirs()
     val statePath = s"$outDir/model_$tag.bin"
     val bestPath = s"$outDir/model_bestfsc_$tag.bin"
@@ -144,7 +150,13 @@ object Run {
           // K1 — per-batch console sample (the reference's df.show(5),
           // `TESTING .py:67`), off by default.
           if (consoleSample) batch.show(5)
-          val featurized = Featurize.featurize(batch, stem)
+          val featurized =
+            if (dynamicLabel) {
+              // the reference's exact T6 pipeline: HashingTF + per-batch
+              // StringIndexer refit over the tokenized frame
+              val toks = Featurize.features(Featurize.cleaned(batch), stem).drop("tf")
+              Featurize.dynamicLabelPipeline.fit(toks).transform(toks)
+            } else Featurize.featurize(batch, stem)
           val Array(train, test) = featurized.randomSplit(Array(0.8, 0.2), seed = 42)
           state.model.partialFit(train)
           val scored = state.model.predict(test)

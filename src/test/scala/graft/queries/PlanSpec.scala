@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards for the scale posture: these assert the
+  * properties `graft.Explain` is used to audit manually — pushdown
+  * reaching the scans, column pruning, broadcast dimension joins, and
+  * partial aggregation — so a refactor that silently trades them away
+  * fails the suite, not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q06 star join broadcasts all four dimension tables") {
+    val p = plan("q06_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(800))
+    assert(!p.contains("SortMergeJoin"), "star join must not shuffle the fact table")
+  }
+
+  test("q02 pushes range predicates into the parquet scan") {
+    val p = plan("q02_filter_range")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity"), p.take(800))
+  }
+
+  test("q06 prunes the lineitem scan to the three needed columns") {
+    val p = plan("q06_join_star")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    val lineitemRead = readSchemas.find(_.contains("l_orderkey"))
+    assert(lineitemRead.isDefined)
+    assert(!lineitemRead.get.contains("l_shipdate") &&
+      !lineitemRead.get.contains("l_quantity"),
+      s"lineitem scan reads more than needed: ${lineitemRead.get}")
+  }
+
+  test("q04 aggregates partially before the exchange (map-side combine)") {
+    val p = plan("q04_agg_summary")
+    val firstExchange = p.indexOf("Exchange")
+    val hashAggsBefore = p.substring(firstExchange).contains("HashAggregate")
+    assert(firstExchange >= 0 && hashAggsBefore, p.take(800))
+  }
+
+  test("q24 exact dedup groups by digest, not by document text") {
+    val p = plan("q24_dedup_exact")
+    assert(p.contains("md5"), p.take(400))
+  }
+}

@@ -45,6 +45,24 @@ class RunSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$outDir/model_bestfsc_test.bin")))
   }
 
+  test("dynamic-label mode (reference T5 refit) trains per-batch mappings") {
+    val outDir = Files.createTempDirectory("graft-dyn").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = Run.trainingStream(Ingest.decodeEnvelope(stream.toDF()), Run.Pa,
+      outDir, tag = "dyn", stem = false, triggerMs = 50L, dynamicLabel = true)
+    try {
+      stream.addData(envelope((1 to 30).map(i =>
+        if (i % 3 == 0) ("4", "good great fine") else ("0", "bad awful sad"))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val csv = Files.readAllLines(Paths.get(s"$outDir/stats_dyn.csv"))
+    assert(csv.size() == 2, csv)
+    // majority class "0" indexes to 0.0 under frequency order, so the
+    // separable vocabulary still trains to perfect holdout accuracy
+    assert(csv.get(1).split(",")(3).toDouble == 1.0, csv.get(1))
+  }
+
   test("BNB streaming training accumulates counts and classifies") {
     val outDir = Files.createTempDirectory("graft-bnb").toString
     implicit val sqlCtx = spark.sqlContext
