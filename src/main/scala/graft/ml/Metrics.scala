@@ -38,6 +38,36 @@ object Metrics {
       avg(pow(l - p, 2)).as("mse"))
   }
 
+  /** Multiclass accuracy + per-class precision/recall/F1 (one row per
+    * class, macro-averageable), all from a single confusion aggregation —
+    * A3 generalized past the binary label set. */
+  def multiclass(scored: DataFrame,
+                 labelCol: String = "target",
+                 predCol: String = "prediction"): DataFrame = {
+    val cm = confusion(scored, labelCol, predCol).cache()
+    val tp = cm.where(col("label") === col("prediction"))
+      .select(col("label").as("cls"), col("cnt").as("tp"))
+    val perLabel = cm.groupBy(col("label").as("cls"))
+      .agg(sum(col("cnt")).as("n_true"))
+    val perPred = cm.groupBy(col("prediction").as("cls"))
+      .agg(sum(col("cnt")).as("n_pred"))
+    perLabel.join(perPred, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        (coalesce(col("tp"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_pred"), lit(0L)), lit(1L))).as("precision"),
+        (coalesce(col("tp"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_true"), lit(0L)), lit(1L))).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .orderBy(col("cls"))
+  }
+
   case class BinaryMetrics(accuracy: Double, precision: Double,
                            recall: Double, f1: Double, mse: Double)
 

@@ -25,6 +25,19 @@ class MetricsSpec extends SparkSpec {
     assert(cm == Set((0.0, 0.0, 2L), (0.0, 1.0, 1L), (1.0, 0.0, 1L), (1.0, 1.0, 2L)))
   }
 
+  test("multiclass per-class metrics match hand computation") {
+    // 3 classes; class 2 never predicted
+    val d = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0),
+      (2.0, 0.0), (2.0, 1.0)).toDF("target", "prediction")
+    val rows = Metrics.multiclass(d)
+      .select("cls", "tp", "n_true", "n_pred", "precision", "recall")
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(0.0) == (0.0, 1L, 2L, 2L, 0.5, 0.5))
+    assert(rows(1.0) == (1.0, 2L, 2L, 4L, 0.5, 1.0))
+    assert(rows(2.0) == (2.0, 0L, 2L, 0L, 0.0, 0.0))
+  }
+
   test("degenerate all-negative predictions do not divide by zero") {
     val d = Seq((1.0, 0.0), (0.0, 0.0)).toDF("target", "prediction")
     val m = Metrics.binaryCollect(d)
