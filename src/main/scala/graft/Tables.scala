@@ -32,11 +32,15 @@ object Tables {
     * same truncation DuckDB applies reading TIMESTAMP_NS as TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
     val raw = load(s, d, "events")
+    // `div` keeps the truncation in exact integer space; `/ 1000L` would
+    // round-trip through double, whose ULP at nano-epoch magnitude
+    // (~1.7e18) is ~256 ns — off-by-one micros vs DuckDB's exact
+    // TIMESTAMP_NS truncation for finely-grained timestamps.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

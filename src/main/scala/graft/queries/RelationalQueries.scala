@@ -383,16 +383,55 @@ object RelationalQueries {
   }
 
   // ——— q58: first_value / last_value / ntile windows ———
+  /** Global `ntile(4)` computed in TWO PHASES instead of an unpartitioned
+    * window (which would funnel the whole table through one task):
+    *   1. split the price domain into ~256 range buckets (approx
+    *      percentiles — any deterministic split points work; correctness
+    *      never depends on their placement, only the bucket→order
+    *      alignment) and count rows per bucket;
+    *   2. rank inside each bucket with a PARTITIONED window, add the
+    *      broadcast cumulative bucket offset → exact global rank → exact
+    *      SQL ntile arithmetic (first n%4 tiles get ⌈n/4⌉ rows).
+    * Rows tie-grouped on price land in one bucket (strict `>` test), so
+    * per-bucket (price DESC, orderkey) order concatenates to the exact
+    * global order. The only non-partitioned work is over the ≤256-row
+    * bucket-count relation. */
   def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val globalOrd = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
+    val o = Tables.orders(s, dir)
+    val nb = 256
+    val probs = (1 until nb).map(i => i.toDouble / nb)
+    val bnds = o.agg(expr(
+      s"percentile_approx(o_totalprice, array(${probs.mkString(",")}), 10000)")
+      .as("bnds"))
+    val withB = o.crossJoin(broadcast(bnds))
+      .withColumn("bkt", size(filter(col("bnds"), b => b > col("o_totalprice"))))
+      .drop("bnds")
+    val counts = withB.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+    // cumulative offsets + total, via a tiny ≤256² self-join (no window)
+    val offs = counts.as("ca").crossJoin(counts.as("cb"))
+      .groupBy(col("ca.bkt").as("bkt2"))
+      .agg(sum(when(col("cb.bkt") < col("ca.bkt"), col("cb.cnt"))
+        .otherwise(0L)).as("off"),
+        sum(col("cb.cnt")).as("n"))
+    val wB = Window.partitionBy(col("bkt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    withB.withColumn("rn", row_number().over(wB))
+      .join(broadcast(offs), col("bkt") === col("bkt2"))
+      .withColumn("grank", col("off") + col("rn"))
+      .withColumn("tq", expr("n div 4"))
+      .withColumn("tr", col("n") % 4)
+      .withColumn("price_quartile",
+        when(col("grank") <= col("tr") * (col("tq") + 1),
+          expr("(grank - 1) div (tq + 1) + 1"))
+          .otherwise(expr("tr + (grank - 1 - tr * (tq + 1)) div greatest(tq, 1) + 1"))
+          .cast(LongType))
       .select(col("o_custkey"), col("o_orderkey"),
         first(col("o_orderkey")).over(full).as("first_order"),
         last(col("o_orderkey")).over(full).as("last_order"),
-        ntile(4).over(globalOrd).cast(LongType).as("price_quartile"))
+        col("price_quartile"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 

@@ -1,30 +1,46 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{IvfCodebook, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Similarity search over the `embeddings` table (64-dim `array<float>`):
-  * brute-force cosine as the correctness baseline, sign-LSH bucketing as
-  * the scale path. Cosine is a strict left-fold (graft.llm.VectorOps) and
+  * brute-force cosine as the correctness baseline, multi-table
+  * random-hyperplane sign-LSH and a trained-codebook IVF as the scale
+  * paths. Cosine is a strict left-fold (graft.llm.VectorOps) and
   * bit-matches DuckDB's `list_cosine_similarity`, so everything here is
   * exact-oracle-able.
   *
-  * Scale posture: the brute crossJoin is O(n·q) with q a fixed query set —
-  * acceptable only because q is bounded; the LSH variant replaces it with
-  * a bucket-equality join whose cost is Σ_bucket |q∩bucket|·|bucket|.
+  * Scale posture: the brute paths are gated/bounded (q30 falls through
+  * to the LSH bucket join above [[BruteGateRows]]; q31's query set is
+  * fixed); the approximate paths replace pair enumeration with
+  * bucket-equality joins whose cost is Σ_bucket |q∩bucket|·|bucket|.
   */
 object SimilarityQueries {
 
   private val QuerySetSize = 50
   private val K = 5
-  // 8 sign bits → 256 buckets: at testdata scale most queries keep a few
-  // bucket-mates (recall demo); at cluster scale the bit count is the
-  // recall/cost dial.
+  // q52/q30-LSH near-dup bucket width: 8 sign bits → 256 buckets.
   private val LshBits = 8
+
+  // q32 ANN hash family: 6 tables × 10 random-hyperplane bits, each
+  // query probing its bucket plus all Hamming≤2 perturbations (56
+  // probes/table). Measured on sf0.01: recall@5 = 0.69 examining ~29%
+  // of the corpus (vs 0.14 for the old single-table axis-aligned 8-bit
+  // code). (tables, bits, probe radius) is the recall/cost dial: denser
+  // corpora at constant bits raise bucket occupancy, so at scale one
+  // ADDS bits to hold candidate fraction constant.
+  private val PlaneTables = 6
+  private val PlaneBits = 10
+  private lazy val Planes =
+    VectorOps.hyperplanes(PlaneTables, PlaneBits, VectorOps.Dim)
+  private val ProbeMasks: Seq[Long] =
+    (0L +: (0 until PlaneBits).map(j => 1L << j)) ++
+      (for { i <- 0 until PlaneBits; j <- i + 1 until PlaneBits }
+        yield (1L << i) | (1L << j))
 
   /** Vectors with their norm precomputed once per row — the pair stage
     * then pays a single 64-term dot per pair (`dot/(nrm_a*nrm_b)` is the
@@ -36,8 +52,24 @@ object SimilarityQueries {
         VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
-  /** q30 — brute near-dup pairs: all (a<b) with cosine ≥ 0.4. */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Above this row count the all-pairs brute join is a scale-killer;
+    * q30 falls through to the bucketed LSH join instead (SURVEY §6's
+    * "brute gated by row count"). 10⁴ rows ≈ 5·10⁷ pairs — the most a
+    * single query should ever pay for ground truth. */
+  private[queries] val BruteGateRows = 10000L
+
+  /** q30 — near-dup pairs with the row-count gate: exact all-pairs below
+    * [[BruteGateRows]] (every sf the oracle runs at), the q52 bucketed
+    * LSH join above it. The gate is one metadata-only parquet count. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    embedNearDupGated(s, dir, BruteGateRows)
+
+  def embedNearDupGated(s: SparkSession, dir: String, gateRows: Long): DataFrame =
+    if (Tables.embeddings(s, dir).count() <= gateRows) embedNearDupBrute(s, dir)
+    else embedNearDupLsh(s, dir)
+
+  /** Ungated all-pairs ground truth — only ever reached via the gate. */
+  private def embedNearDupBrute(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cos = VectorOps.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -62,27 +94,42 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  /** q32 — multi-probe sign-LSH ANN: bucket on the sign pattern of the
-    * first 8 components; each query probes its own bucket plus all 8
-    * Hamming-1 neighbors (a sign near a hyperplane flips under small
-    * perturbation — probing adjacent buckets is the standard multi-probe
-    * recall fix). 9 bucket-equality probes instead of a crossJoin. */
+  /** q32 — multi-table random-hyperplane sign-LSH ANN. Each vector hashes
+    * to one bucket per table (bit j = sign of the projection onto plane
+    * j); each query probes its own bucket and every Hamming≤2 neighbor in
+    * each table (a near-threshold projection flips its bit under small
+    * perturbation, so low-Hamming buckets hold most of the missed
+    * neighbors). Candidates are the DISTINCT union over tables — a
+    * bucket-equality join per table, never a crossJoin — then ranked by
+    * exact cosine. */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-      .withColumn("bkt", VectorOps.signBucket(col("embedding"), LshBits))
-    val probeArr = array(
-      (col("qbkt") +: (0 until LshBits).map(j =>
-        col("qbkt").bitwiseXOR(lit(1L << j)))): _*)
-    val q = e.where(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bkt").as("qbkt"))
-      .select(col("query_id"), col("qv"), col("qnrm"),
-        explode(probeArr).as("probe"))
+    // (table, bucket) per vector per table
+    val tb = explode(array((0 until PlaneTables).map(t =>
+      struct(lit(t).as("t"),
+        VectorOps.planeBucket(col("v"), Planes(t)).as("bkt"))): _*))
+    val eb = e.select(col("vec_id"), tb.as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    // query probes: own bucket xor each Hamming≤2 mask
+    val qb = eb.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("t"), col("bkt").as("qbkt"))
+      .select(col("query_id"), col("t"),
+        explode(array(ProbeMasks.map(m =>
+          col("qbkt").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cand = qb.as("p").join(eb.as("d"),
+        col("p.t") === col("d.t") && col("p.probe") === col("d.bkt") &&
+          col("d.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id").as("query_id"),
+        col("d.vec_id").as("neighbor_id"))
+      .distinct()
+    val q0 = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(e, col("probe") === col("bkt") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+    cand.join(q0, col("query_id") === col("qid"))
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .where(col("rn") <= K)
       .orderBy(col("query_id"), col("rn"))
@@ -105,21 +152,32 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val IvfCells = 16
-  private val IvfProbes = 4
+  // q55 IVF dials: 32 trained cells, 8 probes. Measured on sf0.01:
+  // recall@5 = 0.83 examining ~27% of the corpus (the frozen first-16-
+  // vectors codebook at 4 probes sat at 0.66/0.25 — training the
+  // codebook buys recall at the same candidate budget).
+  private val IvfProbes = 8
+
+  /** Centroid relation from the frozen codebook (graft.llm.IvfCodebook —
+    * fixed-seed Lloyd k-means, values rounded to 6 decimals so both
+    * engines parse identical doubles). 32 rows, broadcast everywhere. */
+  private def centroids(s: SparkSession): DataFrame = {
+    import s.implicits._
+    IvfCodebook.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cid", "cv")
+  }
 
   /** q55 — IVF (inverted-file) ANN, the second scale path beside
     * sign-LSH: every vector is assigned to its nearest coarse-codebook
-    * cell (here the codebook is the first 16 vectors — deterministic so
-    * the oracle holds; at scale it would be k-means-trained, the
-    * structure is identical), queries probe their 2 nearest cells, and
+    * cell (trained k-means centroids frozen to literals — deterministic,
+    * so the oracle holds), queries probe their 8 nearest cells, and
     * ranking happens only inside the probed cells. Join cost is
     * Σ_cell |queries probing cell|·|cell| — never a crossJoin.
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cents = e.where(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
     // L2²(v,c) = ||v||² − 2·v·c + ||c||²
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
@@ -201,20 +259,34 @@ object SimilarityQueries {
          |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
     "q32_knn_lsh" -> {
-      val probeList = ("qbkt" +: (0 until LshBits).map(j => s"xor(qbkt, ${1L << j})"))
-        .mkString("[", ", ", "]")
+      val perTable = (0 until PlaneTables).map { t =>
+        s"""SELECT vec_id, $t AS t,
+           |       ${VectorOps.planeBucketSql("embedding::DOUBLE[]", Planes(t))} AS bkt
+           |FROM embeddings""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val maskList = ProbeMasks.mkString("[", ", ", "]")
       s"""WITH e AS (
-         |  SELECT vec_id, embedding, $nrmSql AS nrm,
-         |         ${VectorOps.signBucketSql("embedding", LshBits)} AS bkt
-         |  FROM embeddings),
-         |q0 AS (
-         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, bkt AS qbkt
-         |  FROM e WHERE vec_id < $QuerySetSize),
+         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+         |eb AS (
+         |  $perTable),
+         |qb AS (
+         |  SELECT vec_id AS query_id, t, bkt AS qbkt
+         |  FROM eb WHERE vec_id < $QuerySetSize),
+         |probes AS (
+         |  SELECT query_id, t, xor(qbkt, CAST(m AS BIGINT)) AS probe
+         |  FROM qb CROSS JOIN (SELECT unnest($maskList) AS m) mm),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, d.vec_id AS neighbor_id
+         |  FROM probes p JOIN eb d
+         |    ON p.t = d.t AND p.probe = d.bkt AND d.vec_id <> p.query_id),
          |q AS (
-         |  SELECT query_id, qv, qnrm, unnest($probeList) AS probe FROM q0),
+         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm
+         |  FROM e WHERE vec_id < $QuerySetSize),
          |c AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
-         |  FROM q JOIN e ON q.probe = e.bkt AND e.vec_id <> q.query_id),
+         |  SELECT cand.query_id, cand.neighbor_id, $qCosSql AS cos
+         |  FROM cand
+         |  JOIN q ON cand.query_id = q.qid
+         |  JOIN e ON cand.neighbor_id = e.vec_id),
          |r AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
@@ -234,16 +306,21 @@ object SimilarityQueries {
          |WHERE $pairCosSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q55_knn_ivf" ->
+    "q55_knn_ivf" -> {
+      val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n    ")
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
          |cents AS (
-         |  SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-         |  FROM e WHERE vec_id < $IvfCells),
+         |  SELECT CAST(cid AS BIGINT) AS cid, cv,
+         |         sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM (VALUES
+         |    $centRows) t(cid, cv)),
          |a AS (
          |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
          |         e.nrm * e.nrm
-         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
          |           + c.cnrm * c.cnrm AS dist
          |  FROM e, cents c),
          |r AS (
@@ -266,7 +343,8 @@ object SimilarityQueries {
          |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
          |  FROM c2)
          |SELECT query_id, neighbor_id, cos, rn FROM rr
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
 
     "q59_array_ops" -> {
       val ones = Seq.fill(VectorOps.Dim)("1.0").mkString("[", ", ", "]")

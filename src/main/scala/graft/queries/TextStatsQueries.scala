@@ -105,13 +105,16 @@ object TextStatsQueries {
       .orderBy(col("doc_id"))
 
   /** q37 — the reference's StringIndexer (T5) as SQL: index labels by
-    * descending frequency, ties alphabetical (`SGDC/sgdc.py:65`). */
+    * descending frequency, ties alphabetical (`SGDC/sgdc.py:65`).
+    * `row_number` (not `dense_rank`): MLlib's StringIndexer assigns
+    * DISTINCT consecutive indices even to labels tied on frequency,
+    * breaking ties alphabetically. */
   def stringIndexerSql(s: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.documents(s, dir).groupBy("lang")
       .agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("cnt").desc, col("lang"))
     cnt.select(col("lang"), col("cnt"),
-        (dense_rank().over(w) - 1).cast(LongType).as("idx"))
+        (row_number().over(w) - 1).cast(LongType).as("idx"))
       .orderBy(col("idx"))
   }
 
@@ -191,7 +194,7 @@ object TextStatsQueries {
 
     "q37_string_indexer" ->
       """SELECT lang, count(*) AS cnt,
-        |       CAST(dense_rank() OVER (ORDER BY count(*) DESC, lang) - 1 AS BIGINT) AS idx
+        |       CAST(row_number() OVER (ORDER BY count(*) DESC, lang) - 1 AS BIGINT) AS idx
         |FROM documents GROUP BY lang ORDER BY idx""".stripMargin
   )
 }

@@ -45,9 +45,14 @@ object Run {
   }
 
   /** Serializable snapshot persisted per batch (mirrors the reference's
-    * per-batch `joblib.dump`, `SGDC/sgdc.py:90`). */
+    * per-batch `joblib.dump`, `SGDC/sgdc.py:90`). `lastBatch` records the
+    * last applied streaming batchId so a crash-restart replay of an
+    * already-trained batch is skipped instead of double-applying its
+    * gradient and duplicating its CSV row (exactly-once effect on top of
+    * foreachBatch's at-least-once delivery). */
   case class TrainState(model: ModelState,
-                        var iter: Long, var bestF1: Double)
+                        var iter: Long, var bestF1: Double,
+                        var lastBatch: Long = -1L)
     extends Serializable
 
   def saveState(s: TrainState, path: String): Unit = {
@@ -94,12 +99,18 @@ object Run {
     val csvPath = Paths.get(s"$outDir/infer_$tag.csv")
     if (!Files.exists(csvPath))
       Files.writeString(csvPath, "batch,f1,acc,precision,recall,n,mse\n")
+    // Replay guard: foreachBatch is at-least-once, so persist the last
+    // appended batchId in a sidecar and skip batches at or below it —
+    // a restart never duplicates a CSV row.
+    val lastPath = Paths.get(s"$outDir/infer_$tag.last")
+    var lastBatch =
+      if (Files.exists(lastPath)) Files.readString(lastPath).trim.toLong else -1L
     var batchNo = 0L
     records.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", s"$outDir/_checkpoint_infer_$tag")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastBatch && !batch.isEmpty) {
           val scored = model.predict(Featurize.featurize(batch, stem))
           val m = Metrics.binaryCollect(scored)
           batchNo += 1
@@ -107,6 +118,8 @@ object Run {
             f"$batchNo,${m.f1}%.6f,${m.accuracy}%.6f,${m.precision}%.6f," +
               f"${m.recall}%.6f,${batch.count()},${m.mse}%.6f\n",
             StandardOpenOption.APPEND)
+          lastBatch = batchId
+          Files.writeString(lastPath, s"$batchId\n")
         }
         ()
       }
@@ -145,17 +158,22 @@ object Run {
     records.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", s"$outDir/_checkpoint_$tag")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Replay guard: a crash between the model checkpoint and the
+        // streaming commit replays the batch; training it again would
+        // double-apply the gradient. State carries the last applied id.
+        if (batchId > state.lastBatch && !batch.isEmpty) {
           // K1 — per-batch console sample (the reference's df.show(5),
           // `TESTING .py:67`), off by default.
           if (consoleSample) batch.show(5)
           val featurized =
             if (dynamicLabel) {
               // the reference's exact T6 pipeline: HashingTF + per-batch
-              // StringIndexer refit over the tokenized frame
+              // StringIndexer refit, hashing the same column the chain
+              // produced (stemmed when stem=true, matching sgdc.py:64)
               val toks = Featurize.features(Featurize.cleaned(batch), stem).drop("tf")
-              Featurize.dynamicLabelPipeline.fit(toks).transform(toks)
+              val tokensCol = if (stem) "stemmed" else "filtered"
+              Featurize.dynamicLabelPipeline(tokensCol).fit(toks).transform(toks)
             } else Featurize.featurize(batch, stem)
           val Array(train, test) = featurized.randomSplit(Array(0.8, 0.2), seed = 42)
           state.model.partialFit(train)
@@ -183,6 +201,7 @@ object Run {
           Files.writeString(Paths.get(s"$outDir/stats_$tag.txt"),
             s"iter=${state.iter}\nf1=${m.f1}\nbest_f1=${math.max(state.bestF1, m.f1)}\n" +
               s"batch_size=$batchSize\n")
+          state.lastBatch = batchId
           if (m.f1 > state.bestF1) {
             state.bestF1 = m.f1
             saveState(state, bestPath)

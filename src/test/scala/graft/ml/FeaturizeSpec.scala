@@ -51,7 +51,7 @@ class FeaturizeSpec extends SparkSpec {
     val df = Featurize.features(Featurize.cleaned(
       Seq(rec("4", "good great"), rec("0", "bad sad"), rec("0", "worse")).toDF("Label", "Tweet")),
       stem = false).drop("tf")
-    val out = Featurize.dynamicLabelPipeline.fit(df).transform(df)
+    val out = Featurize.dynamicLabelPipeline().fit(df).transform(df)
     // majority class "0" gets index 0.0 (frequency order)
     val m = out.select("Label", "target").as[(String, Double)].collect().toMap
     assert(m("0") == 0.0 && m("4") == 1.0)

@@ -48,4 +48,24 @@ class PlanSpec extends SparkSpec {
     val p = plan("q24_dedup_exact")
     assert(p.contains("md5"), p.take(400))
   }
+
+  test("q58 global ntile is two-phase: every Window in the plan is partitioned") {
+    val df = graft.SparkEntry.queries("q58_window_firstlast")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty, "expected window operators in q58's plan")
+    assert(windows.forall(_.nonEmpty),
+      "q58 must not contain an unpartitioned (single-task) window")
+  }
+
+  test("q30 above the brute gate falls through to the LSH bucket join") {
+    // gateRows=0 forces the over-gate path; the plan must contain no
+    // all-pairs join of any kind.
+    val df = SimilarityQueries.embedNearDupGated(spark, sfDir, gateRows = 0L)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }
