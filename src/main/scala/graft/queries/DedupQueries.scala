@@ -46,11 +46,11 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q26 — 16-way MinHash signature per document (concatenated hex mins). */
+  /** q26 — 16-way MinHash signature per document ('|'-joined int mins). */
   def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSig(Dedup.tokenSet(Tables.documents(s, dir)))
     val cols = (0 until Dedup.MinHashK).map(i => col(s"h$i"))
-    sig.select(col("doc_id"), concat(cols: _*).as("sig")).orderBy(col("doc_id"))
+    sig.select(col("doc_id"), concat_ws("|", cols: _*).as("sig")).orderBy(col("doc_id"))
   }
 
   /** q27 — the LSH scale path: banded MinHash over word-3-gram shingles,
@@ -61,12 +61,17 @@ object DedupQueries {
     * identical token set, so every band collides and the candidate set
     * goes quadratic — 3-gram shingles keep buckets small.) */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // reused by signature agg, size agg, and both verification join sides
+    // Hash each shingle ONCE — x (the minhash 60-bit md5 prefix) for the
+    // signature branch, an 8-byte xxhash64 key for the verification
+    // joins — and persist only the hashes, never the shingle strings.
+    // The persisted relation feeds four branches (signature agg, size
+    // agg, both verification sides) without re-hashing.
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .withColumnRenamed("s", "t").persist()
+      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+        xxhash64(col("s")).as("h")).persist()
     // both candidate-join sides read the bands; persist to run the
-    // 16-way md5 signature aggregation once
-    val bands = Dedup.minhashBands(Dedup.minhashSig(dt)).persist()
+    // signature aggregation once
+    val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt)).persist()
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -74,8 +79,8 @@ object DedupQueries {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // verification joins on hashed shingle keys (internal; output unaffected)
-    val dth = dt.select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // verification joins on the hashed shingle keys (internal; output unaffected)
+    val dth = dt.select(col("doc_id"), col("h"))
     val common = cand
       .join(dth.as("x"), col("x.doc_id") === col("da"))
       .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
@@ -171,13 +176,15 @@ object DedupQueries {
 
     "q26_minhash_sig" ->
       s"""WITH dt AS (${Dedup.tokenSetSql}),
-         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dt GROUP BY doc_id)
-         |SELECT doc_id, ${(0 until Dedup.MinHashK).map(i => s"h$i").mkString(" || ")} AS sig
+         |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
+         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id)
+         |SELECT doc_id, concat_ws('|', ${(0 until Dedup.MinHashK).map(i => s"h$i").mkString(", ")}) AS sig
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_neardup" ->
       s"""WITH dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
-         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dt GROUP BY doc_id),
+         |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
+         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id),
          |bands AS (${Dedup.minhashBandsSql}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -202,7 +209,8 @@ object DedupQueries {
          |  SELECT doc_id, t, count(*) AS cnt FROM (
          |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
          |    FROM documents) WHERE t <> '' GROUP BY doc_id, t),
-         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM tc GROUP BY doc_id)
+         |td AS (${Dedup.simhashDigitsSql}),
+         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM td GROUP BY doc_id)
          |SELECT doc_id, ${Dedup.simhashAssembleSql} AS simhash
          |FROM s ORDER BY doc_id""".stripMargin,
 
@@ -211,7 +219,8 @@ object DedupQueries {
          |  SELECT doc_id, t, count(*) AS cnt FROM (
          |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
          |    FROM documents) WHERE t <> '' GROUP BY doc_id, t),
-         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM tc GROUP BY doc_id),
+         |td AS (${Dedup.simhashDigitsSql}),
+         |s AS (SELECT doc_id, ${Dedup.simhashSumsSql} FROM td GROUP BY doc_id),
          |fp AS (SELECT doc_id, ${Dedup.simhashAssembleSql} AS simhash FROM s),
          |bands AS (
          |${(0 until 4).map(j =>

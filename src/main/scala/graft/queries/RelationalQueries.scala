@@ -385,30 +385,31 @@ object RelationalQueries {
   // ——— q58: first_value / last_value / ntile windows ———
   /** Global `ntile(4)` computed in TWO PHASES instead of an unpartitioned
     * window (which would funnel the whole table through one task):
-    *   1. split the price domain into ~256 range buckets (approx
-    *      percentiles — any deterministic split points work; correctness
-    *      never depends on their placement, only the bucket→order
-    *      alignment) and count rows per bucket;
+    *   1. split the price domain into 256 equal-width range buckets from
+    *      a min/max aggregate (any deterministic MONOTONE split works —
+    *      correctness depends only on bucket→order alignment, never on
+    *      balance, and min/max is far cheaper than a percentile sketch);
     *   2. rank inside each bucket with a PARTITIONED window, add the
     *      broadcast cumulative bucket offset → exact global rank → exact
     *      SQL ntile arithmetic (first n%4 tiles get ⌈n/4⌉ rows).
-    * Rows tie-grouped on price land in one bucket (strict `>` test), so
-    * per-bucket (price DESC, orderkey) order concatenates to the exact
-    * global order. The only non-partitioned work is over the ≤256-row
-    * bucket-count relation. */
+    * Rows tied on price land in one bucket (width arithmetic is a pure
+    * function of the price), so per-bucket (price DESC, orderkey) order
+    * concatenates to the exact global order. The only non-partitioned
+    * work is over the ≤256-row bucket-count relation. */
   def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val o = Tables.orders(s, dir)
     val nb = 256
-    val probs = (1 until nb).map(i => i.toDouble / nb)
-    val bnds = o.agg(expr(
-      s"percentile_approx(o_totalprice, array(${probs.mkString(",")}), 10000)")
-      .as("bnds"))
+    val bnds = o.agg(min(col("o_totalprice")).as("lo"),
+      max(col("o_totalprice")).as("hi"))
+    // bucket 0 holds the HIGHEST prices so bkt ascends with rank order
     val withB = o.crossJoin(broadcast(bnds))
-      .withColumn("bkt", size(filter(col("bnds"), b => b > col("o_totalprice"))))
-      .drop("bnds")
+      .withColumn("bkt", least(greatest(
+        floor((col("hi") - col("o_totalprice")) * nb /
+          (col("hi") - col("lo") + lit(1e-9))).cast(LongType), lit(0L)), lit(nb - 1L)))
+      .drop("lo", "hi")
     val counts = withB.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
     // cumulative offsets + total, via a tiny ≤256² self-join (no window)
     val offs = counts.as("ca").crossJoin(counts.as("cb"))

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.StreamNearDup.{Doc, NearDup}
+
+/** Streaming banded-MinHash near-dup (VERDICT r1 item 10): the defining
+  * case is a near-duplicate arriving BATCHES after its original — per-
+  * batch re-runs of batch q27 can't see it; bucket state can.
+  */
+class StreamNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearA = base + " extra"          // high overlap with base
+  private val distinct1 =
+    "completely different words about spark structured streaming state stores"
+  private val distinct2 =
+    "yet another unrelated document mentioning catalyst tungsten codegen plans"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("signature/banding matches the batch family's shape") {
+    val sig = StreamNearDup.signature(base)
+    assert(sig.length == graft.llm.Dedup.MinHashK)
+    assert(StreamNearDup.bandKeys(sig).length == graft.llm.Dedup.Bands)
+    // identical text → identical signature; est Jaccard 1.0
+    assert(StreamNearDup.estJaccard(sig, StreamNearDup.signature(base)) == 1.0)
+  }
+
+  test("near-duplicate arriving 3 batches later is caught; unrelated docs are not") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[Doc]
+      val query = StreamNearDup.nearDups(stream.toDS(), threshold = 0.5)
+        .writeStream.format("memory").queryName("stream_neardup")
+        .outputMode("append").start()
+      try {
+        stream.addData(Doc(1, base))
+        query.processAllAvailable()
+        stream.addData(Doc(2, distinct1))
+        query.processAllAvailable()
+        stream.addData(Doc(3, distinct2))
+        query.processAllAvailable()
+        stream.addData(Doc(4, nearA)) // 3 batches after its original
+        query.processAllAvailable()
+        val pairs = spark.table("stream_neardup").as[NearDup].collect()
+        assert(pairs.map(p => (p.docA, p.docB)).toSet == Set((1L, 4L)),
+          s"expected exactly the cross-batch near-dup pair, saw ${pairs.mkString(", ")}")
+        assert(pairs.head.estJaccard >= 0.5)
+      } finally query.stop()
+    }
+  }
+
+  test("duplicate pair surfacing in several bands is emitted once") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[Doc]
+      val query = StreamNearDup.nearDups(stream.toDS(), threshold = 0.5)
+        .writeStream.format("memory").queryName("stream_neardup2")
+        .outputMode("append").start()
+      try {
+        stream.addData(Doc(10, base))
+        query.processAllAvailable()
+        stream.addData(Doc(11, base)) // identical: every band collides
+        query.processAllAvailable()
+        val pairs = spark.table("stream_neardup2").as[NearDup].collect()
+        assert(pairs.toSeq == Seq(NearDup(10, 11, 1.0)))
+      } finally query.stop()
+    }
+  }
+}
