@@ -25,12 +25,23 @@ object Bench {
     // prune sorts and projections to a row count, under-measuring
     // projection-heavy queries; the noop sink executes the full physical
     // plan (every column materialized, sorts included) and discards rows.
+    //
+    // Median of 3 runs per query (ROADMAP item 2): this machine carries
+    // competing load and single runs swing ±25-50%; the median is still
+    // an honest wall time of one full execution, just not the unluckiest
+    // one. Run count via SPARK_GRAFT_BENCH_RUNS.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val okTimes = times.collect { case (t, true) => t }.sorted
+      if (okTimes.isEmpty) (name, -1.0, false)
+      else (name, okTimes(okTimes.size / 2), true)
     }
     // Failed queries are reported in `failed` with value -1, and excluded
     // from the total — an error must never be mistaken for a fast run.
@@ -40,7 +51,7 @@ object Bench {
     val failed = timed.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,20 +50,17 @@ object TextStatsQueries {
   }
 
   /** q34 — quality scoring: token count, type-token ratio, stop-word
-    * ratio, mean token length, and a bounded composite score. */
+    * ratio, mean token length, and a bounded composite score. The
+    * expressions live in graft.text.Quality, shared with the streaming
+    * quality gate. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val stopArr = array(Tokenize.stopWords.map(lit): _*)
-    val base = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val n = size(col("w")).cast(LongType)
-    val uniq = size(array_distinct(col("w"))).cast(DoubleType) / size(col("w"))
-    val stop = size(filter(col("w"), t => array_contains(stopArr, t)))
-      .cast(DoubleType) / size(col("w"))
-    val meanLen = aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
-      .cast(DoubleType) / size(col("w"))
-    val score = lit(0.3) * uniq + lit(0.3) * (lit(1.0) - stop) +
-      lit(0.4) * least(lit(1.0), size(col("w")).cast(DoubleType) / lit(100.0))
-    base.select(col("doc_id"), n.as("n_tokens"), uniq.as("uniq_ratio"),
-        stop.as("stop_ratio"), meanLen.as("mean_token_len"), score.as("score"))
+    import graft.text.Quality
+    Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), Quality.nTokens(col("w")).as("n_tokens"),
+        Quality.uniqRatio(col("w")).as("uniq_ratio"),
+        Quality.stopRatio(col("w")).as("stop_ratio"),
+        Quality.meanTokenLen(col("w")).as("mean_token_len"),
+        Quality.score(col("w")).as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -118,18 +115,49 @@ object TextStatsQueries {
       .orderBy(col("idx"))
   }
 
+  /** q62 — deterministic stratified sampling for dataset mixing: each
+    * document keeps/drops itself from a pure hash of its doc_id against
+    * a per-source rate (the training-mix weight). No RNG, no state —
+    * the sample is reproducible row-local arithmetic, so it runs
+    * identically on any cluster size and re-runs (the property a 100 TB
+    * curation pipeline needs; rand()-based sampling is neither).
+    * Hash: the same md5 60-bit-prefix family as MinHash. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = (conv(substring(md5(concat(lit("mix|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val rate = when(col("source") === "src0", 80L)
+      .when(col("source") === "src1", 50L)
+      .otherwise(25L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), pct.as("h_pct"), rate.as("rate_pct"))
+      .where(col("h_pct") < col("rate_pct"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
     "q35_token_stats"    -> tokenStats,
     "q36_fingerprint"    -> fingerprint,
-    "q37_string_indexer" -> stringIndexerSql
+    "q37_string_indexer" -> stringIndexerSql,
+    "q62_stratified_sample" -> stratifiedSample
   )
 
   private def markersSqlList(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q62_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h_pct,
+        |         CASE WHEN source = 'src0' THEN 80
+        |              WHEN source = 'src1' THEN 50
+        |              ELSE 25 END::BIGINT AS rate_pct
+        |  FROM documents)
+        |SELECT doc_id, source, h_pct, rate_pct FROM h
+        |WHERE h_pct < rate_pct ORDER BY doc_id""".stripMargin,
+
     "q33_lang_id" -> {
       val scores = LangMarkers.map { case (c, ms) =>
         s"len(list_filter(w, t -> list_contains(${markersSqlList(ms)}, t)))::BIGINT AS s_$c"

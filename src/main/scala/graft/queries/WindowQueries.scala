@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.llm.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -100,13 +101,80 @@ object WindowQueries {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** q61 — AS-OF join: each click matched to the latest view by the same
+    * user at or before the click (left: unmatched clicks keep NULLs).
+    *
+    * Spark lacks a native as-of join; the scale-correct composition is
+    * the UNION + partitioned-window trick: tag both sides, union, and
+    * take `last(view, ignoreNulls)` over (user_id) ordered by
+    * (ts, side, event_id) up to the current row. ONE shuffle on user_id
+    * and a partition-local sort — never a per-key subquery or a range
+    * crossJoin, and no unpartitioned window. Views order before clicks
+    * on ts ties, giving the ASOF `<=` semantics exactly. Oracle: DuckDB's
+    * native ASOF LEFT JOIN ((user_id, ts) is unique in testdata, so the
+    * match is unambiguous). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_click"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_click"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("view_id",
+        last(when(col("is_click") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("is_click") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("is_click") === 1)
+      // unmatched clicks keep LEFT semantics but surface as -1, not NULL:
+      // the compare harness reads nullable int64 as NaN floats on both
+      // sides and NaN never equals NaN
+      .select(col("event_id").as("click_id"), col("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("view_ts")), lit(-1L))
+          .as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
+  /** q63 — range self-join, bucketed: pairs of same-user events where b
+    * follows a within 5 minutes.
+    *
+    * The naive formulation is an inequality-only join (per-user
+    * cross × range filter — quadratic in events-per-user). Here the
+    * range condition is turned into an EQUI-join: bucket ts into
+    * 5-minute cells, explode the LATER side to its own and its
+    * preceding bucket, join on (user_id, bucket), then apply the exact
+    * range predicate. Any qualifying pair spans at most one bucket
+    * boundary, so exactly one of the two probes matches — no distinct
+    * needed — and the join cost is Σ per-(user, bucket) occupancy², not
+    * per-user². The oracle runs the naive range join. */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val FiveMinUs = 300000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bkt", expr(s"us div $FiveMinUs"))
+    val probes = e.withColumn("probe",
+      explode(array(col("bkt") - 1, col("bkt"))))
+    val delta = col("b.us") - col("a.us")
+    e.as("a").join(probes.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.bkt") === col("b.probe") &&
+          delta > 0L && delta <= FiveMinUs)
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
+        delta.as("delta_us"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_range_join_bucket" -> rangeJoinBucketed,
     "q39_tumbling_window" -> tumbling,
     "q40_session_window"  -> sessions,
     "q41_linear_score"    -> linearScore,
     "q42_score_confusion" -> scoreConfusion,
     "q44_sliding_window"  -> sliding,
-    "q45_approx_distinct" -> approxDistinct
+    "q45_approx_distinct" -> approxDistinct,
+    "q61_asof_join"       -> asofJoin
   )
 
   private val frozenWSql = FrozenW.map(_.toString).mkString("[", ", ", "]")
@@ -156,6 +224,24 @@ object WindowQueries {
          |FROM embeddings
          |GROUP BY 1, 2
          |ORDER BY y, pred""".stripMargin,
+
+    "q63_range_join_bucket" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       date_diff('microsecond', a.ts, b.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q61_asof_join" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |views AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS click_id, c.user_id,
+        |       COALESCE(v.event_id, -1) AS view_id,
+        |       COALESCE(date_diff('microsecond', v.ts, c.ts), -1) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
 
     "q44_sliding_window" ->
       """WITH b AS (

@@ -59,6 +59,33 @@ class PlanSpec extends SparkSpec {
       "q58 must not contain an unpartitioned (single-task) window")
   }
 
+  test("q63 range join is an equi-join on (user, bucket): no nested-loop anywhere") {
+    val p = plan("q63_range_join_bucket")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("q61 as-of join uses only partitioned windows and no range join") {
+    val df = graft.SparkEntry.queries("q61_asof_join")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      "as-of join must rank inside user partitions, never globally")
+    val p = plan("q61_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
+  test("q62 stratified sample is row-local: no shuffle before the filter") {
+    val df = graft.SparkEntry.queries("q62_stratified_sample")(spark, sfDir)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one Exchange allowed only for the final presentation ORDER BY
+    assert(exchanges.size <= 1, df.queryExecution.sparkPlan.toString.take(1200))
+  }
+
   test("q30 above the brute gate falls through to the LSH bucket join") {
     // gateRows=0 forces the over-gate path; the plan must contain no
     // all-pairs join of any kind.
