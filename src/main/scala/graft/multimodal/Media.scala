@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   *   - media payloads skew partition sizes; `repartitionByPayload`
   *     rebalances by cumulative byte size before expensive passes.
   *
-  * The DECODE step itself is a STUB: real image/audio codecs are not
-  * available in this environment. [[decodeStub]] derives a deterministic
-  * fake "decoded" frame from an md5 keystream over the payload — clearly
-  * marked, and shaped exactly like a real decoder (bytes → fixed-size
-  * numeric buffer), so swapping in a real codec changes one function.
+  * DECODE has two tiers:
+  *   - REAL for still images the JDK ships codecs for (PNG/JPEG/BMP/GIF
+  *     via `javax.imageio`, no external libs): [[decodeImage]] produces
+  *     the true luminance plane;
+  *   - STUB for everything else (audio/video codecs are not available in
+  *     this environment): [[decodeStub]] derives a deterministic fake
+  *     frame from an md5 keystream over the payload — clearly marked,
+  *     and shaped exactly like a real decoder (bytes → fixed-size
+  *     numeric buffer), so swapping in a codec changes one function.
+  * [[decodeFrame]] dispatches: payloads ImageIO can parse take the real
+  * path, the rest fall through to the stub.
   */
 object Media {
 
@@ -59,6 +65,48 @@ object Media {
     out
   }
 
+  /** REAL image decode via the JDK's built-in ImageIO codecs (PNG, JPEG,
+    * BMP, GIF — no external dependencies): payload bytes → (width,
+    * height, row-major luminance plane in [0,1], ITU-R BT.601 integer
+    * weights so the value is exactly reproducible). Returns None when no
+    * installed codec recognizes the bytes. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114
+          out(i) = lum / 255000.0f
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** Decode dispatch: a payload a JDK codec understands yields its true
+    * luminance plane (frame 0 only — stills have one frame; non-zero
+    * frames of a real video would come from a video codec), padded or
+    * truncated to `nPixels`; anything else takes the deterministic stub. */
+  def decodeFrame(payload: Array[Byte], frame: Int, nPixels: Int): Array[Float] =
+    (if (frame == 0) decodeImage(payload) else None) match {
+      case Some((_, _, px)) =>
+        if (px.length == nPixels) px
+        else java.util.Arrays.copyOf(px, nPixels)
+      case None => decodeStub(payload, frame, nPixels)
+    }
+
   /** Batched feature extraction: `FeatDim` md5-derived fingerprint words
     * per record. One digest instance per PARTITION (the batch shape that
     * matters for a real extractor). */
@@ -81,13 +129,13 @@ object Media {
     }
   }
 
-  /** Batched resize: decode (stub) one frame and average-pool the fake
-    * pixel buffer down to `side × side`. */
+  /** Batched resize: decode one frame (real codec when available, stub
+    * otherwise) and average-pool the pixel buffer down to `side × side`. */
   def resize(media: Dataset[MediaRecord], side: Int): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val src = decodeStub(r.payload, frame = 0,
+        val src = decodeFrame(r.payload, frame = 0,
           nPixels = math.max(r.meta.width * r.meta.height, side * side))
         val pooled = new Array[Float](side * side)
         val stride = math.max(src.length / (side * side), 1)
@@ -106,7 +154,8 @@ object Media {
   }
 
   /** Batched frame sampling: every `everyMs` milliseconds of the
-    * (declared) duration, decode (stub) one frame of `nPixels`. */
+    * (declared) duration, decode one frame of `nPixels` (frame 0 real
+    * when a codec matches; later frames always stub — stills have one). */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long,
                    nPixels: Int): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
@@ -114,7 +163,7 @@ object Media {
       it.flatMap { r =>
         val frames = math.max((r.meta.durationMs / everyMs).toInt, 1)
         (0 until frames).iterator
-          .map(f => DecodedFrame(r.mediaId, f, decodeStub(r.payload, f, nPixels)))
+          .map(f => DecodedFrame(r.mediaId, f, decodeFrame(r.payload, f, nPixels)))
       }
     }
   }
