@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Product quantization over the frozen [[PqCodebook]]: encode = per
+  * subspace, the first index minimizing the (expanded) squared distance
+  * to the 16 centroids; the "code" is materialized directly as the
+  * RECONSTRUCTION x̂ (chosen centroids concatenated), so the asymmetric
+  * PQ distance is just L2²(q, x̂) on existing dot primitives.
+  *
+  * Why it matters at 100 TB: x̂ stands in for an 8-byte code per vector
+  * (M=8 subspaces × 4 bits) versus 256 bytes of float32 — a 32×
+  * memory/IO compression for the candidate-ranking stage; here the
+  * reconstruction is kept inline because the engines compare VALUES, not
+  * storage. Every step is the identical expression tree in Spark and
+  * DuckDB (strict left-fold dots, literal centroids, first-min argmin),
+  * so PQ ranking is exact-oracle-able.
+  */
+object Pq {
+
+  import PqCodebook.{M, SubDim, K, books}
+
+  /** ||c_mk||², precomputed in Scala; the same double literal is printed
+    * into the SQL twin, so both engines see identical constants. */
+  private def c2(m: Int, k: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < SubDim) { val x = books(m)(k)(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** PQ reconstruction x̂ of a 64-dim `array<double>` column: per
+    * subspace argmin_k (||c||² − 2·v_m·c) — the ||v_m||² term is common
+    * to all k and dropped — then the chosen centroid, concatenated. */
+  def reconstruct(v: Column): Column = {
+    val parts = (0 until M).map { m =>
+      val vm = slice(v, m * SubDim + 1, SubDim)
+      val dists = (0 until K).map { k =>
+        lit(c2(m, k)) - lit(2.0) * VectorOps.dot(vm, array(books(m)(k).map(lit(_)): _*))
+      }
+      val arr = array(dists: _*)
+      val idx = array_position(arr, array_min(arr)).cast("int")
+      val bookArr = array(books(m).map(c => array(c.map(lit(_)): _*)): _*)
+      element_at(bookArr, idx)
+    }
+    concat(parts: _*)
+  }
+
+  /** SQL twin of [[reconstruct]] over a DOUBLE[] expression. */
+  def reconstructSql(v: String): String = {
+    val parts = (0 until M).map { m =>
+      val vm = s"$v[${m * SubDim + 1}:${(m + 1) * SubDim}]"
+      val dists = (0 until K).map { k =>
+        val c = books(m)(k).mkString("[", ", ", "]")
+        s"(${c2(m, k)} - 2.0 * list_dot_product($vm, $c::DOUBLE[]))"
+      }.mkString("[", ", ", "]")
+      val bookArr = books(m).map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"($bookArr::DOUBLE[][])[list_position($dists, list_min($dists))]"
+    }
+    parts.mkString("flatten([", ", ", "])")
+  }
+
+  /** Asymmetric PQ distance: L2²(q, x̂) = q·q − 2·q·x̂ + x̂·x̂. */
+  def adc(q: Column, xhat: Column): Column =
+    VectorOps.dot(q, q) - lit(2.0) * VectorOps.dot(q, xhat) +
+      VectorOps.dot(xhat, xhat)
+
+  def adcSql(q: String, xhat: String): String =
+    s"(list_dot_product($q, $q) - 2.0 * list_dot_product($q, $xhat) " +
+      s"+ list_dot_product($xhat, $xhat))"
+}

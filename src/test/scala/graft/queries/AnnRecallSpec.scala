@@ -37,6 +37,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall=$recall%.3f")
   }
 
+  test("IVF-PQ keeps recall@5 above 60% against exact-L2 truth") {
+    // ADC approximates L2, so its ground truth is the exact-L2 top-5
+    // (computed here, not registered — brute baselines in the registry
+    // are capped at q31). Losses come from both the 8-of-32 probe and
+    // the 16-way-per-subspace quantization.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.llm.VectorOps.toDoubleArr(col("embedding")).as("v"))
+    val l2 = graft.llm.VectorOps.dot(col("a.v"), col("a.v")) -
+      lit(2.0) * graft.llm.VectorOps.dot(col("a.v"), col("b.v")) +
+      graft.llm.VectorOps.dot(col("b.v"), col("b.v"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("neighbor_id"))
+    val l2Truth = e.as("a").where(col("a.vec_id") < 50)
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        l2.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = topk(SimilarityQueries.knnIvfPq(spark, dir))
+    val recall = (l2Truth & got).size.toDouble / l2Truth.size
+    info(f"IVF-PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.6, f"recall=$recall%.3f")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityQueries.embedNearDup(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
