@@ -70,8 +70,9 @@ object StreamEmbedDedup {
       val arrivals = rows.toSeq.sortBy(_.vecId)
       val out = Seq.newBuilder[NearDup]
       var seen = members.get().toVector
+      val ids = scala.collection.mutable.HashSet.from(seen.iterator.map(_.vecId))
       arrivals.foreach { a =>
-        if (!seen.exists(_.vecId == a.vecId)) {
+        if (ids.add(a.vecId)) {
           seen.foreach { m =>
             val c = cosine(a.v, m.v)
             if (c >= threshold)

@@ -87,8 +87,9 @@ object StreamNearDup {
       val arrivals = rows.toSeq.sortBy(_.docId)
       val out = Seq.newBuilder[NearDup]
       var seen = members.get().toVector
+      val ids = scala.collection.mutable.HashSet.from(seen.iterator.map(_.docId))
       arrivals.foreach { d =>
-        if (!seen.exists(_.docId == d.docId)) {
+        if (ids.add(d.docId)) {
           seen.foreach { m =>
             val est = estJaccard(d.sig, m.sig)
             if (est >= threshold)
