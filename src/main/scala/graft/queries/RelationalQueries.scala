@@ -457,6 +457,62 @@ object RelationalQueries {
     s.sql(SqlSurfaceText)
   }
 
+  // ——— q65–q67: modern SQL surface, one verbatim string per query ———
+  // Same contract as q60: the identical text parses and returns
+  // bit-identical results on Catalyst and DuckDB. Aggregated doubles go
+  // through exact decimal sums; the one division happens in double space
+  // (decimal-division SCALE rules differ between the engines).
+
+  /** q65 — UNPIVOT: wide per-flag aggregates melted to (metric, value)
+    * rows; Catalyst plans the relational Unpivot/Expand operator. */
+  val UnpivotText: String =
+    """SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |         CAST(count(*) AS DOUBLE) AS cnt,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |UNPIVOT (value FOR metric IN (sum_qty, cnt, avg_disc))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  def unpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(UnpivotText)
+  }
+
+  /** q66 — LATERAL: per-nation top-2 customers via a correlated,
+    * ordered-and-limited lateral subquery (decorrelated by Catalyst to
+    * a ranked join — the modern alternative to a manual window). */
+  val LateralText: String =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
+  def lateralTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(LateralText)
+  }
+
+  /** q67 — WITH RECURSIVE (new in Spark 4): a generated month spine
+    * LEFT-joined to real orders, so empty months surface as zero —
+    * the gaps-filling calendar-spine pattern. */
+  val RecursiveText: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+      |SELECT m, count(o_orderkey) AS cnt
+      |FROM months LEFT JOIN orders
+      |  ON month(o_orderdate) = m AND year(o_orderdate) = 1997
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  def recursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(RecursiveText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -490,7 +546,10 @@ object RelationalQueries {
     "q56_json_map"        -> jsonMap,
     "q57_corr_subquery"   -> corrSubquery,
     "q58_window_firstlast" -> windowFirstLast,
-    "q60_sql_surface"     -> sqlSurface
+    "q60_sql_surface"     -> sqlSurface,
+    "q65_unpivot"         -> unpivot,
+    "q66_lateral_topk"    -> lateralTopK,
+    "q67_recursive_spine" -> recursiveSpine
   )
 
   val oracles: Map[String, String] = Map(
@@ -752,6 +811,9 @@ object RelationalQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
-    "q60_sql_surface" -> SqlSurfaceText
+    "q60_sql_surface" -> SqlSurfaceText,
+    "q65_unpivot" -> UnpivotText,
+    "q66_lateral_topk" -> LateralText,
+    "q67_recursive_spine" -> RecursiveText
   )
 }
