@@ -513,6 +513,25 @@ object RelationalQueries {
     s.sql(RecursiveText)
   }
 
+  /** q68 — grouping flags: ROLLUP with per-column `grouping()` markers
+    * (the unambiguous form — `grouping_id()` bit order is
+    * engine-defined), subtotal labels coalesced so no string NULLs
+    * reach the compare harness. */
+  val GroupingText: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+  def groupingFlags(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(GroupingText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
@@ -549,7 +568,8 @@ object RelationalQueries {
     "q60_sql_surface"     -> sqlSurface,
     "q65_unpivot"         -> unpivot,
     "q66_lateral_topk"    -> lateralTopK,
-    "q67_recursive_spine" -> recursiveSpine
+    "q67_recursive_spine" -> recursiveSpine,
+    "q68_grouping_flags"  -> groupingFlags
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,6 +834,7 @@ object RelationalQueries {
     "q60_sql_surface" -> SqlSurfaceText,
     "q65_unpivot" -> UnpivotText,
     "q66_lateral_topk" -> LateralText,
-    "q67_recursive_spine" -> RecursiveText
+    "q67_recursive_spine" -> RecursiveText,
+    "q68_grouping_flags" -> GroupingText
   )
 }

@@ -86,6 +86,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 1, df.queryExecution.sparkPlan.toString.take(1200))
   }
 
+  test("q64 IVF-PQ ranks inside partitioned windows; assignment fans out via broadcast") {
+    val df = graft.SparkEntry.queries("q64_knn_ivfpq")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      "q64 must rank per vector/query partitions, never globally")
+    // the only nested-loop is the deliberate 32-row centroid broadcast
+    val p = plan("q64_knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q30 above the brute gate falls through to the LSH bucket join") {
     // gateRows=0 forces the over-gate path; the plan must contain no
     // all-pairs join of any kind.
