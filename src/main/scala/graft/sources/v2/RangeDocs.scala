@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,14 +50,16 @@ class RangeDocsTable(numRows: Long, numPartitions: Int)
   override def name(): String = s"graft_range($numRows)"
   override def schema(): StructType = RangeDocs.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeDocsScanBuilder(numRows, numPartitions)
+    new RangeDocsScanBuilder(numRows, numPartitions,
+      options.getLong("rowsPerBatch", 100L))
 }
 
 /** Pushdown state: [lo, hi) narrows as `id` predicates arrive; pruned
   * columns drop out of the read schema. */
-class RangeDocsScanBuilder(numRows: Long, numPartitions: Int)
+class RangeDocsScanBuilder(numRows: Long, numPartitions: Int,
+                           rowsPerBatch: Long = 100L)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo = 0L
@@ -90,13 +93,16 @@ class RangeDocsScanBuilder(numRows: Long, numPartitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
 
-  override def build(): Scan = new RangeDocsScan(lo, hi, numRows, numPartitions, readSchema)
+  override def build(): Scan =
+    new RangeDocsScan(lo, hi, numRows, numPartitions, rowsPerBatch, readSchema)
 }
 
 class RangeDocsScan(lo: Long, hi: Long, numRows: Long, numPartitions: Int,
-                    schema: StructType) extends Scan with Batch {
+                    rowsPerBatch: Long, schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeDocsMicroBatch(numRows, rowsPerBatch, schema)
   override def description(): String =
     s"RangeDocs [lo=$lo, hi=$hi, cols=${schema.fieldNames.mkString(",")}]"
 
@@ -121,6 +127,47 @@ class RangeDocsScan(lo: Long, hi: Long, numRows: Long, numPartitions: Int,
 }
 
 case class RangeDocsPartition(start: Long, end: Long) extends InputPartition
+
+/** Offset = highest row id produced so far. Restart-safe: the offset is
+  * the single source of truth, so a checkpointed restart resumes at the
+  * committed row — the connector itself is stateless. */
+case class RangeDocsOffset(exclusiveEnd: Long) extends Offset {
+  override def json(): String = exclusiveEnd.toString
+}
+
+/** Micro-batch face of the same relation with REAL admission control:
+  * each trigger admits at most `rowsPerBatch` rows (the connector-side
+  * rate limit, like maxFilesPerTrigger), so the table drains across
+  * several offset-bounded batches instead of one giant one. */
+class RangeDocsMicroBatch(numRows: Long, rowsPerBatch: Long,
+                          schema: StructType)
+  extends MicroBatchStream with SupportsAdmissionControl {
+  override def initialOffset(): Offset = RangeDocsOffset(0L)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RangeDocsOffset].exclusiveEnd
+    RangeDocsOffset(math.min(s + rowsPerBatch, numRows))
+  }
+  override def reportLatestOffset(): Offset = RangeDocsOffset(numRows)
+  override def deserializeOffset(json: String): Offset =
+    RangeDocsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RangeDocsOffset].exclusiveEnd
+    val e = end.asInstanceOf[RangeDocsOffset].exclusiveEnd
+    if (e <= s) Array.empty
+    else (s until e by rowsPerBatch)
+      .map(b => RangeDocsPartition(b, math.min(b + rowsPerBatch, e)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeDocsReaderFactory(schema)
+}
 
 class RangeDocsReaderFactory(schema: StructType)
   extends PartitionReaderFactory {

@@ -52,6 +52,24 @@ class V2SourceSpec extends SparkSpec {
     assert(plan.contains("Filter"), "bucket predicate must remain post-scan")
   }
 
+  test("micro-batch streaming face drains the table in offset-bounded batches") {
+    val q = spark.readStream.format(Fmt)
+      .option("numRows", "250")
+      .option("rowsPerBatch", "100")
+      .load()
+      .writeStream.format("memory").queryName("v2_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2_stream").count() == 250)
+      val ids = spark.table("v2_stream").select("id").as[Long].collect().toSet
+      assert(ids == (0L until 250L).toSet)
+      // admission control: 250 rows at 100/trigger → at least 3 batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected rate-limited batches, saw $batches")
+    } finally q.stop()
+  }
+
   test("column pruning reaches the reader schema") {
     val df = read().select(col("id"))
     val plan = df.queryExecution.executedPlan.toString
