@@ -134,19 +134,67 @@ object TextStatsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q69 — TF-IDF with a RATIONAL idf, (N+1)/(df+1): the engines' `ln`
+    * differs by 1 ULP (JVM StrictMath vs libm), so the log form cannot
+    * exact-oracle; the rational form is a monotone transform of it (log
+    * is increasing), preserving all per-term rankings while staying
+    * bit-exact double division. Top-3 terms per document. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // metadata-only parquet count
+    val terms = docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .where(col("t") =!= "")
+    val tf = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("t").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast(DoubleType) *
+      (lit((n + 1).toDouble) / (col("df") + lit(1L)).cast(DoubleType))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "t")
+      .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+        score.as("tfidf"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
     "q35_token_stats"    -> tokenStats,
     "q36_fingerprint"    -> fingerprint,
     "q37_string_indexer" -> stringIndexerSql,
-    "q62_stratified_sample" -> stratifiedSample
+    "q62_stratified_sample" -> stratifiedSample,
+    "q69_tfidf"          -> tfidf
   )
 
   private def markersSqlList(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q69_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM terms GROUP BY doc_id, t),
+        |df AS (SELECT t, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, t FROM terms) GROUP BY t),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+        |         CAST(tf.tf AS DOUBLE) *
+        |           (CAST((SELECT n FROM n) + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df ON tf.t = df.t),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf, rn FROM r
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
     "q62_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,

@@ -166,7 +166,35 @@ object WindowQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q70 — ordered funnel: users reaching view → click-after-view →
+    * purchase-after-that-click. Three per-user conditional-min
+    * aggregations chained through joins — every stage shuffles on the
+    * SAME user_id key (one co-partitioned lineage, no windows over the
+    * full event set, no per-user subqueries). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val tv = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+      .where(col("tv").isNotNull)
+    val tc = e.join(tv, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("tv"),
+        col("ts"))).as("tc"))
+      .where(col("tc").isNotNull)
+    val tp = e.join(tc, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).as("tp"))
+      .where(col("tp").isNotNull)
+    val stages = Seq(
+      ("1_view", tv), ("2_click_after_view", tc), ("3_purchase_after_click", tp))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_funnel"          -> funnel,
     "q63_range_join_bucket" -> rangeJoinBucketed,
     "q39_tumbling_window" -> tumbling,
     "q40_session_window"  -> sessions,
@@ -224,6 +252,28 @@ object WindowQueries {
          |FROM embeddings
          |GROUP BY 1, 2
          |ORDER BY y, pred""".stripMargin,
+
+    "q70_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM events GROUP BY user_id HAVING tv IS NOT NULL),
+        |tc AS (
+        |  SELECT e.user_id,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts > tv.tv THEN e.ts END) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  GROUP BY e.user_id HAVING tc IS NOT NULL),
+        |tp AS (
+        |  SELECT e.user_id,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts > tc.tc THEN e.ts END) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  GROUP BY e.user_id HAVING tp IS NOT NULL)
+        |SELECT stage, users FROM (
+        |  SELECT '1_view' AS stage, count(*) AS users FROM tv
+        |  UNION ALL
+        |  SELECT '2_click_after_view', count(*) FROM tc
+        |  UNION ALL
+        |  SELECT '3_purchase_after_click', count(*) FROM tp)
+        |ORDER BY stage""".stripMargin,
 
     "q63_range_join_bucket" ->
       """SELECT a.event_id AS a_id, b.event_id AS b_id,
