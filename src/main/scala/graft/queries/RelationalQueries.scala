@@ -183,6 +183,19 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  // ——— q71: distribution windows (cume_dist / percent_rank) ———
+  // Both are integer-ratio divisions (rank/n, (rank−1)/(n−1)) — exact
+  // identical doubles on both engines, unlike log/exp surfaces.
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ——— q15: global top-k ———
   def topkGlobal(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -569,7 +582,8 @@ object RelationalQueries {
     "q65_unpivot"         -> unpivot,
     "q66_lateral_topk"    -> lateralTopK,
     "q67_recursive_spine" -> recursiveSpine,
-    "q68_grouping_flags"  -> groupingFlags
+    "q68_grouping_flags"  -> groupingFlags,
+    "q71_window_dist"     -> windowDist
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,6 +849,14 @@ object RelationalQueries {
     "q65_unpivot" -> UnpivotText,
     "q66_lateral_topk" -> LateralText,
     "q67_recursive_spine" -> RecursiveText,
-    "q68_grouping_flags" -> GroupingText
+    "q68_grouping_flags" -> GroupingText,
+
+    "q71_window_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       cume_dist() OVER (PARTITION BY c_nationkey
+        |                         ORDER BY c_acctbal, c_custkey) AS cd,
+        |       percent_rank() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal, c_custkey) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
