@@ -49,4 +49,45 @@ class StreamJoinSpec extends SparkSpec {
         rows.mkString(";"))
     } finally query.stop()
   }
+
+  test("LEFT OUTER stream-stream join emits the unmatched view once its watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+
+    val v = views.toDF().toDF("user_id", "view_ts").withWatermark("view_ts", "5 minutes")
+    val c = clicks.toDF().toDF("click_user", "click_ts").withWatermark("click_ts", "5 minutes")
+
+    val joined = v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("view_ts"), col("click_ts"))
+
+    val query = joined.writeStream.format("memory")
+      .queryName("ssj_outer").outputMode("append").start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(3))) // user 1 converts; user 2 never clicks
+      query.processAllAvailable()
+      // user 2's NULL row cannot be emitted yet — a matching click could
+      // still arrive until the watermark passes view_ts + 10 min
+      val early = spark.table("ssj_outer")
+        .where(col("user_id") === 2L).count()
+      assert(early == 0, "outer row must wait for the watermark")
+      // push both watermarks far past the join horizon
+      views.addData((99L, ts(120)))
+      clicks.addData((99L, ts(120)))
+      query.processAllAvailable()
+      views.addData((98L, ts(125)))
+      clicks.addData((98L, ts(125)))
+      query.processAllAvailable()
+      val u2 = spark.table("ssj_outer")
+        .where(col("user_id") === 2L)
+        .select(col("click_ts").isNull).as[Boolean].collect().toSeq
+      assert(u2 == Seq(true),
+        s"expected exactly one NULL-click row for user 2, saw ${u2.size}")
+    } finally query.stop()
+  }
 }
