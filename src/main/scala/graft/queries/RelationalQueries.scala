@@ -196,6 +196,30 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  // ——— q72: fuzzy self-join (edit distance 1) via symmetric deletes ———
+  /** Every pair of customer names at Levenshtein distance exactly 1,
+    * WITHOUT an all-pairs scan: the SymSpell trick — two strings within
+    * one edit (insert/delete/substitute) share an element of
+    * {w} ∪ {w minus one char}, so an equality join on exploded deletion
+    * variants generates every candidate (cost Σ_variant count², like
+    * every other inverted-index join here) and `levenshtein` verifies
+    * candidates only. The ORACLE is the naive quadratic join — the gate
+    * proves the scale path is exactly equivalent to brute force. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(s, dir).select(col("c_name").as("w")).distinct()
+    val dels = transform(sequence(lit(1), length(col("w"))),
+      i => concat(col("w").substr(lit(1), i - 1),
+        col("w").substr(i + 1, length(col("w")))))
+    val variants = names
+      .select(col("w"), explode(array_union(array(col("w")), dels)).as("v"))
+    variants.as("a")
+      .join(variants.as("b"), col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("name_a"), col("b.w").as("name_b"))
+      .distinct()
+      .where(levenshtein(col("name_a"), col("name_b")) === 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   // ——— q15: global top-k ———
   def topkGlobal(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -583,7 +607,8 @@ object RelationalQueries {
     "q66_lateral_topk"    -> lateralTopK,
     "q67_recursive_spine" -> recursiveSpine,
     "q68_grouping_flags"  -> groupingFlags,
-    "q71_window_dist"     -> windowDist
+    "q71_window_dist"     -> windowDist,
+    "q72_fuzzy_join"      -> fuzzyJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -857,6 +882,13 @@ object RelationalQueries {
         |                         ORDER BY c_acctbal, c_custkey) AS cd,
         |       percent_rank() OVER (PARTITION BY c_nationkey
         |                            ORDER BY c_acctbal, c_custkey) AS pr
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the naive quadratic ground truth the SymSpell path must equal
+    "q72_fuzzy_join" ->
+      """WITH t AS (SELECT DISTINCT c_name AS w FROM customer)
+        |SELECT a.w AS name_a, b.w AS name_b
+        |FROM t a JOIN t b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -98,6 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q72 fuzzy join generates candidates by equality, never all-pairs") {
+    val p = plan("q72_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("q30 above the brute gate falls through to the LSH bucket join") {
     // gateRows=0 forces the over-gate path; the plan must contain no
     // all-pairs join of any kind.
