@@ -31,27 +31,44 @@ object Bench {
     // an honest wall time of one full execution, just not the unluckiest
     // one. Run count via SPARK_GRAFT_BENCH_RUNS.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // per-query shuffle/spill attribution (queries run sequentially, so
+    // the listener's window cleanly brackets each run)
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      var shuffleMb = 0.0
+      var spillMb = 0.0
+      val times = (1 to runs).map { r =>
+        if (r == runs) { metrics.settle(); metrics.reset() }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (r == runs) {
+          val (sh, sp) = metrics.settle()
+          shuffleMb = sh / 1e6
+          spillMb = sp / 1e6
+        }
+        (dt, ok)
       }
       val okTimes = times.collect { case (t, true) => t }.sorted
-      if (okTimes.isEmpty) (name, -1.0, false)
-      else (name, okTimes(okTimes.size / 2), true)
+      if (okTimes.isEmpty) (name, -1.0, false, shuffleMb, spillMb)
+      else (name, okTimes(okTimes.size / 2), true, shuffleMb, spillMb)
     }
     // Failed queries are reported in `failed` with value -1, and excluded
     // from the total — an error must never be mistaken for a fast run.
-    val qs = timed.map { case (k, v, ok) =>
+    val qs = timed.map { case (k, v, ok, _, _) =>
       s"\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    val failed = timed.collect { case (k, _, false) => s"\"$k\"" }
+    val sh = timed.map { case (k, _, _, s, _) => f""""$k":$s%.2f""" }
+      .mkString("{", ",", "}")
+    val sp = timed.collect { case (k, _, _, _, s) if s > 0 => f""""$k":$s%.2f""" }
+      .mkString("{", ",", "}")
+    val failed = timed.collect { case (k, _, false, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = timed.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
+    val total = timed.collect { case (_, v, true, _, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"agg":"median","shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
