@@ -145,6 +145,55 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q73 — dedup-cluster resolution: connected components over the q27
+    * near-dup graph by distributed min-label propagation with pointer
+    * jumping, run to a fixpoint. Every doc appearing in a near-dup pair
+    * is labeled with the smallest doc_id reachable from it — the cluster
+    * representative a curation pipeline keeps when it drops the rest.
+    *
+    * Scale shape: loop state is one (id, comp) row per vertex; each
+    * round is a neighbor-min aggregation plus a pointer-jump self-join,
+    * both shuffling 8-byte keys only. Pointer jumping (comp ← comp of
+    * comp) contracts label chains, so rounds scale with log(diameter),
+    * not diameter. Lineage is truncated with localCheckpoint every
+    * round (on a real cluster a reliable checkpoint dir does the same
+    * without pinning executor memory). The driver loop carries only a
+    * converged flag — never row data.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDup(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = edges.isEmpty
+    while (!converged) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("id")).agg(min(col("l.comp")).as("nbr"))
+      // comp only ever decreases and always holds a vertex id, so the
+      // pointer-jump self-join below is total (every comp resolves).
+      val stepped = labels.as("l")
+        .join(nbrMin.as("p"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.comp"), coalesce(col("p.nbr"), col("l.comp"))).as("comp"))
+        .localCheckpoint()
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.cid"))
+        .select(col("a.id").as("id"), col("b.ccomp").as("comp"))
+        .localCheckpoint()
+      converged = jumped.as("n")
+        .join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = jumped
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp")).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_exact"      -> dedupExact,
     "q25_dedup_ngram_jacc" -> ngramJaccard,
@@ -152,8 +201,29 @@ object DedupQueries {
     "q27_minhash_neardup"  -> minhashNearDup,
     "q28_simhash"          -> simhash,
     "q29_simhash_neardup"  -> simhashNearDup,
-    "q54_minhash_mllib"    -> minhashMllib
+    "q54_minhash_mllib"    -> minhashMllib,
+    "q73_dedup_clusters"   -> dedupClusters
   )
+
+  /** Shared oracle-side CTE chain producing the q27 candidate/size/common
+    * relations; q27 selects verified pairs from it, q73 closes them
+    * transitively with a recursive CTE. */
+  private def minhashCtesSql: String =
+    s"""dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
+       |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
+       |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id),
+       |bands AS (${Dedup.minhashBandsSql}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+       |common AS (
+       |  SELECT da, db, count(*) AS c
+       |  FROM cand
+       |  JOIN dt x ON x.doc_id = da
+       |  JOIN dt y ON y.doc_id = db AND y.t = x.t
+       |  GROUP BY da, db)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q24_dedup_exact" ->
@@ -182,27 +252,31 @@ object DedupQueries {
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q27_minhash_neardup" ->
-      s"""WITH dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
-         |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
-         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id),
-         |bands AS (${Dedup.minhashBandsSql}),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
-         |common AS (
-         |  SELECT da, db, count(*) AS c
-         |  FROM cand
-         |  JOIN dt x ON x.doc_id = da
-         |  JOIN dt y ON y.doc_id = db AND y.t = x.t
-         |  GROUP BY da, db)
+      s"""WITH $minhashCtesSql
          |SELECT da AS doc_a, db AS doc_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
          |FROM common
          |JOIN sz sa ON da = sa.doc_id
          |JOIN sz sb ON db = sb.doc_id
          |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q73_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtesSql,
+         |pairs AS (
+         |  SELECT da AS doc_a, db AS doc_b
+         |  FROM common
+         |  JOIN sz sa ON da = sa.doc_id
+         |  JOIN sz sb ON db = sb.doc_id
+         |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
+         |und AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT s AS id, s AS r FROM und
+         |  UNION
+         |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)
+         |SELECT id AS doc_id, min(r) AS comp
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tc AS (
