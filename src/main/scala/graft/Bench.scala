@@ -35,7 +35,12 @@ object Bench {
     // the listener's window cleanly brackets each run)
     val metrics = new BenchMetrics
     spark.sparkContext.addSparkListener(metrics)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q73_dedup_clusters,q27_minhash_neardup
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var shuffleMb = 0.0
       var spillMb = 0.0
       val times = (1 to runs).map { r =>

@@ -33,5 +33,18 @@ class DedupClustersSpec extends SparkSpec {
     assert(got == expected)
     // representative property: every cluster label is its own label
     got.values.foreach(c => assert(got(c) == c))
+
+    // the distributed label-propagation path (taken above the 1M-edge
+    // gate) must produce the identical labeling
+    import org.apache.spark.sql.functions.col
+    val pairsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.toSeq.map(p => (p._1, p._2)), 4))
+      .toDF("doc_a", "doc_b")
+    val sym = pairsDf.unionByName(
+      pairsDf.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    val viaProp = DedupQueries.labelPropagate(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaProp == expected)
   }
 }
