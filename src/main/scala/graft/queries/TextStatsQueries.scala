@@ -29,6 +29,20 @@ object TextStatsQueries {
   private def markerHits(words: Column, markers: Seq[String]): Column =
     size(filter(words, t => array_contains(array(markers.map(lit): _*), t)))
 
+  /** Predicted language of a token-array column: argmax of marker-word
+    * hits, ties broken in LangMarkers (alphabetical) order — the pure-
+    * Column form of q33's scoring, shared with q75. */
+  private def predLang(w: Column): Column = {
+    val scores = LangMarkers.map { case (c, ms) =>
+      c -> markerHits(w, ms).cast(LongType)
+    }
+    val g = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(
+      when(scores.head._2 === g, lit(scores.head._1))) {
+      case (acc, (c, sc)) => acc.when(sc === g, lit(c))
+    }
+  }
+
   /** q33 — heuristic language ID: count marker-word hits per language,
     * predict the argmax (ties → alphabetical), compare to the label. */
   def langId(s: SparkSession, dir: String): DataFrame = {
@@ -159,6 +173,93 @@ object TextStatsQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** q74 — repetition filter (the Gopher/C4 curation rule family, Rae
+    * et al. 2021 §A1.1): repeated content is the strongest single
+    * signal of low-quality web text. Per document: duplicate-token
+    * fraction, duplicate-bigram fraction, the top bigram's share of all
+    * bigrams, and a keep flag under the documented thresholds.
+    *
+    * Shape at scale: token stats come from array functions (no explode,
+    * no shuffle); bigram stats explode once and aggregate on
+    * (doc_id, bigram) then doc_id — the same one-key-shuffle cascade
+    * as q70. Bigrams are built positionally with transform over the
+    * sliced token array (codegen'd, no UDF). */
+  /** Per-doc bigram multiset stats (total / distinct / max count) from
+    * a (doc_id, w: array<string>) frame: bigrams built positionally
+    * with transform over the sliced token array (codegen'd, no UDF),
+    * exploded once, aggregated on (doc_id, bigram) then doc_id. Docs
+    * with < 2 tokens produce no row (callers left-join + coalesce). */
+  private def bigramStats(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), explode(expr(
+      "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> concat(x, ' ', w[i + 1]))")).as("g"))
+    bi.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bi"),
+        count(lit(1)).as("d_bi"),
+        max(col("c")).as("m_bi"))
+  }
+
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val tstat = docs.select(col("doc_id"),
+      size(col("w")).cast(LongType).as("n_tok"),
+      size(array_distinct(col("w"))).cast(LongType).as("d_tok"))
+    val bstat = bigramStats(docs)
+    val nBi = coalesce(col("n_bi"), lit(0L))
+    val dupTok = when(col("n_tok") === 0L, lit(0.0))
+      .otherwise((col("n_tok") - col("d_tok")).cast(DoubleType) / col("n_tok"))
+    val dupBi = when(nBi === 0L, lit(0.0))
+      .otherwise((nBi - col("d_bi")).cast(DoubleType) / nBi)
+    val topBi = when(nBi === 0L, lit(0.0))
+      .otherwise(col("m_bi").cast(DoubleType) / nBi)
+    tstat.join(bstat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        dupTok.as("dup_tok_frac"),
+        dupBi.as("dup_bigram_frac"),
+        topBi.as("top_bigram_share"),
+        (topBi <= 0.18 && dupTok <= 0.60).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q75 — the end-to-end curation verdict: the per-document decision a
+    * real corpus-curation run executes, composed in ONE declarative
+    * plan — exact-dup canonical flag (md5 window), language-ID
+    * agreement (q33), quality bar (q34's score ≥ 0.5), repetition keep
+    * (q74's thresholds), deterministic sampling gate (q62's hash), and
+    * the conjunction verdict. Catalyst fuses all row-local flags into
+    * the scan projection; the only shuffles are the digest window and
+    * the bigram cascade. */
+  def curationVerdict(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Quality
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"), toks.as("w"))
+    val canon = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+    val nTok = size(col("w"))
+    val dupTok = when(nTok === 0, lit(0.0))
+      .otherwise((nTok - size(array_distinct(col("w")))).cast(DoubleType) / nTok)
+    val nBi = coalesce(col("n_bi"), lit(0L))
+    val topBi = when(nBi === 0L, lit(0.0))
+      .otherwise(col("m_bi").cast(DoubleType) / nBi)
+    val pct = (conv(substring(md5(concat(lit("mix|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val rate = when(col("source") === "src0", 80L)
+      .when(col("source") === "src1", 50L)
+      .otherwise(25L)
+    val flags = docs
+      .join(bigramStats(docs.select(col("doc_id"), col("w"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === canon).as("is_canonical"),
+        (predLang(col("w")) === col("lang")).as("lang_ok"),
+        (Quality.score(col("w")) >= 0.5).as("quality_ok"),
+        (topBi <= 0.18 && dupTok <= 0.60).as("rep_keep"),
+        (pct < rate).as("sample_keep"))
+    flags.select(col("doc_id"), col("is_canonical"), col("lang_ok"),
+        col("quality_ok"), col("rep_keep"), col("sample_keep"),
+        (col("is_canonical") && col("lang_ok") && col("quality_ok") &&
+          col("rep_keep") && col("sample_keep")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
@@ -166,7 +267,9 @@ object TextStatsQueries {
     "q36_fingerprint"    -> fingerprint,
     "q37_string_indexer" -> stringIndexerSql,
     "q62_stratified_sample" -> stratifiedSample,
-    "q69_tfidf"          -> tfidf
+    "q69_tfidf"          -> tfidf,
+    "q74_repetition"     -> repetition,
+    "q75_curation_verdict" -> curationVerdict
   )
 
   private def markersSqlList(ms: Seq[String]): String =
@@ -267,6 +370,82 @@ object TextStatsQueries {
         |FROM documents, unnest(range(1, len(text) - 6)) AS u(i)
         |WHERE len(text) >= 8
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q75_curation_verdict" -> {
+      val scores = LangMarkers.map { case (c, ms) =>
+        s"len(list_filter(w, t -> list_contains(${markersSqlList(ms)}, t)))::BIGINT AS s_$c"
+      }.mkString(",\n         ")
+      val g = LangMarkers.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+      val chain = LangMarkers.map { case (c, _) => s"WHEN s_$c = g THEN '$c'" }
+        .mkString("CASE ", " ", " ELSE '??' END")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text,
+         |         string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, source, text, w, $scores FROM t),
+         |gg AS (SELECT *, $g AS g FROM sc),
+         |bi AS (
+         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gm
+         |  FROM (SELECT doc_id, w,
+         |               unnest(generate_series(1, len(w) - 1)) AS i
+         |        FROM t)),
+         |bstat AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_bi, count(*)::BIGINT AS d_bi,
+         |         max(c)::BIGINT AS m_bi
+         |  FROM (SELECT doc_id, gm, count(*) AS c FROM bi GROUP BY doc_id, gm)
+         |  GROUP BY doc_id),
+         |f AS (
+         |  SELECT gg.doc_id,
+         |    (gg.doc_id = min(gg.doc_id) OVER (PARTITION BY md5(text))) AS is_canonical,
+         |    ($chain) = lang AS lang_ok,
+         |    (0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
+         |      + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
+         |      + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE)) >= 0.5 AS quality_ok,
+         |    (CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+         |          ELSE m_bi::DOUBLE / n_bi END) <= 0.18
+         |      AND (CASE WHEN len(w) = 0 THEN 0.0
+         |           ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END) <= 0.60 AS rep_keep,
+         |    ('0x' || substr(md5('mix|' || CAST(gg.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+         |      < (CASE WHEN source = 'src0' THEN 80
+         |              WHEN source = 'src1' THEN 50 ELSE 25 END) AS sample_keep
+         |  FROM gg LEFT JOIN bstat ON gg.doc_id = bstat.doc_id)
+         |SELECT doc_id, is_canonical, lang_ok, quality_ok, rep_keep, sample_keep,
+         |       (is_canonical AND lang_ok AND quality_ok AND rep_keep
+         |        AND sample_keep) AS verdict
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q74_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |tstat AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_tok,
+        |         len(list_distinct(w))::BIGINT AS d_tok
+        |  FROM t),
+        |bi AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |  FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM t)),
+        |bstat AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bi, count(*)::BIGINT AS d_bi,
+        |         max(c)::BIGINT AS m_bi
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tok,
+        |  CASE WHEN n_tok = 0 THEN 0.0
+        |       ELSE (n_tok - d_tok)::DOUBLE / n_tok END AS dup_tok_frac,
+        |  CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+        |       ELSE (n_bi - d_bi)::DOUBLE / n_bi END AS dup_bigram_frac,
+        |  CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+        |       ELSE m_bi::DOUBLE / n_bi END AS top_bigram_share,
+        |  (CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+        |        ELSE m_bi::DOUBLE / n_bi END) <= 0.18
+        |    AND (CASE WHEN n_tok = 0 THEN 0.0
+        |              ELSE (n_tok - d_tok)::DOUBLE / n_tok END) <= 0.60 AS keep
+        |FROM tstat ts LEFT JOIN bstat bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
 
     "q37_string_indexer" ->
       """SELECT lang, count(*) AS cnt,
