@@ -249,6 +249,34 @@ object DedupQueries {
     labels
   }
 
+  /** q76 — train/eval decontamination: flag every training document
+    * sharing at least one word-8-gram with the held-out eval slice
+    * (docs with doc_id ≡ 0 mod 97 stand in for a benchmark suite —
+    * deterministic, so the oracle sees the same slice). The classic
+    * pre-training hygiene step: without it, benchmark text inside the
+    * training corpus inflates eval scores.
+    *
+    * Scale shape: the eval side of the inverted 8-gram join is a
+    * benchmark suite — megabytes against a 100 TB corpus — so it is
+    * explicitly broadcast and the training shingles are NEVER
+    * shuffled; per-doc dedup of hits happens under the broadcast join
+    * with a (doc_id, eval_doc) aggregation. Shingle strings are
+    * replaced by 8-byte xxhash64 keys before the join (engine-internal;
+    * the declared output is doc-level, so oracle parity is unaffected).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val ev = sh.where(col("doc_id") % 97L === 0L)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val tr = sh.where(col("doc_id") % 97L =!= 0L)
+    tr.join(broadcast(ev), "h")
+      .select(col("doc_id").as("train_doc"), col("eval_doc")).distinct()
+      .groupBy("train_doc")
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("eval_doc")).as("first_eval"))
+      .orderBy(col("train_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_exact"      -> dedupExact,
     "q25_dedup_ngram_jacc" -> ngramJaccard,
@@ -257,7 +285,8 @@ object DedupQueries {
     "q28_simhash"          -> simhash,
     "q29_simhash_neardup"  -> simhashNearDup,
     "q54_minhash_mllib"    -> minhashMllib,
-    "q73_dedup_clusters"   -> dedupClusters
+    "q73_dedup_clusters"   -> dedupClusters,
+    "q76_decontaminate"    -> decontaminate
   )
 
   /** Shared oracle-side CTE chain producing the q27 candidate/size/common
@@ -332,6 +361,16 @@ object DedupQueries {
          |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)
          |SELECT id AS doc_id, min(r) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q76_decontaminate" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(8)}),
+         |ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+         |pairs AS (
+         |  SELECT DISTINCT tr.doc_id AS train_doc, ev.eval_doc
+         |  FROM tr JOIN ev ON tr.s = ev.s)
+         |SELECT train_doc, count(*) AS n_eval_hits, min(eval_doc) AS first_eval
+         |FROM pairs GROUP BY train_doc ORDER BY train_doc""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tc AS (

@@ -113,4 +113,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1200))
   }
+
+  test("q76 decontamination broadcasts the eval shingles; training side never shuffles them") {
+    val p = plan("q76_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 100 TB training shingle set must meet the benchmark suite via broadcast, not a shuffle")
+  }
 }
