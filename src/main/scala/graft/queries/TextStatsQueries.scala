@@ -105,7 +105,12 @@ object TextStatsQueries {
   }
 
   /** q36 — rolling-hash document fingerprint: the minimum md5 over all
-    * 8-char grams (winnowing with a single global window). */
+    * 8-char grams (winnowing with a single global window). Explode +
+    * partial-min aggregation, deliberately NOT an `aggregate` HOF
+    * fold: lambda functions run interpreted while the exploded md5
+    * stays in whole-stage codegen — the fold measured 4.0 s vs 2.6 s
+    * at sf0.1 (same lesson as Dedup.shingles). The min is combined
+    * map-side, so the shuffle is one 32-char row per doc. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .where(length(col("text")) >= 8)
