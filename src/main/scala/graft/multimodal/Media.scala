@@ -168,6 +168,81 @@ object Media {
     }
   }
 
+  /** Perceptual difference-hash (dHash) of an image payload: decode the
+    * luminance plane (real codec when available, stub with the declared
+    * dims otherwise), average-pool onto a 9-wide × 8-tall grid, then
+    * bit (row, c) = cell > its right neighbor — 64 bits. Re-encodes,
+    * resizes and small edits flip few bits, so image near-dup is
+    * hamming distance on 8-byte values: the curation-scale property
+    * (a 100 TB image corpus dedups on a long column, never on pixels). */
+  def dHash(payload: Array[Byte], metaW: Int, metaH: Int): Long = {
+    val (w, h, px) = decodeImage(payload) match {
+      case Some((rw, rh, p)) => (rw, rh, p)
+      case None =>
+        val (sw, sh) = (math.max(metaW, 9), math.max(metaH, 8))
+        (sw, sh, decodeStub(payload, 0, sw * sh))
+    }
+    val grid = Array.ofDim[Float](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val (y0, y1) = (gy * h / 8, math.max((gy + 1) * h / 8, gy * h / 8 + 1))
+        val (x0, x1) = (gx * w / 9, math.max((gx + 1) * w / 9, gx * w / 9 + 1))
+        var s = 0.0f; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { s += px(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        grid(gy)(gx) = if (n == 0) 0.0f else s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (r, c) = (i / 8, i % 8)
+      if (grid(r)(c) > grid(r)(c + 1)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-record dHash as a batched partition pass. */
+  def dHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => (r.mediaId, dHash(r.payload, r.meta.width, r.meta.height)))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs at hamming ≤ `maxHamming` (≤ 3 guaranteed
+    * recall): q29's banded pigeonhole on the 64-bit dHash — 4 bands of
+    * 16 bits, equality-join candidates, bit_count(xor) verify. Never
+    * an all-pairs join. */
+  def imageNearDup(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    val fp = dHashes(media).persist()
+    val bandCols = (0 until 4).map(j => struct(lit(j).as("band"),
+      shiftright(col("dhash"), j * 16).bitwiseAND(lit(0xffffL)).as("bv")))
+    val bands = fp.select(col("media_id"), col("dhash"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val ham = bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Rebalance partitions by cumulative payload size (media payloads are
     * heavily skewed; row-count partitioning starves/overloads workers). */
   def repartitionByPayload(media: Dataset[MediaRecord],
