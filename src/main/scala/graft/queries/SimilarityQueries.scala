@@ -201,6 +201,34 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q77 — semantic-diversity sampling (the SemDeDup-family curation
+    * step simplified to its scale skeleton): assign every embedding to
+    * its nearest trained IVF cell, then cap each semantic cluster at a
+    * 16-vector quota, keeping the most central (closest-to-centroid)
+    * representatives — over-represented semantic regions are downsampled
+    * while rare regions survive intact. One broadcast assignment pass +
+    * two partitioned windows; no vector ever meets another vector, so
+    * cost is rows × 32 centroids regardless of corpus size. */
+  def semanticSample(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val dist = col("nrm") * col("nrm") -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(col("dist"), col("vec_id"))
+    assigned
+      .select(col("vec_id"), col("cid").as("cell"), col("dist"))
+      .withColumn("cell_rank", row_number().over(wCell).cast(LongType))
+      .where(col("cell_rank") <= 16L)
+      .orderBy(col("cell"), col("cell_rank"))
+  }
+
   // ADC shortlist size before exact re-rank (the standard IVF-PQ
   // two-stage: quantized distances prune, exact distances decide).
   // 50 deep on sf0.01: recall@5 = 0.76 vs exact-L2 truth; at 20 the
@@ -279,6 +307,7 @@ object SimilarityQueries {
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
+    "q77_semantic_sample" -> semanticSample,
     "q59_array_ops"     -> arrayOps,
     "q64_knn_ivfpq"     -> knnIvfPq
   )
@@ -456,6 +485,37 @@ object SimilarityQueries {
          |  FROM c2)
          |SELECT query_id, neighbor_id, cos, rn FROM rr
          |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
+
+    "q77_semantic_sample" -> {
+      val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+         |cents AS (
+         |  SELECT CAST(cid AS BIGINT) AS cid, cv,
+         |         sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM (VALUES
+         |    $centRows) t(cid, cv)),
+         |a AS (
+         |  SELECT e.vec_id, c.cid,
+         |         e.nrm * e.nrm
+         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+         |           + c.cnrm * c.cnrm AS dist
+         |  FROM e, cents c),
+         |r AS (
+         |  SELECT vec_id, cid, dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |  FROM a),
+         |cells AS (SELECT vec_id, cid AS cell, dist FROM r WHERE rk = 1),
+         |ranked AS (
+         |  SELECT vec_id, cell, dist,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |              ORDER BY dist, vec_id) AS BIGINT) AS cell_rank
+         |  FROM cells)
+         |SELECT vec_id, cell, dist, cell_rank FROM ranked
+         |WHERE cell_rank <= 16 ORDER BY cell, cell_rank""".stripMargin
     },
 
     "q59_array_ops" -> {
