@@ -120,4 +120,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the 100 TB training shingle set must meet the benchmark suite via broadcast, not a shuffle")
   }
+
+  test("q75 curation verdict: partitioned windows only, row-local flags fused into one pass") {
+    val df = graft.SparkEntry.queries("q75_curation_verdict")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      "the canonical-digest window must partition by digest, never run globally")
+    val p = plan("q75_curation_verdict")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("q77 semantic sample: the only fan-out is the 32-row centroid broadcast") {
+    val df = graft.SparkEntry.queries("q77_semantic_sample")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
+      "assignment and quota windows must both be partitioned")
+    // vectors never meet vectors: no join other than the centroid broadcast
+    val p = plan("q77_semantic_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
 }
