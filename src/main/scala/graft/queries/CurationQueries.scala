@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw ingest and tokenization: PII detection/redaction,
+  * fixed-budget sequence packing, token-weighted mixture capping, and
+  * corpus-frequency boilerplate filtering. All four are exact-oracled
+  * (same results from DuckDB on the same parquet) and all four keep
+  * their shuffles keyed on bounded values (doc_id / source / 3-gram
+  * strings with map-side partial aggregation) — no all-pairs joins,
+  * no global windows.
+  */
+object CurationQueries {
+
+  private def toks = split(trim(col("text")), "\\s+")
+
+  // Identical regex semantics in Java regex (Spark) and RE2 (DuckDB)
+  // for this subset: character classes, bounded repetition, \b, \d.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q78 — PII detect + redact. The synthetic corpus carries no PII, so
+    * the query first plants deterministic PII (email on doc_id%3, phone
+    * on %5, IPv4 on %7 — both engines build the identical augmented
+    * string), then counts matches per class and emits the md5 of the
+    * fully-redacted text. Row-local projection only: zero shuffles, and
+    * the whole match+replace chain stays in whole-stage codegen. At
+    * 100 TB this is the cheapest kind of operator — a single scan-side
+    * map with nothing to exchange.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-867-5309 soon"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" from 10.0.42.7 host"))
+        .otherwise(lit("")))
+    val nEmails = size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+      .cast(LongType)
+    val nPhones = size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+      .cast(LongType)
+    val nIps = size(regexp_extract_all(col("t"), lit(IpRe), lit(0)))
+      .cast(LongType)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    Tables.documents(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        nEmails.as("n_emails"), nPhones.as("n_phones"), nIps.as("n_ips"),
+        (nEmails + nPhones + nIps > 0L).as("has_pii"),
+        md5(redacted).as("redacted_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokens per pack / per source-budget. 256 suits the synthetic docs
+    * (~54 tokens each → ~4-5 docs per pack); a real pipeline passes its
+    * model's context length. */
+  private val PackBudget = 256L
+
+  /** q79 — sequence packing (concat-then-chunk): assign each document
+    * to the fixed-token-budget training sequence its start offset falls
+    * in, packing greedily in doc_id order WITHIN each source shard.
+    * This is the standard "concatenate the shard, cut every N tokens"
+    * prep step before tokenization; a document straddling a boundary
+    * belongs to the pack it starts in, so pack_tokens may exceed the
+    * budget by at most one document — exactly the chunker's behavior.
+    *
+    * Scale shape: one source-partitioned running-sum window and one
+    * (source, pack_id) aggregation — both key on the shard, so 1000
+    * executors pack 1000 shards independently; no global ordering
+    * exists anywhere in the plan.
+    */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr(s"(cum - n_tok) div $PackBudget").as("pack_id"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  /** q80 — token-weighted mixture capping (the UniMax/DoReMi-style mix
+    * step): each source gets a token budget and contributes documents
+    * in deterministic doc_id order until the budget is exhausted;
+    * everything past the cap is dropped. Token budgets — not document
+    * counts — are what training mixtures are specified in. Same
+    * source-partitioned running sum as q79, then a row-local budget
+    * comparison; re-running on any cluster size yields the same sample.
+    */
+  def mixtureCap(s: SparkSession, dir: String): DataFrame = {
+    val budget = when(col("source").isin("src0", "src1", "src2"), 2000L)
+      .when(col("source").isin("src3", "src4", "src5"), 1000L)
+      .otherwise(400L)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("budget", budget)
+      .where(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
+        col("budget"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q81 — corpus-frequency boilerplate filter (the CCNet/C4 "shared
+    * paragraph" rule at 3-gram granularity, the unit this corpus has):
+    * a 3-gram occurring in ≥ max(5, 1% of docs) distinct documents is
+    * boilerplate; score each document by the fraction of its distinct
+    * 3-grams that are boilerplate and keep it under 30%.
+    *
+    * Scale shape: the gram→doc-frequency aggregation is map-side
+    * partial (each task emits one row per distinct gram), and the
+    * flagged set is broadcast back — its size is bounded by
+    * total-gram-occurrences / threshold ≤ 100 × avg-grams-per-doc
+    * regardless of corpus size, so the broadcast never grows with N.
+    */
+  def boilerplateGrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val n = docs.count() // metadata-only parquet count (q69 precedent)
+    val thr = math.max(5L, math.ceil(0.01 * n).toLong)
+    val gdocs = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))")).as("g"))
+      .distinct()
+    val boiler = gdocs.groupBy(col("g")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= thr)
+    val perDoc = gdocs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = gdocs.join(broadcast(boiler.select(col("g"))), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    val frac = coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) /
+      col("n_grams").cast(DoubleType)
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        frac.as("boiler_frac"),
+        (frac <= 0.30).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_pii_scrub"         -> piiScrub,
+    "q79_sequence_pack"     -> sequencePack,
+    "q80_mixture_cap"       -> mixtureCap,
+    "q81_boilerplate_grams" -> boilerplateGrams
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q78_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309 soon' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.42.7 host' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
+        |   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS has_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_digest
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q79_sequence_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, (cum - n_tok) // $PackBudget AS pack_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin,
+
+    "q80_mixture_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+        |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2000
+        |              WHEN source IN ('src3', 'src4', 'src5') THEN 1000
+        |              ELSE 400 END::BIGINT AS budget
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok, budget
+        |FROM c WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin,
+
+    "q81_boilerplate_grams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        |  FROM (SELECT doc_id, w,
+        |               unnest(generate_series(1, len(w) - 2)) AS i
+        |        FROM t)),
+        |thr AS (
+        |  SELECT greatest(5, CAST(ceil(0.01 * count(*)) AS BIGINT)) AS thr
+        |  FROM documents),
+        |boiler AS (
+        |  SELECT g FROM (SELECT g, count(*) AS d FROM g GROUP BY g)
+        |  WHERE d >= (SELECT thr FROM thr)),
+        |per_doc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY doc_id),
+        |hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_boiler
+        |  FROM g JOIN boiler USING (g) GROUP BY doc_id)
+        |SELECT p.doc_id, n_grams,
+        |       coalesce(n_boiler, 0)::BIGINT AS n_boiler,
+        |       coalesce(n_boiler, 0)::DOUBLE / n_grams AS boiler_frac,
+        |       coalesce(n_boiler, 0)::DOUBLE / n_grams <= 0.30 AS keep
+        |FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+  )
+}

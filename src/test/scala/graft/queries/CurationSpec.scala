@@ -29,4 +29,90 @@ class CurationSpec extends SparkSpec {
     // the gates must actually discriminate on this corpus
     assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
   }
+
+  test("q78 PII counts match the injection cadence and the scrub is shuffle-free") {
+    val df = CurationQueries.piiScrub(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getLong(2) == (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
+      assert(r.getLong(3) == (if (id % 7 == 0) 1L else 0L), s"doc $id ips")
+      assert(r.getBoolean(4) == (id % 3 == 0 || id % 5 == 0 || id % 7 == 0))
+    }
+    // row-local operator: nothing to exchange except the final presentation sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      "the scrub itself must not introduce a hash shuffle")
+  }
+
+  test("q79 packs partition each source's token stream without loss") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("source", "size(split(trim(text), '\\\\s+')) as n")
+      .groupBy("source").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packs = CurationQueries.sequencePack(spark, sfDir).collect()
+    val bySource = packs.groupBy(_.getString(0))
+    assert(bySource.keySet == docs.keySet)
+    bySource.foreach { case (src, ps) =>
+      // no tokens lost: pack totals reassemble the source shard exactly
+      assert(ps.map(_.getLong(3)).sum == docs(src), s"$src token sum")
+      // pack ids are the contiguous chunk sequence 0..k-1
+      assert(ps.map(_.getLong(1)).sorted.sameElements(0L until ps.length), src)
+      // packs cover disjoint ascending doc_id ranges
+      val ordered = ps.sortBy(_.getLong(1))
+      ordered.foreach(p => assert(p.getLong(4) <= p.getLong(5)))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4), src)
+        case _ =>
+      }
+      // every pack but the last starts inside the budget it was cut at
+      ordered.dropRight(1).zipWithIndex.foreach { case (p, i) =>
+        assert(p.getLong(3) >= 1L, s"$src pack $i empty")
+      }
+    }
+    // the packing window must be partitioned by source, never global
+    val windows = CurationQueries.sequencePack(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty))
+  }
+
+  test("q80 keeps a budget-respecting prefix of each source") {
+    val kept = CurationQueries.mixtureCap(spark, sfDir).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getLong(3) <= r.getLong(4),
+      s"doc ${r.getLong(0)} exceeds budget"))
+    // prefix property: the kept docs of each source are exactly the
+    // lowest doc_ids of that source (nothing later sneaks in)
+    val allDocs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).sorted).toMap
+    kept.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val ids = rs.map(_.getLong(0)).sorted
+      assert(ids.sameElements(allDocs(src).take(ids.length)), s"$src not a prefix")
+    }
+    // tiered budgets both bind and don't bind somewhere on this corpus
+    assert(kept.exists(_.getLong(4) == 400L) && kept.exists(_.getLong(4) == 2000L))
+  }
+
+  test("q81 boilerplate fractions are sane and the flag join is broadcast") {
+    val df = CurationQueries.boilerplateGrams(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, b, f, keep) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(b >= 0 && b <= n, s"doc ${r.getLong(0)} boiler count")
+      assert(math.abs(f - b.toDouble / n) < 1e-12)
+      assert(keep == (f <= 0.30))
+    }
+    // the threshold must actually flag something on this corpus
+    assert(rows.exists(_.getLong(2) > 0), "no boilerplate flagged at all")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded flagged-gram set must come back as a broadcast")
+  }
 }
