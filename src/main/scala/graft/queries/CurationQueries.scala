@@ -19,13 +19,8 @@ object CurationQueries {
 
   private def toks = split(trim(col("text")), "\\s+")
 
-  // Identical regex semantics in Java regex (Spark) and RE2 (DuckDB)
-  // for this subset: character classes, bounded repetition, \b, \d.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-
-  /** q78 — PII detect + redact. The synthetic corpus carries no PII, so
+  /** q78 — PII detect + redact (expressions in graft.text.Pii, shared
+    * with the streaming scrub). The synthetic corpus carries no PII, so
     * the query first plants deterministic PII (email on doc_id%3, phone
     * on %5, IPv4 on %7 — both engines build the identical augmented
     * string), then counts matches per class and emits the md5 of the
@@ -35,6 +30,7 @@ object CurationQueries {
     * map with nothing to exchange.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Pii
     val aug = concat(col("text"),
       when(col("doc_id") % 3 === 0,
         concat(lit(" contact user"), col("doc_id").cast("string"),
@@ -43,22 +39,13 @@ object CurationQueries {
         .otherwise(lit("")),
       when(col("doc_id") % 7 === 0, lit(" from 10.0.42.7 host"))
         .otherwise(lit("")))
-    val nEmails = size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
-      .cast(LongType)
-    val nPhones = size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
-      .cast(LongType)
-    val nIps = size(regexp_extract_all(col("t"), lit(IpRe), lit(0)))
-      .cast(LongType)
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("t"), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
-      IpRe, "<IP>")
     Tables.documents(s, dir).select(col("doc_id"), aug.as("t"))
       .select(col("doc_id"),
-        nEmails.as("n_emails"), nPhones.as("n_phones"), nIps.as("n_ips"),
-        (nEmails + nPhones + nIps > 0L).as("has_pii"),
-        md5(redacted).as("redacted_digest"))
+        Pii.nEmails(col("t")).as("n_emails"),
+        Pii.nPhones(col("t")).as("n_phones"),
+        Pii.nIps(col("t")).as("n_ips"),
+        Pii.hasPii(col("t")).as("has_pii"),
+        md5(Pii.redact(col("t"))).as("redacted_digest"))
       .orderBy(col("doc_id"))
   }
 
@@ -156,11 +143,62 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q82 — Zipf rank-frequency curve: the 100 most frequent tokens
+    * with their corpus share and cumulative coverage ("the top-k
+    * tokens cover X% of the corpus" — the first plot anyone makes of a
+    * new corpus, and the sanity check behind vocabulary truncation).
+    *
+    * Scale shape: token counting is a map-side-partial aggregation on
+    * the token string; the top-100 cut is TakeOrdered (per-partition
+    * top-k, then a 100-row merge — never a global sort of the vocab);
+    * the ranking/cumsum window then runs over exactly 100 rows, and
+    * the grand total joins in as a 1-row broadcast. Shares are single
+    * integer-ratio divisions — exact in both engines.
+    */
+  def zipfCurve(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+    val cnt = terms.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    val top = cnt.orderBy(col("cnt").desc, col("t")).limit(100)
+    // 100-row window: the limit above bounds it regardless of corpus size
+    val w = Window.orderBy(col("cnt").desc, col("t"))
+    top
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("t").as("token"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("share"),
+        (col("cum_cnt").cast(DoubleType) / col("total").cast(DoubleType)).as("cum_share"))
+      .orderBy(col("rnk"))
+  }
+
+  /** q83 — deterministic fixed-k per-group sample (the reservoir-sample
+    * equivalent for a re-runnable pipeline): each source keeps its k=5
+    * docs with the smallest md5("res|"+doc_id) — a uniform-at-random
+    * choice under the hash, yet stable across re-runs, cluster sizes
+    * and insertion order, which rand()-reservoirs are not. One
+    * source-partitioned window; nothing global.
+    */
+  def groupSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("res|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
     "q80_mixture_cap"       -> mixtureCap,
-    "q81_boilerplate_grams" -> boilerplateGrams
+    "q81_boilerplate_grams" -> boilerplateGrams,
+    "q82_zipf_curve"        -> zipfCurve,
+    "q83_group_sample"      -> groupSample
   )
 
   val oracles: Map[String, String] = Map(
@@ -218,6 +256,38 @@ object CurationQueries {
         |  FROM t)
         |SELECT doc_id, source, n_tok, cum_tok, budget
         |FROM c WHERE cum_tok <= budget ORDER BY doc_id""".stripMargin,
+
+    "q82_zipf_curve" ->
+      """WITH terms AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |cnt AS (SELECT t, count(*) AS cnt FROM terms GROUP BY t),
+        |total AS (SELECT sum(cnt) AS total FROM cnt),
+        |top AS (SELECT t, cnt FROM cnt ORDER BY cnt DESC, t LIMIT 100),
+        |r AS (
+        |  SELECT t, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rnk,
+        |         sum(cnt) OVER (ORDER BY cnt DESC, t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+        |  FROM top)
+        |SELECT rnk, t AS token, cnt,
+        |       cnt::DOUBLE / (SELECT total FROM total)::DOUBLE AS share,
+        |       cum_cnt::DOUBLE / (SELECT total FROM total)::DOUBLE AS cum_share
+        |FROM r ORDER BY rnk""".stripMargin,
+
+    "q83_group_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         md5('res|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT source, rn, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     "q81_boilerplate_grams" ->
       """WITH t AS (

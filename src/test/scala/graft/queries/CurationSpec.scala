@@ -98,6 +98,48 @@ class CurationSpec extends SparkSpec {
     assert(kept.exists(_.getLong(4) == 400L) && kept.exists(_.getLong(4) == 2000L))
   }
 
+  test("q82 Zipf curve covers the corpus monotonically and cuts via TakeOrdered") {
+    val df = CurationQueries.zipfCurve(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // ranks are 1..n with strictly non-increasing counts
+    assert(rows.map(_.getLong(0)).sameElements(1L to rows.length))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) >= b.getLong(2))
+      case _ =>
+    }
+    // cumulative share is monotone and, with the whole vocab inside the
+    // top-100 cut on this corpus, ends at exactly 1.0
+    val cum = rows.map(_.getDouble(4))
+    cum.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a)
+      case _ =>
+    }
+    assert(math.abs(cum.last - 1.0) < 1e-12,
+      s"tiny vocab must be fully covered, got ${cum.last}")
+    // the top-k cut must be a TakeOrdered/Limit, never a global vocab sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q83 keeps exactly k=5 deterministic docs per source") {
+    val a = CurationQueries.groupSample(spark, sfDir).collect()
+    val bySource = a.groupBy(_.getString(0))
+    assert(bySource.size == 20)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 5, s"$src kept ${rs.length}")
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to 5L), src)
+    }
+    // sampled docs really belong to their source
+    val owner = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach(r => assert(owner(r.getLong(2)) == r.getString(0)))
+    // re-running yields the identical sample (hash-determinism, no rand())
+    val b = CurationQueries.groupSample(spark, sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("q81 boilerplate fractions are sane and the flag join is broadcast") {
     val df = CurationQueries.boilerplateGrams(spark, sfDir)
     val rows = df.collect()
