@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[StemWord].getName, "graft_stem"),
       (children: Seq[Expression]) => StemWord(children.head)))
+    // whole-operator extension (SURVEY §7 point (c)): the native sorted-
+    // merge AS-OF join — logical node graft.plans.GraftAsOfJoin, planned
+    // by this strategy into GraftAsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

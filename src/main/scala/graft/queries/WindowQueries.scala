@@ -193,8 +193,34 @@ object WindowQueries {
     }.reduce(_.unionByName(_)).orderBy(col("stage"))
   }
 
+  /** q84 — q61's AS-OF join on the NATIVE whole-operator path
+    * (graft.plans: GraftAsOfJoin logical node → GraftStrategies →
+    * GraftAsOfJoinExec sorted-merge physical operator, injected via
+    * GraftExtensions). Same semantics, same DuckDB ASOF oracle as q61;
+    * the plan is two exchanges + two sorts + ONE single-pass merge with
+    * O(1) state per partition — no window chain, no candidate
+    * materialization (AsOfJoinSpec pins result parity with q61 and the
+    * plan shape). */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.AsOf
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = AsOf.prefixed(
+      e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id")), "v_")
+    AsOf.join(clicks, views, Seq("user_id" -> "v_user_id"), ("ts", "v_ts"),
+        rightTiebreak = Seq("v_event_id"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        coalesce(col("v_event_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("v_ts")), lit(-1L))
+          .as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_funnel"          -> funnel,
+    "q84_asof_native"     -> asofNative,
     "q63_range_join_bucket" -> rangeJoinBucketed,
     "q39_tumbling_window" -> tumbling,
     "q40_session_window"  -> sessions,
@@ -284,6 +310,18 @@ object WindowQueries {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q61_asof_join" ->
+      """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+        |views AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS click_id, c.user_id,
+        |       COALESCE(v.event_id, -1) AS view_id,
+        |       COALESCE(date_diff('microsecond', v.ts, c.ts), -1) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+
+    // q84: identical semantics to q61, exercised through the native
+    // operator — the oracle is deliberately the same ASOF SQL
+    "q84_asof_native" ->
       """WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
         |views AS (SELECT * FROM events WHERE event_type = 'view')
         |SELECT c.event_id AS click_id, c.user_id,
