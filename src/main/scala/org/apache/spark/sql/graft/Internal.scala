@@ -15,4 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftInternal {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(s.asInstanceOf[ClassicSession], plan)
+
+  /** Drain the listener bus so QueryExecutionListener callbacks (e.g.
+    * batch `observe` metrics) have fired before reading their results. */
+  def waitListeners(s: SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
 }
