@@ -192,16 +192,131 @@ object CurationQueries {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** q85 — deterministic training-order shuffle-shard: the "global
+    * shuffle" every training run performs before reading, done the way
+    * it scales — NO global sort exists anywhere. Each doc row-locally
+    * hashes to a shard (md5 keyed by 'shuf|'), and its position within
+    * the shard is a row_number over the shard-partitioned hash order.
+    * The result is a reproducible uniform permutation: re-runs, resumes
+    * and different cluster sizes all read the identical order, which
+    * rand()-shuffles cannot promise.
+    */
+  def shuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shuf|"), col("doc_id").cast("string")))
+    val shard = (conv(substring(col("h"), 1, 15), 16, 10)
+      .cast(LongType) % 8L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .select(col("shard"), col("seq"), col("doc_id"))
+      .orderBy(col("shard"), col("seq"))
+  }
+
+  /** BM25 retrieval constants: k1=1.2, b=0.75 (so 1-b = 0.25 and
+    * k1+1 = 2.2 — all literals parse to identical doubles in both
+    * engines). */
+  private val QueryTerms = Seq("spark", "fast", "table")
+
+  /** q86 — BM25 retrieval: top-10 documents for a fixed query, the
+    * classic Okapi scoring with the RATIONAL idf (N-df+0.5)/(df+0.5) —
+    * the same monotone-transform trick as q69, since ln() differs by
+    * 1 ULP between engines. Per-term scores go through DECIMAL(18,9)
+    * before summing so the aggregation is order-independent (the
+    * engine-wide double-sum rule, README).
+    *
+    * Scale shape: the term explode filters to the 3 query terms BEFORE
+    * any aggregation — a 100 TB corpus contributes only its
+    * query-term postings to the shuffle; df and avgdl are tiny aggs
+    * broadcast back; the final cut is TakeOrdered.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val qt = QueryTerms.map(lit(_))
+    val postings = docs
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .where(col("t").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val idf = (col("n").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val norm = tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("dl").cast(DoubleType) / col("avgdl")))
+    val termScore = idf * ((tfD * lit(2.2)) / norm)
+    postings
+      .join(broadcast(dfreq), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        termScore.cast("decimal(18,9)").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts")).cast(DoubleType).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
     "q80_mixture_cap"       -> mixtureCap,
     "q81_boilerplate_grams" -> boilerplateGrams,
     "q82_zipf_curve"        -> zipfCurve,
-    "q83_group_sample"      -> groupSample
+    "q83_group_sample"      -> groupSample,
+    "q85_shuffle_shard"     -> shuffleShard,
+    "q86_bm25"              -> bm25
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard
+        |  FROM h)
+        |SELECT shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |            ORDER BY h, doc_id) AS BIGINT) AS seq,
+        |       doc_id
+        |FROM s ORDER BY shard, seq""".stripMargin,
+
+    "q86_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+        |  FROM lens),
+        |postings AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS t FROM d)
+        |  WHERE t IN ('spark', 'fast', 'table')
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |           * ((tf::DOUBLE * 2.2)
+        |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
+        |           AS DECIMAL(18,9)) AS ts
+        |  FROM postings p
+        |  JOIN dfreq USING (t)
+        |  JOIN lens USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score,
+        |       count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "q78_pii_scrub" ->
       """WITH a AS (
         |  SELECT doc_id, text

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** q75's composed verdict must agree flag-by-flag with the standalone
   * queries it composes (q74 repetition, q62 sampling) and with its own
@@ -138,6 +139,62 @@ class CurationSpec extends SparkSpec {
     // re-running yields the identical sample (hash-determinism, no rand())
     val b = CurationQueries.groupSample(spark, sfDir).collect()
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
+  test("q85 shuffle-shard is a reproducible permutation with no global sort") {
+    val df = CurationQueries.shuffleShard(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // a true permutation: every doc appears exactly once
+    assert(rows.map(_.getLong(2)).toSet.size == 500)
+    val byShard = rows.groupBy(_.getLong(0))
+    assert(byShard.keySet == (0L to 7L).toSet, "all 8 shards populated")
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length), s"shard $sh")
+      // uniform hash: no shard degenerates (500/8 = 62.5 expected)
+      assert(rs.length > 30 && rs.length < 100, s"shard $sh has ${rs.length}")
+    }
+    // determinism: identical on re-run
+    assert(CurateMainOrder(df) == CurateMainOrder(
+      CurationQueries.shuffleShard(spark, sfDir)))
+    // scale posture: the ordering windows are shard-partitioned
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+    }
+    assert(windows.nonEmpty && windows.forall(_.nonEmpty))
+  }
+
+  private def CurateMainOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q86 BM25 returns term-bearing docs in strictly ranked order") {
+    val df = CurationQueries.bm25(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "scores must be non-increasing")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 3, "n_terms in 1..3")
+      assert(r.getDouble(1) > 0.0)
+    }
+    // every ranked doc really contains at least one query term
+    val terms = Set("spark", "fast", "table")
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = graft.Tables.documents(spark, sfDir)
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+    texts.foreach { t =>
+      val words = t.getString(1).split("\\s+").toSet
+      assert(words.intersect(terms).nonEmpty, s"doc ${t.getLong(0)}")
+    }
+    // the cut is a TakeOrdered over broadcast-joined postings
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/avgdl stats must broadcast")
   }
 
   test("q81 boilerplate fractions are sane and the flag join is broadcast") {
