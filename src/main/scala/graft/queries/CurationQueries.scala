@@ -261,6 +261,39 @@ object CurationQueries {
       .limit(10)
   }
 
+  /** q87 — incremental curation delta: a 100 TB corpus is not
+    * re-curated from scratch per crawl; the daily job gates only the
+    * NEW batch and drops anything whose content digest already exists
+    * in the curated snapshot (re-crawled pages are the common case).
+    * Here the snapshot is docs < 250 and the new feed is docs ≥ 200 —
+    * the 200-249 overlap simulates re-crawls, and the anti-join drops
+    * them by digest.
+    *
+    * Scale shape: the new-batch predicate pushes into the parquet scan;
+    * the history side is digests only (16 bytes/doc, not text), so the
+    * anti-join shuffles digest-sized keys; the row-local gates run only
+    * over the new batch.
+    */
+  def incrementalDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Quality
+    val snapshot = Tables.documents(s, dir)
+      .where(col("doc_id") < 250)
+      .select(md5(col("text")).as("digest")).distinct()
+    val pct = (conv(substring(md5(concat(lit("mix|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val rate = when(col("source") === "src0", 80L)
+      .when(col("source") === "src1", 50L).otherwise(25L)
+    Tables.documents(s, dir)
+      .where(col("doc_id") >= 200)
+      .withColumn("w", toks)
+      .where(Quality.score(col("w")) >= 0.5)
+      .where(pct < rate)
+      .withColumn("digest", md5(col("text")))
+      .join(snapshot, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
@@ -269,10 +302,32 @@ object CurationQueries {
     "q82_zipf_curve"        -> zipfCurve,
     "q83_group_sample"      -> groupSample,
     "q85_shuffle_shard"     -> shuffleShard,
-    "q86_bm25"              -> bm25
+    "q86_bm25"              -> bm25,
+    "q87_incremental_delta" -> incrementalDelta
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_incremental_delta" ->
+      s"""WITH snapshot AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents
+        |  WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, source, text,
+        |         string_split_regex(trim(text), '\s+') AS w,
+        |         md5(text) AS digest
+        |  FROM documents WHERE doc_id >= 200),
+        |gated AS (
+        |  SELECT doc_id, source, digest FROM batch
+        |  WHERE (0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
+        |      + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${graft.text.Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
+        |      + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE)) >= 0.5
+        |    AND ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |        < (CASE WHEN source = 'src0' THEN 80
+        |                WHEN source = 'src1' THEN 50 ELSE 25 END))
+        |SELECT doc_id, source FROM gated
+        |WHERE digest NOT IN (SELECT digest FROM snapshot)
+        |ORDER BY doc_id""".stripMargin,
+
     "q85_shuffle_shard" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
