@@ -313,7 +313,7 @@ object CurationQueries {
         |  WHERE doc_id < 250),
         |batch AS (
         |  SELECT doc_id, source, text,
-        |         string_split_regex(trim(text), '\s+') AS w,
+        |         string_split_regex(trim(text), '\\s+') AS w,
         |         md5(text) AS digest
         |  FROM documents WHERE doc_id >= 200),
         |gated AS (
