@@ -17,7 +17,8 @@ object SparkEntry {
     (graft.queries.TextStatsQueries.queries, graft.queries.TextStatsQueries.oracles),
     (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
     (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles),
-    (graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracles)
+    (graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracles),
+    (graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,559 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Round-3 analytics surface: the remaining operator families a
+  * 100 TB training-data engine needs beyond the reference's own ops —
+  * substring-level dedup (Lee et al. 2021's "Deduplicating Training
+  * Data" at 8-gram granularity), sketch-based distinct counting (KMV,
+  * Bar-Yossef et al. 2002), hybrid lexical+vector retrieval (RRF,
+  * Cormack et al. 2009), iterative graph analytics (PageRank as an
+  * exact integer fixpoint), statistical LM quality filtering
+  * (CCNet-style, Wenzek et al. 2020, with a rational probability so it
+  * exact-oracles), and batch sessionization.
+  *
+  * Everything here follows the repo-wide oracle rules (README/SURVEY
+  * §5.1): md5-60-bit hashes for all randomness, integer or
+  * integer-ratio arithmetic wherever floats would drift, DECIMAL(18,9)
+  * staging before any float sum, total ORDER BY, NULL-free output.
+  */
+object AnalyticsQueries {
+
+  private def toks = split(trim(col("text")), "\\s+")
+
+  /** 60-bit md5 hash keyed by a query-local tag — the engine-wide
+    * deterministic-randomness idiom (q83/q85/q87). */
+  private def h60(tag: String, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(tag + "|"), c.cast("string"))), 1, 15), 16, 10)
+      .cast(LongType)
+
+  // ---------------------------------------------------------------- q88
+
+  /** Duplicated-span gram length: 8 word-grams ≈ the 50-token threshold
+    * of Lee et al. scaled to this corpus's ~54-token documents. */
+  private val SpanGram = 8
+
+  /** q88 — duplicated-substring coverage (substring-level dedup, the
+    * step document-level MinHash misses: boilerplate headers, quoted
+    * replies, license blocks duplicated INSIDE otherwise-unique docs).
+    * Every word-8-gram is hashed; a gram occurring in ≥ 2 distinct
+    * documents is duplicated; each document is scored by the fraction
+    * of its token span covered by the union of its duplicated-gram
+    * intervals [i, i+7] — the interval union computed with one lag
+    * window (intervals all have length 8 and arrive sorted by start,
+    * so each contributes min(8, start − prev_start) new tokens).
+    *
+    * Scale shape: grams shuffle as 8-byte hashes, never text; the
+    * duplicated-gram set joins back on the same 8-byte key (shuffle
+    * join — at corpus scale this set is NOT broadcastable, unlike
+    * q81's frequency-capped boilerplate set); the coverage window is
+    * doc_id-partitioned. Nothing global, nothing quadratic.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"))
+    val occ = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        conv(substring(md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")),
+          1, 15), 16, 10).cast(LongType).as("g"))
+    val dup = occ.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = occ.join(dup, Seq("g"))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("prev").isNull, lit(SpanGram.toLong))
+        .otherwise(least(lit(SpanGram.toLong), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"), sum(col("add")).as("covered"))
+    lens.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("dup_frac",
+        col("covered").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("keep", col("dup_frac") < 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q89
+
+  private val KmvK = 64
+
+  /** q89 — KMV (k-minimum-values) distinct-count sketch, the mergeable
+    * cardinality estimator behind every planning statistic at 100 TB:
+    * per group keep the K smallest distinct 60-bit hashes; the K-th
+    * smallest value h estimates |D| ≈ (K−1) / (h / 2⁶⁰). Deterministic
+    * under the md5 hash, so the estimate — unlike HLL's — is
+    * bit-reproducible and exact-oracled; the true distinct count and
+    * relative error are emitted alongside.
+    *
+    * Scale shape: the (grp, hash) dedupe is a map-side-partial
+    * aggregation; a per-input-partition rank prunes each group to ≤
+    * K·P rows BEFORE the per-group rank, so the final window never
+    * sorts a full group — the declarative form of the mergeable
+    * bounded sketch (union of two KMVs = KMV of the union).
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val dedup = li.select(col("l_returnflag").as("grp"),
+      h60("kmv", col("l_orderkey")).as("h")).distinct()
+    val wLoc = Window.partitionBy(col("grp"), col("pid")).orderBy(col("h"))
+    val pruned = dedup.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= KmvK)
+    val wG = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sk = pruned.withColumn("rn", row_number().over(wG))
+      .where(col("rn") <= KmvK)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+    val truth = li.groupBy(col("l_returnflag").as("grp"))
+      .agg(countDistinct(col("l_orderkey")).as("true_distinct"))
+    val pow60 = lit(1152921504606846976L).cast(DoubleType) // 2^60, exact
+    val est = when(col("k_used") < KmvK, col("k_used").cast(DoubleType))
+      .otherwise(lit(KmvK - 1).cast(DoubleType) /
+        (col("kth_hash").cast(DoubleType) / pow60))
+    sk.join(truth, Seq("grp"))
+      .select(col("grp"), col("k_used"), col("kth_hash"),
+        est.as("est_distinct"), col("true_distinct"),
+        ((est - col("true_distinct").cast(DoubleType)) /
+          col("true_distinct").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("grp"))
+  }
+
+  // ---------------------------------------------------------------- q90
+
+  private val RrfQueryTerms = Seq("spark", "fast", "table")
+  private val RrfK = 60 // the standard RRF dampening constant
+  private val RrfDepth = 20
+
+  /** q90 — hybrid retrieval by reciprocal-rank fusion: the top-20 BM25
+    * list (q86's scoring, same rational idf) and the top-20
+    * exact-cosine list for the vec_id-0 query vector fuse as
+    * Σ 1/(60 + rank) — rank arithmetic only, so the fusion is exact in
+    * both engines regardless of how the underlying scores were
+    * computed. This is the RAG-era retrieval stack's standard shape:
+    * lexical and vector candidates generated independently (each by
+    * its own scale path — postings pruning / ANN), fused rank-only.
+    *
+    * Scale shape: both candidate lists are TakeOrdered-bounded at 20
+    * rows before the fusion join, which is therefore a 20×20 outer
+    * join of broadcastable singletons; doc universe never re-scans.
+    */
+  def rrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    // lexical arm: q86's BM25 expressions, ranked to depth 20
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val postings = docs.select(col("doc_id"), explode(col("w")).as("t"))
+      .where(col("t").isin(RrfQueryTerms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val idf = (col("n").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val norm = tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("dl").cast(DoubleType) / col("avgdl")))
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = postings
+      .join(broadcast(dfreq), "t").join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * ((tfD * lit(2.2)) / norm))
+        .cast("decimal(18,9)").as("ts"))
+      .groupBy(col("doc_id")).agg(sum(col("ts")).cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_lex", row_number().over(wLex).cast(LongType))
+      .select(col("doc_id"), col("rank_lex"))
+    // vector arm: exact cosine vs the vec_id-0 query, ranked to depth 20
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val q = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wVec = Window.orderBy(col("cos").desc, col("vec_id"))
+    val vec = e.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(wVec).cast(LongType))
+      .select(col("doc_id"), col("rank_vec"))
+    val rrf = coalesce(lit(1.0) / (lit(RrfK).cast(DoubleType) +
+        col("rank_lex").cast(DoubleType)), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK).cast(DoubleType) +
+        col("rank_vec").cast(DoubleType)), lit(0.0))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(-1L)).as("rank_lex"),
+        coalesce(col("rank_vec"), lit(-1L)).as("rank_vec"),
+        rrf.as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+  }
+
+  // ---------------------------------------------------------------- q91
+
+  private val PrScale = 1000000000000000L // 10^15 — headroom for 17·pr
+  private val PrIters = 5
+
+  /** q91 — PageRank as an exact integer fixpoint over the supplier–part
+    * co-occurrence graph (distinct lineitem (supplier, part) pairs,
+    * both directions, so every node has out-degree ≥ 1 and no dangling
+    * mass exists). Rank mass is held in units of 10⁻¹⁵ and every
+    * damping step is integer division — pr' = (3·(S div N)) div 20 +
+    * (17·Σ inflow) div 20 with S = 10¹⁵ — so five iterations produce
+    * bit-identical BIGINTs in both engines: iterative graph analytics
+    * with none of float-PageRank's summation-order nondeterminism.
+    *
+    * Scale shape: the edge list is built once (distinct pair dedupe =
+    * one partial-agg shuffle), persisted, and re-joined each
+    * iteration on its 8-byte-hashed... (string node ids here; a
+    * production run would hash them to longs). Each iteration is one
+    * shuffle join (rank × edges) plus one partial aggregation
+    * (inflow by dst) — the Pregel schedule expressed declaratively;
+    * iteration count is the only driver-side loop, the data never
+    * leaves executors.
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val edges = pairs.select(
+        concat(lit("s"), col("sk").cast("string")).as("src"),
+        concat(lit("p"), col("pk").cast("string")).as("dst"))
+      .union(pairs.select(
+        concat(lit("p"), col("pk").cast("string")).as("src"),
+        concat(lit("s"), col("sk").cast("string")).as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node").persist()
+    val n = deg.count()
+    val pr0 = PrScale / n
+    val base = (3L * pr0) / 20L
+    var pr: DataFrame = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val inflow = pr.join(edges, pr("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      pr = deg.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
+            .as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
+  // ---------------------------------------------------------------- q92
+
+  /** q92 — statistical-LM quality score (the CCNet filter reshaped to
+    * exact-oracle): a bigram model with add-one smoothing is "trained"
+    * on the deterministic reference slice (doc_id % 10 < 8) and every
+    * document is scored by its MEAN bigram probability — the rational
+    * stand-in for perplexity (a monotone transform of the arithmetic
+    * rather than geometric mean; ln() differs by 1 ULP between engines,
+    * the q69/q86 rule). p(b|a) = (C(a,b)+1) / (C(a)+V), each an
+    * integer-ratio double staged through DECIMAL(18,9) before the
+    * per-document sum.
+    *
+    * Scale shape: model counts are partial-agg shuffles on token keys;
+    * the unigram table and vocab size broadcast (vocab-bounded); the
+    * bigram join keys on the (a,b) pair — vocab²-bounded and Zipf-
+    * concentrated, so it broadcasts in practice too but is left as a
+    * keyed shuffle here, the honest default.
+    */
+  def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val bigrams = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        "CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("i"))
+      .select(col("doc_id"),
+        expr("element_at(w, i + 1)").as("a"), expr("element_at(w, i + 2)").as("b"))
+    val ref = bigrams.where(col("doc_id") % 10 < 8)
+    val c2 = ref.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(s, dir).where(col("doc_id") % 10 < 8)
+      .select(explode(toks).as("t")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast(DoubleType) /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast(DoubleType)
+    val scored = bigrams
+      .join(c2, Seq("a", "b"), "left")
+      .join(broadcast(c1), Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), p.cast("decimal(18,9)").as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("sum_p").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  private val SessionGapUs = 1800000000L // 30 min in micros
+
+  /** q93 — batch sessionization: the gap-rule session assignment every
+    * clickstream pipeline runs (a session breaks after 30 idle
+    * minutes), computed with the lag-flag-cumsum idiom in exact
+    * integer micros. The streaming twin is the session window of
+    * q40/Stateful; this is the backfill form that runs over years of
+    * history.
+    *
+    * Scale shape: ONE shuffle on user_id serves both windows and the
+    * final aggregation (same partitioning reused across stages); all
+    * arithmetic is BIGINT micros.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tsu") - col("prev") > SessionGapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("sess_n", sum(col("brk")).over(wc))
+      .groupBy(col("user_id"), col("sess_n"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("sess_n"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  private def prIterCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT d.node, d.deg,
+       |         (3 * (1000000000000000 // nn.n)) // 20
+       |           + (17 * COALESCE(m.inflow, 0)) // 20 AS pr
+       |  FROM deg d
+       |  CROSS JOIN nn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(p.pr // p.deg) AS inflow
+       |    FROM p${i - 1} p JOIN edges e ON e.src = p.node
+       |    GROUP BY e.dst) m USING (node))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_dup_spans"    -> dupSpans,
+    "q89_kmv_distinct" -> kmvDistinct,
+    "q90_rrf_hybrid"   -> rrfHybrid,
+    "q91_pagerank"     -> pageRank,
+    "q92_lm_quality"   -> lmQuality,
+    "q93_sessionize"   -> sessionize
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q88_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS n_tok FROM d),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(
+        |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
+        |  FROM d),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM occ)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+        |         sum(add)::BIGINT AS covered FROM (
+        |    SELECT doc_id, pos,
+        |      CASE WHEN prev IS NULL THEN 8
+        |           ELSE least(8, pos - prev) END AS add FROM (
+        |      SELECT o.doc_id, o.pos,
+        |        lag(o.pos) OVER (PARTITION BY o.doc_id ORDER BY o.pos) AS prev
+        |      FROM occ o JOIN dup USING (g)))
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_tok,
+        |       COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+        |       COALESCE(c.covered, 0) AS covered,
+        |       COALESCE(c.covered, 0)::DOUBLE / l.n_tok::DOUBLE AS dup_frac,
+        |       (COALESCE(c.covered, 0)::DOUBLE / l.n_tok::DOUBLE) < 0.2 AS keep
+        |FROM lens l LEFT JOIN cov c USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    "q89_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS grp,
+        |    ('0x' || substr(md5('kmv|' || CAST(l_orderkey AS VARCHAR)),
+        |     1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, h,
+        |         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (
+        |  SELECT grp, count(*)::BIGINT AS k_used, max(h) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY grp),
+        |t AS (
+        |  SELECT l_returnflag AS grp,
+        |         count(DISTINCT l_orderkey)::BIGINT AS true_distinct
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT sk.grp, sk.k_used, sk.kth_hash,
+        |    CASE WHEN sk.k_used < 64 THEN sk.k_used::DOUBLE
+        |         ELSE 63.0::DOUBLE /
+        |           (sk.kth_hash::DOUBLE /
+        |            CAST(1152921504606846976 AS DOUBLE)) END AS est_distinct,
+        |    t.true_distinct
+        |  FROM sk JOIN t USING (grp))
+        |SELECT grp, k_used, kth_hash, est_distinct, true_distinct,
+        |       (est_distinct - true_distinct::DOUBLE) / true_distinct::DOUBLE
+        |         AS rel_err
+        |FROM e ORDER BY grp""".stripMargin,
+
+    "q90_rrf_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+        |  FROM lens),
+        |postings AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS t FROM d)
+        |  WHERE t IN ('spark', 'fast', 'table')
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |           * ((tf::DOUBLE * 2.2)
+        |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
+        |           AS DECIMAL(18,9)) AS ts
+        |  FROM postings p
+        |  JOIN dfreq USING (t)
+        |  JOIN lens USING (doc_id)
+        |  CROSS JOIN stats)
+        |lexall AS (
+        |  SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS rank_lex
+        |  FROM lexall),
+        |q AS (
+        |  SELECT embedding::DOUBLE[] AS qv,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS qnrm
+        |  FROM embeddings WHERE vec_id = 0),
+        |vecall AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_dot_product(q.qv, e.embedding::DOUBLE[])
+        |      / (q.qnrm * sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                                        e.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos DESC, doc_id LIMIT 20),
+        |vec AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+        |      AS rank_vec
+        |  FROM vecall)
+        |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |       COALESCE(lex.rank_lex, -1) AS rank_lex,
+        |       COALESCE(vec.rank_vec, -1) AS rank_vec,
+        |       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + lex.rank_lex::DOUBLE), 0.0)
+        |         + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + vec.rank_vec::DOUBLE), 0.0)
+        |         AS rrf_score
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q91_pagerank" -> (
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
+        |         'p' || CAST(pk AS VARCHAR) AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        |  FROM pairs),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+        |        FROM edges GROUP BY src),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+        |p0 AS (SELECT node, deg, (1000000000000000 // nn.n) AS pr
+        |       FROM deg CROSS JOIN nn),
+        |""".stripMargin
+        + (1 to PrIters).map(prIterCte).mkString(",\n") + "\n"
+        + s"""SELECT node, deg, CAST(pr AS BIGINT) AS pr
+        |FROM p$PrIters ORDER BY pr DESC, node LIMIT 20""".stripMargin),
+
+    "q92_lm_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i + 1] AS a, w[i + 2] AS b FROM (
+        |    SELECT doc_id, w, unnest(
+        |      CASE WHEN len(w) >= 2 THEN range(0, len(w) - 1) ELSE [] END) AS i
+        |    FROM d)),
+        |ref AS (SELECT * FROM bg WHERE doc_id % 10 < 8),
+        |c2 AS (SELECT a, b, count(*)::BIGINT AS c2 FROM ref GROUP BY a, b),
+        |c1 AS (SELECT a, count(*)::BIGINT AS c1 FROM ref GROUP BY a),
+        |vv AS (
+        |  SELECT count(*)::BIGINT AS v FROM (
+        |    SELECT DISTINCT unnest(w) AS t FROM d WHERE doc_id % 10 < 8)),
+        |scored AS (
+        |  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+        |         sum(CAST((COALESCE(c2.c2, 0) + 1)::DOUBLE
+        |               / (COALESCE(c1.c1, 0) + vv.v)::DOUBLE
+        |             AS DECIMAL(18,9))) AS sum_p
+        |  FROM bg
+        |  LEFT JOIN c2 USING (a, b)
+        |  LEFT JOIN c1 USING (a)
+        |  CROSS JOIN vv
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |       CASE WHEN s.n_bigrams IS NULL THEN 0.0::DOUBLE
+        |            ELSE s.sum_p::DOUBLE / s.n_bigrams::DOUBLE END AS avg_p
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q93_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, tsu,
+        |    lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess_n
+        |  FROM f)
+        |SELECT user_id, CAST(sess_n AS BIGINT) AS sess_n,
+        |       count(*)::BIGINT AS n_events,
+        |       min(tsu) AS start_us, max(tsu) AS end_us,
+        |       max(tsu) - min(tsu) AS dur_us
+        |FROM s GROUP BY user_id, sess_n
+        |ORDER BY user_id, sess_n""".stripMargin
+  )
+}
