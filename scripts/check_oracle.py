@@ -20,6 +20,9 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    for marker in sorted(glob.glob(f"{out_dir}/*.error")):
+        print(f"FAIL (verify error marker) {marker}: {open(marker).read().strip()}")
+        n_fail += 1
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -29,16 +32,28 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
             scols = sorted(spark_rel.columns)
-            sdf = spark_rel.select(", ".join(f'"{c}"' for c in scols)).fetchall()
+            ssel = spark_rel.select(", ".join(f'"{c}"' for c in scols))
+            stypes = [str(t) for t in ssel.types]
+            sdf = ssel.fetchall()
             oracle_rel = con.sql(oracles[name])
             ocols = sorted(oracle_rel.columns)
-            odf = oracle_rel.select(", ".join(f'"{c}"' for c in ocols)).fetchall()
+            osel = oracle_rel.select(", ".join(f'"{c}"' for c in ocols))
+            otypes = [str(t) for t in osel.types]
+            odf = osel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if stypes != otypes:
+            # The driver's hash is TYPE-sensitive (r3: q79/q80 matched
+            # value-for-value but an uncast HUGEINT window-sum failed the
+            # hash) — so a type mismatch is a hard FAIL here too.
+            diff = [(c, a, b) for c, a, b in zip(scols, stypes, otypes) if a != b]
+            print(f"FAIL {name}: types differ {diff}")
             n_fail += 1
             continue
         if len(sdf) != len(odf):

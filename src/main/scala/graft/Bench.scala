@@ -64,7 +64,7 @@ object Bench {
     // Failed queries are reported in `failed` with value -1, and excluded
     // from the total — an error must never be mistaken for a fast run.
     val qs = timed.map { case (k, v, ok, _, _) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0)
+      f""""$k":${if (ok) v else -1.0}%.3f"""
     }.mkString("{", ",", "}")
     val sh = timed.map { case (k, _, _, s, _) => f""""$k":$s%.2f""" }
       .mkString("{", ",", "}")
@@ -73,7 +73,14 @@ object Bench {
     val failed = timed.collect { case (k, _, false, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true, _, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"agg":"median","shuffle_mb":$sh,"spill_mb":$sp,"sf":"$sfDir"}""")
+    // The driver tail-captures stdout and parses the LAST JSON line; r3's
+    // single giant line overflowed the capture window and orphaned the
+    // headline number ("parsed": null). Detail maps therefore go on their
+    // own preceding lines and the headline line is last and minimal.
+    println(s"""{"metric":"per_query_sec","queries":$qs}""")
+    println(s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""")
+    println(s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,15 +22,28 @@ object Verify {
     // Bench's SPARK_GRAFT_BENCH_ONLY); the driver sets nothing and
     // always dumps the full surface.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // A throwing query must leave a durable trace, not just a stderr line:
+    // r3's q90 died here and silently vanished from the correctness
+    // artifact (no parquet => no entry). Each failure writes a
+    // $outDir/$name.error marker (check_oracle.py and the driver's
+    // missing-parquet path both turn it into a red entry) and the full
+    // list is echoed to stdout at the end.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Files.writeString(Paths.get(s"$outDir/$name.error"),
+          s"$name: ${e.toString}\n")
       }
     }
+    if (failures.nonEmpty)
+      println(s"[verify] FAILED queries (${failures.size}): " +
+        failures.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -57,6 +57,11 @@ object AnalyticsQueries {
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
     val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"))
+    // `occ` feeds both the dup-set aggregation and the coverage join and is
+    // deliberately recomputed, not persisted: both consumers re-derive it
+    // from the (page-cached) parquet scan, whereas materializing ~|tokens|
+    // rows of (doc_id, pos, g) would have to spill at corpus scale.
+    // Measured at sf0.1 (r3 bench): recompute keeps q88 ≈ 2.9 s, scale-safe.
     val occ = docs
       .select(col("doc_id"), col("w"), explode(expr(
         s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
@@ -179,7 +184,7 @@ object AnalyticsQueries {
     val q = e.where(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-    val wVec = Window.orderBy(col("cos").desc, col("vec_id"))
+    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
     val vec = e.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
       .select(col("vec_id").as("doc_id"), cos.as("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
@@ -213,22 +218,25 @@ object AnalyticsQueries {
     *
     * Scale shape: the edge list is built once (distinct pair dedupe =
     * one partial-agg shuffle), persisted, and re-joined each
-    * iteration on its 8-byte-hashed... (string node ids here; a
-    * production run would hash them to longs). Each iteration is one
-    * shuffle join (rank × edges) plus one partial aggregation
-    * (inflow by dst) — the Pregel schedule expressed declaratively;
-    * iteration count is the only driver-side loop, the data never
-    * leaves executors.
+    * iteration on 8-byte BIGINT node ids (suppliers = 2·sk, parts =
+    * 2·pk+1 — the display strings are formatted only in the final
+    * 20-row projection, so no VARCHAR rides the iteration shuffles).
+    * Each iteration is one shuffle join (rank × edges) plus one
+    * partial aggregation (inflow by dst) — the Pregel schedule
+    * expressed declaratively; iteration count is the only driver-side
+    * loop, the data never leaves executors. Each iteration's rank
+    * frame is eagerly localCheckpoint'ed (truncating the
+    * join+agg-per-iteration lineage) and the previous iteration's
+    * checkpoint is dropped once its successor is materialized;
+    * edges/deg unpersist before return (the final 20-row sort reads
+    * only the last checkpoint).
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-    val edges = pairs.select(
-        concat(lit("s"), col("sk").cast("string")).as("src"),
-        concat(lit("p"), col("pk").cast("string")).as("dst"))
-      .union(pairs.select(
-        concat(lit("p"), col("pk").cast("string")).as("src"),
-        concat(lit("s"), col("sk").cast("string")).as("dst")))
+      .select(col("l_suppkey").cast(LongType).as("sk"),
+        col("l_partkey").cast(LongType).as("pk")).distinct()
+    val edges = pairs.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      .union(pairs.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").persist()
@@ -236,16 +244,28 @@ object AnalyticsQueries {
     val pr0 = PrScale / n
     val base = (3L * pr0) / 20L
     var pr: DataFrame = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to PrIters) {
       val inflow = pr.join(edges, pr("node") === edges("src"))
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      pr = deg.join(inflow, Seq("node"), "left")
+      val next = deg.join(inflow, Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit(base) + expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
             .as("pr"))
+        .localCheckpoint() // eager: materializes before prev is dropped
+      if (prevCkpt != null) prevCkpt.unpersist()
+      prevCkpt = next
+      pr = next
     }
-    pr.orderBy(col("pr").desc, col("node")).limit(20)
+    val out = pr
+      .select(concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
+          expr("node div 2").cast("string")).as("node"),
+        col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(20)
+    edges.unpersist()
+    deg.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------- q92
@@ -443,7 +463,7 @@ object AnalyticsQueries {
         |  FROM postings p
         |  JOIN dfreq USING (t)
         |  JOIN lens USING (doc_id)
-        |  CROSS JOIN stats)
+        |  CROSS JOIN stats),
         |lexall AS (
         |  SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
         |  FROM scored GROUP BY doc_id
@@ -482,13 +502,12 @@ object AnalyticsQueries {
 
     "q91_pagerank" -> (
       """WITH pairs AS (
-        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
+        |                  CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
         |edges AS (
-        |  SELECT 's' || CAST(sk AS VARCHAR) AS src,
-        |         'p' || CAST(pk AS VARCHAR) AS dst FROM pairs
+        |  SELECT 2 * sk AS src, 2 * pk + 1 AS dst FROM pairs
         |  UNION ALL
-        |  SELECT 'p' || CAST(pk AS VARCHAR), 's' || CAST(sk AS VARCHAR)
-        |  FROM pairs),
+        |  SELECT 2 * pk + 1, 2 * sk FROM pairs),
         |deg AS (SELECT src AS node, count(*)::BIGINT AS deg
         |        FROM edges GROUP BY src),
         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
@@ -496,8 +515,12 @@ object AnalyticsQueries {
         |       FROM deg CROSS JOIN nn),
         |""".stripMargin
         + (1 to PrIters).map(prIterCte).mkString(",\n") + "\n"
-        + s"""SELECT node, deg, CAST(pr AS BIGINT) AS pr
-        |FROM p$PrIters ORDER BY pr DESC, node LIMIT 20""".stripMargin),
+        + s"""SELECT node, deg, pr FROM (
+        |  SELECT (CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END)
+        |           || CAST(node // 2 AS VARCHAR) AS node,
+        |         deg, CAST(pr AS BIGINT) AS pr
+        |  FROM p$PrIters)
+        |ORDER BY pr DESC, node LIMIT 20""".stripMargin),
 
     "q92_lm_quality" ->
       """WITH d AS (

@@ -404,7 +404,7 @@ object CurationQueries {
          |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
-         |SELECT source, (cum - n_tok) // $PackBudget AS pack_id,
+         |SELECT source, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_id,
          |       count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
          |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -418,8 +418,9 @@ object CurationQueries {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tok,
-        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_tok,
         |         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2000
         |              WHEN source IN ('src3', 'src4', 'src5') THEN 1000
         |              ELSE 400 END::BIGINT AS budget
