@@ -152,8 +152,21 @@ object AnalyticsQueries {
     * rows before the fusion join, which is therefore a 20×20 outer
     * join of broadcastable singletons; doc universe never re-scans.
     */
-  def rrfHybrid(s: SparkSession, dir: String): DataFrame = {
-    // lexical arm: q86's BM25 expressions, ranked to depth 20
+  def rrfHybrid(s: SparkSession, dir: String): DataFrame =
+    fuseRrf(lexArm(s, dir), vecArmExact(s, dir))
+
+  /** q94 — q90's fusion with the vector arm on the IVF scale path: the
+    * cosine shortlist comes from the q55 trained-codebook probe (8 of 32
+    * cells — cost = Σ probed-cell sizes, never a full scan) instead of
+    * the exact-cosine pass over every vector. This is the shape a
+    * 100 TB retrieval stack actually runs; RrfSpec measures the fused
+    * top-10 overlap vs the exact arm (≥ 0.8 bar).
+    */
+  def rrfHybridIvf(s: SparkSession, dir: String): DataFrame =
+    fuseRrf(lexArm(s, dir), vecArmIvf(s, dir))
+
+  /** Lexical candidate arm: q86's BM25 scoring, ranked to depth 20. */
+  private def lexArm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
     val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n"),
@@ -168,7 +181,7 @@ object AnalyticsQueries {
     val norm = tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
       (col("dl").cast(DoubleType) / col("avgdl")))
     val wLex = Window.orderBy(col("score").desc, col("doc_id"))
-    val lex = postings
+    postings
       .join(broadcast(dfreq), "t").join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * ((tfD * lit(2.2)) / norm))
@@ -177,7 +190,12 @@ object AnalyticsQueries {
       .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
       .withColumn("rank_lex", row_number().over(wLex).cast(LongType))
       .select(col("doc_id"), col("rank_lex"))
-    // vector arm: exact cosine vs the vec_id-0 query, ranked to depth 20
+  }
+
+  /** Exact vector arm: full cosine scan vs the vec_id-0 query vector,
+    * ranked to depth 20 (the ground-truth generator the IVF arm is
+    * measured against). */
+  private def vecArmExact(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
@@ -185,11 +203,54 @@ object AnalyticsQueries {
       .select(col("v").as("qv"), col("nrm").as("qnrm"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
-    val vec = e.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
+    e.crossJoin(broadcast(q)).where(col("vec_id") =!= 0)
       .select(col("vec_id").as("doc_id"), cos.as("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
       .withColumn("rank_vec", row_number().over(wVec).cast(LongType))
       .select(col("doc_id"), col("rank_vec"))
+  }
+
+  // 12 of 32 cells: 8 probes leave the fused top-10 overlap vs the exact
+  // arm at 0.7 (sf0.001, RrfSpec); 12 clears the 0.8 bar while still
+  // scanning ~3/8 of the corpus instead of all of it.
+  private val RrfIvfProbes = 12
+
+  /** IVF vector arm: q55's trained-codebook assignment (pure dot-form
+    * distances, identical expression tree in DuckDB), the vec_id-0
+    * query probing its 8 nearest of 32 cells; exact cosine ranks only
+    * the probed cells' members. */
+  private def vecArmIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.IvfCodebook
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val cents = IvfCodebook.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
+    val dist = VectorOps.dot(col("v"), col("v")) -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
+      VectorOps.dot(col("cv"), col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+    val cells = assigned.where(col("rk") === 1 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = assigned.where(col("rk") <= RrfIvfProbes && col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
+    broadcast(probes).join(cells, col("probe") === col("cell"))
+      .select(col("vec_id").as("doc_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("rank_vec", row_number().over(wVec).cast(LongType))
+      .select(col("doc_id"), col("rank_vec"))
+  }
+
+  /** Rank-only reciprocal-rank fusion of two 20-row candidate lists:
+    * a 20×20 full-outer join of broadcastable singletons. */
+  private def fuseRrf(lex: DataFrame, vec: DataFrame): DataFrame = {
     val rrf = coalesce(lit(1.0) / (lit(RrfK).cast(DoubleType) +
         col("rank_lex").cast(DoubleType)), lit(0.0)) +
       coalesce(lit(1.0) / (lit(RrfK).cast(DoubleType) +
@@ -370,8 +431,67 @@ object AnalyticsQueries {
     "q90_rrf_hybrid"   -> rrfHybrid,
     "q91_pagerank"     -> pageRank,
     "q92_lm_quality"   -> lmQuality,
-    "q93_sessionize"   -> sessionize
+    "q93_sessionize"   -> sessionize,
+    "q94_rrf_hybrid_ivf" -> rrfHybridIvf
   )
+
+  /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
+    * rank-only fusion tail are identical for q90 (exact vector arm) and
+    * q94 (IVF vector arm); only the `vecall` CTE differs. */
+  private val rrfLexCtesSql =
+    """d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+      |stats AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+      |  FROM lens),
+      |postings AS (
+      |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS t FROM d)
+      |  WHERE t IN ('spark', 'fast', 'table')
+      |  GROUP BY doc_id, t),
+      |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+      |           * ((tf::DOUBLE * 2.2)
+      |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
+      |           AS DECIMAL(18,9)) AS ts
+      |  FROM postings p
+      |  JOIN dfreq USING (t)
+      |  JOIN lens USING (doc_id)
+      |  CROSS JOIN stats),
+      |lexall AS (
+      |  SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
+      |  FROM scored GROUP BY doc_id
+      |  ORDER BY score DESC, doc_id LIMIT 20),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+      |      AS rank_lex
+      |  FROM lexall)""".stripMargin
+
+  private val rrfFuseSql =
+    """vec AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+      |      AS rank_vec
+      |  FROM vecall)
+      |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+      |       COALESCE(lex.rank_lex, -1) AS rank_lex,
+      |       COALESCE(vec.rank_vec, -1) AS rank_vec,
+      |       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + lex.rank_lex::DOUBLE), 0.0)
+      |         + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + vec.rank_vec::DOUBLE), 0.0)
+      |         AS rrf_score
+      |FROM lex FULL OUTER JOIN vec USING (doc_id)
+      |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+
+  private def rrfIvfCentValuesSql: String =
+    graft.llm.IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
     "q88_dup_spans" ->
@@ -439,41 +559,9 @@ object AnalyticsQueries {
         |         AS rel_err
         |FROM e ORDER BY grp""".stripMargin,
 
-    "q90_rrf_hybrid" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-        |  FROM lens),
-        |postings AS (
-        |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
-        |    SELECT doc_id, unnest(w) AS t FROM d)
-        |  WHERE t IN ('spark', 'fast', 'table')
-        |  GROUP BY doc_id, t),
-        |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-        |           * ((tf::DOUBLE * 2.2)
-        |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
-        |           AS DECIMAL(18,9)) AS ts
-        |  FROM postings p
-        |  JOIN dfreq USING (t)
-        |  JOIN lens USING (doc_id)
-        |  CROSS JOIN stats),
-        |lexall AS (
-        |  SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score
-        |  FROM scored GROUP BY doc_id
-        |  ORDER BY score DESC, doc_id LIMIT 20),
-        |lex AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-        |      AS rank_lex
-        |  FROM lexall),
-        |q AS (
+    "q90_rrf_hybrid" -> (
+      "WITH " + rrfLexCtesSql + ",\n" +
+      """q AS (
         |  SELECT embedding::DOUBLE[] AS qv,
         |         sqrt(list_dot_product(embedding::DOUBLE[],
         |                               embedding::DOUBLE[])) AS qnrm
@@ -486,19 +574,44 @@ object AnalyticsQueries {
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> 0
         |  ORDER BY cos DESC, doc_id LIMIT 20),
-        |vec AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
-        |      AS rank_vec
-        |  FROM vecall)
-        |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
-        |       COALESCE(lex.rank_lex, -1) AS rank_lex,
-        |       COALESCE(vec.rank_vec, -1) AS rank_vec,
-        |       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + lex.rank_lex::DOUBLE), 0.0)
-        |         + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + vec.rank_vec::DOUBLE), 0.0)
-        |         AS rrf_score
-        |FROM lex FULL OUTER JOIN vec USING (doc_id)
-        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+        |""".stripMargin + rrfFuseSql),
+
+    "q94_rrf_hybrid_ivf" -> (
+      "WITH " + rrfLexCtesSql + ",\n" +
+      s"""ev AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(cid AS BIGINT) AS cid, cv
+        |  FROM (VALUES
+        |    $rrfIvfCentValuesSql) t(cid, cv)),
+        |a AS (
+        |  SELECT ev.vec_id, c.cid,
+        |         list_dot_product(ev.v, ev.v)
+        |           - 2.0 * list_dot_product(ev.v, c.cv)
+        |           + list_dot_product(c.cv, c.cv) AS dist
+        |  FROM ev, cents c),
+        |r AS (
+        |  SELECT vec_id, cid,
+        |         CAST(row_number() OVER (PARTITION BY vec_id
+        |              ORDER BY dist, cid) AS BIGINT) AS rk
+        |  FROM a),
+        |cells AS (
+        |  SELECT ev.vec_id, ev.v, ev.nrm, r.cid AS cell
+        |  FROM ev JOIN r ON ev.vec_id = r.vec_id AND r.rk = 1
+        |  WHERE ev.vec_id <> 0),
+        |probes AS (
+        |  SELECT ev.v AS qv, ev.nrm AS qnrm, r.cid AS probe
+        |  FROM ev JOIN r ON ev.vec_id = r.vec_id
+        |  WHERE r.rk <= $RrfIvfProbes AND ev.vec_id = 0),
+        |vecall AS (
+        |  SELECT c.vec_id AS doc_id,
+        |         list_dot_product(p.qv, c.v) / (p.qnrm * c.nrm) AS cos
+        |  FROM probes p JOIN cells c ON p.probe = c.cell
+        |  ORDER BY cos DESC, doc_id LIMIT 20),
+        |""".stripMargin + rrfFuseSql),
 
     "q91_pagerank" -> (
       """WITH pairs AS (

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Independent (non-DuckDB) evidence for the round-3/4 analytics surface
+  * q88–q94: brute-force Scala re-computations and algebraic invariants,
+  * so correctness doesn't rest on the oracle alone (the oracle mirrors
+  * the same SQL algorithm; these do not).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def docsTokens: Seq[(Long, Vector[String])] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toVector)
+      .toSeq
+
+  /** The engine-wide 60-bit md5 idiom, recomputed independently. */
+  private def h60(tag: String, v: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((tag + "|" + v).getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("q88: covered/n_dup_grams equal a brute-force interval union per doc") {
+    val res = graft.SparkEntry.queries("q88_dup_spans")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = docsTokens
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    assert(res.size == docs.size)
+    for ((id, w) <- docs) {
+      val starts = (0 to w.length - 8).filter(i => dup.contains(w.slice(i, i + 8)))
+      var covered = 0L
+      var end = -1
+      for (i <- starts) {
+        covered += math.max(0, i + 8 - math.max(i, end))
+        end = math.max(end, i + 8)
+      }
+      val (nTok, nDupGrams, cov) = res(id)
+      assert(nTok == w.length, s"doc $id n_tok")
+      assert(nDupGrams == starts.size.toLong, s"doc $id n_dup_grams")
+      assert(cov == covered, s"doc $id covered")
+    }
+  }
+
+  test("q89: KMV sketch state matches an independent Scala recomputation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byGrp = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val res = graft.SparkEntry.queries("q89_kmv_distinct")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(res.keySet == byGrp.keySet)
+    for ((grp, keys) <- byGrp) {
+      val hashes = keys.map(k => h60("kmv", k.toString)).distinct.sorted
+      val kmv = hashes.take(64)
+      val (kUsed, kthHash, trueDistinct) = res(grp)
+      assert(kUsed == kmv.size.toLong, s"$grp k_used")
+      assert(kthHash == kmv.last, s"$grp kth_hash")
+      assert(trueDistinct == keys.size.toLong, s"$grp true_distinct")
+    }
+  }
+
+  test("q89: estimate is within 50% relative error at k=64") {
+    val rel = graft.SparkEntry.queries("q89_kmv_distinct")(spark, sfDir)
+      .select("rel_err").collect().map(_.getDouble(0))
+    assert(rel.nonEmpty && rel.forall(e => math.abs(e) < 0.5), rel.toSeq)
+  }
+
+  test("q91: rank mass positive, descending, well-formed, deterministic") {
+    val run1 = graft.SparkEntry.queries("q91_pagerank")(spark, sfDir).collect()
+    val run2 = graft.SparkEntry.queries("q91_pagerank")(spark, sfDir).collect()
+    assert(run1.length == 20)
+    val nodes = run1.map(_.getString(0))
+    assert(nodes.distinct.length == 20)
+    assert(nodes.forall(_.matches("[sp]\\d+")), nodes.toSeq)
+    val prs = run1.map(_.getLong(2))
+    assert(prs.forall(_ > 0L))
+    assert(prs.sameElements(prs.sorted.reverse), "pr must be descending")
+    // integer fixpoint => bit-identical across executions
+    assert(run1.map(_.toString).sameElements(run2.map(_.toString)))
+  }
+
+  test("q92: n_bigrams matches token count; avg_p is a probability") {
+    val res = graft.SparkEntry.queries("q92_lm_quality")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val docs = docsTokens
+    assert(res.size == docs.size)
+    for ((id, w) <- docs) {
+      val (nBigrams, avgP) = res(id)
+      assert(nBigrams == math.max(0, w.length - 1).toLong, s"doc $id n_bigrams")
+      if (nBigrams > 0) assert(avgP > 0.0 && avgP <= 1.0, s"doc $id avg_p=$avgP")
+      else assert(avgP == 0.0)
+    }
+  }
+
+  test("q93: sessions partition each user's events with >30min gaps between them") {
+    val gapUs = 1800000000L
+    val events = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val perUser = events.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val res = graft.SparkEntry.queries("q93_sessionize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per user: session ids 1..k, n_events sums to the user's event count,
+    // sessions ordered, non-overlapping, separated by more than the gap
+    for ((user, rows) <- res.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length.toLong),
+        s"user $user session ids")
+      assert(sorted.map(_._3).sum == perUser(user).length.toLong,
+        s"user $user event count")
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+        assert(a._5 <= b._4, s"user $user sessions overlap")
+        assert(b._4 - a._5 > gapUs, s"user $user gap rule violated")
+      }
+      for ((_, _, _, start, end) <- sorted) assert(start <= end)
+    }
+    assert(res.map(_._1).toSet == perUser.keySet)
+  }
+
+  test("q94: IVF-arm fused top-10 overlaps >= 0.8 with the exact-arm top-10") {
+    val exact = graft.SparkEntry.queries("q90_rrf_hybrid")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ivf = graft.SparkEntry.queries("q94_rrf_hybrid_ivf")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.size == 10 && ivf.size == 10)
+    val overlap = (exact & ivf).size / 10.0
+    assert(overlap >= 0.8, s"fused overlap $overlap (exact=$exact ivf=$ivf)")
+  }
+}

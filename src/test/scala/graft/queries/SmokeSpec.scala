@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Executes EVERY registered query end-to-end at sf0.001 through the
+  * same noop-write forcing Bench uses (full physical plan, every column
+  * materialized). This is the commit-time guard the r3 verdict asked
+  * for: an analysis-time bug (q90's unresolved column) or a runtime
+  * failure in ANY declared query fails the suite instead of silently
+  * vanishing from the correctness artifact.
+  */
+class SmokeSpec extends SparkSpec {
+  graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"smoke-execute $name at sf0.001") {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+  }
+
+  test("every query has an oracle or is a documented rows-only exception") {
+    // rows-only by design: stemmer/HLL sketch/MLlib LSH have no DuckDB twin
+    val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct", "q54_minhash_mllib")
+    val missing = graft.SparkEntry.queries.keySet --
+      graft.SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries with no oracle and no waiver: $missing")
+  }
+}
