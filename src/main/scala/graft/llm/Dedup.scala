@@ -52,11 +52,13 @@ object Dedup {
       .toDF("doc_id", "s").distinct()
   }
 
-  /** SQL twin of [[shingles]] (DuckDB list slicing is 1-based inclusive). */
-  def shinglesSql(n: Int): String =
+  /** SQL twin of [[shingles]] (DuckDB list slicing is 1-based inclusive).
+    * `from` may name any relation with (doc_id, text) — q76 shingles an
+    * augmented CTE rather than the raw table. */
+  def shinglesSql(n: Int, from: String = "documents"): String =
     s"""SELECT DISTINCT doc_id, array_to_string(w[i+1:i+$n], ' ') AS s FROM (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |  FROM documents) , unnest(range(0, greatest(len(w) - ${n - 1}, 0))) AS u(i)""".stripMargin
+       |  FROM $from) , unnest(range(0, greatest(len(w) - ${n - 1}, 0))) AS u(i)""".stripMargin
 
   // ——— MinHash ————————————————————————————————————————————————————————
   // k universal-hash min-hashes over ONE md5 per token: the token's

@@ -265,7 +265,22 @@ object DedupQueries {
     * the declared output is doc-level, so oracle parity is unaffected).
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
+    val docs = Tables.documents(s, dir)
+    // Planted contamination (q78's planted-PII precedent): the synthetic
+    // corpus has no natural train/eval 8-gram overlap, so the oracle was
+    // passing vacuously on 0 rows (r3 verdict). Training docs with
+    // doc_id % 11 == 1 get the first 12 tokens of eval doc 0 appended —
+    // both engines build the identical augmented corpus, so the query
+    // returns a real, hash-checked hit set at every scale factor.
+    val plant = docs.where(col("doc_id") === 0)
+      .select(concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 1, 12)).as("plant"))
+    val aug = docs.crossJoin(broadcast(plant))
+      .select(col("doc_id"),
+        when(col("doc_id") % 11L === 1L,
+          concat(col("text"), lit(" "), col("plant")))
+          .otherwise(col("text")).as("text"))
+    val sh = Dedup.shingles(aug, 8)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val ev = sh.where(col("doc_id") % 97L === 0L)
       .select(col("doc_id").as("eval_doc"), col("h"))
@@ -363,7 +378,17 @@ object DedupQueries {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q76_decontaminate" ->
-      s"""WITH sh AS (${Dedup.shinglesSql(8)}),
+      s"""WITH plant AS (
+         |  SELECT array_to_string(
+         |    string_split_regex(trim(text), '\\s+')[1:12], ' ') AS plant
+         |  FROM documents WHERE doc_id = 0),
+         |aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 1
+         |         THEN text || ' ' || (SELECT plant FROM plant)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |sh AS (${Dedup.shinglesSql(8, "aug")}),
          |ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id % 97 = 0),
          |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
          |pairs AS (

@@ -105,9 +105,16 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
 
   // ——— q08: left-anti join (NOT EXISTS) ———
+  // "no high-value order" rather than "no order at all": in this testdata
+  // every customer has at least one order, so the bare anti-join passed
+  // its oracle vacuously on 0 rows (r3 verdict). The >= 300000 filter on
+  // the right side keeps the witness set non-empty at every scale factor
+  // (3 / 30 / 308 rows at sf0.001/0.01/0.1) while exercising the same
+  // left-anti operator shape.
   def antiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).where(col("o_totalprice") >= 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
@@ -681,7 +688,8 @@ object RelationalQueries {
 
     "q08_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice >= 300000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q09_theta_join" ->
