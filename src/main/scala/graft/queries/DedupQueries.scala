@@ -292,7 +292,38 @@ object DedupQueries {
       .orderBy(col("train_doc"))
   }
 
+  /** q96 — containment detection (quote/excerpt dedup): for each
+    * ordered document pair, containment = |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)|. Jaccard misses a short document wholly quoted
+    * inside a long one (the union dwarfs the intersection); containment
+    * ≥ 0.6 catches exactly that asymmetric case — the "document embedded
+    * in another document" pattern (license blocks, quoted replies,
+    * syndicated excerpts) that document-level near-dedup leaves behind.
+    *
+    * Scale shape: the q25 inverted-index pattern — pairs meet ONLY
+    * through the 8-byte-hashed shingle equality join (never an
+    * all-pairs join), the per-doc shingle-set sizes are a tiny agg
+    * joined back on doc_id, and the threshold prunes before output.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
+      .groupBy(col("inner_doc"), col("outer_doc"))
+      .agg(count(lit(1)).as("common"))
+    val cont = col("common").cast(DoubleType) / col("n").cast(DoubleType)
+    common.join(sz.withColumnRenamed("doc_id", "inner_doc"), Seq("inner_doc"))
+      .where(cont >= 0.6)
+      .select(col("inner_doc"), col("outer_doc"), col("common"),
+        col("n").as("n_inner"), cont.as("containment"))
+      .orderBy(col("inner_doc"), col("outer_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_containment"      -> containment,
     "q24_dedup_exact"      -> dedupExact,
     "q25_dedup_ngram_jacc" -> ngramJaccard,
     "q26_minhash_sig"      -> minhashSig,
@@ -396,6 +427,20 @@ object DedupQueries {
          |  FROM tr JOIN ev ON tr.s = ev.s)
          |SELECT train_doc, count(*) AS n_eval_hits, min(eval_doc) AS first_eval
          |FROM pairs GROUP BY train_doc ORDER BY train_doc""".stripMargin,
+
+    "q96_containment" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(8)}),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+         |         count(*)::BIGINT AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT c.inner_doc, c.outer_doc, c.common, s.n AS n_inner,
+         |       c.common::DOUBLE / s.n::DOUBLE AS containment
+         |FROM common c JOIN sz s ON s.doc_id = c.inner_doc
+         |WHERE c.common::DOUBLE / s.n::DOUBLE >= 0.6
+         |ORDER BY c.inner_doc, c.outer_doc""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tc AS (

@@ -265,7 +265,36 @@ object TextStatsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q97 — BPE merge-candidate statistics: the corpus-wide frequency of
+    * adjacent character pairs WITHIN tokens — exactly the counts the
+    * first round of byte-pair-encoding vocabulary induction maximizes
+    * over. Emits the top-20 merge candidates with ranks; running the
+    * query on the corpus slice a tokenizer will be trained on is the
+    * standard sanity check before an expensive BPE run.
+    *
+    * Scale shape: pair extraction is a row-local double explode (no
+    * token strings survive past the map side — pairs are 2-char keys
+    * with map-side partial aggregation into an alphabet²-bounded key
+    * space); the top-20 cut is TakeOrdered and the ranking window runs
+    * over exactly 20 rows (q82's pattern).
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+      .select(explode(expr(
+        "CASE WHEN length(t) >= 2 THEN " +
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"))
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("rnk"), col("pair"), col("cnt"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_bpe_pairs"      -> bpePairs,
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
     "q35_token_stats"    -> tokenStats,
@@ -281,6 +310,21 @@ object TextStatsQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q97_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |p AS (
+        |  SELECT substr(t, i, 2) AS pair
+        |  FROM t, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT pair, count(*)::BIGINT AS cnt FROM p GROUP BY pair),
+        |top AS (SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+        |         AS rnk, pair, cnt
+        |FROM top ORDER BY rnk""".stripMargin,
+
     "q69_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, t FROM (

@@ -218,7 +218,41 @@ object WindowQueries {
       .orderBy(col("click_id"))
   }
 
+  /** q95 — cohort retention, the standard product-analytics rollup over
+    * an event log: users cohort by their FIRST active day, each later
+    * active day contributes to (cohort_day, day_offset), and retention
+    * is the integer-ratio share of the cohort still active — the
+    * triangular matrix every retention dashboard draws. Day arithmetic
+    * is exact BIGINT epoch-day division (no engine date-function
+    * drift), and retention is a single integer-ratio double.
+    *
+    * Scale shape: the first-day aggregation and the activity join key
+    * on user_id — ONE shuffle partitioning reused by both (q93's
+    * pattern); the (cohort, offset) rollup aggregates the already-
+    * deduplicated (user, day) pairs; cohort sizes are a
+    * days-in-history-bounded broadcast.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast(DoubleType) / col("cohort_size").cast(DoubleType))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cohort_retention" -> cohortRetention,
     "q70_funnel"          -> funnel,
     "q84_asof_native"     -> asofNative,
     "q63_range_join_bucket" -> rangeJoinBucketed,
@@ -236,6 +270,23 @@ object WindowQueries {
     s"list_dot_product(embedding::DOUBLE[], $frozenWSql::DOUBLE[])"
 
   val oracles: Map[String, String] = Map(
+    "q95_cohort_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*)::BIGINT AS cohort_size
+        |       FROM c GROUP BY cohort_day),
+        |a AS (
+        |  SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |         count(*)::BIGINT AS n_active
+        |  FROM d JOIN c USING (user_id)
+        |  GROUP BY c.cohort_day, d.day - c.cohort_day)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, sz.cohort_size,
+        |       a.n_active::DOUBLE / sz.cohort_size::DOUBLE AS retention
+        |FROM a JOIN sz USING (cohort_day)
+        |ORDER BY a.cohort_day, a.day_offset""".stripMargin,
+
     "q39_tumbling_window" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(*) AS cnt,

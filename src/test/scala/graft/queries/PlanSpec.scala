@@ -44,6 +44,19 @@ class PlanSpec extends SparkSpec {
     assert(firstExchange >= 0 && hashAggsBefore, p.take(800))
   }
 
+  test("q96 containment pairs meet only through the shingle-hash equi-join") {
+    val p = plan("q96_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "containment must never enumerate all document pairs")
+    assert(p.contains("xxhash64"), "join key must be the 8-byte shingle hash")
+  }
+
+  test("q95 cohort sizes join is a broadcast, not a shuffle") {
+    val p = plan("q95_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("q24 exact dedup groups by digest, not by document text") {
     val p = plan("q24_dedup_exact")
     assert(p.contains("md5"), p.take(400))
