@@ -77,10 +77,20 @@ object Bench {
     // single giant line overflowed the capture window and orphaned the
     // headline number ("parsed": null). Detail maps therefore go on their
     // own preceding lines and the headline line is last and minimal.
-    println(s"""{"metric":"per_query_sec","queries":$qs}""")
-    println(s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""")
-    println(s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
+    val lines = Seq(
+      s"""{"metric":"per_query_sec","queries":$qs}""",
+      s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""",
+      s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
+    lines.foreach(println)
+    // The stdout tail was truncated by the driver two rounds running,
+    // losing the per-query map both times; a file in the repo root makes
+    // that loss impossible (r4 verdict item 2). Best-effort: a read-only
+    // CWD must not fail the bench itself.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), lines.mkString("", "\n", "\n"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json not written: $e") }
     spark.stop()
   }
 }

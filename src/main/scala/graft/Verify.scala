@@ -32,6 +32,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // a marker from a PREVIOUS run into the same outDir must not
+      // outlive a now-passing query (overwrite-mode reuse + the
+      // VERIFY_ONLY iteration path both anticipate outDir reuse)
+      Files.deleteIfExists(Paths.get(s"$outDir/$name.error"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -59,6 +63,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // durable run summary (r4 verdict item 2's Verify half): survives
+    // stdout truncation and records what this dump actually covered
+    val ran = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n))).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
+      s"""{"n_queries":${ran.size},"n_failed":${failures.size},""" +
+        s""""failed":${failures.sorted.map(q).mkString("[", ",", "]")},""" +
+        s""""sf_dir":${q(sfDir)}}\n""")
     spark.stop()
   }
 }

@@ -304,12 +304,36 @@ object DedupQueries {
     * through the 8-byte-hashed shingle equality join (never an
     * all-pairs join), the per-doc shingle-set sizes are a tiny agg
     * joined back on doc_id, and the threshold prunes before output.
+    * Hot shingles are dropped before the self-join: a shingle in d
+    * documents yields d² join rows, and corpus-scale boilerplate
+    * 8-grams (license headers, navigation chrome) live in 10⁵–10⁶
+    * docs — 10¹⁰⁺ pairs from one key. The q81 corpus-frequency rule
+    * (df > max(5, 1%·N) → boilerplate) caps the per-key fan-out at
+    * df² ≤ (1%·N)²; the hot set itself is broadcast-sized by the same
+    * bound as q81's boiler list (≤ total-occurrences / threshold) and
+    * meets the postings via a broadcast anti-join, never a shuffle.
+    * The denominator n stays the FULL shingle count, so containment
+    * is conservatively underestimated for boilerplate-heavy docs —
+    * a dropped shingle can only remove a pair, never invent one.
+    * Engine idiom: Spark computes df over the 64-bit xxhash64 keys
+    * while the oracle uses raw shingle strings — a hash collision
+    * would merge two shingles' df and inflate `common` on the Spark
+    * side only; with ~10⁴ distinct 8-grams per sf the collision odds
+    * are ≪ 10⁻¹¹ (same accepted assumption as the q76 join keys).
     */
   def containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // metadata-only parquet count (q81 precedent)
+    val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
+    // four plan branches read the shingle set (sizes, hot list, both
+    // join sides): persist so the explode+distinct shuffle runs once
+    val sh = Dedup.shingles(docs, 8)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("h"))
+    val kept = sh.join(broadcast(hot), Seq("h"), "left_anti")
+    val common = kept.as("a").join(kept.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
       .groupBy(col("inner_doc"), col("outer_doc"))
@@ -431,10 +455,16 @@ object DedupQueries {
     "q96_containment" ->
       s"""WITH sh AS (${Dedup.shinglesSql(8)}),
          |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+         |kept AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (
+         |    SELECT s FROM sh GROUP BY s
+         |    HAVING count(*) > greatest(5, CAST(ceil(
+         |      0.01 * (SELECT count(*) FROM documents)) AS BIGINT)))),
          |common AS (
          |  SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
          |         count(*)::BIGINT AS common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT c.inner_doc, c.outer_doc, c.common, s.n AS n_inner,
          |       c.common::DOUBLE / s.n::DOUBLE AS containment

@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "join key must be the 8-byte shingle hash")
   }
 
+  test("q96 drops hot shingles (broadcast anti-join on df cap) before the self-join") {
+    val df = graft.SparkEntry.queries("q96_containment")(spark, sfDir)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    // two anti-join instances: one per self-join side of the capped postings
+    assert(joins.size >= 2,
+      "both self-join sides must read df-capped postings via a broadcast anti-join " +
+        "against the hot-shingle list; a shingle in d docs yields d² rows otherwise")
+    val p = plan("q96_containment")
+    assert("\\(df#\\d+L? > 5\\)".r.findFirstIn(p).isDefined,
+      "the hot list must be built by a df > max(5, 1%·N) filter on the shingle-hash agg")
+  }
+
   test("q95 cohort sizes join is a broadcast, not a shuffle") {
     val p = plan("q95_cohort_retention")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
