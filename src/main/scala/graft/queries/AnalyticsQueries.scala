@@ -156,11 +156,11 @@ object AnalyticsQueries {
     fuseRrf(lexArm(s, dir), vecArmExact(s, dir))
 
   /** q94 — q90's fusion with the vector arm on the IVF scale path: the
-    * cosine shortlist comes from the q55 trained-codebook probe (8 of 32
-    * cells — cost = Σ probed-cell sizes, never a full scan) instead of
-    * the exact-cosine pass over every vector. This is the shape a
-    * 100 TB retrieval stack actually runs; RrfSpec measures the fused
-    * top-10 overlap vs the exact arm (≥ 0.8 bar).
+    * cosine shortlist comes from the q55 trained-codebook probe
+    * (RrfIvfProbes = 12 of 32 cells — cost = Σ probed-cell sizes, never
+    * a full scan) instead of the exact-cosine pass over every vector.
+    * This is the shape a 100 TB retrieval stack actually runs; RrfSpec
+    * measures the fused top-10 overlap vs the exact arm (≥ 0.8 bar).
     */
   def rrfHybridIvf(s: SparkSession, dir: String): DataFrame =
     fuseRrf(lexArm(s, dir), vecArmIvf(s, dir))
@@ -217,8 +217,8 @@ object AnalyticsQueries {
 
   /** IVF vector arm: q55's trained-codebook assignment (pure dot-form
     * distances, identical expression tree in DuckDB), the vec_id-0
-    * query probing its 8 nearest of 32 cells; exact cosine ranks only
-    * the probed cells' members. */
+    * query probing its RrfIvfProbes nearest of 32 cells; exact cosine
+    * ranks only the probed cells' members. */
   private def vecArmIvf(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.IvfCodebook
     import s.implicits._
@@ -288,32 +288,29 @@ object AnalyticsQueries {
     * loop, the data never leaves executors. Each iteration's rank
     * frame is eagerly localCheckpoint'ed (truncating the
     * join+agg-per-iteration lineage) and the previous iteration's
-    * checkpoint is dropped once its successor is materialized;
-    * edges/deg unpersist before return (the final 20-row sort reads
-    * only the last checkpoint).
+    * checkpoint is dropped once its successor is materialized; the
+    * final 20-row result is copied into its own (negligible)
+    * checkpoint so the last full-width rank frame unpersists too, and
+    * edges/deg unpersist before return — repeated in-process runs
+    * (Bench median-of-3, AnalyticsSpec determinism) leak no blocks.
+    * Durability trade: localCheckpoint blocks live in executor memory
+    * and die with an executor — on a real cluster a lost executor
+    * restarts the whole iteration chain; a reliable checkpoint dir
+    * (sc.setCheckpointDir + .checkpoint()) survives executor loss at
+    * the cost of a distributed-FS write per iteration (same trade
+    * recorded at q73's labelPropagate).
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").cast(LongType).as("sk"),
-        col("l_partkey").cast(LongType).as("pk")).distinct()
-    val edges = pairs.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-      .union(pairs.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
-      .persist()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node").persist()
+    val (edgesRaw, degRaw) = prGraph(s, dir)
+    val edges = edgesRaw.persist()
+    val deg = degRaw.persist()
     val n = deg.count()
     val pr0 = PrScale / n
     val base = (3L * pr0) / 20L
     var pr: DataFrame = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
     var prevCkpt: DataFrame = null
     for (_ <- 1 to PrIters) {
-      val inflow = pr.join(edges, pr("node") === edges("src"))
-        .select(col("dst").as("node"), expr("pr div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      val next = deg.join(inflow, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(base) + expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
-            .as("pr"))
+      val next = prStep(pr, edges, deg, base)
         .localCheckpoint() // eager: materializes before prev is dropped
       if (prevCkpt != null) prevCkpt.unpersist()
       prevCkpt = next
@@ -324,9 +321,43 @@ object AnalyticsQueries {
           expr("node div 2").cast("string")).as("node"),
         col("deg"), col("pr"))
       .orderBy(col("pr").desc, col("node")).limit(20)
+      .localCheckpoint() // 20 rows: lets the last rank frame unpersist
+    if (prevCkpt != null) prevCkpt.unpersist()
     edges.unpersist()
     deg.unpersist()
     out
+  }
+
+  /** The supplier–part co-occurrence graph: symmetric BIGINT edge list
+    * (suppliers = 2·sk, parts = 2·pk+1) and per-node out-degrees.
+    * Extracted (with [[prStep]]) so PlanSpec can assert the iteration
+    * plan shape on the real graph. Returned unpersisted — pageRank
+    * owns the persist/unpersist lifecycle. */
+  private[queries] def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast(LongType).as("sk"),
+        col("l_partkey").cast(LongType).as("pk")).distinct()
+    val edges = pairs.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      .union(pairs.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    (edges, deg)
+  }
+
+  /** One PageRank iteration — one shuffle join (rank × edges) plus one
+    * partial aggregation (inflow by dst) plus the degree re-join, all
+    * on BIGINT node keys. Extracted so PlanSpec can assert the
+    * iteration plan shape (localCheckpoint truncates lineage, so the
+    * returned query's plan no longer contains the iteration joins). */
+  private[queries] def prStep(pr: DataFrame, edges: DataFrame,
+      deg: DataFrame, base: Long): DataFrame = {
+    val inflow = pr.join(edges, pr("node") === edges("src"))
+      .select(col("dst").as("node"), expr("pr div deg").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+    deg.join(inflow, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        (lit(base) + expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
+          .as("pr"))
   }
 
   // ---------------------------------------------------------------- q92

@@ -161,6 +161,47 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q91 iteration step: two equi-joins, no cartesian, BIGINT-only shuffle keys") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.LongType
+    // the step plan is asserted directly — localCheckpoint truncates the
+    // returned query's lineage, so the iteration joins never appear there
+    val (edges, deg) = AnalyticsQueries.prGraph(spark, sfDir)
+    val pr = deg.select(col("node"), col("deg"), lit(1000000L).as("pr"))
+    val step = AnalyticsQueries.prStep(pr, edges, deg, 50L)
+    val plan = step.queryExecution.sparkPlan
+    val p = step.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // exactly one rank×edges join plus the degree re-join per iteration
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.size == 2, s"expected 2 equi-joins per iteration, got ${joins.size}")
+    assert(joins.flatten.forall(_.dataType == LongType),
+      "iteration join keys must be BIGINT node ids — VARCHAR must never ride " +
+        "the per-iteration shuffles")
+    // exchanges exist only post-EnsureRequirements; unwrap the AQE root
+    val physical = step.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val shuffleKeys = physical.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(shuffleKeys.nonEmpty && shuffleKeys.forall(_.dataType == LongType),
+      "every iteration shuffle must hash-partition on BIGINT keys only")
+  }
+
   test("q77 semantic sample: the only fan-out is the 32-row centroid broadcast") {
     val df = graft.SparkEntry.queries("q77_semantic_sample")(spark, sfDir)
     val windows = df.queryExecution.sparkPlan.collect {
