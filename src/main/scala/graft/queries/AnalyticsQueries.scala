@@ -89,6 +89,69 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q98
+
+  /** Positions fit in 21 bits (docs here are O(100) tokens; 2²¹ ≈ 2M
+    * tokens is far beyond any packed training document), so the global
+    * occurrence order (doc_id, pos) packs into ONE BIGINT
+    * doc_id·2²¹ + pos — an exact arg-min both engines compute with a
+    * plain min() partial aggregation instead of a per-gram sort window
+    * (which would sort 10⁶-row partitions for hot boilerplate grams). */
+  private val PosPack = 1L << 21
+
+  /** q98 — duplicated-span REMOVAL, the actionable twin of q88 (Lee et
+    * al. 2021 §4: dedup at substring granularity, keep ONE copy): every
+    * occurrence of a cross-document-duplicated word-8-gram EXCEPT the
+    * corpus-first one (smallest (doc_id, pos)) marks its 8-token span
+    * for excision; each document is re-emitted with the union of its
+    * marked spans removed. q88 scores the damage, q98 repairs it —
+    * the pair mirrors q25 (measure) / q27 (scale path).
+    *
+    * Scale shape: grams shuffle as q88's 8-byte md5-prefix hashes,
+    * never text; the first-occurrence table is a min() partial agg on
+    * the gram key (no sort window — see [[PosPack]]); extras join back
+    * on the same 8-byte key (shuffle join, like q88's dup join: NOT
+    * broadcastable at corpus scale); the span explode is ≤ 8× extras;
+    * removed positions fold back row-locally (collect_set bounded by
+    * doc length) and the text rebuild is a codegen'd higher-order
+    * filter over the original token array — no token-level shuffle.
+    * Within-doc-only repeats (a gram recurring inside a single doc
+    * that no other doc shares) are NOT excised — same dup-set
+    * definition as q88, so the two queries agree on what "duplicated"
+    * means.
+    */
+  def dupSpanRemove(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    // same recompute-over-persist choice as q88 (documented there)
+    val occ = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        conv(substring(md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")),
+          1, 15), 16, 10).cast(LongType).as("g"))
+    val dup = occ.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val packed = col("doc_id") * lit(PosPack) + col("pos")
+    val first = occ.join(dup, Seq("g"))
+      .groupBy(col("g")).agg(min(packed).as("fk"))
+    val extra = occ.join(first, Seq("g")).where(packed =!= col("fk"))
+    val rem = extra
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${SpanGram - 1})")).as("rpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"), collect_set(col("rpos")).as("rem"))
+    docs.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(expr(
+          "filter(w, (x, i) -> rem IS NULL OR NOT array_contains(rem, CAST(i AS BIGINT)))"),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q89
 
   private val KmvK = 64
@@ -463,7 +526,8 @@ object AnalyticsQueries {
     "q91_pagerank"     -> pageRank,
     "q92_lm_quality"   -> lmQuality,
     "q93_sessionize"   -> sessionize,
-    "q94_rrf_hybrid_ivf" -> rrfHybridIvf
+    "q94_rrf_hybrid_ivf" -> rrfHybridIvf,
+    "q98_dup_span_remove" -> dupSpanRemove
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -558,6 +622,52 @@ object AnalyticsQueries {
         |       COALESCE(c.covered, 0)::DOUBLE / l.n_tok::DOUBLE AS dup_frac,
         |       (COALESCE(c.covered, 0)::DOUBLE / l.n_tok::DOUBLE) < 0.2 AS keep
         |FROM lens l LEFT JOIN cov c USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    "q98_dup_span_remove" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS n_tok FROM d),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(
+        |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
+        |  FROM d),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM occ)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |frst AS (
+        |  SELECT g, min(doc_id * 2097152 + pos) AS fk
+        |  FROM occ JOIN dup USING (g) GROUP BY g),
+        |extra AS (
+        |  SELECT o.doc_id, o.pos
+        |  FROM occ o JOIN frst f USING (g)
+        |  WHERE o.doc_id * 2097152 + o.pos <> f.fk),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos + j AS rpos
+        |  FROM extra, unnest(range(0, 8)) AS u(j)),
+        |nrem AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM rem GROUP BY doc_id),
+        |tok AS (
+        |  SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM d),
+        |kept AS (
+        |  SELECT t.doc_id, t.i, t.w[t.i + 1] AS t
+        |  FROM tok t LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.rpos = t.i
+        |  WHERE r.rpos IS NULL),
+        |clean AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_tok,
+        |       COALESCE(nr.n_removed, 0) AS n_removed,
+        |       COALESCE(c.clean_text, '') AS clean_text
+        |FROM lens l
+        |LEFT JOIN nrem nr USING (doc_id)
+        |LEFT JOIN clean c USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
 
     "q89_kmv_distinct" ->

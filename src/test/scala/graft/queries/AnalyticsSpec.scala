@@ -51,6 +51,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q98: clean text equals a brute-force keep-first-occurrence excision") {
+    val res = graft.SparkEntry.queries("q98_dup_span_remove")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = docsTokens
+    // corpus-order first occurrence per cross-doc-duplicated 8-gram
+    val occs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      occs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.ArrayBuffer.empty) += ((id, i))
+    val dup = occs.filter(_._2.map(_._1).distinct.size >= 2)
+    assert(dup.nonEmpty, "corpus must contain cross-doc duplicated grams")
+    assert(res.size == docs.size)
+    val removed = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Set[Int]]
+    for ((_, os) <- dup) {
+      val first = os.minBy { case (id, i) => (id, i) }
+      for ((id, i) <- os if (id, i) != first;
+           p <- i until i + 8)
+        removed.getOrElseUpdate(id, scala.collection.mutable.Set.empty) += p
+    }
+    for ((id, w) <- docs) {
+      val rm = removed.getOrElse(id, Set.empty[Int])
+      val expect = w.zipWithIndex.collect { case (t, i) if !rm.contains(i) => t }
+        .mkString(" ")
+      val (nTok, nRemoved, clean) = res(id)
+      assert(nTok == w.length, s"doc $id n_tok")
+      assert(nRemoved == rm.size.toLong, s"doc $id n_removed")
+      assert(clean == expect, s"doc $id clean_text")
+    }
+    assert(removed.nonEmpty, "excision must touch at least one document")
+  }
+
   test("q89: KMV sketch state matches an independent Scala recomputation") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_returnflag", "l_orderkey").collect()
