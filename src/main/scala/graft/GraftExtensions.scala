@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, StemWord}
+import graft.functions.{BpeEncode, DotProduct, StemWord}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_stem"),
       new ExpressionInfo(classOf[StemWord].getName, "graft_stem"),
       (children: Seq[Expression]) => StemWord(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => BpeEncode(children.head)))
     // whole-operator extension (SURVEY §7 point (c)): the native sorted-
     // merge AS-OF join — logical node graft.plans.GraftAsOfJoin, planned
     // by this strategy into GraftAsOfJoinExec

@@ -293,8 +293,43 @@ object TextStatsQueries {
       .orderBy(col("rnk"))
   }
 
+  /** q99 — BPE merge-table APPLICATION, the step after q97's candidate
+    * statistics: re-tokenize the corpus with graft.llm.Bpe's frozen
+    * 64-merge table (trained by scripts/train_bpe_merges.py with
+    * exactly the objective q97 ranks — its first merge IS q97's top-1
+    * pair) and emit the top-20 resulting subword pieces with counts.
+    * This is the sanity pass every tokenizer rollout runs: which
+    * pieces dominate the corpus once the learned merges are applied.
+    *
+    * Scale shape: the apply is a row-local native Catalyst expression
+    * (graft_bpe, whole-stage-codegen'd — no Python workers, no
+    * fallback); pieces shuffle as short strings into a vocab-bounded
+    * (≤ alphabet² + 64 merges) key space with map-side partial
+    * aggregation; the top-20 cut is TakeOrdered (q97's pattern).
+    *
+    * No DuckDB oracle: the merge loop is iterative string rewriting
+    * with data-dependent trip count — not SQL-expressible (SmokeSpec
+    * rows-only waiver). Correctness evidence is BpeSpec: algorithm
+    * goldens on hand-computed tables, the piece⁻¹-concatenation
+    * identity over every sf0.001 token, and merge-table provenance
+    * (first merge == q97's top pair at the training scale).
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val pieces = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+      .select(explode(split(call_function("graft_bpe", col("t")), " "))
+        .as("piece"))
+    val w = Window.orderBy(col("cnt").desc, col("piece"))
+    pieces.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(20)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("rnk"), col("piece"), col("cnt"))
+      .orderBy(col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_bpe_pairs"      -> bpePairs,
+    "q99_bpe_apply"      -> bpeApply,
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
     "q35_token_stats"    -> tokenStats,

@@ -17,8 +17,11 @@ class SmokeSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is a documented rows-only exception") {
-    // rows-only by design: stemmer/HLL sketch/MLlib LSH have no DuckDB twin
-    val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct", "q54_minhash_mllib")
+    // rows-only by design: stemmer/HLL sketch/MLlib LSH have no DuckDB
+    // twin; q99's BPE merge loop is iterative with data-dependent trip
+    // count (not SQL-expressible — BpeSpec carries its correctness)
+    val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct",
+      "q54_minhash_mllib", "q99_bpe_apply")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with no oracle and no waiver: $missing")
