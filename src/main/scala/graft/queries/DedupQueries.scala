@@ -167,14 +167,14 @@ object DedupQueries {
     // distributed fixpoint is pure scheduling overhead — solve the
     // whole graph in ONE task with union-find (mapPartitions, no
     // driver collect); above the gate, run distributed min-label
-    // propagation. Same measured-gate pattern as q30's brute fallback;
-    // the count is one cheap scan of the persisted pair set.
-    val labeled =
-      if (pairs.count() < 1000000L) unionFindOneTask(pairs)
-      else labelPropagate(
+    // propagation. Same measured-gate pattern as q30's brute fallback
+    // (graft.Gate); the count is one cheap scan of the persisted pairs.
+    val labeled = graft.Gate.byCount(pairs, 1000000L)(
+      unionFindOneTask(pairs))(
+      labelPropagate(
         pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .toDF("src", "dst"))
+          .toDF("src", "dst")))
     // pairs stays persisted: the returned plan still reads it (lazily);
     // unpersisting here would silently re-run the whole q27 pipeline.
     labeled.select(col("id").as("doc_id"), col("comp")).orderBy(col("doc_id"))

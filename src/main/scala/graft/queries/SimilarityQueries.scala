@@ -65,8 +65,9 @@ object SimilarityQueries {
     embedNearDupGated(s, dir, BruteGateRows)
 
   def embedNearDupGated(s: SparkSession, dir: String, gateRows: Long): DataFrame =
-    if (Tables.embeddings(s, dir).count() <= gateRows) embedNearDupBrute(s, dir)
-    else embedNearDupLsh(s, dir)
+    graft.Gate.byCount(Tables.embeddings(s, dir), gateRows)(
+      embedNearDupBrute(s, dir))(
+      embedNearDupLsh(s, dir))
 
   /** Ungated all-pairs ground truth — only ever reached via the gate. */
   private def embedNearDupBrute(s: SparkSession, dir: String): DataFrame = {
