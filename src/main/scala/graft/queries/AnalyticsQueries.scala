@@ -130,12 +130,14 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         conv(substring(md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")),
           1, 15), 16, 10).cast(LongType).as("g"))
-    val dup = occ.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select(col("g"))
+    // ONE stats pass per gram (distinct-doc count for the dup test AND
+    // the packed first-occurrence arg-min together) — folding the two
+    // aggregations saves a shuffle, an occ recompute, and a join
     val packed = col("doc_id") * lit(PosPack) + col("pos")
-    val first = occ.join(dup, Seq("g"))
-      .groupBy(col("g")).agg(min(packed).as("fk"))
+    val first = occ
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(packed).as("fk"))
+      .where(col("nd") >= 2).select(col("g"), col("fk"))
     val extra = occ.join(first, Seq("g")).where(packed =!= col("fk"))
     val rem = extra
       .select(col("doc_id"),
