@@ -38,8 +38,19 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); failures += 1; continue
         # exact value compare (driver hashes values — no float tolerance)
         mismatch = None
+
+        def _cell(v):
+            # list-valued columns arrive as ndarray/list cells, whose ==
+            # is elementwise (q102's DOUBLE[] centroids); normalize to
+            # tuples so the compare stays scalar and exact
+            if isinstance(v, (list, tuple)):
+                return tuple(v)
+            if type(v).__module__ == "numpy" and getattr(v, "ndim", 0) >= 1:
+                return tuple(v.tolist())
+            return v
+
         for c in got.columns:
-            a, b = got[c], exp[c]
+            a, b = got[c].map(_cell), exp[c].map(_cell)
             try:
                 eq = (a.astype("object").where(a.notna(), None)
                       == b.astype("object").where(b.notna(), None))
