@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, DotProduct, StemWord}
+import graft.functions.{BpeEncode, DotProduct, MisraGries, StemWord}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -25,6 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (children: Seq[Expression]) => BpeEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mg_candidates"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_candidates"),
+      (children: Seq[Expression]) => {
+        val capacity = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_candidates capacity must be an INT literal, got $other")
+        }
+        MisraGries(children.head, capacity)
+      }))
     // whole-operator extension (SURVEY §7 point (c)): the native sorted-
     // merge AS-OF join — logical node graft.plans.GraftAsOfJoin, planned
     // by this strategy into GraftAsOfJoinExec

@@ -327,7 +327,52 @@ object TextStatsQueries {
       .orderBy(col("rnk"))
   }
 
+  // q100 dials. Report ratio: a token is heavy iff cnt·HhK > n (i.e.
+  // frequency > 1/64 of the stream). Sketch capacity 512 » 64 gives the
+  // retention guarantee margin: merged-MG undercount ≤ n/513 < n/64, so
+  // every true heavy hitter is in the candidate set no matter how the
+  // input was partitioned — which is what makes the exact second pass
+  // deterministic and oracle-able.
+  private val HhReportK = 64
+  private val MgCapacity = 512
+
+  /** q100 — exact heavy hitters via the two-pass sketch-then-recount
+    * pattern (Misra-Gries candidates → exact recount of candidates
+    * only). The naive plan — `groupBy(token) HAVING cnt > n/64` —
+    * shuffles the ENTIRE vocabulary (at 100 TB: billions of distinct
+    * tokens, nearly all of which lose the HAVING filter); this plan
+    * shuffles (a) fixed-size MG buffers (≤ 512 counters per partition,
+    * ~20 KB each — graft.functions.MisraGries, a native mergeable
+    * TypedImperativeAggregate) and (b) exact counts for ≤ 512 candidate
+    * tokens, with every non-candidate token dying map-side in the
+    * isInCollection filter. The driver holds only the bounded candidate
+    * array (Gate.byCount's measure-then-branch shape: a bounded action
+    * between two distributed passes).
+    *
+    * Output is EXACT (not sketch estimates): MG guarantees the
+    * candidate superset, the recount is a plain groupBy over ≤ 512
+    * keys, and the threshold compare is integer (cnt·64 > n — no
+    * float division). DuckDB oracle = the naive full-vocabulary plan.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+    val sk = tok
+      .agg(call_function("graft_mg_candidates", col("t"), lit(MgCapacity))
+        .as("mg"))
+      .select(col("mg.n").as("n"), col("mg.candidates").as("cand"))
+      .head()
+    val n = sk.getLong(0)
+    val cand = sk.getSeq[String](1)
+    tok.where(col("t").isInCollection(cand))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(HhReportK.toLong) > lit(n))
+      .select(col("t").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_heavy_hitters" -> heavyHitters,
     "q97_bpe_pairs"      -> bpePairs,
     "q99_bpe_apply"      -> bpeApply,
     "q33_lang_id"        -> langId,
@@ -345,6 +390,17 @@ object TextStatsQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // the naive full-vocabulary plan the sketch path replaces — same
+    // exact output by the MG retention guarantee
+    "q100_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> '')
+        |SELECT t AS token, count(*)::BIGINT AS cnt
+        |FROM tok GROUP BY t
+        |HAVING count(*) * 64 > (SELECT count(*) FROM tok)
+        |ORDER BY cnt DESC, token""".stripMargin,
     "q97_bpe_pairs" ->
       """WITH t AS (
         |  SELECT t FROM (
