@@ -302,7 +302,104 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  // q101 duplicate bar: within-cell pairs at/above this cosine are
+  // semantic duplicates (matches q30's near-dup bar — the populated
+  // regime of the synthetic embeddings).
+  private val SemTau = 0.4
+
+  /** q101 — SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the frozen IVF codebook, then inside each
+    * cluster mark every vector that has a MORE CENTRAL near-duplicate
+    * (cosine ≥ τ, "more central" = smaller L2 to the cell centroid,
+    * ties by vec_id) as dropped — one representative per semantic
+    * ε-ball survives, and it is the most central one (the paper's
+    * deterministic variant of its keep-one rule).
+    *
+    * This is the missing policy half of q30/q77: q30 LISTS near-dup
+    * pairs, q77 caps cluster sizes by a quota regardless of duplication;
+    * q101 emits the per-vector keep/drop VERDICT a curation pipeline
+    * acts on. Scale shape: assignment is rows × 32 broadcast centroids
+    * (no shuffle beyond the per-vector argmin window); the pair stage is
+    * a cell-equality hash join, cost Σ_cell |cell|² — never all-pairs.
+    * The cluster count is the scale dial: SemDeDup runs k ∝ √N (50k
+    * clusters for LAION-440M), holding E|cell| — and so the per-key
+    * join fan-out — constant as the corpus grows.
+    */
+  def semDedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val dist = col("nrm") * col("nrm") -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cid").as("cell"), col("dist"))
+    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"), col("dist").as("da"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("dist").as("db"))
+    val cos = VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // a strictly more central than b (ties by id) and near-duplicate of it
+    val dominated = a.join(b, col("cell_a") === col("cell_b") &&
+        (col("da") < col("db") ||
+          (col("da") === col("db") && col("id_a") < col("id_b"))))
+      .where(cos >= SemTau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dominated.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dropped").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q102 — one distributed Lloyd iteration (the k-means UPDATE step
+    * over the frozen coarse codebook): assign every vector to its
+    * nearest centroid, then emit each cell's member count and new mean
+    * vector. This is how the IVF/PQ codebooks themselves get trained at
+    * corpus scale (scripts/train_ivf_codebook.py runs the same step
+    * single-node), and the canonical shape of EM-style iterative
+    * fitting on Spark.
+    *
+    * Scale shape: assignment is rows × 32 broadcast centroids; the
+    * update is ONE partial-aggregated groupBy — each task combines its
+    * rows map-side into ≤ cells rows of (count, 64 decimal sums), so
+    * the shuffle is O(cells × dim × partitions) regardless of corpus
+    * size, and no vector row ever crosses the wire. Element sums ride
+    * DECIMAL(18,9) (exact, associative — float addition order would
+    * diverge between engines and across partitionings; the dsum idiom
+    * of RelationalQueries) and only the final mean division returns to
+    * DOUBLE.
+    */
+  def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = vecs(s, dir)
+    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val dist = col("nrm") * col("nrm") -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("v"), col("cid").as("cell"))
+    val sums = (0 until VectorOps.Dim).map(i =>
+      sum(col("v").getItem(i).cast(DecimalType(18, 9))).as(s"s$i"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sums: _*)
+      .select(col("cell"), col("n_members"),
+        array((0 until VectorOps.Dim).map(i =>
+          col(s"s$i").cast(DoubleType) / col("n_members")): _*).as("centroid"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_semdedup_prune" -> semDedupPrune,
+    "q102_centroid_update" -> centroidUpdate,
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
     "q32_knn_lsh"       -> knnLsh,
@@ -325,7 +422,58 @@ object SimilarityQueries {
   private val qCosSql =
     "list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) / (q.qnrm * e.nrm)"
 
+  // shared assignment CTE for the codebook-clustered oracles
+  // (q101/q102): nearest frozen centroid per vector, q55's expressions
+  private def asgCteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+       |cents AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, cv,
+       |         sqrt(list_dot_product(cv, cv)) AS cnrm
+       |  FROM (VALUES
+       |    $ivfCentValuesSql) t(cid, cv)),
+       |ad AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |         e.nrm * e.nrm
+       |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+       |           + c.cnrm * c.cnrm AS dist
+       |  FROM e, cents c),
+       |rk AS (
+       |  SELECT vec_id, embedding, nrm, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |  FROM ad),
+       |asg AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell, dist FROM rk WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q101_semdedup_prune" ->
+      s"""$asgCteSql
+         |SELECT g.vec_id, g.cell,
+         |  NOT EXISTS (
+         |    SELECT 1 FROM asg o
+         |    WHERE o.cell = g.cell
+         |      AND (o.dist < g.dist
+         |           OR (o.dist = g.dist AND o.vec_id < g.vec_id))
+         |      AND list_dot_product(o.embedding::DOUBLE[], g.embedding::DOUBLE[])
+         |            / (o.nrm * g.nrm) >= 0.4) AS kept
+         |FROM asg g ORDER BY g.vec_id""".stripMargin,
+
+    "q102_centroid_update" ->
+      s"""$asgCteSql,
+         |sums AS (
+         |  SELECT cell, i,
+         |         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
+         |              AS DOUBLE) AS s
+         |  FROM asg, unnest(range(1, 65)) AS u(i)
+         |  GROUP BY cell, i),
+         |members AS (
+         |  SELECT cell, count(*)::BIGINT AS n_members FROM asg GROUP BY cell)
+         |SELECT m.cell, m.n_members,
+         |       list(s / m.n_members ORDER BY i) AS centroid
+         |FROM sums JOIN members m USING (cell)
+         |GROUP BY m.cell, m.n_members
+         |ORDER BY m.cell""".stripMargin,
+
     "q64_knn_ivfpq" -> {
       import graft.llm.Pq
       s"""WITH e AS (
