@@ -62,6 +62,22 @@ class MisraGriesSpec extends SparkSpec {
     assert(hh(7) == hh(1))
   }
 
+  test("q100 second pass: candidate filter sits below a partial-aggregated groupBy") {
+    val df = graft.SparkEntry.queries("q100_heavy_hitters")(spark, sfDir)
+    val p = df.queryExecution.sparkPlan
+    // the returned frame IS the recount pass (the sketch already ran at
+    // construction); its scan must die into the bounded candidate filter
+    // before any aggregate — the full vocabulary never rides the shuffle
+    val aggs = p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(aggs.size >= 2, s"expected partial+final recount aggregates:\n${p.toString.take(1200)}")
+    val s = p.toString
+    assert(s.contains("INSET") || s.contains(" IN "),
+      s"candidate membership filter missing from the recount plan:\n${s.take(1200)}")
+  }
+
   test("aggregate: works in plain SQL and null inputs are skipped") {
     import spark.implicits._
     Seq(Some("a"), None, Some("a"), Some("b"))
