@@ -294,7 +294,50 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // q103 chunking dials: 48-token windows advancing by 32 (16-token
+  // overlap) — the embed-time shape: windows short enough for an
+  // encoder budget, overlap wide enough that no sentence straddling a
+  // boundary is lost to both chunks. (48/32 rather than a production
+  // 512/384 because the synthetic docs top out at ~99 tokens — the
+  // ragged multi-chunk path must actually occur at test scale.)
+  private val ChunkW = 48
+  private val ChunkS = 32
+
+  /** q103 — overlapping document chunking, the step between curation
+    * and embedding: split each document's token stream into
+    * fixed-width windows (W=48) on a fixed stride (S=32), last chunk
+    * ragged, single-chunk docs passed through whole. Every token lands
+    * in at least one chunk and boundary context is preserved by the
+    * W−S overlap.
+    *
+    * Scale shape: pure row-local explode — chunk count is arithmetic
+    * on the token count ((n−W+S−1) div S in integer space, no float
+    * rounding to diverge engines), the slice/join is per-row, nothing
+    * shuffles except the final order. At 100 TB this runs at scan
+    * speed and fans out ~n/S rows per doc; the downstream embedder
+    * keys on (doc_id, chunk_id), which this emits deterministically.
+    */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val w = filter(toks, t => t =!= "")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("n", size(col("w")).cast(LongType))
+      .where(col("n") > 0)
+      .withColumn("c", explode(expr(
+        s"sequence(0L, CASE WHEN n > $ChunkW THEN (n - $ChunkW + ${ChunkS - 1}) div $ChunkS ELSE 0L END)")))
+      .select(
+        col("doc_id"),
+        col("c").as("chunk_id"),
+        (col("c") * ChunkS + 1).as("start_tok"),
+        least(lit(ChunkW.toLong), col("n") - col("c") * ChunkS).as("n_tok"),
+        concat_ws(" ", expr(
+          s"slice(w, CAST(c * $ChunkS + 1 AS INT), CAST(least($ChunkW, n - c * $ChunkS) AS INT))"))
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_chunk_overlap" -> chunkOverlap,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
     "q80_mixture_cap"       -> mixtureCap,
@@ -307,6 +350,28 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_chunk_overlap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     t -> t <> '') AS w
+         |  FROM documents),
+         |nn AS (
+         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+         |  WHERE len(w) > 0),
+         |ch AS (
+         |  SELECT doc_id, w, n, u.c
+         |  FROM nn, unnest(range(0,
+         |    1 + CASE WHEN n > $ChunkW THEN (n - $ChunkW + ${ChunkS - 1}) // $ChunkS ELSE 0 END)) AS u(c))
+         |SELECT doc_id,
+         |       CAST(c AS BIGINT) AS chunk_id,
+         |       CAST(c * $ChunkS + 1 AS BIGINT) AS start_tok,
+         |       CAST(least($ChunkW, n - c * $ChunkS) AS BIGINT) AS n_tok,
+         |       array_to_string(
+         |         list_slice(w, c * $ChunkS + 1, c * $ChunkS + least($ChunkW, n - c * $ChunkS)),
+         |         ' ') AS chunk
+         |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q87_incremental_delta" ->
       s"""WITH snapshot AS (
         |  SELECT DISTINCT md5(text) AS digest FROM documents

@@ -214,4 +214,35 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the bounded flagged-gram set must come back as a broadcast")
   }
+
+  test("q103 chunks cover every token, overlap by W−S, and reconstruct the doc") {
+    val rows = CurationQueries.chunkOverlap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.nonEmpty)
+    val multi = rows.groupBy(_._1).values.filter(_.length > 1)
+    assert(multi.nonEmpty, "sf0.001 must produce at least one multi-chunk doc")
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case ((_, cid, start, nTok, text), i) =>
+        assert(cid == i && start == i * 32 + 1)
+        assert(nTok == text.split(" ").length)
+        assert(nTok <= 48 && nTok >= 1)
+      }
+      // coverage: last chunk reaches the last token exactly
+      val (_, _, lastStart, lastN, _) = sorted.last
+      val n = lastStart + lastN - 1
+      assert(sorted.length == 1 + math.max(0L, (n - 48 + 31) / 32),
+        s"doc $doc: ${sorted.length} chunks for $n tokens")
+      // reconstruction: stitching non-overlapped chunk parts == doc tokens
+      val stitched = sorted.flatMap { case (_, cid, _, _, text) =>
+        val ws = text.split(" ")
+        if (cid == 0) ws else ws.drop(48 - 32)
+      }
+      // only true when every non-final chunk is full-width
+      if (sorted.init.forall(_._4 == 48))
+        assert(stitched.length == n, s"doc $doc stitched ${stitched.length} vs $n")
+    }
+  }
 }
