@@ -507,6 +507,80 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("sess_n"))
   }
 
+  // ---------------------------------------------------------------- q104
+
+  /** Histogram width for the quantile narrowing pass. 512 buckets means
+    * only ~n/512 rows survive into the exact within-bucket selection;
+    * B is the scale dial (B ∝ √n gives √n-sized buckets per pass, and
+    * the narrowing composes — a second level would bound it by n/B²). */
+  private val QBuckets = 512
+
+  /** Quantile targets as integer percents — rank arithmetic stays in
+    * exact BIGINT (r = ⌈p·n/100⌉ computed as (p·n + 99) div 100), so
+    * no float rank ever drifts an order statistic off by one. */
+  private val QTargets = Seq(("p50", 50), ("p90", 90), ("p99", 99))
+
+  /** q104 — EXACT per-group quantiles via histogram narrowing, the
+    * scale-safe form of ORDER BY-and-index. Spark's exact
+    * `percentile` buffers every value of a group in one aggregation
+    * buffer (OOM at 100 TB); `approx_percentile` gives estimates. This
+    * plan is exact AND bounded: (1) per-group count/min/max (partial
+    * agg); (2) a (group × 512)-bucket histogram — the only pass that
+    * sees every row, and it shuffles ≤ groups·512 counted rows thanks
+    * to map-side combine; (3) a cumulative window over that tiny
+    * histogram finds, per quantile target, the one bucket holding rank
+    * r and the exact count below it; (4) only that bucket's rows
+    * (~n/512) are re-read (map-side join kill against the broadcast
+    * candidate list), pre-aggregated by value, and the order statistic
+    * is read off a cumulative count over distinct values. Output is
+    * the exact p50/p90/p99 of events.value per event_type plus the
+    * 'ALL' rollup — bit-identical to the naive sort-based oracle.
+    *
+    * Scale shape: no unbounded sort anywhere — the only windows run
+    * over the 512-row histogram and the distinct values of ONE bucket;
+    * raw values never shuffle (bucket ids do, pre-aggregated); the
+    * candidate-bucket table (groups × 3 rows) broadcasts. Float bucket
+    * edges are Spark-internal only (the final answer is an exact order
+    * statistic, independent of how buckets split the range).
+    */
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(explode(array(col("event_type"), lit("ALL"))).as("grp"),
+        col("value").as("v"))
+    val stats = ev.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // bucket id in [0, B-1]; degenerate all-equal group collapses to 0
+    val bucketOf = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(QBuckets - 1L), floor(
+        (col("v") - col("mn")) * lit(QBuckets.toDouble) / (col("mx") - col("mn")))))
+    val hist = ev.join(broadcast(stats), Seq("grp"))
+      .select(col("grp"), bucketOf.as("b"))
+      .groupBy(col("grp"), col("b")).agg(count(lit(1)).as("bc"))
+    val wBelow = Window.partitionBy(col("grp")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("below", coalesce(sum(col("bc")).over(wBelow), lit(0L)))
+    val targets = stats
+      .crossJoin(broadcast(QTargets.toDF("ql", "qp")))
+      .select(col("grp"), col("ql"), col("n"), col("mn"), col("mx"),
+        expr("(qp * n + 99) div 100").as("r"))
+    val cand = targets.join(cum, Seq("grp"))
+      .where(col("below") < col("r") && col("below") + col("bc") >= col("r"))
+      .select(col("grp"), col("ql"), col("n"), col("mn"), col("mx"),
+        col("b"), col("r"), col("below"))
+    val inBucket = ev.join(broadcast(cand), Seq("grp"))
+      .where(bucketOf === col("b"))
+      .groupBy(col("grp"), col("ql"), col("n"), col("r"), col("below"), col("v"))
+      .agg(count(lit(1)).as("vc"))
+    val wVal = Window.partitionBy(col("grp"), col("ql")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBucket.withColumn("vcum", sum(col("vc")).over(wVal))
+      .where(col("vcum") >= col("r") - col("below") &&
+        col("vcum") - col("vc") < col("r") - col("below"))
+      .select(col("grp"), col("ql"), col("n"), col("v").as("val"))
+      .orderBy(col("grp"), col("ql"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private def prIterCte(i: Int): String =
@@ -529,7 +603,8 @@ object AnalyticsQueries {
     "q92_lm_quality"   -> lmQuality,
     "q93_sessionize"   -> sessionize,
     "q94_rrf_hybrid_ivf" -> rrfHybridIvf,
-    "q98_dup_span_remove" -> dupSpanRemove
+    "q98_dup_span_remove" -> dupSpanRemove,
+    "q104_exact_quantiles" -> exactQuantiles
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -591,6 +666,24 @@ object AnalyticsQueries {
     }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // the naive sort-based plan the histogram narrowing replaces —
+    // same exact order statistics (rank = ceil(p·n/100), BIGINT math)
+    "q104_exact_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type AS grp, value AS v FROM events
+        |  UNION ALL
+        |  SELECT 'ALL' AS grp, value AS v FROM events),
+        |n AS (SELECT grp, count(*)::BIGINT AS n FROM ev GROUP BY grp),
+        |qs AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        |       AS q(ql, qp)),
+        |tgt AS (SELECT grp, ql, n, (qp * n + 99) // 100 AS r
+        |        FROM n CROSS JOIN qs),
+        |o AS (SELECT grp, v,
+        |        row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |      FROM ev)
+        |SELECT t.grp, t.ql, t.n, o.v AS val
+        |FROM tgt t JOIN o ON o.grp = t.grp AND o.rn = t.r
+        |ORDER BY t.grp, t.ql""".stripMargin,
     "q88_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -371,7 +371,50 @@ object TextStatsQueries {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Frozen-vocabulary size for q105 — small enough that the vocab
+    * broadcast is trivially cheap, large enough that Zipf mass makes
+    * in-vocab the common case (what a real 32k–256k BPE vocab does). */
+  private val VocabK = 256
+
+  /** q105 — vocabulary-coverage / OOV-rate audit, the check every
+    * tokenizer rollout runs before committing to a vocab: freeze the
+    * top-[[VocabK]] tokens (count desc, token asc — deterministic at
+    * the boundary), then score every document's out-of-vocabulary rate
+    * and aggregate by (lang, source). All math integer: a document is
+    * coverage-OK iff n_oov·5 < n_tok (OOV < 20%).
+    *
+    * Scale shape: the vocab cut is TakeOrdered-256 over the token-count
+    * aggregate (the one full-vocabulary shuffle — the one-time vocab
+    * TRAINING job, partial-agg'd map-side; the q100 MG sketch can't
+    * replace it because an exact top-K needs exact counts); scoring is
+    * a broadcast LEFT join (map-side, no occurrence ever shuffles for
+    * membership); the per-doc rollup partial-aggregates to ~1 row per
+    * doc before its shuffle because explode keeps a doc's tokens
+    * contiguous in one partition. Docs with zero tokens don't occur in
+    * this corpus; the query scores docs with >= 1 token by definition.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), explode(toks).as("t"))
+      .where(col("t") =!= "")
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(VocabK)
+      .select(col("t"), lit(1L).as("iv"))
+    val perDoc = tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, lit(1L)).otherwise(lit(0L))).as("n_oov"))
+    perDoc.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tot_tok"),
+        sum(col("n_oov")).as("tot_oov"),
+        sum(when(col("n_oov") * lit(5L) < col("n_tok"), lit(1L))
+          .otherwise(lit(0L))).as("n_keep"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_vocab_coverage" -> vocabCoverage,
     "q100_heavy_hitters" -> heavyHitters,
     "q97_bpe_pairs"      -> bpePairs,
     "q99_bpe_apply"      -> bpeApply,
@@ -390,6 +433,26 @@ object TextStatsQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q105_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, t FROM (
+        |    SELECT doc_id, lang, source,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |vocab AS (
+        |  SELECT t FROM (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+        |  ORDER BY cnt DESC, t LIMIT 256),
+        |per_doc AS (
+        |  SELECT doc_id, lang, source, count(*)::BIGINT AS n_tok,
+        |         sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM tok LEFT JOIN vocab v USING (t)
+        |  GROUP BY doc_id, lang, source)
+        |SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(n_tok)::BIGINT AS tot_tok, sum(n_oov)::BIGINT AS tot_oov,
+        |       sum(CASE WHEN n_oov * 5 < n_tok THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_keep
+        |FROM per_doc GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     // the naive full-vocabulary plan the sketch path replaces — same
     // exact output by the MG retention guarantee
     "q100_heavy_hitters" ->

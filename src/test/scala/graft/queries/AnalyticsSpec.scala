@@ -164,6 +164,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.map(_._1).toSet == perUser.keySet)
   }
 
+  test("q104: every quantile equals the brute-force sorted order statistic") {
+    val res = graft.SparkEntry.queries("q104_exact_quantiles")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val groups = ev.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) } +
+      ("ALL" -> ev.map(_._2))
+    val targets = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99)
+    assert(res.size == groups.size * targets.size)
+    for ((g, vs) <- groups; (ql, qp) <- targets) {
+      val sorted = vs.sorted
+      val r = (qp.toLong * sorted.length + 99) / 100
+      val (n, v) = res((g, ql))
+      assert(n == sorted.length.toLong, s"($g,$ql) n")
+      assert(v == sorted((r - 1).toInt), s"($g,$ql) value")
+    }
+  }
+
   test("q94: IVF-arm fused top-10 overlaps >= 0.8 with the exact-arm top-10") {
     val exact = graft.SparkEntry.queries("q90_rrf_hybrid")(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

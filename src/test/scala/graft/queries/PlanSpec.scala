@@ -67,6 +67,25 @@ class PlanSpec extends SparkSpec {
       "the hot list must be built by a df > max(5, 1%·N) filter on the shingle-hash agg")
   }
 
+  test("q104 never sorts or sort-merge-joins raw values; windows stay partitioned") {
+    val df = graft.SparkEntry.queries("q104_exact_quantiles")(spark, sfDir)
+    val p = plan("q104_exact_quantiles")
+    assert(!p.contains("SortMergeJoin"),
+      "stats/candidate joins must broadcast — raw values never sort-merge")
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "every window (histogram cumsum, within-bucket cumsum) must be partitioned; " +
+        "an unpartitioned window would serialize the whole input on one task")
+    // the exact order statistic must come from aggregated (value, count)
+    // rows, not a per-row rank: no global Sort may precede the final
+    // aggregate's exchange (the only full Sort allowed is the display
+    // ORDER BY over <= groups x 3 result rows)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "histogram and within-bucket passes must both partial-aggregate")
+  }
+
   test("q95 cohort sizes join is a broadcast, not a shuffle") {
     val p = plan("q95_cohort_retention")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
