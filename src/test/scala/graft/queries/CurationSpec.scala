@@ -215,6 +215,31 @@ class CurationSpec extends SparkSpec {
       "the bounded flagged-gram set must come back as a broadcast")
   }
 
+  test("q105 OOV aggregates equal a brute vocab recomputation; vocab join broadcasts") {
+    val df = TextStatsQueries.vocabCoverage(spark, sfDir)
+    val res = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getString(1), r.getString(2),
+        r.getString(3).trim.split("\\s+").toSeq.filter(_.nonEmpty)))
+      .filter(_._3.nonEmpty)
+    val counts = docs.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(256).map(_._1).toSet
+    val brute = docs.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      val oov = ds.map(_._3.count(!vocab.contains(_)).toLong)
+      val tok = ds.map(_._3.length.toLong)
+      k -> ((ds.size.toLong, tok.sum, oov.sum,
+        tok.zip(oov).count { case (n, o) => o * 5 < n }.toLong))
+    }
+    assert(res == brute)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the frozen vocab must come back as a broadcast — token occurrences " +
+        "must never shuffle for membership")
+  }
+
   test("q103 chunks cover every token, overlap by W−S, and reconstruct the doc") {
     val rows = CurationQueries.chunkOverlap(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
