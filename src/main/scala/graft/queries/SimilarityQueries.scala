@@ -397,7 +397,56 @@ object SimilarityQueries {
       .orderBy(col("cell"))
   }
 
+  // ---------------------------------------------------------------- q106
+
+  /** q106 — int8 scalar quantization of the embedding column (the
+    * memory-side half of every large ANN deployment: 4× smaller than
+    * float32, distance computed on codes). Per-dimension affine
+    * quantization: code = ⌊(x − min_d) · 255 / (max_d − min_d)⌋ clamped
+    * to [0, 255], dequantized at bucket centers (code + 0.5). Emits the
+    * 20 vectors with the worst reconstruction error — the audit a
+    * quantization rollout runs to find outlier vectors that need
+    * re-scaling or exclusion.
+    *
+    * Everything compared across engines is integer: codes are exact
+    * (floor over bit-identical IEEE doubles), and the reconstruction
+    * error rides as Σ ⌊err²·10⁹⌋ BIGINT — no float sum ever crosses an
+    * engine boundary, so no decimal-rounding or summation-order drift
+    * is possible.
+    *
+    * Scale shape: posexplode fans each vector into 64 (dim, x) rows
+    * that stay in their input partition; the per-dim min/max agg
+    * shuffles only partitions × 64 partially-aggregated rows (64 hot
+    * keys made safe by map-side combine); the 64-row scale table
+    * broadcasts back; the per-vector rollup partial-aggregates to ~1
+    * row per vector before its shuffle; the final cut is
+    * TakeOrdered-20. No raw vector ever crosses the wire.
+    */
+  def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), (col("i") + 1).cast(LongType).as("i"),
+        col("xf").cast(DoubleType).as("x"))
+    val dims = e.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(lit(255L), greatest(lit(0L),
+        floor(((col("x") - col("mn")) * lit(255.0)) / (col("mx") - col("mn"))))))
+    val deq = col("mn") +
+      ((col("code") + lit(0.5)) * (col("mx") - col("mn"))) / lit(255.0)
+    val err = col("x") - deq
+    e.join(broadcast(dims), Seq("i"))
+      .withColumn("code", code)
+      .select(col("vec_id"), col("code"),
+        floor(err * err * lit(1000000000.0)).as("e9"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code")).as("code_sum"), sum(col("e9")).as("ssq_scaled"))
+      .orderBy(col("ssq_scaled").desc, col("vec_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_int8_quantize" -> int8Quantize,
     "q101_semdedup_prune" -> semDedupPrune,
     "q102_centroid_update" -> centroidUpdate,
     "q30_embed_neardup" -> embedNearDup,
@@ -446,6 +495,31 @@ object SimilarityQueries {
        |  SELECT vec_id, embedding, nrm, cid AS cell, dist FROM rk WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same affine quantization; expression shapes (parenthesization,
+    // bucket-center dequant) mirror the Spark side so the IEEE doubles
+    // are bit-identical before the integer floors
+    "q106_int8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding, 1)::BIGINT AS i
+        |  FROM embeddings),
+        |dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, x, mn, mx,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE least(255, greatest(0,
+        |                floor(((x - mn) * 255.0) / (mx - mn))))::BIGINT
+        |         END AS code
+        |  FROM e JOIN dims USING (i)),
+        |r AS (
+        |  SELECT vec_id, code,
+        |         x - (mn + ((code + 0.5) * (mx - mn)) / 255.0) AS err
+        |  FROM q)
+        |SELECT vec_id, sum(code)::BIGINT AS code_sum,
+        |       sum(floor(err * err * 1000000000.0)::BIGINT)::BIGINT
+        |         AS ssq_scaled
+        |FROM r GROUP BY vec_id
+        |ORDER BY ssq_scaled DESC, vec_id LIMIT 20""".stripMargin,
     "q101_semdedup_prune" ->
       s"""$asgCteSql
          |SELECT g.vec_id, g.cell,

@@ -63,6 +63,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall=$recall%.3f")
   }
 
+  test("q106 codes and scaled reconstruction error match a brute recomputation") {
+    val res = SimilarityQueries.int8Quantize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = vecs.head._2.length
+    val mn = Array.tabulate(dim)(i => vecs.map(_._2(i)).min)
+    val mx = Array.tabulate(dim)(i => vecs.map(_._2(i)).max)
+    val brute = vecs.map { case (id, v) =>
+      var cs = 0L; var e9 = 0L
+      for (i <- 0 until dim) {
+        val c = if (mx(i) == mn(i)) 0L
+          else math.min(255L, math.max(0L,
+            math.floor(((v(i) - mn(i)) * 255.0) / (mx(i) - mn(i))).toLong))
+        val err = v(i) - (mn(i) + ((c + 0.5) * (mx(i) - mn(i))) / 255.0)
+        cs += c; e9 += math.floor(err * err * 1000000000.0).toLong
+      }
+      (id, cs, e9)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    assert(res.toSeq == brute.toSeq)
+    // every code must land in int8 range; error bounded by half a bucket
+    // per dim: e9 <= dim * (range/510)^2 * 1e9 for each emitted vector
+    for ((id, _, e9) <- brute) {
+      val bound = (0 until dim).map(i =>
+        math.pow((mx(i) - mn(i)) / 510.0, 2) * 1000000000.0).sum
+      assert(e9 <= bound + dim, s"vec $id ssq above the half-bucket bound")
+    }
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityQueries.embedNearDup(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
