@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, DotProduct, MisraGries, StemWord}
+import graft.functions.{BpeEncode, DotProduct, MisraGries, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -37,6 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_mg_candidates capacity must be an INT literal, got $other")
         }
         MisraGries(children.head, capacity)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an INT literal, got $other")
+        }
+        TopK(children(0), children(1), k)
       }))
     // whole-operator extension (SURVEY §7 point (c)): the native sorted-
     // merge AS-OF join — logical node graft.plans.GraftAsOfJoin, planned

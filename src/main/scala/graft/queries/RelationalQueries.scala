@@ -593,7 +593,36 @@ object RelationalQueries {
     s.sql(GroupingText)
   }
 
+  /** q107 — per-group top-k WITHOUT the window sort: spend per event
+    * type, top-5 users by exact cents, computed by the native mergeable
+    * `graft_topk` heap aggregate (graft.functions.TopK). The window
+    * plan (q12's shape) sorts every row of every group to keep 5; the
+    * heap aggregate ships ≤ k pairs per partition and combines
+    * map-side — the difference between O(n log n) per group and
+    * O(n log k) with an O(k)-byte shuffle. Money rides DECIMAL(18,2) →
+    * integer cents (exact; float sums would drift); the heap's string
+    * tag is the zero-padded user id so its lexicographic tiebreak
+    * equals the numeric one.
+    */
+  def groupTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("c")).as("cents"))
+    cents.groupBy(col("event_type"))
+      .agg(call_function("graft_topk",
+        col("cents"), lpad(col("user_id").cast(StringType), 20, "0"), lit(5))
+        .as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).cast(LongType).as("rnk"),
+        col("e.tag").cast(LongType).as("user_id"), col("e.score").as("cents"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_group_topk"     -> groupTopK,
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
     "q04_agg_summary"     -> aggSummary,
@@ -636,6 +665,21 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the window-sort plan the heap aggregate replaces — identical
+    // output because the (cents desc, user_id asc) order is total
+    "q107_group_topk" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |         sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents DESC, user_id) AS rnk
+        |  FROM s)
+        |SELECT event_type, rnk::BIGINT AS rnk, user_id, cents
+        |FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
     "q02_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
