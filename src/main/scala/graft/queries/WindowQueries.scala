@@ -251,7 +251,39 @@ object WindowQueries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q108 — OHLC time-bucket downsampling (resample-to-the-hour), the
+    * operator that turns years of raw events into chartable/joinable
+    * aggregates: per (event_type, hour) the first, max, min, and last
+    * value plus count and exact sum. Open/close are arg-min/arg-max
+    * aggregates over a PACKED total-order key — micros·2³² + event_id
+    * in DECIMAL(38,0) (HUGEINT on the oracle side), so first/last are
+    * deterministic even under timestamp ties — which makes the whole
+    * query ONE partial-aggregated groupBy: no window, no per-bucket
+    * sort, map-side combine does almost all the work. The window-sort
+    * formulation (row_number asc/desc per bucket) would sort every
+    * bucket's rows in one task; min_by ships one (key, value) pair per
+    * partition per bucket.
+    */
+  def resampleOhlc(s: SparkSession, dir: String): DataFrame = {
+    val packed = unix_micros(col("ts"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(4294967296L) + col("event_id")
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), TsFmt).as("h"),
+        col("value"), packed.as("pk"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), col("pk")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("pk")).as("close"),
+        sum(col("value").cast(DecimalType18_6)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_resample_ohlc"  -> resampleOhlc,
     "q95_cohort_retention" -> cohortRetention,
     "q70_funnel"          -> funnel,
     "q84_asof_native"     -> asofNative,
@@ -270,6 +302,20 @@ object WindowQueries {
     s"list_dot_product(embedding::DOUBLE[], $frozenWSql::DOUBLE[])"
 
   val oracles: Map[String, String] = Map(
+    "q108_resample_ohlc" ->
+      """SELECT event_type,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |       count(*)::BIGINT AS n,
+        |       arg_min(value, epoch_us(ts)::HUGEINT * 4294967296 + event_id)
+        |         AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       arg_max(value, epoch_us(ts)::HUGEINT * 4294967296 + event_id)
+        |         AS close,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, h""".stripMargin,
+
     "q95_cohort_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

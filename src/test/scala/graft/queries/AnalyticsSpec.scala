@@ -185,6 +185,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q108: OHLC equals a brute per-bucket recomputation") {
+    val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "ts", "event_id", "value").collect()
+      .map { r =>
+        val ns = r.getLong(1) // TIMESTAMP(NANOS) arrives as nano-epoch long
+        val us = Math.floorDiv(ns, 1000L)
+        val hour = Math.floorDiv(us, 3600000000L) * 3600L
+        (r.getString(0), fmt.format(java.time.Instant.ofEpochSecond(hour)),
+          us, r.getLong(2), r.getDouble(3))
+      }
+    val brute = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      k -> ((es.length.toLong, sorted.head._5, es.map(_._5).max,
+        es.map(_._5).min, sorted.last._5))
+    }
+    assert(res.keySet == brute.keySet)
+    for ((k, (n, o, hi, lo, c)) <- brute) {
+      val (rn, ro, rhi, rlo, rc) = res(k)
+      assert(rn == n && ro == o && rhi == hi && rlo == lo && rc == c, s"$k")
+    }
+  }
+
   test("q94: IVF-arm fused top-10 overlaps >= 0.8 with the exact-arm top-10") {
     val exact = graft.SparkEntry.queries("q90_rrf_hybrid")(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

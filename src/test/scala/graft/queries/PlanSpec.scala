@@ -86,6 +86,18 @@ class PlanSpec extends SparkSpec {
       "histogram and within-bucket passes must both partial-aggregate")
   }
 
+  test("q108 OHLC is one aggregate: no window, no per-bucket sort") {
+    val df = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      "open/close must come from min_by/max_by aggregates — a row_number " +
+        "window would sort every bucket's rows in one task")
+    val p = plan("q108_resample_ohlc")
+    assert(p.contains("min_by") && p.contains("max_by"), p.take(600))
+  }
+
   test("q95 cohort sizes join is a broadcast, not a shuffle") {
     val p = plan("q95_cohort_retention")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
