@@ -507,6 +507,71 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("sess_n"))
   }
 
+  // ---------------------------------------------------------------- q109
+
+  /** q109 — KMV set algebra: distinct-user overlap between every pair
+    * of event types, estimated FROM THE SKETCHES ALONE (Bar-Yossef et
+    * al. 2002 / Beyer et al. 2007): the k-min union sketch of A∪B is
+    * computable from kmv(A) and kmv(B) (k smallest of the merged
+    * hashes), Jaccard ≈ |both-marked ∩ union-sketch| / k, and
+    * |A∩B| ≈ J · (k−1)/(h_k/2⁶⁰). This is the planning query a corpus
+    * merge runs over N sources: N sketches instead of N² exact
+    * intersections. The md5 hash makes the estimate deterministic and
+    * exact-oracle-able (q89's property); the exact intersection and
+    * relative error are emitted alongside because the query IS the
+    * audit of the estimator.
+    *
+    * Scale shape: the sketch phase is q89's two-level prune (per-
+    * partition k-min before per-group k-min — no full-group sort);
+    * everything after operates on ≤ groups·k sketch rows, so the pair
+    * enumeration is G²-bounded, not data-bounded. The exact-truth arm
+    * is the cost being replaced and would be DROPPED at 100 TB.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val OvK = KmvK // share q89's k
+    val d = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), h60("kmvov", col("user_id")).as("h"))
+      .distinct()
+    val wLoc = Window.partitionBy(col("grp"), col("pid")).orderBy(col("h"))
+    val wG = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sk = d.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= OvK)
+      .withColumn("rn", row_number().over(wG)).where(col("rn") <= OvK)
+      .select(col("grp"), col("h"))
+    val gs = sk.select(col("grp")).distinct()
+    val pairs = gs.select(col("grp").as("ga"))
+      .crossJoin(gs.select(col("grp").as("gb"))).where(col("ga") < col("gb"))
+    val mem = pairs.join(sk, col("grp") === col("ga") || col("grp") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(when(col("grp") === col("ga"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("grp") === col("gb"), 1L).otherwise(0L)).as("in_b"))
+    val wU = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val agg = mem.withColumn("rn", row_number().over(wU)).where(col("rn") <= OvK)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("both_cnt"))
+    val pow60 = lit(1152921504606846976L).cast(DoubleType) // 2^60, exact
+    val estU = when(col("k_used") < OvK, col("k_used").cast(DoubleType))
+      .otherwise(lit(OvK - 1).cast(DoubleType) /
+        (col("kth_hash").cast(DoubleType) / pow60))
+    val estI = col("both_cnt").cast(DoubleType) /
+      col("k_used").cast(DoubleType) * estU
+    val dd = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("user_id")).distinct()
+    val truth = dd.as("x")
+      .join(dd.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("ga"), col("y.grp").as("gb"))
+      .agg(count(lit(1)).as("true_inter"))
+    agg.join(truth, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("k_used"), col("both_cnt"),
+        estU.as("est_union"), estI.as("est_inter"), col("true_inter"),
+        ((estI - col("true_inter").cast(DoubleType)) /
+          col("true_inter").cast(DoubleType)).as("rel_err"))
+      .orderBy(col("ga"), col("gb"))
+  }
+
   // ---------------------------------------------------------------- q104
 
   /** Histogram width for the quantile narrowing pass. 512 buckets means
@@ -604,7 +669,8 @@ object AnalyticsQueries {
     "q93_sessionize"   -> sessionize,
     "q94_rrf_hybrid_ivf" -> rrfHybridIvf,
     "q98_dup_span_remove" -> dupSpanRemove,
-    "q104_exact_quantiles" -> exactQuantiles
+    "q104_exact_quantiles" -> exactQuantiles,
+    "q109_kmv_overlap" -> kmvOverlap
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -666,6 +732,54 @@ object AnalyticsQueries {
     }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // sketch-combination estimator replicated verbatim: same md5-60-bit
+    // hashes, same k-min union, same inclusion rule — deterministic
+    "q109_kmv_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type AS grp,
+        |    ('0x' || substr(md5('kmvov|' || CAST(user_id AS VARCHAR)),
+        |     1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT grp, h,
+        |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM d),
+        |sk AS (SELECT grp, h FROM r WHERE rn <= 64),
+        |gs AS (SELECT DISTINCT grp FROM sk),
+        |pairs AS (SELECT a.grp AS ga, b.grp AS gb
+        |          FROM gs a, gs b WHERE a.grp < b.grp),
+        |mem AS (
+        |  SELECT p.ga, p.gb, s.h,
+        |         max(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.grp = p.ga OR s.grp = p.gb
+        |  GROUP BY p.ga, p.gb, s.h),
+        |u AS (SELECT ga, gb, h, in_a, in_b,
+        |        row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |      FROM mem),
+        |agg AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS k_used, max(h) AS kth_hash,
+        |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |           ::BIGINT AS both_cnt
+        |  FROM u WHERE rn <= 64 GROUP BY ga, gb),
+        |dd AS (SELECT DISTINCT event_type AS grp, user_id FROM events),
+        |t AS (SELECT x.grp AS ga, y.grp AS gb, count(*)::BIGINT AS true_inter
+        |      FROM dd x JOIN dd y
+        |        ON x.user_id = y.user_id AND x.grp < y.grp
+        |      GROUP BY x.grp, y.grp),
+        |e AS (
+        |  SELECT a.ga, a.gb, a.k_used, a.both_cnt,
+        |    CASE WHEN a.k_used < 64 THEN a.k_used::DOUBLE
+        |         ELSE 63.0::DOUBLE /
+        |           (a.kth_hash::DOUBLE /
+        |            CAST(1152921504606846976 AS DOUBLE)) END AS est_union,
+        |    t.true_inter
+        |  FROM agg a JOIN t USING (ga, gb))
+        |SELECT ga, gb, k_used, both_cnt, est_union,
+        |       both_cnt::DOUBLE / k_used::DOUBLE * est_union AS est_inter,
+        |       true_inter,
+        |       (both_cnt::DOUBLE / k_used::DOUBLE * est_union
+        |          - true_inter::DOUBLE) / true_inter::DOUBLE AS rel_err
+        |FROM e ORDER BY ga, gb""".stripMargin,
     // the naive sort-based plan the histogram narrowing replaces —
     // same exact order statistics (rank = ceil(p·n/100), BIGINT math)
     "q104_exact_quantiles" ->

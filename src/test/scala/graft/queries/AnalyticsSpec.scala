@@ -185,6 +185,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q109: overlap estimate matches an independent KMV recomputation") {
+    val res = graft.SparkEntry.queries("q109_kmv_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    assert(res.nonEmpty)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byGrp = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val k = 64
+    val sketch = byGrp.view.mapValues(
+      _.map(u => h60("kmvov", u.toString)).toSeq.sorted.take(k)).toMap
+    val grps = byGrp.keys.toSeq.sorted
+    for (ga <- grps; gb <- grps if ga < gb) {
+      val (kUsed, both, estU, estI, truth, relErr) = res((ga, gb))
+      val union = (sketch(ga) ++ sketch(gb)).distinct.sorted.take(k)
+      val bothSet = sketch(ga).toSet & sketch(gb).toSet
+      val myBoth = union.count(bothSet.contains).toLong
+      assert(kUsed == union.size.toLong, s"($ga,$gb) k_used")
+      assert(both == myBoth, s"($ga,$gb) both_cnt")
+      val myEstU = if (union.size < k) union.size.toDouble
+        else (k - 1).toDouble / (union.last.toDouble / math.pow(2, 60))
+      assert(estU == myEstU, s"($ga,$gb) est_union")
+      assert(truth == (byGrp(ga) & byGrp(gb)).size.toLong, s"($ga,$gb) truth")
+      // when the union fits in k the sketch IS the data: exact answer
+      if (kUsed < k) {
+        assert(estI == both.toDouble && both == truth && relErr == 0.0,
+          s"($ga,$gb) must degenerate to exact")
+      }
+      assert(both <= kUsed)
+    }
+  }
+
   test("q108: OHLC equals a brute per-bucket recomputation") {
     val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
       .collect()
