@@ -18,7 +18,8 @@ object SparkEntry {
     (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
     (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles),
     (graft.queries.CurationQueries.queries, graft.queries.CurationQueries.oracles),
-    (graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracles)
+    (graft.queries.AnalyticsQueries.queries, graft.queries.AnalyticsQueries.oracles),
+    (graft.queries.OpsQueries.queries, graft.queries.OpsQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Operational / data-integrity queries: the jobs a 100 TB deployment
+  * runs AROUND the data rather than on it — replica verification
+  * (order-independent table checksums) and optimizer-statistics
+  * collection (per-column profiles). Both follow the repo-wide oracle
+  * rules: md5-60-bit hashing for anything randomized, integer or
+  * decimal arithmetic wherever floats would drift, total ORDER BY.
+  */
+object OpsQueries {
+
+  /** The engine-wide 60-bit md5 idiom (AnalyticsQueries.h60). */
+  private def h60(tag: String, c: Column): Column =
+    conv(substring(md5(concat(lit(tag + "|"), c)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** 2⁶¹ − 1 (Mersenne prime): the additive checksum rides DECIMAL(38)
+    * exactly and folds to a BIGINT residue both engines agree on. */
+  private val CkMod = 2305843009213693951L
+
+  /** q110 — order-independent table checksums, the anti-entropy audit
+    * that verifies a replica/migration without moving the data twice:
+    * per table, the row count plus two independent digests of a
+    * canonical key serialization — an additive md5-60-bit sum folded
+    * mod 2⁶¹−1 and a bitwise-XOR fold. Both digests are commutative
+    * monoids, so the checksum is independent of partitioning, row
+    * order, and merge shape — two sides compare (n, sum, xor) triples
+    * and ship NOTHING but 3 scalars per table.
+    *
+    * Serialized columns are integers and strings only (doubles are
+    * excluded by design: engines differ in float→text rendering, and a
+    * checksum that depends on printf conventions is not portable).
+    *
+    * Scale shape: one partial-aggregated scan per table — the three
+    * accumulators combine map-side, so the shuffle is one row per
+    * partition; no sort, no join anywhere.
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    def one(tbl: String, keyCols: Seq[String]): DataFrame = {
+      val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+      Tables.load(s, dir, tbl)
+        .select(h60(s"ck|$tbl", key).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(DecimalType(38, 0))) % lit(CkMod))
+            .cast(LongType).as("sum_digest"),
+          bit_xor(col("h")).as("xor_digest"))
+        .select(lit(tbl).as("tbl"), col("n_rows"),
+          col("sum_digest"), col("xor_digest"))
+    }
+    one("documents", Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .unionAll(one("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+      .unionAll(one("lineitem", Seq("l_orderkey", "l_linenumber", "l_suppkey")))
+      .orderBy(col("tbl"))
+  }
+
+  /** KMV size for q111's distinct estimates — q89's sketch, applied
+    * per column instead of per group. */
+  private val ProfK = 64
+
+  /** q111 — column-statistics profile (the ANALYZE TABLE job): per
+    * profiled column of `events`, the row count, null count, and a
+    * deterministic KMV distinct-count estimate with its exact truth
+    * and relative error. Uniform output schema across column types
+    * because values are canonicalized to strings BEFORE hashing
+    * (doubles via DECIMAL(18,2) so both engines render identical
+    * text). At 100 TB the exact-truth arm is dropped and the sketch
+    * IS the statistic; it's emitted here because the query audits its
+    * own estimator (q89/q109's convention).
+    *
+    * Scale shape: one explode-free pass per column (the per-column
+    * frames union AFTER aggregation — rows never multiply); each
+    * column's sketch is q89's two-level prune, so no full-column sort;
+    * the null/row counts are plain partial aggregates.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    def one(name: String, c: Column): DataFrame = {
+      val base = ev.select(c.cast("string").as("v"))
+      val counts = base.agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      val d = base.where(col("v").isNotNull)
+        .select(h60(s"prof|$name", col("v")).as("h")).distinct()
+      val wLoc = Window.partitionBy(col("pid")).orderBy(col("h"))
+      val wG = Window.orderBy(col("h"))
+      val sk = d.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= ProfK)
+        .withColumn("rn", row_number().over(wG)).where(col("rn") <= ProfK)
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      val truth = base.where(col("v").isNotNull)
+        .agg(countDistinct(col("v")).as("true_distinct"))
+      val pow60 = lit(1152921504606846976L).cast(DoubleType)
+      val est = when(col("k_used") < ProfK, col("k_used").cast(DoubleType))
+        .otherwise(lit(ProfK - 1).cast(DoubleType) /
+          (col("kth_hash").cast(DoubleType) / pow60))
+      counts.crossJoin(sk).crossJoin(truth)
+        .select(lit(name).as("col_name"), col("n"), col("n_null"),
+          col("k_used"), est.as("est_distinct"), col("true_distinct"),
+          ((est - col("true_distinct").cast(DoubleType)) /
+            col("true_distinct").cast(DoubleType)).as("rel_err"))
+    }
+    one("event_type", col("event_type"))
+      .unionAll(one("user_id", col("user_id")))
+      .unionAll(one("value", col("value").cast(DecimalType(18, 2))))
+      .unionAll(one("props", col("props")))
+      .orderBy(col("col_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_table_checksum" -> tableChecksum,
+    "q111_column_profile" -> columnProfile
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q110_table_checksum" ->
+      """WITH ck AS (
+        |  SELECT 'documents' AS tbl,
+        |    ('0x' || substr(md5('ck|documents|' ||
+        |       concat_ws('|', doc_id::VARCHAR, text, lang, source,
+        |                 n_chars::VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    ('0x' || substr(md5('ck|orders|' ||
+        |       concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,
+        |                 o_orderstatus)), 1, 15))::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    ('0x' || substr(md5('ck|lineitem|' ||
+        |       concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+        |                 l_suppkey::VARCHAR)), 1, 15))::BIGINT
+        |  FROM lineitem)
+        |SELECT tbl, count(*)::BIGINT AS n_rows,
+        |       (sum(h::HUGEINT) % 2305843009213693951)::BIGINT AS sum_digest,
+        |       bit_xor(h)::BIGINT AS xor_digest
+        |FROM ck GROUP BY tbl
+        |ORDER BY tbl""".stripMargin,
+
+    "q111_column_profile" ->
+      """WITH cols AS (
+        |  SELECT 'event_type' AS col_name, event_type::VARCHAR AS v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', user_id::VARCHAR FROM events
+        |  UNION ALL
+        |  SELECT 'value', (value::DECIMAL(18,2))::VARCHAR FROM events
+        |  UNION ALL
+        |  SELECT 'props', props FROM events),
+        |counts AS (
+        |  SELECT col_name, count(*)::BIGINT AS n,
+        |         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+        |  FROM cols GROUP BY col_name),
+        |h AS (
+        |  SELECT DISTINCT col_name,
+        |    ('0x' || substr(md5('prof|' || col_name || '|' || v),
+        |     1, 15))::BIGINT AS h
+        |  FROM cols WHERE v IS NOT NULL),
+        |r AS (SELECT col_name, h,
+        |        row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT col_name, count(*)::BIGINT AS k_used, max(h) AS kth_hash
+        |       FROM r WHERE rn <= 64 GROUP BY col_name),
+        |t AS (SELECT col_name, count(DISTINCT v)::BIGINT AS true_distinct
+        |      FROM cols WHERE v IS NOT NULL GROUP BY col_name),
+        |e AS (
+        |  SELECT c.col_name, c.n, c.n_null, s.k_used,
+        |    CASE WHEN s.k_used < 64 THEN s.k_used::DOUBLE
+        |         ELSE 63.0::DOUBLE /
+        |           (s.kth_hash::DOUBLE /
+        |            CAST(1152921504606846976 AS DOUBLE)) END AS est_distinct,
+        |    t.true_distinct
+        |  FROM counts c JOIN sk s USING (col_name) JOIN t USING (col_name))
+        |SELECT col_name, n, n_null, k_used, est_distinct, true_distinct,
+        |       (est_distinct - true_distinct::DOUBLE) / true_distinct::DOUBLE
+        |         AS rel_err
+        |FROM e ORDER BY col_name""".stripMargin
+  )
+}
