@@ -38,8 +38,8 @@ object CurateMain {
     val nTok = size(col("w"))
     val dupTok = when(nTok === 0, lit(0.0))
       .otherwise((nTok - size(array_distinct(col("w")))).cast(DoubleType) / nTok)
-    val pct = (conv(substring(md5(concat(lit("mix|"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val pct = (call_function("graft_h60",
+      concat(lit("mix|"), col("doc_id").cast("string"))) % 100L)
     val rate = when(col("source") === "src0", 80L)
       .when(col("source") === "src1", 50L).otherwise(25L)
     val gated = docs

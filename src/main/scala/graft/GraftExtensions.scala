@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, DotProduct, MisraGries, StemWord, TopK}
+import graft.functions.{BpeEncode, DotProduct, Hash60Expr, MisraGries, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MisraGries(children.head, capacity)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "graft_h60"),
+      (children: Seq[Expression]) => Hash60Expr(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),

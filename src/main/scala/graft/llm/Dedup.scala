@@ -87,9 +87,10 @@ object Dedup {
   }
 
   /** x: the token's md5 reduced to [0, P) — computed ONCE per token row,
-    * before the k-way aggregation. */
+    * before the k-way aggregation. graft_h60 is the native codegen'd
+    * form of the oracle-side SQL chain in [[minhashTokenXSql]]. */
   def minhashTokenX(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long") % MinHashP
+    call_function("graft_h60", t) % MinHashP
 
   /** SQL twin of [[minhashTokenX]]. */
   def minhashTokenXSql(t: String): String =

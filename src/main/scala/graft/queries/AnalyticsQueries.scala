@@ -27,10 +27,11 @@ object AnalyticsQueries {
   private def toks = split(trim(col("text")), "\\s+")
 
   /** 60-bit md5 hash keyed by a query-local tag — the engine-wide
-    * deterministic-randomness idiom (q83/q85/q87). */
+    * deterministic-randomness idiom (q83/q85/q87), via the native
+    * codegen'd graft_h60 (bit-identical to the oracle-side SQL chain
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`). */
   private def h60(tag: String, c: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(tag + "|"), c.cast("string"))), 1, 15), 16, 10)
-      .cast(LongType)
+    call_function("graft_h60", concat(lit(tag + "|"), c.cast("string")))
 
   // ---------------------------------------------------------------- q88
 
@@ -67,8 +68,8 @@ object AnalyticsQueries {
         s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
           "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        conv(substring(md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")),
-          1, 15), 16, 10).cast(LongType).as("g"))
+        call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
     val dup = occ.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("g"))
@@ -128,8 +129,8 @@ object AnalyticsQueries {
         s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
           "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        conv(substring(md5(expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")),
-          1, 15), 16, 10).cast(LongType).as("g"))
+        call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
     // ONE stats pass per gram (distinct-doc count for the dup test AND
     // the packed first-occurrence arg-min together) — folding the two
     // aggregations saves a shuffle, an occ recompute, and a join

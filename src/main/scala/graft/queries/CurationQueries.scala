@@ -279,8 +279,8 @@ object CurationQueries {
     val snapshot = Tables.documents(s, dir)
       .where(col("doc_id") < 250)
       .select(md5(col("text")).as("digest")).distinct()
-    val pct = (conv(substring(md5(concat(lit("mix|"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val pct = (call_function("graft_h60",
+      concat(lit("mix|"), col("doc_id").cast("string"))) % 100L)
     val rate = when(col("source") === "src0", 80L)
       .when(col("source") === "src1", 50L).otherwise(25L)
     Tables.documents(s, dir)

@@ -14,10 +14,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object OpsQueries {
 
-  /** The engine-wide 60-bit md5 idiom (AnalyticsQueries.h60). */
+  /** The engine-wide 60-bit md5 idiom (AnalyticsQueries.h60), via the
+    * native codegen'd graft_h60. */
   private def h60(tag: String, c: Column): Column =
-    conv(substring(md5(concat(lit(tag + "|"), c)), 1, 15), 16, 10)
-      .cast(LongType)
+    call_function("graft_h60", concat(lit(tag + "|"), c))
 
   /** 2⁶¹ − 1 (Mersenne prime): the additive checksum rides DECIMAL(38)
     * exactly and folds to a BIGINT residue both engines agree on. */

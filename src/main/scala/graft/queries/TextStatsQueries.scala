@@ -142,8 +142,8 @@ object TextStatsQueries {
     * curation pipeline needs; rand()-based sampling is neither).
     * Hash: the same md5 60-bit-prefix family as MinHash. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val pct = (conv(substring(md5(concat(lit("mix|"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val pct = (call_function("graft_h60",
+      concat(lit("mix|"), col("doc_id").cast("string"))) % 100L)
     val rate = when(col("source") === "src0", 80L)
       .when(col("source") === "src1", 50L)
       .otherwise(25L)
@@ -245,8 +245,8 @@ object TextStatsQueries {
     val nBi = coalesce(col("n_bi"), lit(0L))
     val topBi = when(nBi === 0L, lit(0.0))
       .otherwise(col("m_bi").cast(DoubleType) / nBi)
-    val pct = (conv(substring(md5(concat(lit("mix|"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType) % 100L)
+    val pct = (call_function("graft_h60",
+      concat(lit("mix|"), col("doc_id").cast("string"))) % 100L)
     val rate = when(col("source") === "src0", 80L)
       .when(col("source") === "src1", 50L)
       .otherwise(25L)

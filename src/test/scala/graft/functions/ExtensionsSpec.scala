@@ -31,6 +31,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == "run")
   }
 
+  test("graft_h60 is bit-identical to the SQL md5 chain it replaces") {
+    import org.apache.spark.sql.functions._
+    // corpus tokens + adversarial cases: empty, unicode, separators,
+    // long strings, digest edge patterns
+    val edge = Seq("", "a", "mix|0", "kmv|42", "é-ü-中文", "x" * 10000,
+      "a|b|c", " leading", "trailing ", "\ttab")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .limit(2000).collect().map(_.getString(0)).toSeq
+    import spark.implicits._
+    val df = (edge ++ corpus).toDF("s")
+    val bad = df.select(
+      call_function("graft_h60", col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("chain"))
+      .where(col("native") =!= col("chain")).count()
+    assert(bad == 0L)
+    // null propagates; codegen path active (no interpreted fallback)
+    assert(spark.sql("SELECT graft_h60(CAST(NULL AS STRING)) AS h")
+      .head().isNullAt(0))
+    // codegen path active on a real scan (a local relation folds to
+    // LocalTableScan and proves nothing)
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(call_function("graft_h60", col("text")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` stage marker = the projection compiled into whole-stage
+    // codegen; a CodegenFallback expression would print a bare Project
+    assert("\\*\\(\\d+\\) Project \\[graft_h60".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+  }
+
   test("graft_dot rejects non-array arguments at analysis time") {
     val e = intercept[Exception](spark.sql("SELECT graft_dot(1, 2)").collect())
     assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"))
