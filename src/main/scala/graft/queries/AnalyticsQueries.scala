@@ -647,6 +647,74 @@ object AnalyticsQueries {
       .orderBy(col("grp"), col("ql"))
   }
 
+  // ---------------------------------------------------------------- q112
+
+  /** q112 — triangle census of the near-dup graph, the
+    * transitive-merge audit for dedup clustering: q73 unions documents
+    * into families by CONNECTED COMPONENTS over pair edges, which is
+    * only sound if near-duplication behaves transitively; the global
+    * clustering coefficient 3·triangles/wedges measures exactly that
+    * (1 = every two-hop pair is also directly similar; low values mean
+    * component-merging chains dissimilar docs). Edges are doc pairs
+    * sharing ≥ 1 cross-doc-duplicated 8-gram, with q96's hot-gram df
+    * cap (max(5, 1%·N)) so boilerplate grams can't mint d² edges.
+    *
+    * Scale shape: grams travel as graft_h60 8-byte hashes; the pair
+    * join is bounded by Σ nd² over CAPPED grams (nd ≤ df cap); the
+    * triangle join runs on the DEGREE-ORDERED orientation — each edge
+    * points low-(deg,id) → high, making the wedge relation
+    * Σ outdeg² = O(m^{3/2}) instead of Σ deg² (the hub node's star
+    * never fans out), the standard distributed triangle bound (Suri &
+    * Vassilvitskii 2011). All counts exact BIGINTs; the only double is
+    * the final coefficient.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // metadata-only parquet count (q81/q96 precedent)
+    val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
+    val occ = docs.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), call_function("graft_h60",
+        expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
+      .distinct()
+    val kept = occ.join(
+      occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2 && col("nd") <= dfCap).select(col("g")),
+      Seq("g"))
+    val edges = kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct()
+    val deg = edges.select(col("x").as("node"))
+      .unionAll(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    val xFirst = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val or = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"))
+    val tri = or.as("p")
+      .join(or.as("q"), col("p.dst") === col("q.src"))
+      .join(or.as("r"),
+        col("r.src") === col("p.src") && col("r.dst") === col("q.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("w_sum"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeCount).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("w_sum"), lit(0L)).as("n_wedges"),
+        col("n_triangles"),
+        when(coalesce(col("w_sum"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles").cast(DoubleType) /
+            col("w_sum").cast(DoubleType)).as("clustering"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private def prIterCte(i: Int): String =
@@ -671,7 +739,8 @@ object AnalyticsQueries {
     "q94_rrf_hybrid_ivf" -> rrfHybridIvf,
     "q98_dup_span_remove" -> dupSpanRemove,
     "q104_exact_quantiles" -> exactQuantiles,
-    "q109_kmv_overlap" -> kmvOverlap
+    "q109_kmv_overlap" -> kmvOverlap,
+    "q112_triangles" -> triangles
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -733,6 +802,50 @@ object AnalyticsQueries {
     }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // same edge set; triangles counted under the doc_id total order —
+    // any total order counts each triangle exactly once, so the count
+    // equals the Spark side's degree-ordered orientation
+    "q112_triangles" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(
+        |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
+        |  FROM d),
+        |occ AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
+        |  FROM pos),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |keepg AS (
+        |  SELECT g FROM occ GROUP BY g
+        |  HAVING count(*) >= 2
+        |     AND count(*) <= greatest(5, ceil(0.01 * (SELECT n FROM nn)))),
+        |kept AS (SELECT occ.doc_id, occ.g FROM occ JOIN keepg USING (g)),
+        |e AS (
+        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        |  FROM kept a JOIN kept b
+        |    ON a.g = b.g AND a.doc_id < b.doc_id),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM e p JOIN e q ON p.y = q.x
+        |  JOIN e r ON r.x = p.x AND r.y = q.y),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS n_nodes,
+        |         COALESCE(sum(deg * (deg - 1) // 2), 0)::BIGINT AS n_wedges
+        |  FROM deg),
+        |ec AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+        |SELECT s.n_nodes, ec.n_edges, s.n_wedges, t.n_triangles,
+        |       CASE WHEN s.n_wedges = 0 THEN 0.0::DOUBLE
+        |            ELSE 3.0 * t.n_triangles::DOUBLE / s.n_wedges::DOUBLE
+        |       END AS clustering
+        |FROM stats s, ec, tri t""".stripMargin,
     // sketch-combination estimator replicated verbatim: same md5-60-bit
     // hashes, same k-min union, same inclusion rule — deterministic
     "q109_kmv_overlap" ->

@@ -220,6 +220,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q112: triangle census equals a brute recomputation") {
+    val r = graft.SparkEntry.queries("q112_triangles")(spark, sfDir).head()
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- gramDocs if ds.size >= 2 && ds.size <= cap;
+         a <- ds; b <- ds if a < b) edges += ((a, b))
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val tris = (for ((a, b) <- edges.iterator; c <- deg.keys
+                     if b < c && edges(b -> c) && edges(a -> c)) yield 1).size
+    assert(r.getLong(0) == deg.size.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.size.toLong, "n_edges")
+    assert(r.getLong(2) == wedges, "n_wedges")
+    assert(r.getLong(3) == tris.toLong, "n_triangles")
+    assert(r.getLong(3) > 0, "sf0.001 must have a triangle witness")
+    val cc = r.getDouble(4)
+    assert(cc >= 0.0 && cc <= 1.0 && cc == 3.0 * tris / wedges)
+  }
+
   test("q108: OHLC equals a brute per-bucket recomputation") {
     val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
       .collect()
