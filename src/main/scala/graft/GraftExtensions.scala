@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_mg_candidates"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_candidates"),
       (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_mg_candidates takes (item, capacity INT), got ${children.length} args")
         val capacity = children(1) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(
@@ -46,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopK].getName, "graft_topk"),
       (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_topk takes (score BIGINT, tag STRING, k INT), got ${children.length} args")
         val k = children(2) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

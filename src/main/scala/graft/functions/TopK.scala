@@ -70,6 +70,16 @@ case class TopK(
 
   require(k > 0, s"graft_topk k must be > 0, got $k")
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk expects (BIGINT score, STRING tag), got ($l, $r)")
+    }
+  }
+
   override def prettyName: String = "graft_topk"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -101,7 +111,14 @@ case class TopK(
     val out = new DataOutputStream(bos)
     val elems = buffer.sorted
     out.writeInt(elems.length)
-    elems.foreach { case (s, t) => out.writeLong(s); out.writeUTF(t) }
+    // int length + raw UTF-8 (writeUTF caps at 64 KiB modified-UTF-8
+    // and the function is registered engine-wide — tags can be long)
+    elems.foreach { case (s, t) =>
+      out.writeLong(s)
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(tb.length)
+      out.write(tb)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -111,7 +128,13 @@ case class TopK(
     val b = new TopKBuffer(k)
     val size = in.readInt()
     var i = 0
-    while (i < size) { b.update(in.readLong(), in.readUTF()); i += 1 }
+    while (i < size) {
+      val s = in.readLong()
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
+      b.update(s, new String(tb, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
     b
   }
 

@@ -35,6 +35,12 @@ object OpsQueries {
     * Serialized columns are integers and strings only (doubles are
     * excluded by design: engines differ in float→text rendering, and a
     * checksum that depends on printf conventions is not portable).
+    * NULL cells are encoded as an explicit `\u0000NULL` marker before
+    * the join — concat_ws silently SKIPS nulls, under which
+    * (1, NULL, 'a') and (1, 'a', NULL) serialize identically, i.e. the
+    * digest would be blind to a value shifting across nullable columns
+    * — exactly the corruption an anti-entropy audit exists to catch.
+    * The NUL-byte prefix cannot appear in real column text.
     *
     * Scale shape: one partial-aggregated scan per table — the three
     * accumulators combine map-side, so the shuffle is one row per
@@ -42,7 +48,8 @@ object OpsQueries {
     */
   def tableChecksum(s: SparkSession, dir: String): DataFrame = {
     def one(tbl: String, keyCols: Seq[String]): DataFrame = {
-      val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+      val key = concat_ws("|", keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
       Tables.load(s, dir, tbl)
         .select(h60(s"ck|$tbl", key).as("h"))
         .agg(count(lit(1)).as("n_rows"),
@@ -117,24 +124,37 @@ object OpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // NULL cells ride the explicit chr(0)||'NULL' marker (Spark side:
+    // the "\u0000NULL" literal) so concat_ws cannot collapse distinct null layouts
     "q110_table_checksum" ->
       """WITH ck AS (
         |  SELECT 'documents' AS tbl,
         |    ('0x' || substr(md5('ck|documents|' ||
-        |       concat_ws('|', doc_id::VARCHAR, text, lang, source,
-        |                 n_chars::VARCHAR)), 1, 15))::BIGINT AS h
+        |       concat_ws('|',
+        |         coalesce(doc_id::VARCHAR, chr(0) || 'NULL'),
+        |         coalesce(text, chr(0) || 'NULL'),
+        |         coalesce(lang, chr(0) || 'NULL'),
+        |         coalesce(source, chr(0) || 'NULL'),
+        |         coalesce(n_chars::VARCHAR, chr(0) || 'NULL'))),
+        |     1, 15))::BIGINT AS h
         |  FROM documents
         |  UNION ALL
         |  SELECT 'orders',
         |    ('0x' || substr(md5('ck|orders|' ||
-        |       concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,
-        |                 o_orderstatus)), 1, 15))::BIGINT
+        |       concat_ws('|',
+        |         coalesce(o_orderkey::VARCHAR, chr(0) || 'NULL'),
+        |         coalesce(o_custkey::VARCHAR, chr(0) || 'NULL'),
+        |         coalesce(o_orderstatus, chr(0) || 'NULL'))),
+        |     1, 15))::BIGINT
         |  FROM orders
         |  UNION ALL
         |  SELECT 'lineitem',
         |    ('0x' || substr(md5('ck|lineitem|' ||
-        |       concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR,
-        |                 l_suppkey::VARCHAR)), 1, 15))::BIGINT
+        |       concat_ws('|',
+        |         coalesce(l_orderkey::VARCHAR, chr(0) || 'NULL'),
+        |         coalesce(l_linenumber::VARCHAR, chr(0) || 'NULL'),
+        |         coalesce(l_suppkey::VARCHAR, chr(0) || 'NULL'))),
+        |     1, 15))::BIGINT
         |  FROM lineitem)
         |SELECT tbl, count(*)::BIGINT AS n_rows,
         |       (sum(h::HUGEINT) % 2305843009213693951)::BIGINT AS sum_digest,

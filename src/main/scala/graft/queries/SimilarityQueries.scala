@@ -373,6 +373,11 @@ object SimilarityQueries {
     * diverge between engines and across partitionings; the dsum idiom
     * of RelationalQueries) and only the final mean division returns to
     * DOUBLE.
+    *
+    * Output shape: one scalar row per (cell, dim) — the 32×64 centroid
+    * matrix in long form, not an array column. A nested column would be
+    * opaque to any row-hash/diff harness (and to most warehouse diff
+    * tooling); 2,048 flat rows cost nothing and stay comparable.
     */
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -392,9 +397,12 @@ object SimilarityQueries {
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), sums: _*)
       .select(col("cell"), col("n_members"),
-        array((0 until VectorOps.Dim).map(i =>
-          col(s"s$i").cast(DoubleType) / col("n_members")): _*).as("centroid"))
-      .orderBy(col("cell"))
+        posexplode(array((0 until VectorOps.Dim).map(i =>
+          col(s"s$i").cast(DoubleType) / col("n_members")): _*))
+          .as(Seq("d0", "mean")))
+      .select(col("cell"), col("n_members"),
+        (col("d0") + 1).cast(LongType).as("dim"), col("mean"))
+      .orderBy(col("cell"), col("dim"))
   }
 
   // ---------------------------------------------------------------- q106
@@ -542,11 +550,10 @@ object SimilarityQueries {
          |  GROUP BY cell, i),
          |members AS (
          |  SELECT cell, count(*)::BIGINT AS n_members FROM asg GROUP BY cell)
-         |SELECT m.cell, m.n_members,
-         |       list(s / m.n_members ORDER BY i) AS centroid
+         |SELECT m.cell, m.n_members, i::BIGINT AS dim,
+         |       s / m.n_members AS mean
          |FROM sums JOIN members m USING (cell)
-         |GROUP BY m.cell, m.n_members
-         |ORDER BY m.cell""".stripMargin,
+         |ORDER BY m.cell, dim""".stripMargin,
 
     "q64_knn_ivfpq" -> {
       import graft.llm.Pq

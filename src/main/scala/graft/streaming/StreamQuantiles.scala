@@ -42,6 +42,14 @@ object StreamQuantiles {
     extends StatefulProcessor[String, ValMsg, QuantileBound] {
     @transient private var state: ValueState[Hist] = _
     private val width = (hi - lo) / buckets
+    // one edges array drives BOTH the bucketing comparisons and the
+    // emitted bounds, so a value counted in bucket b provably lies in
+    // [edges(b), edges(b+1)) — recomputing lo + b*width at emit time
+    // can drift by ulps from the (v-lo)/width bucketing and break the
+    // containment guarantee at bucket boundaries. The last edge is
+    // clamped to the frozen hi.
+    private val edges: Array[Double] =
+      Array.tabulate(buckets + 1)(i => if (i == buckets) hi else lo + i * width)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[Hist]("hist",
@@ -58,8 +66,11 @@ object StreamQuantiles {
         else if (m.v >= hi) above += 1
         else {
           // fp guard: (v-lo)/width can round up to `buckets` when v is
-          // the largest double below hi
-          val b = math.min(buckets - 1, ((m.v - lo) / width).toInt)
+          // the largest double below hi; then correct against the edges
+          // array so edges(b) <= v < edges(b+1) holds exactly
+          var b = math.min(buckets - 1, math.max(0, ((m.v - lo) / width).toInt))
+          while (b > 0 && m.v < edges(b)) b -= 1
+          while (b < buckets - 1 && m.v >= edges(b + 1)) b += 1
           counts(b) += 1
         }
       }
@@ -79,7 +90,7 @@ object StreamQuantiles {
             b += 1
           }
           if (found < 0) QuantileBound(key, ql, n, hi, Double.PositiveInfinity)
-          else QuantileBound(key, ql, n, lo + found * width, lo + (found + 1) * width)
+          else QuantileBound(key, ql, n, edges(found), edges(found + 1))
         }
       }
     }

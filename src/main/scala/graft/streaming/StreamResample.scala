@@ -75,7 +75,9 @@ object StreamResample {
     import events.sparkSession.implicits._
     events
       .select(col("event_type").as("eventType"),
-        expr("unix_micros(ts) div 3600000000 * 3600").as("hour"),
+        // date_trunc FLOORS (like batch q108); integer `div` truncates
+        // toward zero and would shift pre-1970 timestamps one bucket up
+        expr("unix_micros(date_trunc('HOUR', ts)) div 1000000").as("hour"),
         unix_micros(col("ts")).as("tsu"), col("event_id").as("eventId"),
         col("value").as("value"),
         (col("value").cast("decimal(18,2)") * lit(100))

@@ -235,7 +235,10 @@ class AnalyticsSpec extends SparkSpec {
     val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val wedges = deg.values.map(d => d * (d - 1) / 2).sum
-    val tris = (for ((a, b) <- edges.iterator; c <- deg.keys
+    // deg.keys is a Set — materialize to a Seq so the inner generator
+    // does not collapse the per-edge `yield 1`s into a single element
+    // (one edge can close several triangles via distinct third vertices)
+    val tris = (for ((a, b) <- edges.iterator; c <- deg.keys.toSeq
                      if b < c && edges(b -> c) && edges(a -> c)) yield 1).size
     assert(r.getLong(0) == deg.size.toLong, "n_nodes")
     assert(r.getLong(1) == edges.size.toLong, "n_edges")

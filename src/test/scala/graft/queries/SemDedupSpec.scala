@@ -61,9 +61,16 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("q102 centroid update == local recomputation and descends SSE") {
-    val got = graft.SparkEntry.queries("q102_centroid_update")(spark, sfDir)
+    // long form: one row per (cell, dim) — regroup to per-cell vectors
+    val rows = graft.SparkEntry.queries("q102_centroid_update")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (_, _, dim, _) => assert(dim >= 1 && dim <= 64) }
+    val got = rows.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((cell, n), ds) =>
+        assert(ds.map(_._3).sorted.toSeq == (1L to 64L))
+        (cell, n, ds.sortBy(_._3).map(_._4))
+      }
       .sortBy(_._1)
     val byCell = local.groupBy(_._3)
     // membership counts match

@@ -16,6 +16,24 @@ class SmokeSpec extends SparkSpec {
     }
   }
 
+  test("every query result schema is flat atomic (checker-safe contract)") {
+    // The driver's oracle checker sorts and row-hashes results with
+    // pandas; Array/Map/Struct cells are unhashable there, so a nested
+    // output column silently voids the correctness check (q102 shipped
+    // `centroid array<double>` in r5 and burned the round's only red
+    // entry). Long-form scalar rows cost nothing — enforce them.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nested = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+      assert(nested.isEmpty,
+        s"non-atomic result columns break the driver's checker: ${nested.mkString(", ")}")
+    }
+  }
+
   test("every query has an oracle or is a documented rows-only exception") {
     // rows-only by design: stemmer/HLL sketch/MLlib LSH have no DuckDB
     // twin; q99's BPE merge loop is iterative with data-dependent trip
