@@ -324,27 +324,56 @@ object SimilarityQueries {
     * The cluster count is the scale dial: SemDeDup runs k ∝ √N (50k
     * clusters for LAION-440M), holding E|cell| — and so the per-key
     * join fan-out — constant as the corpus grows.
+    *
+    * The dial is config, though, and a frozen codebook under a grown
+    * corpus would quietly turn Σ|cell|² quadratic — so the pair stage
+    * is GATED (q30's measure-then-branch): at/below
+    * [[SemDedupGateRows]] the exact within-cell join runs (every sf the
+    * oracle checks); above it, pairs must ALSO share a [[LshBits]]-bit
+    * sign sub-bucket (q52's family), dividing per-key fan-out by the
+    * occupied sub-bucket count regardless of |cell|. The fallback's
+    * error is one-sided: it examines a SUBSET of the exact pairs, so
+    * every vector it drops is dominated in the exact semantics too —
+    * it can only under-drop (keep extra), never discard a non-duplicate
+    * (SemDedupSpec asserts this soundness on the forced scale path).
     */
-  def semDedupPrune(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
+  def semDedupPrune(s: SparkSession, dir: String): DataFrame =
+    graft.Gate.byCount(Tables.embeddings(s, dir), SemDedupGateRows)(
+      semDedupPruneImpl(s, dir, subBucketed = false))(
+      semDedupPruneImpl(s, dir, subBucketed = true))
+
+  private[queries] val SemDedupGateRows = 100000L
+
+  private[queries] def semDedupPruneImpl(
+      s: SparkSession, dir: String, subBucketed: Boolean): DataFrame = {
+    val e0 = vecs(s, dir)
+    val e = if (subBucketed)
+      e0.withColumn("sub", VectorOps.signBucket(col("embedding"), LshBits))
+    else e0.withColumn("sub", lit(0L))
     val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("sub"),
+        col("cid"), dist.as("dist"))
       .withColumn("rk", row_number().over(wAssign))
       .where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("sub"),
         col("cid").as("cell"), col("dist"))
-    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+    val a = assigned.select(col("cell").as("cell_a"), col("sub").as("sub_a"),
+      col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"), col("dist").as("da"))
-    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+    val b = assigned.select(col("cell").as("cell_b"), col("sub").as("sub_b"),
+      col("vec_id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"), col("dist").as("db"))
     val cos = VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-    // a strictly more central than b (ties by id) and near-duplicate of it
-    val dominated = a.join(b, col("cell_a") === col("cell_b") &&
+    // a strictly more central than b (ties by id) and near-duplicate of
+    // it; `sub` is constant 0 on the exact path, so the equality key
+    // degenerates to the plain cell join there
+    val dominated = a.join(b,
+        col("cell_a") === col("cell_b") && col("sub_a") === col("sub_b") &&
         (col("da") < col("db") ||
           (col("da") === col("db") && col("id_a") < col("id_b"))))
       .where(cos >= SemTau)

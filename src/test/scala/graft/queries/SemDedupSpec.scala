@@ -60,6 +60,28 @@ class SemDedupSpec extends SparkSpec {
       "sf0.001 should contain at least one dropped and one kept vector")
   }
 
+  test("q101 scale fallback: sub-bucketed drops are a sound subset") {
+    // Above SemDedupGateRows the pair join adds a sign-sub-bucket
+    // equality key, bounding per-key fan-out when a frozen codebook
+    // meets a grown corpus. Its pairs are a subset of the exact plan's,
+    // so its error must be one-sided: everything it drops, the exact
+    // semantics drops too (it may only keep extra).
+    val exact = SimilarityQueries
+      .semDedupPruneImpl(spark, sfDir, subBucketed = false)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val sub = SimilarityQueries
+      .semDedupPruneImpl(spark, sfDir, subBucketed = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(sub.length == exact.size)
+    sub.foreach { case (id, kept) =>
+      if (!kept) assert(!exact(id),
+        s"scale path dropped vec $id that exact semantics keeps")
+    }
+    // and the registered q101 rides the exact branch at oracle scales
+    assert(Tables.embeddings(spark, sfDir).count() <=
+      SimilarityQueries.SemDedupGateRows)
+  }
+
   test("q102 centroid update == local recomputation and descends SSE") {
     // long form: one row per (cell, dim) — regroup to per-cell vectors
     val rows = graft.SparkEntry.queries("q102_centroid_update")(spark, sfDir)
