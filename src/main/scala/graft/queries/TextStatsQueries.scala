@@ -364,7 +364,16 @@ object TextStatsQueries {
       .head()
     val n = sk.getLong(0)
     val cand = sk.getSeq[String](1)
-    tok.where(col("t").isInCollection(cand))
+    // the recount filter compares 8-byte ints, not strings: candidates
+    // hash to graft_h60 longs driver-side and each scanned token hashes
+    // once map-side (the repo's everything-rides-longs discipline). A
+    // h60 collision only lets a non-candidate token through the filter;
+    // it is then counted exactly and killed by the integer threshold
+    // (MG guarantees no non-candidate is heavy), so EXACTNESS does not
+    // depend on the hash.
+    val candH = cand.map(t => graft.functions.Hash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    tok.where(call_function("graft_h60", col("t")).isInCollection(candH))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * lit(HhReportK.toLong) > lit(n))
       .select(col("t").as("token"), col("cnt"))

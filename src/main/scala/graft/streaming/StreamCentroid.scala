@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.llm.{IvfCodebook, VectorOps}
+
+/** Streaming centroid update: batch q102's cross-batch twin, and the
+  * online half of what the reference's MiniBatchKMeans actually is —
+  * every arriving vector folds into its nearest frozen cell's running
+  * (count, element-sums) state, and each batch emits the updated mean
+  * per touched cell. After ANY sequence of micro-batches the snapshot
+  * equals batch q102 over the union of their rows, because the state
+  * is the same commutative monoid q102's partial aggregates ride:
+  * element sums in exact fixed-point (scaled-long = DECIMAL(18,9)
+  * quanta — the decimal sum a double accumulator could not replay:
+  * float addition order would make the emitted mean depend on batch
+  * boundaries), counts as plain longs.
+  *
+  * Assignment arithmetic is the SAME expanded IEEE form as q102
+  * (nrm² − 2·v·c + cnrm², ties by cid, strict left-to-right dots), so
+  * stream and batch put every vector in the same cell.
+  *
+  * Scale posture: state is cells × (1 + dim) longs — fixed bytes
+  * regardless of stream length; cells give shuffle parallelism;
+  * per-arrival work is the dim × cells assignment plus a dim-long
+  * fold. Sum headroom: |v_i| ≤ ~4 in this corpus, so each element sum
+  * gains ≤ 4·10⁹ per arrival — overflow needs ~2·10⁹ vectors PER CELL;
+  * a deployment past that re-scales the quantum or widens to two limbs.
+  */
+object StreamCentroid {
+
+  case class VecMsg(cell: Long, vecId: Long, scaled: Array[Long])
+  case class CellSums(n: Long, sums: Array[Long])
+  case class CentroidRow(cell: Long, nMembers: Long, dim: Long, mean: Double)
+
+  private lazy val Cents: Array[Array[Double]] = IvfCodebook.centroids
+  private lazy val CentNrm2: Array[Double] = Cents.map(c => {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    val n = math.sqrt(s)
+    n * n
+  })
+
+  /** Nearest frozen cell, q102's expanded-form arithmetic. */
+  def assign(v: Array[Double]): Int = {
+    var nrm2 = 0.0
+    var i = 0
+    while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(nrm2)
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < Cents.length) {
+      var dot = 0.0
+      var j = 0
+      val cv = Cents(c)
+      while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
+      val d = nrm * nrm - 2.0 * dot + CentNrm2(c)
+      if (d < bestD) { bestD = d; best = c } // ties by cid: first wins
+      c += 1
+    }
+    best
+  }
+
+  /** The DECIMAL(18,9) quantum as a long: Spark's double→decimal cast
+    * rounds HALF_UP, replicated via BigDecimal so stream and batch sum
+    * identical integers. */
+  def toScaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Decimal-sum → double exactly as Spark renders DECIMAL→DOUBLE
+    * (one correctly-rounded conversion, not scaled.toDouble/1e9's two
+    * roundings), then the same double division by the count. */
+  def meanOf(sumScaled: Long, n: Long): Double =
+    new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(sumScaled), 9).doubleValue() / n
+
+  class CellProcessor
+    extends StatefulProcessor[Long, VecMsg, CentroidRow] {
+    @transient private var state: ValueState[CellSums] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CellSums]("sums",
+        Encoders.product[CellSums], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[VecMsg],
+                                 timerValues: TimerValues): Iterator[CentroidRow] = {
+      val cur = Option(state.get())
+        .getOrElse(CellSums(0L, new Array[Long](VectorOps.Dim)))
+      var n = cur.n
+      val sums = cur.sums.clone()
+      rows.foreach { m =>
+        n += 1
+        var i = 0
+        while (i < sums.length) { sums(i) += m.scaled(i); i += 1 }
+      }
+      state.update(CellSums(n, sums))
+      (0 until VectorOps.Dim).iterator.map(i =>
+        CentroidRow(key, n, (i + 1).toLong, meanOf(sums(i), n)))
+    }
+  }
+
+  /** (vec_id, embedding array<float>) rows → per-batch updated
+    * (cell, n_members, dim, mean) snapshots for every touched cell —
+    * batch q102's output shape. */
+  def apply(vectors: DataFrame): Dataset[CentroidRow] = {
+    import vectors.sparkSession.implicits._
+    vectors
+      .select(col("vec_id").cast("long").as("vecId"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        VecMsg(assign(v).toLong, id, v.map(toScaled))
+      }
+      .groupByKey(_.cell)
+      .transformWithState(new CellProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -76,6 +76,10 @@ class MisraGriesSpec extends SparkSpec {
     val s = p.toString
     assert(s.contains("INSET") || s.contains(" IN "),
       s"candidate membership filter missing from the recount plan:\n${s.take(1200)}")
+    // and the membership test rides 8-byte hashes, not strings: the
+    // filter input is graft_h60(t), so the INSET compares longs
+    assert(s.contains("graft_h60"),
+      s"recount filter should compare h60 longs, not raw tokens:\n${s.take(1200)}")
   }
 
   test("aggregate: works in plain SQL and null inputs are skipped") {
