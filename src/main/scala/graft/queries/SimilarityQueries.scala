@@ -434,6 +434,96 @@ object SimilarityQueries {
       .orderBy(col("cell"), col("dim"))
   }
 
+  // ADC shortlist depth for q113 (same dial as q64's PqShortlist —
+  // int8 quantization noise is far smaller than PQ's, so the same
+  // depth holds recall with margin; measured recall@5 in AnnRecallSpec).
+  private val Int8Shortlist = 50
+
+  /** q113 — IVF ANN with an int8 asymmetric-distance candidate stage:
+    * q64's two-level shape (coarse IVF probe → quantized-distance
+    * shortlist → exact re-rank) with q106's scalar quantization as the
+    * fine level instead of PQ. Candidates are ranked by
+    * L2²(exact query, dequantized int8 reconstruction) — the
+    * asymmetric distance of Jégou et al. 2011 — so the candidate stage
+    * needs only a vector's 64 int8 codes plus the global 64-row scale
+    * table: 4× smaller than float32 (PQ's 8 B/vector is 32×, but int8
+    * reconstructs with ~16× less squared error on this corpus, which
+    * is the classic memory/recall rung between raw floats and PQ).
+    *
+    * The scale table (per-dim min/max — q106's exact aggregate) is
+    * collected driver-side: 128 doubles, the bounded-scalar-action
+    * shape of q100's candidate array, then folded into the dequant
+    * expressions as literals and broadcast with the plan. Codes are
+    * exact integers (floor over bit-identical IEEE doubles) and every
+    * dequant/distance expression mirrors the DuckDB oracle tree, so
+    * the whole two-stage pipeline is exact-oracle-able end to end.
+    *
+    * Scale shape: identical to q64 — assignment rows × 32 broadcast
+    * centroids, candidate join bounded by probed cells, per-query
+    * shortlist-50 window, exact re-rank touches ≤ 50 raw vectors per
+    * query.
+    */
+  def knnIvfInt8(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = vecs(s, dir)
+    // q106's exact per-dim scale table, collected (64 rows, 128 doubles)
+    val dims = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("i"), col("xf").cast(DoubleType).as("x"))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // dequantized reconstruction, element-wise with literal scales:
+    // code = floor(((x − mn)·255)/(mx − mn)) clamped to [0,255]
+    // xhat = mn + ((code + 0.5)·(mx − mn))/255   (bucket centers)
+    // — the exact expression shapes of q106, so IEEE doubles match
+    val xhat = array((0 until VectorOps.Dim).map { i =>
+      val (mn, mx) = dims(i)
+      val x = col("v").getItem(i)
+      if (mx == mn) lit(mn)
+      else {
+        val code = least(lit(255L), greatest(lit(0L),
+          floor(((x - lit(mn)) * lit(255.0)) / lit(mx - mn))))
+        lit(mn) + ((code + lit(0.5)) * lit(mx - mn)) / lit(255.0)
+      }
+    }: _*)
+    val cents = centroids(s)
+    val dist = VectorOps.dot(col("v"), col("v")) -
+      lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
+      VectorOps.dot(col("cv"), col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+    val cells = assigned.where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), xhat.as("xhat"), col("cid").as("cell"))
+    val probes = assigned.where(col("rk") <= IvfProbes && col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cid").as("probe"))
+    val adc = VectorOps.dot(col("qv"), col("qv")) -
+      lit(2.0) * VectorOps.dot(col("qv"), col("xhat")) +
+      VectorOps.dot(col("xhat"), col("xhat"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val shortlist = probes
+      .join(cells, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), adc.as("adc"))
+      .withColumn("rs", row_number().over(wAdc))
+      .where(col("rs") <= Int8Shortlist)
+    val l2 = VectorOps.dot(col("qv"), col("qv")) -
+      lit(2.0) * VectorOps.dot(col("qv"), col("nv")) +
+      VectorOps.dot(col("nv"), col("nv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    shortlist
+      .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- q106
 
   /** q106 — int8 scalar quantization of the embedding column (the
@@ -493,7 +583,8 @@ object SimilarityQueries {
     "q55_knn_ivf"       -> knnIvf,
     "q77_semantic_sample" -> semanticSample,
     "q59_array_ops"     -> arrayOps,
-    "q64_knn_ivfpq"     -> knnIvfPq
+    "q64_knn_ivfpq"     -> knnIvfPq,
+    "q113_knn_ivf_int8" -> knnIvfInt8
   )
 
   private def ivfCentValuesSql: String =
@@ -583,6 +674,72 @@ object SimilarityQueries {
          |       s / m.n_members AS mean
          |FROM sums JOIN members m USING (cell)
          |ORDER BY m.cell, dim""".stripMargin,
+
+    // int8 ADC: the dims CTE recomputes the same exact per-dim min/max
+    // the Spark side collected; dequant expression shapes mirror q106
+    "q113_knn_ivf_int8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (
+         |  SELECT unnest(embedding)::DOUBLE AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)),
+         |cents AS (
+         |  SELECT CAST(cid AS BIGINT) AS cid, cv
+         |  FROM (VALUES
+         |    $ivfCentValuesSql) t(cid, cv)),
+         |a AS (
+         |  SELECT e.vec_id, c.cid,
+         |         list_dot_product(e.v, e.v)
+         |           - 2.0 * list_dot_product(e.v, c.cv)
+         |           + list_dot_product(c.cv, c.cv) AS dist
+         |  FROM e, cents c),
+         |r AS (
+         |  SELECT vec_id, cid,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY dist, cid) AS BIGINT) AS rk
+         |  FROM a),
+         |cells AS (
+         |  SELECT e.vec_id, e.v,
+         |         list_transform(range(1, ${VectorOps.Dim + 1}), i ->
+         |           CASE WHEN mxs[i] = mns[i] THEN mns[i]
+         |                ELSE mns[i] +
+         |                  ((least(255, greatest(0,
+         |                     floor(((e.v[i] - mns[i]) * 255.0)
+         |                       / (mxs[i] - mns[i])))) + 0.5)
+         |                   * (mxs[i] - mns[i])) / 255.0
+         |           END) AS xhat,
+         |         r.cid AS cell
+         |  FROM e CROSS JOIN dims
+         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |probes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
+         |         ${graft.llm.Pq.adcSql("p.qv", "cells.xhat")} AS adc
+         |  FROM probes p JOIN cells
+         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
+         |short AS (
+         |  SELECT query_id, qv, neighbor_id, nv,
+         |         row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc, neighbor_id) AS rs
+         |  FROM c),
+         |rr AS (
+         |  SELECT query_id, neighbor_id,
+         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
+         |           + list_dot_product(nv, nv)) AS l2,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY (list_dot_product(qv, qv)
+         |                - 2.0 * list_dot_product(qv, nv)
+         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
+         |  FROM short WHERE rs <= $Int8Shortlist)
+         |SELECT query_id, neighbor_id, l2, rn FROM rr
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
     "q64_knn_ivfpq" -> {
       import graft.llm.Pq
