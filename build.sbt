@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Durable test artifact (VERDICT r5 item 9): a custom ScalaTest reporter
+// rewrites test_out.json after every event so a red or aborted suite is
+// visible in the snapshot, not just the (truncated) build log.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.JsonSummaryReporter")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

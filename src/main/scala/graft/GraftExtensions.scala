@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeEncode, DotProduct, Hash60Expr, MisraGries, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, DotProduct, Hash60Expr, MisraGries, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_mg_candidates capacity must be an INT literal, got $other")
         }
         MisraGries(children.head, capacity)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_bloom_probe takes (bloom BINARY literal, key BIGINT), got ${children.length} args")
+        val bytes = children.head match {
+          case Literal(v: Array[Byte], BinaryType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_probe bloom must be a BINARY literal, got $other")
+        }
+        BloomProbe(bytes, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

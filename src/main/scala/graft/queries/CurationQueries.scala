@@ -317,7 +317,13 @@ object CurationQueries {
     * speed and fans out ~n/S rows per doc; the downstream embedder
     * keys on (doc_id, chunk_id), which this emits deterministically.
     */
-  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    chunkRows(s, dir).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** q103's chunk stream without the presentation sort — shared with
+    * q114, which re-aggregates it and must not inherit a useless
+    * mid-plan global order. */
+  private def chunkRows(s: SparkSession, dir: String): DataFrame = {
     val w = filter(toks, t => t =!= "")
     Tables.documents(s, dir)
       .select(col("doc_id"), w.as("w"))
@@ -333,11 +339,48 @@ object CurationQueries {
         concat_ws(" ", expr(
           s"slice(w, CAST(c * $ChunkS + 1 AS INT), CAST(least($ChunkW, n - c * $ChunkS) AS INT))"))
           .as("chunk"))
+  }
+
+  /** Packs (doc_id, chunk_id) into one BIGINT for the global
+    * first-occurrence arg-min (q98's [[AnalyticsQueries.PosPack]]
+    * idiom): 2²¹ chunks/doc ≈ 64M tokens/doc, far past any real
+    * document, so the packing is collision-free. */
+  private val ChunkPack = 1L << 21
+
+  /** q114 — chunk-level exact deduplication, the gate between q103's
+    * chunker and the embed/index stage of a RAG or embedding pipeline:
+    * an identical chunk must not be embedded (GPU cost) or indexed
+    * (duplicate retrievals) twice, so every chunk whose text already
+    * occurred at a smaller global (doc_id, chunk_id) is marked drop.
+    * This is dedup at a THIRD granularity — document (q24), token-span
+    * (q98), and now the unit the downstream consumer actually keys on.
+    *
+    * Scale shape: chunk text collapses to an 8-byte graft_h60 digest at
+    * the scan, so the duplicate-detection shuffle ships (hash, packed
+    * BIGINT) pairs only — never text. First occurrence is a min()
+    * partial aggregation over the packed key (no per-hash sort window),
+    * and the verdict join back is an equi-join on the 8-byte hash —
+    * shuffle-join shaped, like q98's: the distinct-chunk table at
+    * corpus scale is too large to broadcast by construction. Emitting
+    * verdicts (not filtered survivors) keeps the op composable: the
+    * embed stage anti-joins drops, an audit sums them.
+    */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = chunkRows(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        call_function("graft_h60", col("chunk")).as("h"))
+    val packed = col("doc_id") * lit(ChunkPack) + col("chunk_id")
+    val first = c.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), min(packed).as("fk"))
+    c.join(first, Seq("h"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("n_occ"),
+        (packed === col("fk")).as("keep"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_chunk_overlap" -> chunkOverlap,
+    "q114_chunk_dedup"   -> chunkDedup,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
     "q80_mixture_cap"       -> mixtureCap,
@@ -371,6 +414,33 @@ object CurationQueries {
          |         list_slice(w, c * $ChunkS + 1, c * $ChunkS + least($ChunkW, n - c * $ChunkS)),
          |         ' ') AS chunk
          |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q114_chunk_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     t -> t <> '') AS w
+         |  FROM documents),
+         |nn AS (
+         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+         |  WHERE len(w) > 0),
+         |ch AS (
+         |  SELECT doc_id, w, n, u.c
+         |  FROM nn, unnest(range(0,
+         |    1 + CASE WHEN n > $ChunkW THEN (n - $ChunkW + ${ChunkS - 1}) // $ChunkS ELSE 0 END)) AS u(c)),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         CAST(c AS BIGINT) AS chunk_id,
+         |         CAST(least($ChunkW, n - c * $ChunkS) AS BIGINT) AS n_tok,
+         |         ('0x' || substr(md5(array_to_string(
+         |            list_slice(w, c * $ChunkS + 1, c * $ChunkS + least($ChunkW, n - c * $ChunkS)),
+         |            ' ')), 1, 15))::BIGINT AS h
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, n_tok,
+         |       count(*) OVER (PARTITION BY h) AS n_occ,
+         |       doc_id * $ChunkPack + chunk_id =
+         |         min(doc_id * $ChunkPack + chunk_id) OVER (PARTITION BY h) AS keep
+         |FROM hashed
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "q87_incremental_delta" ->
       s"""WITH snapshot AS (

@@ -621,8 +621,50 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** q115 — semi-join reduction via a Bloom pre-filter (the manual form
+    * of Spark's InjectRuntimeFilter, which stays dormant below its
+    * 10 GB application-side threshold): urgent-order lineitems
+    * aggregated by flag/status, where the fact scan is pruned by a
+    * broadcast-sized Bloom of the dim keys BEFORE the exact semi join's
+    * exchange. At 100 TB this is the difference between shuffling every
+    * fact row to the join and shuffling only probable matches: a 10M-key
+    * dim side fits a ~12 MB bloom (1% fpp) where its broadcast hash
+    * relation would be 10×+ that, and the probe is one codegen'd
+    * `mightContainLong` per row, scan-adjacent, ahead of the exchange.
+    *
+    * The bloom is one-sided (no false negatives), so the EXACT semi join
+    * downstream — kept sort-merge by hint, modeling the
+    * beyond-broadcast dim side this pattern exists for — makes the
+    * result identical to the plain semi join the oracle runs: false
+    * positives are re-killed, dropped rows provably had no partner.
+    * Building the bloom costs one aggregate job over the dim side (plus
+    * a count to size it — at scale the catalog's row-count statistic
+    * replaces that action); it ships as a fixed-size bitset inside the
+    * probe expression, never as rows.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = {
+      val n = dim.count()
+      val bf = dim.stat.bloomFilter("o_orderkey", math.max(n, 1L), 0.01)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    Tables.lineitem(s, dir)
+      .where(call_function("graft_bloom_probe", lit(bloom), col("l_orderkey")))
+      .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_group_topk"     -> groupTopK,
+    "q115_bloom_semijoin" -> bloomSemiJoin,
     "q02_filter_range"    -> filterRange,
     "q03_filter_in_like"  -> filterInLike,
     "q04_agg_summary"     -> aggSummary,
@@ -729,6 +771,16 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q115_bloom_semijoin" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       count(*) AS cnt, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_orderkey = l_orderkey
+         |                AND o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q08_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -270,4 +270,30 @@ class CurationSpec extends SparkSpec {
         assert(stitched.length == n, s"doc $doc stitched ${stitched.length} vs $n")
     }
   }
+
+  test("q114 verdicts equal a brute text-level recomputation of keep-first dedup") {
+    val chunks = CurationQueries.chunkOverlap(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+    val verdicts = CurationQueries.chunkDedup(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(verdicts.keySet == chunks.map(_._1).toSet,
+      "q114 must emit one verdict per q103 chunk")
+    // brute: group by chunk TEXT (not hash) — also proves graft_h60 is
+    // collision-free on this corpus, since hash-grouped counts match
+    val byText = chunks.groupBy(_._2)
+    byText.foreach { case (_, occ) =>
+      val firstKey = occ.map(_._1).minBy { case (d, c) => d * (1L << 21) + c }
+      occ.foreach { case (key, _) =>
+        val (nOcc, keep) = verdicts(key)
+        assert(nOcc == occ.length, s"$key n_occ $nOcc vs brute ${occ.length}")
+        assert(keep == (key == firstKey), s"$key keep flag wrong")
+      }
+    }
+    // witness: the corpus carries exact-duplicate docs (q24's subjects),
+    // so duplicated chunks must exist and every one keeps exactly one copy
+    val dups = byText.values.filter(_.length > 1)
+    assert(dups.nonEmpty, "no duplicated chunk at test scale — vacuous dedup")
+    assert(dups.forall(occ => occ.count(o => verdicts(o._1)._2) == 1))
+  }
 }

@@ -244,4 +244,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("q77_semantic_sample")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q115 probes the bloom below the semi join's exchange, and the join stays exact") {
+    val df = graft.SparkEntry.queries("q115_bloom_semijoin")(spark, sfDir)
+    val smj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(smj.nonEmpty,
+      "the exact semi join must remain (merge-hinted: the at-scale dim side " +
+        "is beyond broadcast) — the bloom alone admits false positives")
+    // the probe filter must sit on the join's STREAMED (fact) side, below
+    // its exchange: probable-miss rows are dropped before they ship
+    val probeFilters = smj.head.left.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.exists(_.isInstanceOf[graft.functions.BloomProbe]) => f
+    }
+    assert(probeFilters.nonEmpty,
+      "graft_bloom_probe must pre-filter the fact side beneath the semi join")
+  }
 }
