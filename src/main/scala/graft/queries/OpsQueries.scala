@@ -118,9 +118,95 @@ object OpsQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Z-order buckets per dimension (4 bits each → ≤ 256 cells). */
+  private val ZBits = 4
+
+  /** q117 — Z-order (Morton) layout cells over (l_partkey, l_suppkey),
+    * the clustering step behind multi-column data skipping (Delta/
+    * Iceberg `OPTIMIZE ZORDER`): each key is equi-width-bucketed to
+    * 2⁴ buckets over its [min, max] (production uses q104's equi-DEPTH
+    * histogram — equi-width keeps the math integer-exact for the
+    * oracle), the two 4-bit bucket ids bit-interleave into a Morton
+    * cell, and the query emits per cell the row count plus min/max of
+    * BOTH keys — exactly the file-footer statistics a scan would prune
+    * on. The payoff this shape proves: every cell is tight in BOTH
+    * dimensions simultaneously (OpsSpec asserts each cell spans one
+    * bucket of each key), where a single-column sort gives tight
+    * ranges in one dimension and full-range footers in the other.
+    *
+    * Scale shape: one partial-agg pass for the 4 global min/max
+    * scalars (broadcast back as a 1-row crossJoin); the
+    * bucketize + interleave is row-local integer arithmetic in
+    * whole-stage codegen; the per-cell rollup partial-aggregates to
+    * ≤ 256 rows per partition. At 100 TB the cell id is the range-
+    * partitioning key for the actual rewrite; this query is its
+    * planning/audit half, shipping 256 rows of footer stats.
+    */
+  def zorderCells(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+    val ext = li.agg(min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
+      min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx"))
+    val nb = 1L << ZBits
+    val zcell = (0 until ZBits).map { b =>
+      shiftleft(shiftright(col("bp"), b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(col("bs"), b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+    li.crossJoin(broadcast(ext))
+      // `div`: exact BIGINT division in both engines (DuckDB `//`)
+      .withColumn("bp", expr(s"((l_partkey - pmn) * $nb) div (pmx - pmn + 1)"))
+      .withColumn("bs", expr(s"((l_suppkey - smn) * $nb) div (smx - smn + 1)"))
+      .select(zcell.cast(LongType).as("zcell"), col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+        min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+      .orderBy(col("zcell"))
+  }
+
+  /** q118 — per-group 3σ outlier audit of `events.value`, the
+    * quality gate a pipeline runs before training on a metric column
+    * — with the verdict computed in EXACT integer arithmetic: a row is
+    * an outlier iff (n·x − S)² > 9·(n·Q − S²) over integer cents,
+    * which is |x − μ| > 3σ with both sides multiplied by n² — no
+    * float mean or stddev ever exists, so both engines agree on every
+    * boundary case. Emits per event type the population size and the
+    * high/low outlier counts (hi: n·x > S). Magnitude bound: the
+    * squares reach ~(n·x)² — DECIMAL(38,0)/HUGEINT carries n·x up to
+    * 10¹⁹, i.e. populations of 10¹² cent-scale rows, before the
+    * quantum needs coarsening.
+    *
+    * Scale shape: the (n, S, Q) sufficient statistics are one
+    * partial-agg pass (3 rows per partition on the wire); they
+    * broadcast back and the verdict is row-local decimal arithmetic
+    * folded by a second partial agg — two scans, zero sorts, zero
+    * row-matching joins, the same shape at any corpus size.
+    */
+  def outlierAudit(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("x"))
+    val st = ev.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("qx"))
+    val dev = col("n").cast(d38) * col("x").cast(d38) - col("sx")
+    val varNum = col("n").cast(d38) * col("qx") - col("sx") * col("sx")
+    val isOut = dev * dev > lit(9).cast(d38) * varNum
+    ev.join(broadcast(st), Seq("grp"))
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(when(isOut && dev > 0, 1L).otherwise(0L)).as("n_out_hi"),
+        sum(when(isOut && dev < 0, 1L).otherwise(0L)).as("n_out_lo"))
+      .select(col("grp"), col("n"), col("n_out_hi"), col("n_out_lo"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_table_checksum" -> tableChecksum,
-    "q111_column_profile" -> columnProfile
+    "q111_column_profile" -> columnProfile,
+    "q117_zorder_cells"   -> zorderCells,
+    "q118_outlier_audit"  -> outlierAudit
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +247,48 @@ object OpsQueries {
         |       bit_xor(h)::BIGINT AS xor_digest
         |FROM ck GROUP BY tbl
         |ORDER BY tbl""".stripMargin,
+
+    "q117_zorder_cells" -> {
+      val nb = 1L << ZBits
+      val inter = (0 until ZBits).map(b =>
+        s"(((bp >> $b) & 1) << ${2 * b}) + (((bs >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH ext AS (
+         |  SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+         |         min(l_suppkey) smn, max(l_suppkey) smx
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ((l_partkey - pmn) * $nb) // (pmx - pmn + 1) AS bp,
+         |         ((l_suppkey - smn) * $nb) // (smx - smn + 1) AS bs
+         |  FROM lineitem, ext)
+         |SELECT CAST($inter AS BIGINT) AS zcell, count(*)::BIGINT AS n,
+         |       min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         |       min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+         |FROM b
+         |GROUP BY zcell
+         |ORDER BY zcell""".stripMargin
+    },
+
+    "q118_outlier_audit" ->
+      """WITH x AS (
+        |  SELECT event_type AS grp,
+        |         ((value::DECIMAL(18,2)) * 100)::BIGINT AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT grp, count(*)::BIGINT AS n,
+        |         sum(c::HUGEINT) AS s, sum(c::HUGEINT * c::HUGEINT) AS q
+        |  FROM x GROUP BY grp)
+        |SELECT x.grp, any_value(n) AS n,
+        |       sum(CASE WHEN (n*c::HUGEINT - s)*(n*c::HUGEINT - s) > 9*(n*q - s*s)
+        |                 AND n*c::HUGEINT - s > 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_out_hi,
+        |       sum(CASE WHEN (n*c::HUGEINT - s)*(n*c::HUGEINT - s) > 9*(n*q - s*s)
+        |                 AND n*c::HUGEINT - s < 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_out_lo
+        |FROM x JOIN st USING (grp)
+        |GROUP BY x.grp
+        |ORDER BY grp""".stripMargin,
 
     "q111_column_profile" ->
       """WITH cols AS (

@@ -572,8 +572,52 @@ object SimilarityQueries {
       .orderBy(col("ssq_scaled").desc, col("vec_id")).limit(20)
   }
 
+  // ---------------------------------------------------------------- q116
+
+  /** q116 — the embedding covariance matrix in ONE distributed pass:
+    * the Σ x xᵀ / Σ x sufficient statistics behind PCA, whitening, and
+    * drift monitoring of an embedding space. Emits the upper triangle
+    * (i ≤ j) as (i, j, n, cov_num) where cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ,
+    * the covariance numerator over values quantized to milli-units
+    * (x_q = ⌊x·10³⌋); cov = cov_num / (n²·10⁶). The driver-side
+    * eigendecomposition of a 64×64 matrix is trivial — the distributed
+    * problem is ONLY these sums, so that is all this query computes.
+    *
+    * Integer-exact across engines (q106's convention): the quantized
+    * values are exact floors of bit-identical IEEE doubles, every sum
+    * is BIGINT, no float crosses engines. The quantum is the precision
+    * dial; the BIGINT headroom (|x_q| ≤ 4·10³ ⇒ Σxᵢxⱼ overflows past
+    * ~5·10¹¹ rows) is the scale bound, past which the sums ride
+    * DECIMAL(38,0) — same plan, wider accumulator.
+    *
+    * Scale shape: the D² fan-out is entirely map-side — two nested
+    * posexplodes stay in their input partition and partial-aggregate
+    * to ≤ D(D+1)/2 rows per partition BEFORE the shuffle, so the
+    * exchange carries partitions × 2,080 rows of 4 BIGINTs regardless
+    * of corpus size. No self-join: the pair (i, j) is formed inside a
+    * row, never by matching vectors across rows.
+    */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val q = transform(col("embedding"),
+      f => floor(f.cast(DoubleType) * lit(1000.0)).cast(LongType))
+    val ei = Tables.embeddings(s, dir)
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+    val eij = ei
+      .select(col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+    eij.groupBy(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("si"),
+        sum(col("xj")).as("sj"), sum(col("xi") * col("xj")).as("qij"))
+      .select(col("i"), col("j"), col("n"),
+        (col("n") * col("qij") - col("si") * col("sj")).as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_int8_quantize" -> int8Quantize,
+    "q116_embed_covariance" -> embedCovariance,
     "q101_semdedup_prune" -> semDedupPrune,
     "q102_centroid_update" -> centroidUpdate,
     "q30_embed_neardup" -> embedNearDup,
@@ -648,6 +692,22 @@ object SimilarityQueries {
         |         AS ssq_scaled
         |FROM r GROUP BY vec_id
         |ORDER BY ssq_scaled DESC, vec_id LIMIT 20""".stripMargin,
+    // q116: same unnest idiom as q106; the join on vec_id pairs the
+    // dimensions DuckDB-side (the Spark plan forms pairs row-locally
+    // instead — semantics identical, N·D² rows either way at sf0.01)
+    "q116_embed_covariance" ->
+      """WITH ei AS (
+        |  SELECT vec_id,
+        |         (generate_subscripts(embedding, 1) - 1)::BIGINT AS i,
+        |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS x
+        |  FROM embeddings)
+        |SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+        |       (count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x))::BIGINT
+        |         AS cov_num
+        |FROM ei a JOIN ei b USING (vec_id)
+        |WHERE b.i >= a.i
+        |GROUP BY a.i, b.i
+        |ORDER BY i, j""".stripMargin,
     "q101_semdedup_prune" ->
       s"""$asgCteSql
          |SELECT g.vec_id, g.cell,

@@ -108,6 +108,34 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("q116 covariance numerators match a brute recomputation; no join in the plan") {
+    val df = SimilarityQueries.embedCovariance(spark, sfDir)
+    val res = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(f =>
+        math.floor(f.toDouble * 1000.0).toLong).toArray)
+    val dim = vecs.head.length
+    assert(res.size == dim * (dim + 1) / 2, "upper triangle must be complete")
+    val n = vecs.length.toLong
+    for (i <- 0 until dim; j <- i until dim) {
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      val qij = vecs.map(v => v(i) * v(j)).sum
+      assert(res((i.toLong, j.toLong)) == ((n, n * qij - si * sj)),
+        s"($i,$j) numerator mismatch")
+    }
+    // variance diagonal must be non-negative (Cauchy-Schwarz sanity)
+    for (i <- 0 until dim)
+      assert(res((i.toLong, i.toLong))._2 >= 0L, s"negative variance at $i")
+    // scale guard: pairs form row-locally — no join of any kind
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "q116 must not self-join the exploded table")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityQueries.embedNearDup(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -44,6 +44,57 @@ class OpsSpec extends SparkSpec {
     assert(res.keySet == Set("documents", "orders", "lineitem"))
   }
 
+  test("q117: cells cover every row and are tight in BOTH dimensions") {
+    val cells = OpsQueries.zorderCells(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cells.map(_._2).sum == li.length, "every row must land in a cell")
+    assert(cells.length > 1 && cells.length <= 256,
+      s"${cells.length} cells — expected a multi-cell Morton grid of <= 256")
+    val (pmn, pmx) = (li.map(_._1).min, li.map(_._1).max)
+    val (smn, smx) = (li.map(_._2).min, li.map(_._2).max)
+    def bp(p: Long) = ((p - pmn) * 16) / (pmx - pmn + 1)
+    def bs(x: Long) = ((x - smn) * 16) / (smx - smn + 1)
+    // THE z-order property: a cell's min/max stay inside one bucket of
+    // EACH key, so footer stats prune on either predicate column — a
+    // single-column sort would leave the other dimension full-range
+    cells.foreach { case (z, _, minP, maxP, minS, maxS) =>
+      assert(bp(minP) == bp(maxP), s"cell $z spans partkey buckets")
+      assert(bs(minS) == bs(maxS), s"cell $z spans suppkey buckets")
+      // and the cell id is exactly the interleave of those bucket ids
+      val interleaved = (0 until 4).map(b =>
+        (((bp(minP) >> b) & 1L) << (2 * b)) +
+          (((bs(minS) >> b) & 1L) << (2 * b + 1))).sum
+      assert(z == interleaved, s"cell $z != interleave($interleaved)")
+    }
+  }
+
+  test("q118: outlier verdicts equal an exact BigInt brute; witnesses exist") {
+    val res = OpsQueries.outlierAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = ev.groupBy(_._1)
+    assert(res.keySet == byG.keySet)
+    var witnesses = 0L
+    byG.foreach { case (g, rows) =>
+      val xs = rows.map(t => BigInt(t._2))
+      val n = BigInt(xs.length); val s = xs.sum; val q = xs.map(x => x * x).sum
+      val hi = xs.count(x => { val d = n * x - s; d > 0 && d * d > 9 * (n * q - s * s) })
+      val lo = xs.count(x => { val d = n * x - s; d < 0 && d * d > 9 * (n * q - s * s) })
+      assert(res(g) == ((xs.length.toLong, hi.toLong, lo.toLong)),
+        s"$g: got ${res(g)}, brute ($hi, $lo)")
+      witnesses += hi + lo
+    }
+    assert(witnesses > 0, "no 3-sigma outlier at test scale — vacuous audit")
+  }
+
   test("q111: profile equals brute counts; sketch degenerates to exact under k") {
     val res = OpsQueries.columnProfile(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
