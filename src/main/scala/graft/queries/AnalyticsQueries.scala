@@ -5,7 +5,7 @@ import graft.llm.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Round-3 analytics surface: the remaining operator families a
   * 100 TB training-data engine needs beyond the reference's own ops —
@@ -729,7 +729,51 @@ object AnalyticsQueries {
        |    FROM p${i - 1} p JOIN edges e ON e.src = p.node
        |    GROUP BY e.dst) m USING (node))""".stripMargin
 
+  /** q119 — per-group OLS trend (is this metric drifting, per key?) as
+    * ONE partial-aggregated pass over sufficient statistics: for each
+    * event type, regress value-cents on hours-since-corpus-start and
+    * emit the slope as the EXACT rational slope_num/slope_den =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), never as a float — divisions
+    * drift across engines, integer numerators cannot. (n, Σx, Σy ride
+    * along so a consumer can derive the intercept.) This is the
+    * monitoring/trend family's version of q118's trick: do all the
+    * distributed work in integers, leave the one lossy division to the
+    * consumer.
+    *
+    * Scale shape: the global min-hour epoch is one scalar agg broadcast
+    * back (a planning statistic at 100 TB); then a single scan
+    * partial-aggregates five BIGINT/DECIMAL(38,0) monoids per group —
+    * the shuffle is groups × partitions rows of five numbers, no sort,
+    * no join. Magnitude bound: n·Σxy stays under 2⁶³ through ~10⁵-hour
+    * spans × 10⁷-cent values × 10⁵ rows/group; past that the emitted
+    * columns widen to DECIMAL(38,0), same plan.
+    */
+  def groupTrend(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("y"))
+    val hmin = ev.agg(min(col("h")).as("hmin"))
+    val st = ev.crossJoin(broadcast(hmin))
+      .select(col("grp"), (col("h") - col("hmin")).cast(d38).as("x"),
+        col("y").cast(d38).as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    st.select(col("grp"), col("n"),
+      col("sx").cast(LongType).as("sx"), col("sy").cast(LongType).as("sy"),
+      (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+        .cast(LongType).as("slope_num"),
+      (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        .cast(LongType).as("slope_den"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_group_trend" -> groupTrend,
     "q88_dup_spans"    -> dupSpans,
     "q89_kmv_distinct" -> kmvDistinct,
     "q90_rrf_hybrid"   -> rrfHybrid,
@@ -802,6 +846,23 @@ object AnalyticsQueries {
     }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "q119_group_trend" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |         epoch_us(ts) // 3600000000 AS h,
+        |         ((value::DECIMAL(18,2)) * 100)::BIGINT AS y
+        |  FROM events),
+        |m AS (SELECT min(h) AS hmin FROM e),
+        |x AS (SELECT grp, (h - hmin)::HUGEINT AS x, y::HUGEINT AS y
+        |      FROM e, m),
+        |st AS (
+        |  SELECT grp, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM x GROUP BY grp)
+        |SELECT grp, n::BIGINT AS n, sx::BIGINT AS sx, sy::BIGINT AS sy,
+        |       (n * sxy - sx * sy)::BIGINT AS slope_num,
+        |       (n * sxx - sx * sx)::BIGINT AS slope_den
+        |FROM st ORDER BY grp""".stripMargin,
     // same edge set; triangles counted under the doc_id total order —
     // any total order counts each triangle exactly once, so the count
     // equals the Spark side's degree-ordered orientation

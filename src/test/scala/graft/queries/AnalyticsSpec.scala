@@ -278,6 +278,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q119: trend statistics equal an exact BigInt brute per group") {
+    val res = AnalyticsQueries.groupTrend(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS BIGINT) div 3600000000000 AS h",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hmin = ev.map(_._2).min
+    val byG = ev.groupBy(_._1)
+    assert(res.keySet == byG.keySet)
+    byG.foreach { case (g, rows) =>
+      val xs = rows.map(t => BigInt(t._2 - hmin))
+      val ys = rows.map(t => BigInt(t._3))
+      val n = BigInt(rows.length)
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val expect = (rows.length.toLong, sx.toLong, sy.toLong,
+        (n * sxy - sx * sy).toLong, (n * sxx - sx * sx).toLong)
+      assert(res(g) == expect, s"$g: got ${res(g)}, brute $expect")
+      // den = n²·Var(x) — must be strictly positive with a real time span
+      assert(res(g)._5 > 0, s"$g: degenerate time span")
+    }
+  }
+
   test("q94: IVF-arm fused top-10 overlaps >= 0.8 with the exact-arm top-10") {
     val exact = graft.SparkEntry.queries("q90_rrf_hybrid")(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
