@@ -202,11 +202,43 @@ object OpsQueries {
       .orderBy(col("grp"))
   }
 
+  /** q120 — the compaction plan that turns q117's Morton cells into
+    * output files (the assignment half of `OPTIMIZE ZORDER`): cells in
+    * zcell order pack greedily into ≤ 8 files of ~equal row budget
+    * (budget = ⌈total/8⌉), via file_id = rows-before-this-cell div
+    * budget. Contiguous zcell ranges per file preserve the locality
+    * q117 built — each file's footer stays tight in both key
+    * dimensions — and the assignment is pure integer arithmetic, so
+    * both engines agree exactly.
+    *
+    * Scale shape: everything after q117's cell rollup operates on the
+    * CELL table (≤ 256 rows — bounded by the grid, not the corpus), so
+    * the running-sum window is a driver-scale operation regardless of
+    * data size; the actual rewrite then range-shuffles rows by
+    * (file_id) — this query ships the 256-row plan that drives it.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = zorderCells(s, dir).select(col("zcell"), col("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    // window over <= 256 cells: unpartitioned by design, bounded by the
+    // grid size (the same justification as q111's K-pruned global rank)
+    val w = Window.orderBy(col("zcell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.crossJoin(broadcast(total))
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("budget", expr("greatest(1L, (total + 7) div 8)"))
+      .select(col("zcell"), col("n"),
+        expr("cum_before div budget").as("file_id"))
+      .orderBy(col("zcell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_table_checksum" -> tableChecksum,
     "q111_column_profile" -> columnProfile,
     "q117_zorder_cells"   -> zorderCells,
-    "q118_outlier_audit"  -> outlierAudit
+    "q118_outlier_audit"  -> outlierAudit,
+    "q120_compaction_plan" -> compactionPlan
   )
 
   val oracles: Map[String, String] = Map(
@@ -267,6 +299,35 @@ object OpsQueries {
          |       min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
          |FROM b
          |GROUP BY zcell
+         |ORDER BY zcell""".stripMargin
+    },
+
+    "q120_compaction_plan" -> {
+      val nb = 1L << ZBits
+      val inter = (0 until ZBits).map(b =>
+        s"(((bp >> $b) & 1) << ${2 * b}) + (((bs >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH ext AS (
+         |  SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+         |         min(l_suppkey) smn, max(l_suppkey) smx
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT ((l_partkey - pmn) * $nb) // (pmx - pmn + 1) AS bp,
+         |         ((l_suppkey - smn) * $nb) // (smx - smn + 1) AS bs
+         |  FROM lineitem, ext),
+         |cells AS (
+         |  SELECT CAST($inter AS BIGINT) AS zcell, count(*)::BIGINT AS n
+         |  FROM b GROUP BY zcell),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM cells),
+         |c AS (
+         |  SELECT zcell, n,
+         |         COALESCE(sum(n) OVER (ORDER BY zcell
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |           AS cum_before,
+         |         greatest(1, (total + 7) // 8) AS budget
+         |  FROM cells, t)
+         |SELECT zcell, n, (cum_before // budget)::BIGINT AS file_id
+         |FROM c
          |ORDER BY zcell""".stripMargin
     },
 

@@ -77,6 +77,37 @@ object WindowQueries {
       .orderBy(col("y"), col("pred"))
   }
 
+  /** q121 — score calibration on top of q41 (the eval a classifier
+    * rollout runs after q42's confusion: does predicted score track
+    * empirical positive rate?): scores quantize to micro-units
+    * (⌊score·10⁶⌋ — an exact floor of bit-identical IEEE doubles, the
+    * q106/q116 convention), bucket into 10 equi-width bins over the
+    * observed [min, max] with exact integer division (q117's
+    * bucketize), and each bin emits (n, n_pos, min/max quantized
+    * score) — the positive RATE is the consumer's one lossy division,
+    * left out so no float crosses engines. Equi-width rather than
+    * decile bins keeps the cut points integer-exact; a decile variant
+    * would ride q104's exact-quantile machinery.
+    *
+    * Scale shape: one scalar min/max agg broadcast back, then one
+    * partial-aggregated pass to 10 rows — two scans, no sort, no
+    * row-matching join, q118's audit shape.
+    */
+  def scoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = array(FrozenW.map(lit): _*)
+    val score = VectorOps.dot(VectorOps.toDoubleArr(col("embedding")), w)
+    val base = Tables.embeddings(s, dir)
+      .select(floor(score * lit(1000000.0)).cast(LongType).as("sc"),
+        when(col("label") === 0, 0L).otherwise(1L).as("pos"))
+    val ext = base.agg(min(col("sc")).as("mn"), max(col("sc")).as("mx"))
+    base.crossJoin(broadcast(ext))
+      .withColumn("bucket", expr("((sc - mn) * 10) div (mx - mn + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        min(col("sc")).as("min_sc"), max(col("sc")).as("max_sc"))
+      .orderBy(col("bucket"))
+  }
+
   /** q44 — sliding windows (10-minute length, 5-minute slide): every
     * event lands in exactly two windows; the oracle reproduces that by
     * unnesting the two candidate window starts per event. */
@@ -291,6 +322,7 @@ object WindowQueries {
     "q39_tumbling_window" -> tumbling,
     "q40_session_window"  -> sessions,
     "q41_linear_score"    -> linearScore,
+    "q121_score_calibration" -> scoreCalibration,
     "q42_score_confusion" -> scoreConfusion,
     "q44_sliding_window"  -> sliding,
     "q45_approx_distinct" -> approxDistinct,
@@ -367,6 +399,19 @@ object WindowQueries {
          |       CASE WHEN $scoreSql > 0 THEN 1 ELSE 0 END::BIGINT AS prediction,
          |       label
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q121_score_calibration" ->
+      s"""WITH base AS (
+         |  SELECT CAST(floor($scoreSql * 1000000) AS BIGINT) AS sc,
+         |         (CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS pos
+         |  FROM embeddings),
+         |ext AS (SELECT min(sc) AS mn, max(sc) AS mx FROM base)
+         |SELECT ((sc - mn) * 10) // (mx - mn + 1) AS bucket,
+         |       count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+         |       min(sc) AS min_sc, max(sc) AS max_sc
+         |FROM base, ext
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
 
     "q42_score_confusion" ->
       s"""SELECT (CASE WHEN label = 0 THEN 0 ELSE 1 END)::BIGINT AS y,

@@ -38,6 +38,30 @@ class MetricsSpec extends SparkSpec {
     assert(rows(2.0) == (2.0, 0L, 2L, 0L, 0.0, 0.0))
   }
 
+  test("q121 calibration buckets equal a brute recomputation from q41's scores") {
+    val cal = graft.SparkEntry.queries("q121_score_calibration")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent path: re-derive buckets from q41's emitted scores
+    val scored41 = graft.SparkEntry.queries("q41_linear_score")(spark, sfDir)
+      .selectExpr("score", "label").collect()
+      .map(r => (math.floor(r.getDouble(0) * 1000000.0).toLong,
+        if (r.getInt(1) == 0) 0L else 1L))
+    val mn = scored41.map(_._1).min
+    val mx = scored41.map(_._1).max
+    val brute = scored41
+      .groupBy { case (sc, _) => ((sc - mn) * 10) / (mx - mn + 1) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.length.toLong, rs.map(_._2).sum,
+        rs.map(_._1).min, rs.map(_._1).max) }
+    assert(cal.toSeq == brute, s"calibration mismatch:\n${cal.toSeq}\n$brute")
+    // totals must cover the table; both classes must appear somewhere
+    assert(cal.map(_._2).sum == scored41.length.toLong)
+    assert(cal.map(_._3).sum > 0 && cal.map(_._3).sum < scored41.length.toLong,
+      "calibration is vacuous without both classes")
+  }
+
   test("degenerate all-negative predictions do not divide by zero") {
     val d = Seq((1.0, 0.0), (0.0, 0.0)).toDF("target", "prediction")
     val m = Metrics.binaryCollect(d)

@@ -72,6 +72,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q120: files are contiguous zcell ranges near the row budget") {
+    val plan = OpsQueries.compactionPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cells = OpsQueries.zorderCells(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(plan.map(t => (t._1, t._2)).toSeq == cells.toSeq,
+      "q120 must plan exactly q117's cells")
+    val total = cells.map(_._2).sum
+    val budget = math.max(1L, (total + 7) / 8)
+    // brute: greedy prefix packing
+    var cum = 0L
+    plan.foreach { case (z, n, fid) =>
+      assert(fid == cum / budget, s"cell $z file_id $fid != ${cum / budget}")
+      cum += n
+    }
+    // contiguity + bounded file count + multi-file witness
+    val fids = plan.map(_._3)
+    assert(fids.zip(fids.tail).forall { case (a, b) => a <= b },
+      "file ids must be non-decreasing in zcell order")
+    assert(fids.distinct.length <= 8 && fids.distinct.length >= 2,
+      s"${fids.distinct.length} files — expected 2..8 at test scale")
+    // each file's rows stay under budget + its last cell (greedy bound)
+    plan.groupBy(_._3).foreach { case (f, cs) =>
+      assert(cs.map(_._2).sum <= budget + cs.map(_._2).max,
+        s"file $f overshoots the greedy budget bound")
+    }
+  }
+
   test("q118: outlier verdicts equal an exact BigInt brute; witnesses exist") {
     val res = OpsQueries.outlierAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
