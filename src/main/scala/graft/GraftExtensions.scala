@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, DotProduct, Hash60Expr, MisraGries, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, DotProduct, Hash60Expr, Kmv, MisraGries, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_mg_candidates capacity must be an INT literal, got $other")
         }
         MisraGries(children.head, capacity)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[Kmv].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_kmv takes (hash BIGINT, k INT literal), got ${children.length} args")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an INT literal, got $other")
+        }
+        Kmv(children.head, k)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bloom_probe"),

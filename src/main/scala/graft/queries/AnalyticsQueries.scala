@@ -167,24 +167,22 @@ object AnalyticsQueries {
     * bit-reproducible and exact-oracled; the true distinct count and
     * relative error are emitted alongside.
     *
-    * Scale shape: the (grp, hash) dedupe is a map-side-partial
-    * aggregation; a per-input-partition rank prunes each group to ≤
-    * K·P rows BEFORE the per-group rank, so the final window never
-    * sorts a full group — the declarative form of the mergeable
-    * bounded sketch (union of two KMVs = KMV of the union).
+    * Scale shape: the sketch is the native mergeable `graft_kmv`
+    * aggregate (functions/Kmv.scala) — bounded ≤ K-long buffers
+    * combine map-side and ship K longs per partition, replacing the
+    * earlier declarative two-level rank prune (and its windows)
+    * entirely; no distinct pass is needed because the buffer dedupes.
+    * Deterministic under the md5 hash, so the output is bit-identical
+    * to the window plan the oracle still describes.
     */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val dedup = li.select(col("l_returnflag").as("grp"),
-      h60("kmv", col("l_orderkey")).as("h")).distinct()
-    val wLoc = Window.partitionBy(col("grp"), col("pid")).orderBy(col("h"))
-    val pruned = dedup.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= KmvK)
-    val wG = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sk = pruned.withColumn("rn", row_number().over(wG))
-      .where(col("rn") <= KmvK)
+    val sk = li.select(col("l_returnflag").as("grp"),
+      h60("kmv", col("l_orderkey")).as("h"))
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .agg(call_function("graft_kmv", col("h"), lit(KmvK)).as("sk"))
+      .select(col("grp"), size(col("sk")).cast(LongType).as("k_used"),
+        element_at(col("sk"), -1).as("kth_hash"))
     val truth = li.groupBy(col("l_returnflag").as("grp"))
       .agg(countDistinct(col("l_orderkey")).as("true_distinct"))
     val pow60 = lit(1152921504606846976L).cast(DoubleType) // 2^60, exact
@@ -530,28 +528,28 @@ object AnalyticsQueries {
     */
   def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
     val OvK = KmvK // share q89's k
-    val d = Tables.events(s, dir)
+    // native mergeable sketches (functions/Kmv.scala): one partial-agg
+    // pass to one ≤ K-long array per group — no distinct pass, no rank
+    // windows; the k-min-union set algebra then runs as ROW-LOCAL array
+    // math on the #groups² pair frame (3 pairs here; the point of KMV
+    // is that this planning join touches sketches, never members)
+    val sk = Tables.events(s, dir)
       .select(col("event_type").as("grp"), h60("kmvov", col("user_id")).as("h"))
-      .distinct()
-    val wLoc = Window.partitionBy(col("grp"), col("pid")).orderBy(col("h"))
-    val wG = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sk = d.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= OvK)
-      .withColumn("rn", row_number().over(wG)).where(col("rn") <= OvK)
-      .select(col("grp"), col("h"))
-    val gs = sk.select(col("grp")).distinct()
-    val pairs = gs.select(col("grp").as("ga"))
-      .crossJoin(gs.select(col("grp").as("gb"))).where(col("ga") < col("gb"))
-    val mem = pairs.join(sk, col("grp") === col("ga") || col("grp") === col("gb"))
-      .groupBy(col("ga"), col("gb"), col("h"))
-      .agg(max(when(col("grp") === col("ga"), 1L).otherwise(0L)).as("in_a"),
-        max(when(col("grp") === col("gb"), 1L).otherwise(0L)).as("in_b"))
-    val wU = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
-    val agg = mem.withColumn("rn", row_number().over(wU)).where(col("rn") <= OvK)
-      .groupBy(col("ga"), col("gb"))
-      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"),
-        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
-          .otherwise(0L)).as("both_cnt"))
+      .groupBy(col("grp"))
+      .agg(call_function("graft_kmv", col("h"), lit(OvK)).as("sk"))
+    val pairs = sk.select(col("grp").as("ga"), col("sk").as("ska"))
+      .crossJoin(sk.select(col("grp").as("gb"), col("sk").as("skb")))
+      .where(col("ga") < col("gb"))
+    // k-min union: the K smallest of the merged member lists (arrays
+    // are sorted and distinct, so array_union + sort + slice IS the
+    // KMV of the union); both_cnt counts union members seen by BOTH
+    val u = expr(s"slice(array_sort(array_union(ska, skb)), 1, $OvK)")
+    val agg = pairs.withColumn("u", u)
+      .select(col("ga"), col("gb"),
+        size(col("u")).cast(LongType).as("k_used"),
+        element_at(col("u"), -1).as("kth_hash"),
+        size(expr("array_intersect(array_intersect(u, ska), skb)"))
+          .cast(LongType).as("both_cnt"))
     val pow60 = lit(1152921504606846976L).cast(DoubleType) // 2^60, exact
     val estU = when(col("k_used") < OvK, col("k_used").cast(DoubleType))
       .otherwise(lit(OvK - 1).cast(DoubleType) /

@@ -81,24 +81,23 @@ object OpsQueries {
     *
     * Scale shape: one explode-free pass per column (the per-column
     * frames union AFTER aggregation — rows never multiply); each
-    * column's sketch is q89's two-level prune, so no full-column sort;
-    * the null/row counts are plain partial aggregates.
+    * column's sketch is the native mergeable `graft_kmv` aggregate
+    * (functions/Kmv.scala): bounded ≤ K-long buffers combine map-side,
+    * no distinct pass, no rank windows — in particular no GLOBAL
+    * window, which the earlier declarative prune needed for the final
+    * per-column rank; the null/row counts are plain partial aggregates.
     */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
     def one(name: String, c: Column): DataFrame = {
       val base = ev.select(c.cast("string").as("v"))
       val counts = base.agg(count(lit(1)).as("n"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
-      val d = base.where(col("v").isNotNull)
-        .select(h60(s"prof|$name", col("v")).as("h")).distinct()
-      val wLoc = Window.partitionBy(col("pid")).orderBy(col("h"))
-      val wG = Window.orderBy(col("h"))
-      val sk = d.withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLoc)).where(col("lrn") <= ProfK)
-        .withColumn("rn", row_number().over(wG)).where(col("rn") <= ProfK)
-        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      val sk = base.where(col("v").isNotNull)
+        .select(h60(s"prof|$name", col("v")).as("h"))
+        .agg(call_function("graft_kmv", col("h"), lit(ProfK)).as("sk"))
+        .select(size(col("sk")).cast(LongType).as("k_used"),
+          element_at(col("sk"), -1).as("kth_hash"))
       val truth = base.where(col("v").isNotNull)
         .agg(countDistinct(col("v")).as("true_distinct"))
       val pow60 = lit(1152921504606846976L).cast(DoubleType)

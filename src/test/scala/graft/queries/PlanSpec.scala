@@ -245,6 +245,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q89/q109/q111 sketch via the bounded KMV aggregate: no windows anywhere") {
+    Seq("q89_kmv_distinct", "q109_kmv_overlap", "q111_column_profile")
+      .foreach { q =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val windows = df.queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.isEmpty,
+          s"$q: the native graft_kmv aggregate replaced the rank prune — " +
+            "a WindowExec means a full sort crept back in")
+        assert(plan(q).contains("graft_kmv"), s"$q must aggregate via graft_kmv")
+      }
+  }
+
   test("q115 probes the bloom below the semi join's exchange, and the join stays exact") {
     val df = graft.SparkEntry.queries("q115_bloom_semijoin")(spark, sfDir)
     val smj = df.queryExecution.sparkPlan.collect {
