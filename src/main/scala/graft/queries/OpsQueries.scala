@@ -46,12 +46,17 @@ object OpsQueries {
     * accumulators combine map-side, so the shuffle is one row per
     * partition; no sort, no join anywhere.
     */
+  /** The canonical per-row digest q110 sums — shared with
+    * [[graft.streaming.StreamChecksum]] so the live digest and the
+    * batch audit hash identically. */
+  def checksumHash(tbl: String, keyCols: Seq[String]): Column =
+    h60(s"ck|$tbl", concat_ws("|", keyCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*))
+
   def tableChecksum(s: SparkSession, dir: String): DataFrame = {
     def one(tbl: String, keyCols: Seq[String]): DataFrame = {
-      val key = concat_ws("|", keyCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*)
       Tables.load(s, dir, tbl)
-        .select(h60(s"ck|$tbl", key).as("h"))
+        .select(checksumHash(tbl, keyCols).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           (sum(col("h").cast(DecimalType(38, 0))) % lit(CkMod))
             .cast(LongType).as("sum_digest"),
