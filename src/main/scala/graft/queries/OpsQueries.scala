@@ -237,12 +237,58 @@ object OpsQueries {
       .orderBy(col("zcell"))
   }
 
+  /** q122 — CDC MERGE (upsert-apply): the write-path half of a
+    * lakehouse engine — apply a change log of versioned
+    * UPDATE/DELETE/INSERT events onto a base snapshot, latest version
+    * winning per key. The change log is built deterministically from
+    * the base (v1 updates ids ≡0 mod 3, v2 updates ids ≡0 mod 2 — so
+    * ids ≡0 mod 6 prove last-writer-wins — v3 deletes ids ≡0 mod 7,
+    * and v2 inserts fresh ids), so both engines construct the
+    * identical merge input.
+    *
+    * Scale shape: per-key change compaction is ONE partial aggregation
+    * — max(struct(ver, op, text)) is the arg-max idiom (q108), no
+    * per-key sort window, and distinct versions make the struct order
+    * the version order; the apply is a single full-outer equi-join on
+    * the key. At 100 TB the delta side is small → Spark broadcasts it
+    * and the base never shuffles; here delta ≈ base so both sides
+    * exchange, which is the worst case the plan still handles.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def change(ver: Int, op: String, pred: Column, id: Column, text: Column) =
+      base.where(pred).select(id.as("doc_id"), lit(ver.toLong).as("ver"),
+        lit(op).as("op"), text.as("ctext"))
+    val changes =
+      change(1, "U", col("doc_id") % 3 === 0, col("doc_id"),
+        concat(lit("v1 "), col("text")))
+        .unionAll(change(2, "U", col("doc_id") % 2 === 0, col("doc_id"),
+          concat(lit("v2 "), col("text"))))
+        .unionAll(change(2, "I", col("doc_id") % 5 === 0,
+          col("doc_id") + lit(100000L), concat(lit("new "), col("text"))))
+        .unionAll(change(3, "D", col("doc_id") % 7 === 0, col("doc_id"),
+          lit("")))
+    val latest = changes
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("ver"), col("op"), col("ctext"))).as("m"))
+      .select(col("doc_id"), col("m.ver").as("ver"), col("m.op").as("op"),
+        col("m.ctext").as("ctext"))
+    base.join(latest, Seq("doc_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        when(col("op").isNull, col("text")).otherwise(col("ctext")).as("text"),
+        coalesce(col("op"), lit("K")).as("last_op"),
+        coalesce(col("ver"), lit(0L)).as("ver"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_table_checksum" -> tableChecksum,
     "q111_column_profile" -> columnProfile,
     "q117_zorder_cells"   -> zorderCells,
     "q118_outlier_audit"  -> outlierAudit,
-    "q120_compaction_plan" -> compactionPlan
+    "q120_compaction_plan" -> compactionPlan,
+    "q122_merge_upsert"   -> mergeUpsert
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,6 +329,30 @@ object OpsQueries {
         |       bit_xor(h)::BIGINT AS xor_digest
         |FROM ck GROUP BY tbl
         |ORDER BY tbl""".stripMargin,
+
+    "q122_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |changes AS (
+        |  SELECT doc_id, 1::BIGINT AS ver, 'U' AS op, 'v1 ' || text AS ctext
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', 'v2 ' || text FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 2, 'I', 'new ' || text
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', '' FROM base WHERE doc_id % 7 = 0),
+        |latest AS (
+        |  SELECT doc_id, max(ver)::BIGINT AS ver,
+        |         arg_max(op, ver) AS op, arg_max(ctext, ver) AS ctext
+        |  FROM changes GROUP BY doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN op IS NULL THEN text ELSE ctext END AS text,
+        |       COALESCE(op, 'K') AS last_op,
+        |       COALESCE(ver, 0) AS ver
+        |FROM base FULL OUTER JOIN latest USING (doc_id)
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     "q117_zorder_cells" -> {
       val nb = 1L << ZBits

@@ -100,6 +100,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q122: merge equals a brute CDC apply; last writer wins; deletes vanish") {
+    val res = OpsQueries.mergeUpsert(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val brute = scala.collection.mutable.Map.empty[Long, (String, String, Long)]
+    base.foreach { case (id, text) =>
+      val ops = Seq(
+        if (id % 3 == 0) Some((1L, "U", s"v1 $text")) else None,
+        if (id % 2 == 0) Some((2L, "U", s"v2 $text")) else None,
+        if (id % 7 == 0) Some((3L, "D", "")) else None).flatten
+      if (ops.isEmpty) brute(id) = (text, "K", 0L)
+      else {
+        val (v, op, t) = ops.maxBy(_._1)
+        if (op != "D") brute(id) = (t, op, v)
+      }
+      if (id % 5 == 0) brute(id + 100000L) = (s"new $text", "I", 2L)
+    }
+    assert(res == brute.toMap, "merge result differs from the brute CDC apply")
+    // witnesses for each semantic: last-writer-wins, delete, insert, keep
+    val ids = base.map(_._1).toSet
+    val lww = ids.find(id => id % 6 == 0 && id % 7 != 0)
+    assert(lww.exists(id => res(id)._1.startsWith("v2 ")),
+      "an id hit by v1 and v2 must carry the v2 text")
+    assert(ids.filter(_ % 7 == 0).forall(id => !res.contains(id)),
+      "deleted keys must be absent")
+    assert(ids.filter(_ % 5 == 0).forall(id => res.contains(id + 100000L)),
+      "inserted keys must be present")
+    assert(ids.find(id => id % 2 != 0 && id % 3 != 0 && id % 7 != 0)
+      .exists(id => res(id)._2 == "K"), "an untouched key must survive as-is")
+  }
+
   test("q118: outlier verdicts equal an exact BigInt brute; witnesses exist") {
     val res = OpsQueries.outlierAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
