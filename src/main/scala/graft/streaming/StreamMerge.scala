@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming CDC materialization: batch q122's cross-batch twin — the
+  * continuously-maintained MERGE target (the shape of a compacted
+  * changelog topic or a live replica). Per key the state is the
+  * highest-version change seen; an arriving change replaces it iff its
+  * version is higher. Because the winner is determined by version
+  * comparison alone — not arrival order — the materialized row per key
+  * is invariant to batch boundaries AND to change reordering across
+  * batches: a v2 arriving before its v1 still wins, which is the
+  * invariant that makes at-least-once, out-of-order change delivery
+  * safe.
+  *
+  * Emits the key's current (ver, op, text) after each batch that
+  * touches it; 'D' rows are emitted as tombstones rather than
+  * suppressed — a downstream sink needs the tombstone to delete, and
+  * the batch q122 reconciliation drops them the same way.
+  *
+  * Scale posture: state is one row per LIVE key (the merge target's
+  * own cardinality — the floor for any materialization), keys shard
+  * the store, per-arrival work is one comparison.
+  */
+object StreamMerge {
+
+  case class Change(docId: Long, ver: Long, op: String, text: String)
+  case class Current(ver: Long, op: String, text: String)
+  case class MergedRow(docId: Long, ver: Long, op: String, text: String)
+
+  class KeyProcessor extends StatefulProcessor[Long, Change, MergedRow] {
+    @transient private var state: ValueState[Current] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Current]("current",
+        Encoders.product[Current], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Change],
+                                 timerValues: TimerValues): Iterator[MergedRow] = {
+      var cur = Option(state.get())
+      rows.foreach { c =>
+        if (cur.forall(_.ver < c.ver)) cur = Some(Current(c.ver, c.op, c.text))
+      }
+      cur.foreach(state.update)
+      cur.map(c => MergedRow(key, c.ver, c.op, c.text)).iterator
+    }
+  }
+
+  /** (doc_id, ver, op, text) changes as a stream → per-batch current
+    * state per touched key (tombstones included). */
+  def apply(changes: DataFrame): Dataset[MergedRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .select(col("doc_id").as("docId"), col("ver"), col("op"), col("text"))
+      .as[Change]
+      .groupByKey(_.docId)
+      .transformWithState(new KeyProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

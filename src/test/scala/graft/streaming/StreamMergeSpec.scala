@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** Streaming CDC materialization (batch q122's cross-batch twin): the
+  * materialized row per key is determined by version comparison alone,
+  * so it is invariant to batch boundaries AND to out-of-order change
+  * delivery — and the non-tombstone snapshot equals batch q122's
+  * changed rows exactly on the same change log.
+  */
+class StreamMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private type Chg = (Long, Long, String, String)
+
+  /** q122's deterministic change log, rebuilt from the base table. */
+  private lazy val changes: Seq[Chg] = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    base.flatMap { case (id, text) =>
+      Seq(
+        if (id % 3 == 0) Some((id, 1L, "U", s"v1 $text")) else None,
+        if (id % 2 == 0) Some((id, 2L, "U", s"v2 $text")) else None,
+        if (id % 5 == 0) Some((id + 100000L, 2L, "I", s"new $text")) else None,
+        if (id % 7 == 0) Some((id, 3L, "D", "")) else None).flatten
+    }
+  }
+
+  /** final materialized row per key = the emission with max ver (per-key
+    * versions are distinct and only grow). */
+  private def run(batches: Seq[Seq[Chg]], name: String)
+    : Map[Long, (Long, String, String)] = withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Chg]
+    val query = StreamMerge(stream.toDF().toDF("doc_id", "ver", "op", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+      spark.table(name).as[(Long, Long, String, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(rs => { val m = rs.maxBy(_._2); (m._2, m._3, m._4) })
+        .toMap
+    } finally query.stop()
+  }
+
+  test("order- and split-invariant materialization; parity with batch q122") {
+    val inOrder = run(Seq(changes), "sm_one")
+    // adversarial replay: reversed, split mid-key across three batches —
+    // every v2 now arrives BEFORE its v1, deletes before their updates
+    val rev = changes.reverse
+    val (a, rest) = rev.splitAt(rev.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    val outOfOrder = run(Seq(a, b, c), "sm_ooo")
+    assert(inOrder == outOfOrder,
+      "materialization depends on delivery order — version LWW is broken")
+
+    val batch = graft.queries.OpsQueries.mergeUpsert(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(2), r.getString(1))))
+      .toMap
+    // stream covers exactly the CHANGED keys; tombstones carry op D and
+    // are absent from batch (which emits survivors incl. untouched)
+    val live = inOrder.filter(_._2._2 != "D")
+    assert(live.keySet == batch.filter(_._2._2 != "K").keySet,
+      "live streamed keys must equal batch q122's changed keys")
+    live.foreach { case (id, (ver, op, text)) =>
+      assert(batch(id) == ((ver, op, text)), s"key $id: stream vs batch differ")
+    }
+    val tombstones = inOrder.count(_._2._2 == "D")
+    assert(tombstones > 0 && tombstones == changes.count(_._3 == "D"),
+      "every delete must surface as a tombstone")
+  }
+}
