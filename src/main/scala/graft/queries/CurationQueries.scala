@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -378,9 +378,46 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q123 — incremental view maintenance (IVM) for a monoid aggregate:
+    * refresh a materialized per-(lang, source) rollup by COMBINING the
+    * stored snapshot aggregate (doc_id < 250 — q87's snapshot
+    * convention) with the delta batch's aggregate, never rescanning
+    * snapshot ROWS together with delta rows. count and sum are
+    * commutative monoids, so aggregate-of-union == union-of-aggregates
+    * — and that equality is exactly what the oracle enforces: the
+    * DuckDB side is the naive full GROUP BY over all documents, so a
+    * hash-green q123 PROVES the combine is lossless.
+    *
+    * Scale shape: at 100 TB the snapshot aggregate is a stored
+    * materialized view (groups ≪ rows — here both sides recompute
+    * from parquet because the engine has no persistent state between
+    * driver runs, with predicate pushdown splitting the scans); the
+    * delta aggregate touches only the new partition; the combine is a
+    * full-outer join on the GROUP key — group-cardinality-sized, the
+    * cheapest join in the pipeline. This is the batch form of what
+    * every Stream* twin does per arrival.
+    */
+  def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    def agg(pred: Column) = Tables.documents(s, dir).where(pred)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val base = agg(col("doc_id") < 250)
+      .withColumnsRenamed(Map("n" -> "n_a", "chars" -> "chars_a"))
+    val delta = agg(col("doc_id") >= 250)
+      .withColumnsRenamed(Map("n" -> "n_b", "chars" -> "chars_b"))
+    base.join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("chars_a"), lit(0L)) + coalesce(col("chars_b"), lit(0L)))
+          .as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_chunk_overlap" -> chunkOverlap,
     "q114_chunk_dedup"   -> chunkDedup,
+    "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
     "q80_mixture_cap"       -> mixtureCap,
@@ -442,6 +479,15 @@ object CurationQueries {
          |         min(doc_id * $ChunkPack + chunk_id) OVER (PARTITION BY h) AS keep
          |FROM hashed
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    // q123's oracle is the NAIVE full recompute — hash-green means the
+    // incremental combine is provably lossless
+    "q123_ivm_agg" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
     "q87_incremental_delta" ->
       s"""WITH snapshot AS (
         |  SELECT DISTINCT md5(text) AS digest FROM documents

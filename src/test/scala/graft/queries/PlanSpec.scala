@@ -259,6 +259,16 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q123 IVM: both scans carry pushed doc_id splits; combine joins on the group key") {
+    val p = plan("q123_ivm_agg")
+    assert(p.contains("LessThan(doc_id,250") &&
+      p.contains("GreaterThanOrEqual(doc_id,250"),
+      "the snapshot/delta split must reach the parquet scans as pushed filters")
+    // the combine is group-cardinality-sized: no scan-sized shuffle join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q115 probes the bloom below the semi join's exchange, and the join stays exact") {
     val df = graft.SparkEntry.queries("q115_bloom_semijoin")(spark, sfDir)
     val smj = df.queryExecution.sparkPlan.collect {
