@@ -44,6 +44,27 @@ class KmvSpec extends SparkSpec {
     assert(results.distinct.size == 1, "sketch depends on partitioning")
   }
 
+  test("property: sketch == sorted distinct take-k under arbitrary input and splits") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      k <- Gen.chooseNum(1, 16)
+      cut <- Gen.chooseNum(0, math.max(0, xs.size))
+    } yield (xs, k, cut)
+    val prop = Prop.forAll(gen) { case (xs, k, cut) =>
+      val brute = xs.distinct.sorted.take(k)
+      val direct = new KmvBuffer(k); xs.foreach(direct.update)
+      val (a, b) = xs.splitAt(cut)
+      val m1 = new KmvBuffer(k); a.foreach(m1.update)
+      val m2 = new KmvBuffer(k); b.foreach(m2.update)
+      m1.merge(m2)
+      direct.set.toList == brute && m1.set.toList == brute
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("SQL registration and analysis-time argument validation") {
     spark.range(200).selectExpr("id * 37 % 50 AS h")
       .createOrReplaceTempView("kmv_in")

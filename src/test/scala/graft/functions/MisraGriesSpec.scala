@@ -25,6 +25,36 @@ class MisraGriesSpec extends SparkSpec {
     assert(b.counts("hot") >= 40 - 160 / 9)
   }
 
+  test("property: retention and undercount bounds hold under arbitrary input/splits") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(0, 40).map(i => s"t$i"))
+      k <- Gen.chooseNum(2, 12)
+      cut <- Gen.chooseNum(0, math.max(0, xs.size))
+    } yield (xs, k, cut)
+    val prop = Prop.forAll(gen) { case (xs, k, cut) =>
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toLong
+      def holds(b: MgBuffer, rounds: Int): Boolean =
+        b.n == n && b.counts.size <= k &&
+          truth.forall { case (t, f) =>
+            // MG guarantee (error adds across merges: rounds × n/(k+1))
+            val err = rounds * (n / (k + 1) + 1)
+            val kept = b.counts.getOrElse(t, 0L)
+            kept <= f && (f <= err || b.counts.contains(t))
+          }
+      val direct = new MgBuffer(k); xs.foreach(direct.update)
+      val (a, bb) = xs.splitAt(cut)
+      val m1 = new MgBuffer(k); a.foreach(m1.update)
+      val m2 = new MgBuffer(k); bb.foreach(m2.update)
+      m1.merge(m2)
+      holds(direct, 1) && holds(m1, 2)
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("buffer: merge keeps guarantee and bounds size") {
     val b1 = new MgBuffer(8); val b2 = new MgBuffer(8)
     (0 until 30).foreach(_ => b1.update("hot"))

@@ -26,6 +26,28 @@ class TopKSpec extends SparkSpec {
     assert(b.sorted.toSeq == Seq((4L, "a"), (4L, "m")))
   }
 
+  test("property: heap == brute sorted take-k under arbitrary input and splits") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      xs <- Gen.listOf(Gen.zip(
+        Gen.chooseNum(-1000L, 1000L), Gen.chooseNum(0, 30).map(i => f"t$i%03d")))
+      k <- Gen.chooseNum(1, 8)
+      cut <- Gen.chooseNum(0, math.max(0, xs.size))
+    } yield (xs, k, cut)
+    val prop = Prop.forAll(gen) { case (xs, k, cut) =>
+      val brute = xs.sortBy { case (s, t) => (-s, t) }.take(k)
+      val direct = new TopKBuffer(k); xs.foreach(e => direct.update(e._1, e._2))
+      val (a, b) = xs.splitAt(cut)
+      val m1 = new TopKBuffer(k); a.foreach(e => m1.update(e._1, e._2))
+      val m2 = new TopKBuffer(k); b.foreach(e => m2.update(e._1, e._2))
+      m1.merge(m2)
+      direct.sorted.toSeq == brute && m1.sorted.toSeq == brute
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("buffer: merge equals update over the concatenated stream") {
     val xs = (0 until 50).map(i => ((i * 37 % 101).toLong, s"x$i"))
     val ys = (0 until 50).map(i => ((i * 53 % 101).toLong, s"y$i"))
