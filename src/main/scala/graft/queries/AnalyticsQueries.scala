@@ -770,7 +770,40 @@ object AnalyticsQueries {
       .orderBy(col("grp"))
   }
 
+  /** q124 — the event-transition (Markov) matrix: for each user's
+    * time-ordered event stream, count consecutive (prev_type → type)
+    * pairs — the behavioral-model fit behind funnels-without-a-schema,
+    * anomaly scoring (improbable transitions), and session simulation.
+    * Ties in ts are ordered by event_id, making the per-user sequence
+    * total and both engines' lag() identical. The transition
+    * PROBABILITY is the consumer's division: the query ships the exact
+    * integer (n_trans, from_total) pair (q119's convention).
+    *
+    * Scale shape: the only shuffle is the per-user window (partitioned
+    * by user_id — thousands of small partitions, no global sort);
+    * transition counting is a partial-aggregated groupBy over ≤
+    * |types|² keys; the from_total join is a broadcast of ≤ |types|
+    * rows.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n_trans")).as("from_total"))
+    trans.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("from_total"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_event_transitions" -> eventTransitions,
     "q119_group_trend" -> groupTrend,
     "q88_dup_spans"    -> dupSpans,
     "q89_kmv_distinct" -> kmvDistinct,
@@ -844,6 +877,23 @@ object AnalyticsQueries {
     }.mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "q124_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |         count(*)::BIGINT AS n_trans
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |tot AS (
+        |  SELECT prev_type, sum(n_trans)::BIGINT AS from_total
+        |  FROM trans GROUP BY prev_type)
+        |SELECT prev_type, next_type, n_trans, from_total
+        |FROM trans JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "q119_group_trend" ->
       """WITH e AS (
         |  SELECT event_type AS grp,

@@ -305,6 +305,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q124: transition counts equal a brute per-user sequence walk") {
+    val res = AnalyticsQueries.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS BIGINT) AS tsn", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      seq.zip(seq.tail)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = brute.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    assert(res.keySet == brute.keySet, "transition pair coverage differs")
+    res.foreach { case (pair, (n, tot)) =>
+      assert(n == brute(pair), s"$pair: $n vs brute ${brute(pair)}")
+      assert(tot == fromTotals(pair._1), s"$pair from_total wrong")
+    }
+    // a Markov row must sum to its own total
+    res.groupBy(_._1._1).foreach { case (p, rows) =>
+      assert(rows.values.map(_._1).sum == rows.values.head._2,
+        s"row $p does not sum to from_total")
+    }
+  }
+
   test("q94: IVF-arm fused top-10 overlaps >= 0.8 with the exact-arm top-10") {
     val exact = graft.SparkEntry.queries("q90_rrf_hybrid")(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
