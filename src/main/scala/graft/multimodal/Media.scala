@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
   *   - REAL for still images the JDK ships codecs for (PNG/JPEG/BMP/GIF
   *     via `javax.imageio`, no external libs): [[decodeImage]] produces
   *     the true luminance plane;
-  *   - STUB for everything else (audio/video codecs are not available in
-  *     this environment): [[decodeStub]] derives a deterministic fake
-  *     frame from an md5 keystream over the payload — clearly marked,
-  *     and shaped exactly like a real decoder (bytes → fixed-size
-  *     numeric buffer), so swapping in a codec changes one function.
-  * [[decodeFrame]] dispatches: payloads ImageIO can parse take the real
-  * path, the rest fall through to the stub.
+  *   - REAL for uncompressed audio the JDK ships readers for (WAV/AU/
+  *     AIFF carrying PCM via `javax.sound.sampled`): [[decodeAudio]]
+  *     produces the true mono sample buffer;
+  *   - STUB for everything else (compressed audio/video codecs are not
+  *     available in this environment): [[decodeStub]] derives a
+  *     deterministic fake frame from an md5 keystream over the payload —
+  *     clearly marked, and shaped exactly like a real decoder (bytes →
+  *     fixed-size numeric buffer), so swapping in a codec changes one
+  *     function.
+  * [[decodeFrame]] dispatches: payloads ImageIO or the audio readers can
+  * parse take the real path, the rest fall through to the stub.
   */
 object Media {
 
@@ -95,13 +99,55 @@ object Media {
     }
   }
 
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * readers (WAV/AU/AIFF carrying PCM — no external codecs): payload
+    * bytes → mono sample array mapped to [0, 1] (16-bit PCM samples in
+    * [-1, 1] remapped as (s+1)/2, channels averaged), so audio frames
+    * ride the same numeric-buffer shape as image luminance planes.
+    * Returns None when no installed reader recognizes the bytes —
+    * compressed formats (mp3/aac) have no JDK codec and stay stubbed. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val ch = math.max(1, src.getChannels)
+        val nFrames = bytes.length / (2 * ch)
+        val out = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var sum = 0f
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * 2
+            val s = (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort
+            sum += s / 32768.0f
+            c += 1
+          }
+          out(f) = (sum / ch + 1.0f) / 2.0f
+          f += 1
+        }
+        Some(out)
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Decode dispatch: a payload a JDK codec understands yields its true
-    * luminance plane (frame 0 only — stills have one frame; non-zero
-    * frames of a real video would come from a video codec), padded or
-    * truncated to `nPixels`; anything else takes the deterministic stub. */
+    * content — image luminance plane, or PCM audio samples (frame 0
+    * only — stills have one frame; non-zero frames of a real video
+    * would come from a video codec) — padded or truncated to
+    * `nPixels`; anything else takes the deterministic stub. */
   def decodeFrame(payload: Array[Byte], frame: Int, nPixels: Int): Array[Float] =
-    (if (frame == 0) decodeImage(payload) else None) match {
-      case Some((_, _, px)) =>
+    (if (frame == 0) decodeImage(payload).map(_._3).orElse(decodeAudio(payload))
+     else None) match {
+      case Some(px) =>
         if (px.length == nPixels) px
         else java.util.Arrays.copyOf(px, nPixels)
       case None => decodeStub(payload, frame, nPixels)
