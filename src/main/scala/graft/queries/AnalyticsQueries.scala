@@ -666,7 +666,10 @@ object AnalyticsQueries {
     * Vassilvitskii 2011). All counts exact BIGINTs; the only double is
     * the final coefficient.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The capped near-dup edge set (doc pairs sharing ≥ 1
+    * cross-doc-duplicated 8-gram, hot grams df-capped) — the graph
+    * q112's census and q125's community detection both analyze. */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.count() // metadata-only parquet count (q81/q96 precedent)
     val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
@@ -681,10 +684,14 @@ object AnalyticsQueries {
       occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
         .where(col("nd") >= 2 && col("nd") <= dfCap).select(col("g")),
       Seq("g"))
-    val edges = kept.as("a")
+    kept.as("a")
       .join(kept.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct()
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
     val deg = edges.select(col("x").as("node"))
       .unionAll(edges.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -711,6 +718,51 @@ object AnalyticsQueries {
         when(coalesce(col("w_sum"), lit(0L)) === 0L, lit(0.0))
           .otherwise(lit(3.0) * col("n_triangles").cast(DoubleType) /
             col("w_sum").cast(DoubleType)).as("clustering"))
+  }
+
+  // ---------------------------------------------------------------- q125
+
+  /** Synchronous LPA rounds — fixed so the oracle unrolls the same. */
+  private val LpaIters = 5
+
+  /** q125 — label-propagation communities (Raghavan et al. 2007) over
+    * the capped near-dup graph: each node adopts the MODE of its
+    * neighbors' labels each round (ties → smallest label), which finds
+    * DENSE near-dup families where q73's connected components merge
+    * anything chain-linked — the two disagree exactly where a thin
+    * bridge joins two dense clusters, which is what a dedup reviewer
+    * wants surfaced. Synchronous updates + a total tie order + a fixed
+    * round count make the result deterministic (no convergence test,
+    * which would be order-dependent); emits (community, size).
+    *
+    * Scale shape: one iteration = an equi-join of labels to the
+    * undirected edge list (shuffle keyed on 8-byte node ids) plus two
+    * partial-aggregated groupBys (mode via max(struct(count, −label)) —
+    * the q122 arg-max idiom, no rank window). The edge list is
+    * localCheckpoint'd once and labels re-checkpoint per round (q91's
+    * iteration discipline: lineage stays O(1) deep, at the documented
+    * executor-loss trade).
+    */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
+    val und = edges.select(col("x").as("node"), col("y").as("nbr"))
+      .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
+      .localCheckpoint()
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaIters) {
+      labels = und
+        .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("nl")).as("negl"))).as("m"))
+        .select(col("node"), (-col("m.negl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("community"))
   }
 
   // ------------------------------------------------------------ oracles
@@ -815,7 +867,8 @@ object AnalyticsQueries {
     "q98_dup_span_remove" -> dupSpanRemove,
     "q104_exact_quantiles" -> exactQuantiles,
     "q109_kmv_overlap" -> kmvOverlap,
-    "q112_triangles" -> triangles
+    "q112_triangles" -> triangles,
+    "q125_label_propagation" -> labelPropagation
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -876,7 +929,62 @@ object AnalyticsQueries {
       s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
     }.mkString(",\n    ")
 
+  /** Shared capped near-dup edge CTEs (the `e(x, y)` relation) — the
+    * oracle-side mirror of [[dupEdges]], used by q112 and q125. */
+  private val dupEdgeCtesSql =
+    """d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w, unnest(
+      |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
+      |  FROM d),
+      |occ AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(array_to_string(
+      |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
+      |  FROM pos),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |keepg AS (
+      |  SELECT g FROM occ GROUP BY g
+      |  HAVING count(*) >= 2
+      |     AND count(*) <= greatest(5, ceil(0.01 * (SELECT n FROM nn)))),
+      |kept AS (SELECT occ.doc_id, occ.g FROM occ JOIN keepg USING (g)),
+      |e AS (
+      |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+      |  FROM kept a JOIN kept b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** One synchronous LPA round as CTEs (mode of neighbor labels, ties
+    * to the smallest label — the window form of the Spark side's
+    * max(struct(count, −label)) arg-max). */
+  private def lpaIterCte(i: Int): String =
+    s"""c$i AS (
+       |  SELECT u.node AS node, l.label AS nl, count(*) AS c
+       |  FROM und u JOIN l${i - 1} l ON l.node = u.nbr
+       |  GROUP BY u.node, l.label),
+       |l$i AS (
+       |  SELECT node, nl AS label FROM (
+       |    SELECT node, nl,
+       |           row_number() OVER (PARTITION BY node
+       |                              ORDER BY c DESC, nl) AS rn
+       |    FROM c$i) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q125_label_propagation" ->
+      (s"""WITH $dupEdgeCtesSql,
+         |und AS (
+         |  SELECT x AS node, y AS nbr FROM e
+         |  UNION ALL
+         |  SELECT y, x FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+         |""".stripMargin +
+        (1 to LpaIters).map(lpaIterCte).mkString(",\n") +
+        s"""
+         |SELECT label AS community, count(*)::BIGINT AS size
+         |FROM l$LpaIters
+         |GROUP BY label
+         |ORDER BY community""".stripMargin),
     "q124_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -915,28 +1023,7 @@ object AnalyticsQueries {
     // any total order counts each triangle exactly once, so the count
     // equals the Spark side's degree-ordered orientation
     "q112_triangles" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, w, unnest(
-        |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
-        |  FROM d),
-        |occ AS (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(array_to_string(
-        |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
-        |  FROM pos),
-        |nn AS (SELECT count(*) AS n FROM documents),
-        |keepg AS (
-        |  SELECT g FROM occ GROUP BY g
-        |  HAVING count(*) >= 2
-        |     AND count(*) <= greatest(5, ceil(0.01 * (SELECT n FROM nn)))),
-        |kept AS (SELECT occ.doc_id, occ.g FROM occ JOIN keepg USING (g)),
-        |e AS (
-        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM kept a JOIN kept b
-        |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      s"""WITH $dupEdgeCtesSql,
         |deg AS (
         |  SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)

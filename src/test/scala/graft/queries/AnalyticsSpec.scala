@@ -249,6 +249,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(cc >= 0.0 && cc <= 1.0 && cc == 3.0 * tris / wedges)
   }
 
+  test("q125: community sizes equal a brute synchronous-LPA simulation") {
+    val res = AnalyticsQueries.labelPropagation(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute edge set: q112's construction (same graph by definition)
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- gramDocs if ds.size >= 2 && ds.size <= cap;
+         a <- ds; b <- ds if a < b) edges += ((a, b))
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // 5 synchronous rounds: mode of neighbor labels, ties -> smallest
+    var labels: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      labels = nbrs.map { case (n, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val brute = labels.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(res == brute, s"communities differ:\n$res\n$brute")
+    // witness: at least one multi-node community formed
+    assert(res.values.max >= 2, "no community larger than a single node")
+    assert(res.values.sum == nbrs.size.toLong, "every node must be labeled")
+  }
+
   test("q108: OHLC equals a brute per-bucket recomputation") {
     val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
       .collect()
