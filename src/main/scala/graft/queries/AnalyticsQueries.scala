@@ -743,7 +743,9 @@ object AnalyticsQueries {
     * iteration discipline: lineage stays O(1) deep, at the documented
     * executor-loss trade).
     */
-  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+  /** Per-node labels after [[LpaIters]] synchronous rounds — q125
+    * reports their sizes, q126 scores the partition. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)
     val und = edges.select(col("x").as("node"), col("y").as("nbr"))
       .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
@@ -760,8 +762,56 @@ object AnalyticsQueries {
         .select(col("node"), (-col("m.negl")).as("label"))
         .localCheckpoint()
     }
-    labels.groupBy(col("label").as("community"))
+    labels
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(s, dir)
+      .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("size"))
+      .orderBy(col("community"))
+
+  // ---------------------------------------------------------------- q126
+
+  /** q126 — EXACT modularity audit of q125's partition: per community,
+    * the Newman modularity contribution with every cross-engine value
+    * integer — Q = Σ_c (e_c/m − (d_c/2m)²) scaled by 4m² gives
+    * q_num = 4·m·e_c − d_c², so Q = Σ q_num / (4m²) is the consumer's
+    * one division (q118/q119's convention). This is the score a
+    * clustering rollout gates on: a partition whose Σ q_num ≤ 0 is no
+    * better than random edge placement, and per-community rows point
+    * at the specific families that drag it down.
+    *
+    * Scale shape: labels join to the edge list twice (equi-joins keyed
+    * on node ids — at corpus scale labels broadcast: one row per NODE
+    * of the near-dup graph, far smaller than the corpus); e_c and d_c
+    * are partial-aggregated groupBys; m and the final frame are
+    * community-cardinality-sized. Headroom: d_c² caps BIGINT at
+    * d_c ~ 3·10⁹ — a single community touching 3 billion edge
+    * endpoints — past which the emitted columns widen to
+    * DECIMAL(38,0).
+    */
+  def modularityAudit(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir).localCheckpoint()
+    val labels = lpaLabels(s, dir)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val lx = labels.select(col("node").as("x"), col("label").as("cx"))
+    val ly = labels.select(col("node").as("y"), col("label").as("cy"))
+    val eIn = edges.join(lx, Seq("x")).join(ly, Seq("y"))
+      .where(col("cx") === col("cy"))
+      .groupBy(col("cx").as("community")).agg(count(lit(1)).as("e_in"))
+    val dSum = edges.select(col("x").as("node"))
+      .unionAll(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"), sum(col("deg")).as("d_sum"))
+    dSum.join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("size"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+          col("d_sum") * col("d_sum")).as("q_num"))
       .orderBy(col("community"))
   }
 
@@ -868,7 +918,8 @@ object AnalyticsQueries {
     "q104_exact_quantiles" -> exactQuantiles,
     "q109_kmv_overlap" -> kmvOverlap,
     "q112_triangles" -> triangles,
-    "q125_label_propagation" -> labelPropagation
+    "q125_label_propagation" -> labelPropagation,
+    "q126_modularity" -> modularityAudit
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -971,6 +1022,37 @@ object AnalyticsQueries {
        |    FROM c$i) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q126_modularity" ->
+      (s"""WITH $dupEdgeCtesSql,
+         |und AS (
+         |  SELECT x AS node, y AS nbr FROM e
+         |  UNION ALL
+         |  SELECT y, x FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+         |""".stripMargin +
+        (1 to LpaIters).map(lpaIterCte).mkString(",\n") +
+        s""",
+         |mm AS (SELECT count(*)::BIGINT AS m FROM e),
+         |ein AS (
+         |  SELECT lx.label AS community, count(*)::BIGINT AS e_in
+         |  FROM e
+         |  JOIN l$LpaIters lx ON lx.node = e.x
+         |  JOIN l$LpaIters ly ON ly.node = e.y
+         |  WHERE lx.label = ly.label
+         |  GROUP BY lx.label),
+         |deg AS (
+         |  SELECT node, count(*)::BIGINT AS deg FROM und GROUP BY node),
+         |ds AS (
+         |  SELECT l.label AS community, count(*)::BIGINT AS size,
+         |         sum(d.deg)::BIGINT AS d_sum
+         |  FROM deg d JOIN l$LpaIters l USING (node)
+         |  GROUP BY l.label)
+         |SELECT ds.community, ds.size,
+         |       COALESCE(ein.e_in, 0) AS e_in, ds.d_sum, mm.m,
+         |       (4 * mm.m * COALESCE(ein.e_in, 0)
+         |          - ds.d_sum * ds.d_sum)::BIGINT AS q_num
+         |FROM ds LEFT JOIN ein USING (community), mm
+         |ORDER BY community""".stripMargin),
     "q125_label_propagation" ->
       (s"""WITH $dupEdgeCtesSql,
          |und AS (

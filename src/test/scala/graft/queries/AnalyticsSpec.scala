@@ -282,6 +282,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.values.sum == nbrs.size.toLong, "every node must be labeled")
   }
 
+  test("q126: modularity contributions equal a brute recomputation; Q improves on random") {
+    val res = AnalyticsQueries.modularityAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // brute: q125's exact label simulation, then integer modularity
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- gramDocs if ds.size >= 2 && ds.size <= cap;
+         a <- ds; b <- ds if a < b) edges += ((a, b))
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 5) {
+      labels = nbrs.map { case (n, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = edges.size.toLong
+    val eIn = edges.toSeq.filter(e => labels(e._1) == labels(e._2))
+      .groupBy(e => labels(e._1)).view.mapValues(_.size.toLong).toMap
+    val dSum = nbrs.map { case (n, ns) => n -> ns.size.toLong }
+      .groupBy { case (n, _) => labels(n) }.view
+      .mapValues(_.values.sum).toMap
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(res.keySet == sizes.keys.toSet)
+    sizes.foreach { case (c, sz) =>
+      val expect = (sz, eIn.getOrElse(c, 0L), dSum(c), m,
+        4L * m * eIn.getOrElse(c, 0L) - dSum(c) * dSum(c))
+      assert(res(c) == expect, s"community $c: ${res(c)} vs brute $expect")
+    }
+    // a sane dense-community partition must beat random edge placement
+    assert(res.values.map(_._5).sum > 0L, "total modularity numerator <= 0")
+  }
+
   test("q108: OHLC equals a brute per-bucket recomputation") {
     val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
       .collect()
