@@ -744,9 +744,10 @@ object AnalyticsQueries {
     * executor-loss trade).
     */
   /** Per-node labels after [[LpaIters]] synchronous rounds — q125
-    * reports their sizes, q126 scores the partition. */
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
-    val edges = dupEdges(s, dir)
+    * reports their sizes, q126 scores the partition. Takes the edge
+    * frame as input so q126 can reuse its already-checkpointed edges
+    * instead of paying the gram pair join a second time. */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
     val und = edges.select(col("x").as("node"), col("y").as("nbr"))
       .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
       .localCheckpoint()
@@ -766,7 +767,7 @@ object AnalyticsQueries {
   }
 
   def labelPropagation(s: SparkSession, dir: String): DataFrame =
-    lpaLabels(s, dir)
+    lpaLabels(dupEdges(s, dir))
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("size"))
       .orderBy(col("community"))
@@ -793,7 +794,7 @@ object AnalyticsQueries {
     */
   def modularityAudit(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir).localCheckpoint()
-    val labels = lpaLabels(s, dir)
+    val labels = lpaLabels(edges)
     val m = edges.agg(count(lit(1)).as("m"))
     val lx = labels.select(col("node").as("x"), col("label").as("cx"))
     val ly = labels.select(col("node").as("y"), col("label").as("cy"))
