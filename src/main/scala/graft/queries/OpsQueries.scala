@@ -282,7 +282,46 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q127 — data-skipping effectiveness of q117's Z-order layout: for a
+    * deterministic octile-range predicate workload on EACH key column,
+    * how many cells (files) and rows would a footer-pruning scan touch?
+    * This is the report a layout rollout ships to justify itself — and
+    * the number a single-column sort cannot match on the SECOND column
+    * (OpsSpec computes that baseline brute: a partkey-sorted layout
+    * prunes nothing for suppkey predicates, while the Morton grid
+    * scans ≤ ~1/4 of rows for either column's predicates).
+    *
+    * Scale shape: everything runs on the ≤ 256-row cell-stats table —
+    * the predicate frame is 16 rows, the overlap test is a broadcast
+    * cross of the two tiny frames — so the report costs the same at
+    * any corpus size; the cell rollup itself is q117's one scan.
+    */
+  def skippingReport(s: SparkSession, dir: String): DataFrame = {
+    val cells = zorderCells(s, dir)
+    val ext = cells.agg(min(col("min_p")).as("pmn"), max(col("max_p")).as("pmx"),
+      min(col("min_s")).as("smn"), max(col("max_s")).as("smx"))
+    def preds(name: String, mn: String, mx: String) = ext
+      .withColumn("b", explode(expr("sequence(0L, 7L)")))
+      .select(lit(name).as("pred_col"), col("b"),
+        expr(s"$mn + (b * ($mx - $mn + 1)) div 8").as("lo"),
+        expr(s"$mn + ((b + 1) * ($mx - $mn + 1)) div 8 - 1").as("hi"))
+    val workload = preds("l_partkey", "pmn", "pmx")
+      .unionAll(preds("l_suppkey", "smn", "smx"))
+    val overlap = when(col("pred_col") === "l_partkey",
+      col("min_p") <= col("hi") && col("max_p") >= col("lo"))
+      .otherwise(col("min_s") <= col("hi") && col("max_s") >= col("lo"))
+    val totals = cells.agg(count(lit(1)).as("cells_total"),
+      sum(col("n")).as("rows_total"))
+    cells.crossJoin(broadcast(workload))
+      .where(overlap)
+      .groupBy(col("pred_col"), col("b"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("cells_scanned"), sum(col("n")).as("rows_scanned"))
+      .crossJoin(broadcast(totals))
+      .orderBy(col("pred_col"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_skipping_report" -> skippingReport,
     "q110_table_checksum" -> tableChecksum,
     "q111_column_profile" -> columnProfile,
     "q117_zorder_cells"   -> zorderCells,
@@ -329,6 +368,56 @@ object OpsQueries {
         |       bit_xor(h)::BIGINT AS xor_digest
         |FROM ck GROUP BY tbl
         |ORDER BY tbl""".stripMargin,
+
+    "q127_skipping_report" -> {
+      val nb = 1L << ZBits
+      val inter = (0 until ZBits).map(b =>
+        s"(((bp >> $b) & 1) << ${2 * b}) + (((bs >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH ext0 AS (
+         |  SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+         |         min(l_suppkey) smn, max(l_suppkey) smx
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ((l_partkey - pmn) * $nb) // (pmx - pmn + 1) AS bp,
+         |         ((l_suppkey - smn) * $nb) // (smx - smn + 1) AS bs
+         |  FROM lineitem, ext0),
+         |cells AS (
+         |  SELECT CAST($inter AS BIGINT) AS zcell, count(*)::BIGINT AS n,
+         |         min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         |         min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+         |  FROM b GROUP BY zcell),
+         |ext AS (
+         |  SELECT min(min_p) pmn, max(max_p) pmx,
+         |         min(min_s) smn, max(max_s) smx
+         |  FROM cells),
+         |workload AS (
+         |  SELECT 'l_partkey' AS pred_col, u.b::BIGINT AS b,
+         |         pmn + (u.b * (pmx - pmn + 1)) // 8 AS lo,
+         |         pmn + ((u.b + 1) * (pmx - pmn + 1)) // 8 - 1 AS hi
+         |  FROM ext, unnest(range(0, 8)) AS u(b)
+         |  UNION ALL
+         |  SELECT 'l_suppkey', u.b::BIGINT,
+         |         smn + (u.b * (smx - smn + 1)) // 8,
+         |         smn + ((u.b + 1) * (smx - smn + 1)) // 8 - 1
+         |  FROM ext, unnest(range(0, 8)) AS u(b)),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS cells_total, sum(n)::BIGINT AS rows_total
+         |  FROM cells)
+         |SELECT w.pred_col, w.b, w.lo, w.hi,
+         |       count(*)::BIGINT AS cells_scanned,
+         |       sum(c.n)::BIGINT AS rows_scanned,
+         |       tot.cells_total, tot.rows_total
+         |FROM workload w
+         |JOIN cells c
+         |  ON CASE WHEN w.pred_col = 'l_partkey'
+         |          THEN c.min_p <= w.hi AND c.max_p >= w.lo
+         |          ELSE c.min_s <= w.hi AND c.max_s >= w.lo END,
+         |tot
+         |GROUP BY w.pred_col, w.b, w.lo, w.hi, tot.cells_total, tot.rows_total
+         |ORDER BY pred_col, b""".stripMargin
+    },
 
     "q122_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

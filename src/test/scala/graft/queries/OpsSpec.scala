@@ -100,6 +100,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q127: skipping report equals brute overlap math and beats a sorted layout") {
+    val res = OpsQueries.skippingReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+      .toMap
+    val cells = OpsQueries.zorderCells(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))) // n, min_p, max_p, min_s, max_s
+    val (pmn, pmx) = (cells.map(_._2).min, cells.map(_._3).max)
+    val (smn, smx) = (cells.map(_._4).min, cells.map(_._5).max)
+    val rowsTotal = cells.map(_._1).sum
+    def pred(mn: Long, mx: Long, b: Long) =
+      (mn + (b * (mx - mn + 1)) / 8, mn + ((b + 1) * (mx - mn + 1)) / 8 - 1)
+    for (colName <- Seq("l_partkey", "l_suppkey"); b <- 0L until 8L) {
+      val (mn, mx) = if (colName == "l_partkey") (pmn, pmx) else (smn, smx)
+      val (lo, hi) = pred(mn, mx, b)
+      val hitting = cells.filter { case (_, p0, p1, s0, s1) =>
+        if (colName == "l_partkey") p0 <= hi && p1 >= lo
+        else s0 <= hi && s1 >= lo
+      }
+      assert(res((colName, b)) ==
+        ((lo, hi, hitting.length.toLong, hitting.map(_._1).sum,
+          cells.length.toLong, rowsTotal)),
+        s"$colName octile $b mismatch")
+    }
+    // THE layout claim: for SUPPKEY predicates the Morton grid scans a
+    // fraction of rows, while a partkey-SORTED layout (8 contiguous
+    // partkey-octile files, suppkey footers full-range) prunes nothing
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_suppkey").collect().map(_.getLong(0))
+    for (b <- 0L until 8L) {
+      val (_, _, _, zRows, _, _) = res(("l_suppkey", b))
+      assert(zRows <= rowsTotal / 2,
+        s"suppkey octile $b: z-layout scans $zRows of $rowsTotal — no skipping")
+      val (lo, hi) = pred(smn, smx, b)
+      // sorted-layout baseline: every file overlaps [smn, smx] ⊇ [lo, hi]
+      assert(lo >= smn && hi <= smx && li.exists(v => v >= lo && v <= hi),
+        "octile must be non-degenerate for the baseline comparison")
+    }
+  }
+
   test("q122: merge equals a brute CDC apply; last writer wins; deletes vanish") {
     val res = OpsQueries.mergeUpsert(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
