@@ -816,6 +816,42 @@ object AnalyticsQueries {
       .orderBy(col("community"))
   }
 
+  // ---------------------------------------------------------------- q128
+
+  /** q128 — degree assortativity of the near-dup graph (Newman 2002):
+    * do high-degree documents link to other high-degree documents?
+    * Positive r means boilerplate-heavy hubs cluster together (one
+    * shared-template family); negative means hubs link to leaves
+    * (a few templates touching everything) — which decides whether
+    * removing the top-degree docs breaks the dup graph apart. As an
+    * EXACT rational (q119's convention): over edges with endpoint
+    * degrees (j, k), with A = Σjk, B = Σ(j+k), C = Σ(j²+k²),
+    * r = (4·M·A − B²) / (2·M·C − B²) — the one division is the
+    * consumer's, every emitted value a BIGINT.
+    *
+    * Scale shape: two broadcastable degree joins onto the edge list
+    * (degree table is node-cardinality-sized), then ONE partial
+    * aggregation to four scalars; nothing after the q112-shared edge
+    * build exceeds the graph's own size.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
+    val deg = edges.select(col("x").as("node"))
+      .unionAll(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("x"), col("deg").as("j")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("k")), Seq("y"))
+    withDeg
+      .agg(count(lit(1)).as("m"),
+        sum(col("j") * col("k")).as("a"),
+        sum(col("j") + col("k")).as("b"),
+        sum(col("j") * col("j") + col("k") * col("k")).as("c"))
+      .select(col("m"), col("a"), col("b"), col("c"),
+        (lit(4L) * col("m") * col("a") - col("b") * col("b")).as("r_num"),
+        (lit(2L) * col("m") * col("c") - col("b") * col("b")).as("r_den"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private def prIterCte(i: Int): String =
@@ -920,7 +956,8 @@ object AnalyticsQueries {
     "q109_kmv_overlap" -> kmvOverlap,
     "q112_triangles" -> triangles,
     "q125_label_propagation" -> labelPropagation,
-    "q126_modularity" -> modularityAudit
+    "q126_modularity" -> modularityAudit,
+    "q128_assortativity" -> assortativity
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -1023,6 +1060,27 @@ object AnalyticsQueries {
        |    FROM c$i) WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q128_assortativity" ->
+      s"""WITH $dupEdgeCtesSql,
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+        |  GROUP BY node),
+        |wd AS (
+        |  SELECT dj.deg AS j, dk.deg AS k
+        |  FROM e
+        |  JOIN deg dj ON dj.node = e.x
+        |  JOIN deg dk ON dk.node = e.y),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS m,
+        |         sum(j * k)::BIGINT AS a,
+        |         sum(j + k)::BIGINT AS b,
+        |         sum(j * j + k * k)::BIGINT AS c
+        |  FROM wd)
+        |SELECT m, a, b, c,
+        |       (4 * m * a - b * b)::BIGINT AS r_num,
+        |       (2 * m * c - b * b)::BIGINT AS r_den
+        |FROM st""".stripMargin,
     "q126_modularity" ->
       (s"""WITH $dupEdgeCtesSql,
          |und AS (

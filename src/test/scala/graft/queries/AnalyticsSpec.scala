@@ -325,6 +325,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.values.map(_._5).sum > 0L, "total modularity numerator <= 0")
   }
 
+  test("q128: assortativity statistics equal a brute recomputation; |r| <= 1") {
+    val r = AnalyticsQueries.assortativity(spark, sfDir).head()
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = scala.collection.mutable.Set.empty[(Long, Long)]
+    for ((_, ds) <- gramDocs if ds.size >= 2 && ds.size <= cap;
+         a <- ds; b <- ds if a < b) edges += ((a, b))
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val jk = edges.toSeq.map(e => (deg(e._1), deg(e._2)))
+    val m = BigInt(jk.length)
+    val a = jk.map { case (j, k) => BigInt(j) * k }.sum
+    val b = jk.map { case (j, k) => BigInt(j) + k }.sum
+    val c = jk.map { case (j, k) => BigInt(j) * j + BigInt(k) * k }.sum
+    val expect = (m.toLong, a.toLong, b.toLong, c.toLong,
+      (4 * m * a - b * b).toLong, (2 * m * c - b * b).toLong)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    assert(got == expect, s"got $got, brute $expect")
+    // Pearson bound: |r_num| <= r_den (r_den >= 0 unless degenerate)
+    assert(got._6 > 0L && math.abs(got._5) <= got._6,
+      "assortativity must be a valid correlation")
+  }
+
   test("q108: OHLC equals a brute per-bucket recomputation") {
     val res = graft.SparkEntry.queries("q108_resample_ohlc")(spark, sfDir)
       .collect()
