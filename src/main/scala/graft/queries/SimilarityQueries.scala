@@ -615,9 +615,33 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** q129 — the ANN rollout gate as a QUERY: recall@K of the IVF index
+    * (q55) against exact brute truth (q31), per query — hits =
+    * |IVF top-K ∩ brute top-K|; corpus recall is Σhits / (Q·K), the
+    * consumer's division. The specs have always asserted recall BARS;
+    * registering the audit makes the eval itself oracle-checked — both
+    * engines must agree on every per-query hit count, so the oracle
+    * proves the two arms AND the intersection logic simultaneously.
+    *
+    * Scale shape: both arms' plans are q31/q55's (documented there);
+    * the intersection is an equi-join of two Q×K-row frames — eval
+    * frames, not corpus frames.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val b = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val i = knnIvf(s, dir).select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    b.join(i, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(lit(K.toLong)).as("k"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_int8_quantize" -> int8Quantize,
     "q116_embed_covariance" -> embedCovariance,
+    "q129_ann_recall" -> annRecall,
     "q101_semdedup_prune" -> semDedupPrune,
     "q102_centroid_update" -> centroidUpdate,
     "q30_embed_neardup" -> embedNearDup,
@@ -630,6 +654,65 @@ object SimilarityQueries {
     "q64_knn_ivfpq"     -> knnIvfPq,
     "q113_knn_ivf_int8" -> knnIvfInt8
   )
+
+  /** q31's oracle body — also the brute arm of q129's recall audit. */
+  private lazy val knnBruteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
+       |  FROM e WHERE vec_id < $QuerySetSize),
+       |c AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
+       |  FROM q, e WHERE e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM c)
+       |SELECT query_id, neighbor_id, cos, rn FROM r
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
+  /** q55's oracle body — also the ANN arm of q129's recall audit. */
+  private lazy val knnIvfSql: String = {
+    val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+       |cents AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, cv,
+       |         sqrt(list_dot_product(cv, cv)) AS cnrm
+       |  FROM (VALUES
+       |    $centRows) t(cid, cv)),
+       |a AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |         e.nrm * e.nrm
+       |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+       |           + c.cnrm * c.cnrm AS dist
+       |  FROM e, cents c),
+       |r AS (
+       |  SELECT vec_id, embedding, nrm, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |  FROM a),
+       |cells AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell FROM r WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid AS probe
+       |  FROM r WHERE rk <= $IvfProbes AND vec_id < $QuerySetSize),
+       |c2 AS (
+       |  SELECT query_id, cells.vec_id AS neighbor_id,
+       |         list_dot_product(qv::DOUBLE[], cells.embedding::DOUBLE[])
+       |           / (qnrm * cells.nrm) AS cos
+       |  FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM c2)
+       |SELECT query_id, neighbor_id, cos, rn FROM rr
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+  }
 
   private def ivfCentValuesSql: String =
     IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
@@ -858,22 +941,7 @@ object SimilarityQueries {
          |WHERE $pairCosSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q31_knn_brute" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
-         |  FROM e WHERE vec_id < $QuerySetSize),
-         |c AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, $qCosSql AS cos
-         |  FROM q, e WHERE e.vec_id <> q.query_id),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-         |  FROM c)
-         |SELECT query_id, neighbor_id, cos, rn FROM r
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+    "q31_knn_brute" -> knnBruteSql,
 
     "q32_knn_lsh" -> {
       val perTable = (0 until PlaneTables).map { t =>
@@ -923,45 +991,21 @@ object SimilarityQueries {
          |WHERE $pairCosSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q55_knn_ivf" -> {
-      val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
-      }.mkString(",\n    ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
-         |cents AS (
-         |  SELECT CAST(cid AS BIGINT) AS cid, cv,
-         |         sqrt(list_dot_product(cv, cv)) AS cnrm
-         |  FROM (VALUES
-         |    $centRows) t(cid, cv)),
-         |a AS (
-         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-         |         e.nrm * e.nrm
-         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
-         |           + c.cnrm * c.cnrm AS dist
-         |  FROM e, cents c),
-         |r AS (
-         |  SELECT vec_id, embedding, nrm, cid,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |  FROM a),
-         |cells AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM r WHERE rk = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid AS probe
-         |  FROM r WHERE rk <= $IvfProbes AND vec_id < $QuerySetSize),
-         |c2 AS (
-         |  SELECT query_id, cells.vec_id AS neighbor_id,
-         |         list_dot_product(qv::DOUBLE[], cells.embedding::DOUBLE[])
-         |           / (qnrm * cells.nrm) AS cos
-         |  FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id),
-         |rr AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
-         |  FROM c2)
-         |SELECT query_id, neighbor_id, cos, rn FROM rr
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
-    },
+    "q55_knn_ivf" -> knnIvfSql,
+
+    // q129: both arms are the EXACT q31/q55 oracle texts, nested as
+    // CTE subqueries (their own WITHs scope locally) — the audit is
+    // definitionally over the same two result sets
+    "q129_ann_recall" ->
+      s"""WITH brute AS ($knnBruteSql),
+         |ivf AS ($knnIvfSql)
+         |SELECT b.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |       CAST($K AS BIGINT) AS k
+         |FROM brute b
+         |LEFT JOIN ivf i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
 
     "q77_semantic_sample" -> {
       val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>

@@ -136,6 +136,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(!p.contains("Join"), "q116 must not self-join the exploded table")
   }
 
+  test("q129 per-query hits equal an independent set intersection; bounds hold") {
+    // at sf0.01 like the bar tests above — the audit must REPRODUCE the
+    // recall they measure, so it runs where they run
+    val res = SimilarityQueries.annRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val brute = SimilarityQueries.knnBrute(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityQueries.knnIvf(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(res.keySet == brute.keySet, "one audit row per query")
+    res.foreach { case (q, (hits, k)) =>
+      assert(k == 5L)
+      val expect = brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == expect, s"query $q: $hits vs brute-set $expect")
+      assert(hits >= 0L && hits <= k)
+    }
+    // the audit must reproduce the recall the IVF bar test measures
+    val recall = res.values.map(_._1).sum.toDouble / (res.size * 5.0)
+    assert(recall >= 0.8, s"audit recall $recall below the q55 spec bar")
+  }
+
   test("LSH near-dup pairs are a subset of brute-force pairs") {
     val brute = SimilarityQueries.embedNearDup(spark, sfDir)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
