@@ -320,7 +320,65 @@ object OpsQueries {
       .orderBy(col("pred_col"), col("b"))
   }
 
+  /** q130 — the data-contract validation job (dbt-test / Deequ shape):
+    * per declared constraint, how many rows were checked and how many
+    * violate — REPORTED, not asserted, because at 100 TB a contract
+    * run's output is a dashboard row, and this synthetic TPC-H-ish
+    * data genuinely violates some (lineitem's (l_orderkey,
+    * l_linenumber) is documented non-unique — the report proves it
+    * with a count instead of hiding it in a failed job). Checks: two
+    * key-uniqueness contracts, two referential-integrity contracts
+    * (fact keys ⊆ dim keys), and two domain contracts (non-negative
+    * quantity, known order status).
+    *
+    * Scale shape: uniqueness is a partial-agg'd groupBy on the key
+    * (violations = Σ(count−1) over duplicated keys, shipped as one
+    * scalar); referential integrity is a left-anti join against the
+    * dim-side DISTINCT key set (broadcastable at scale); domain checks
+    * are scan-side predicates. Every check emits one row — the whole
+    * report is #checks rows regardless of data size.
+    */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    def unique(name: String, df: DataFrame, keys: Seq[String]) =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_checked"),
+          sum(col("c") - 1).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    def refInt(name: String, fact: DataFrame, fk: String,
+               dim: DataFrame, pk: String) = {
+      val total = fact.agg(count(lit(1)).as("n_checked"))
+      val orphans = fact.select(col(fk))
+        .join(dim.select(col(pk)).distinct(), col(fk) === col(pk),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    }
+    def domain(name: String, df: DataFrame, ok: Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    unique("pk_lineitem_orderkey_linenumber", li,
+      Seq("l_orderkey", "l_linenumber"))
+      .unionAll(unique("pk_orders_orderkey", ord, Seq("o_orderkey")))
+      .unionAll(refInt("fk_lineitem_orders", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .unionAll(refInt("fk_orders_customer", ord, "o_custkey",
+        cust, "c_custkey"))
+      .unionAll(domain("dom_quantity_nonneg", li, col("l_quantity") >= 0.0))
+      .unionAll(domain("dom_orderstatus_known", ord,
+        col("o_orderstatus").isin("F", "O", "P")))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_constraint_audit" -> constraintAudit,
     "q127_skipping_report" -> skippingReport,
     "q110_table_checksum" -> tableChecksum,
     "q111_column_profile" -> columnProfile,
@@ -368,6 +426,44 @@ object OpsQueries {
         |       bit_xor(h)::BIGINT AS xor_digest
         |FROM ck GROUP BY tbl
         |ORDER BY tbl""".stripMargin,
+
+    "q130_constraint_audit" ->
+      """WITH u1 AS (
+        |  SELECT 'pk_lineitem_orderkey_linenumber' AS check_name,
+        |         sum(c)::BIGINT AS n_checked,
+        |         sum(c - 1)::BIGINT AS n_violations
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |u2 AS (
+        |  SELECT 'pk_orders_orderkey',
+        |         sum(c)::BIGINT, sum(c - 1)::BIGINT
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+        |f1 AS (
+        |  SELECT 'fk_lineitem_orders',
+        |         (SELECT count(*) FROM lineitem)::BIGINT,
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE l_orderkey NOT IN
+        |            (SELECT DISTINCT o_orderkey FROM orders))::BIGINT),
+        |f2 AS (
+        |  SELECT 'fk_orders_customer',
+        |         (SELECT count(*) FROM orders)::BIGINT,
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_custkey NOT IN
+        |            (SELECT DISTINCT c_custkey FROM customer))::BIGINT),
+        |d1 AS (
+        |  SELECT 'dom_quantity_nonneg', count(*)::BIGINT,
+        |         sum(CASE WHEN l_quantity >= 0 THEN 0 ELSE 1 END)::BIGINT
+        |  FROM lineitem),
+        |d2 AS (
+        |  SELECT 'dom_orderstatus_known', count(*)::BIGINT,
+        |         sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+        |             THEN 0 ELSE 1 END)::BIGINT
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT * FROM u1 UNION ALL SELECT * FROM u2
+        |  UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |ORDER BY check_name""".stripMargin,
 
     "q127_skipping_report" -> {
       val nb = 1L << ZBits

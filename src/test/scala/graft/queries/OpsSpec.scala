@@ -142,6 +142,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q130: constraint report equals brute checks; violations are real, not asserted away") {
+    val res = OpsQueries.constraintAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_linenumber", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .selectExpr("c_custkey").collect().map(_.getLong(0)).toSet
+    def uniq[K](keys: Seq[K]) = {
+      val gs = keys.groupBy(identity).values.map(_.size.toLong)
+      (gs.sum, gs.map(_ - 1).sum)
+    }
+    val okeys = ord.map(_._1).toSet
+    val brute = Map(
+      "pk_lineitem_orderkey_linenumber" -> uniq(li.map(t => (t._1, t._2)).toSeq),
+      "pk_orders_orderkey" -> uniq(ord.map(_._1).toSeq),
+      "fk_lineitem_orders" ->
+        ((li.length.toLong, li.count(t => !okeys(t._1)).toLong)),
+      "fk_orders_customer" ->
+        ((ord.length.toLong, ord.count(t => !cust(t._2)).toLong)),
+      "dom_quantity_nonneg" ->
+        ((li.length.toLong, li.count(_._3 < 0.0).toLong)),
+      "dom_orderstatus_known" ->
+        ((ord.length.toLong, ord.count(t => !Set("F", "O", "P")(t._3)).toLong)))
+    assert(res == brute, s"report differs:\n$res\n$brute")
+    // the documented data fact: lineitem's key is non-unique — the
+    // report must SHOW that, and at least one contract must be clean
+    assert(res("pk_lineitem_orderkey_linenumber")._2 > 0L,
+      "the known lineitem key duplication must surface as violations")
+    assert(res.values.exists(_._2 == 0L), "no clean contract at all?")
+  }
+
   test("q122: merge equals a brute CDC apply; last writer wins; deletes vanish") {
     val res = OpsQueries.mergeUpsert(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3))))
