@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Blackhole for the calibration loop result so the JIT cannot dead-code
+    * the fixed work away. @volatile defeats both DCE and loop hoisting. */
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work CPU probe: a constant 1e9-step xorshift loop, single
+    * threaded. The work is identical on every invocation, so its wall time
+    * is a direct read of how much CPU this process is actually getting —
+    * ~2.1 s on an idle core of this machine, proportionally longer under
+    * ambient contention. Emitted before and after the suite so any reader
+    * can normalize cross-round totals (r6 verdict item 1: the driver's
+    * 274 s artifact vs the judge's 137 s re-run of the same code was
+    * unattributable from artifacts alone). */
+  private def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < 1000000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    blackhole = x
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-work scheduler/shuffle probe: a canned 1-partition exchange of
+    * 2M longs through one task. Measures task-launch + shuffle-machinery
+    * latency (the component a CPU loop cannot see) under current load. */
+  private def shuffleProbeSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 2000000L, 1, 1)
+      .repartition(1)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the machine's cores (the harness runs local[32]); the
@@ -21,16 +58,23 @@ object Bench {
     // isn't charged ~5 s of one-time startup.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // Calibration BEFORE the suite (after warmup, so the probe itself is
+    // not charged JIT/startup cost).
+    val calCpuPre = cpuProbeSec()
+    val calShufPre = shuffleProbeSec(spark)
     // Force with a noop-format write, not count(): count() lets Catalyst
     // prune sorts and projections to a row count, under-measuring
     // projection-heavy queries; the noop sink executes the full physical
     // plan (every column materialized, sorts included) and discards rows.
     //
-    // Median of 3 runs per query (ROADMAP item 2): this machine carries
-    // competing load and single runs swing ±25-50%; the median is still
-    // an honest wall time of one full execution, just not the unluckiest
-    // one. Run count via SPARK_GRAFT_BENCH_RUNS.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 5 runs per query by default (r6 verdict item 1c): this machine
+    // carries competing load and single runs swing ±25-50%. Two robust
+    // statistics are emitted per query: the MEDIAN (an honest typical
+    // full execution) and the MIN (for deterministic work, the
+    // contention-free statistic — a spike in the median with a flat min
+    // is ambient load, not a plan regression). Run count via
+    // SPARK_GRAFT_BENCH_RUNS.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // per-query shuffle/spill attribution (queries run sequentially, so
     // the listener's window cleanly brackets each run)
     val metrics = new BenchMetrics
@@ -58,30 +102,40 @@ object Bench {
         (dt, ok)
       }
       val okTimes = times.collect { case (t, true) => t }.sorted
-      if (okTimes.isEmpty) (name, -1.0, false, shuffleMb, spillMb)
-      else (name, okTimes(okTimes.size / 2), true, shuffleMb, spillMb)
+      if (okTimes.isEmpty) (name, -1.0, -1.0, false, shuffleMb, spillMb)
+      else (name, okTimes(okTimes.size / 2), okTimes.head, true, shuffleMb, spillMb)
     }
+    // Calibration AFTER the suite: pre/post disagreement localizes a
+    // contention burst to the run itself.
+    val calCpuPost = cpuProbeSec()
+    val calShufPost = shuffleProbeSec(spark)
     // Failed queries are reported in `failed` with value -1, and excluded
     // from the total — an error must never be mistaken for a fast run.
-    val qs = timed.map { case (k, v, ok, _, _) =>
-      f""""$k":${if (ok) v else -1.0}%.3f"""
+    val qs = timed.map { case (k, med, _, ok, _, _) =>
+      f""""$k":${if (ok) med else -1.0}%.3f"""
     }.mkString("{", ",", "}")
-    val sh = timed.map { case (k, _, _, s, _) => f""""$k":$s%.2f""" }
+    val mins = timed.map { case (k, _, mn, ok, _, _) =>
+      f""""$k":${if (ok) mn else -1.0}%.3f"""
+    }.mkString("{", ",", "}")
+    val sh = timed.map { case (k, _, _, _, s, _) => f""""$k":$s%.2f""" }
       .mkString("{", ",", "}")
-    val sp = timed.collect { case (k, _, _, _, s) if s > 0 => f""""$k":$s%.2f""" }
+    val sp = timed.collect { case (k, _, _, _, _, s) if s > 0 => f""""$k":$s%.2f""" }
       .mkString("{", ",", "}")
-    val failed = timed.collect { case (k, _, false, _, _) => s"\"$k\"" }
+    val failed = timed.collect { case (k, _, _, false, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = timed.collect { case (_, v, true, _, _) => v }.sum
+    val total = timed.collect { case (_, med, _, true, _, _) => med }.sum
+    val totalMin = timed.collect { case (_, _, mn, true, _, _) => mn }.sum
+    val cal = f""""calibration":{"cpu_pre_sec":$calCpuPre%.3f,"cpu_post_sec":$calCpuPost%.3f,"shuffle_pre_sec":$calShufPre%.3f,"shuffle_post_sec":$calShufPost%.3f}"""
     // The driver tail-captures stdout and parses the LAST JSON line; r3's
     // single giant line overflowed the capture window and orphaned the
     // headline number ("parsed": null). Detail maps therefore go on their
     // own preceding lines and the headline line is last and minimal.
     val lines = Seq(
       s"""{"metric":"per_query_sec","queries":$qs}""",
+      s"""{"metric":"per_query_min_sec","queries_min":$mins}""",
       s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""",
       s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median",$cal,"sf":"$sfDir"}""")
     lines.foreach(println)
     // The stdout tail was truncated by the driver two rounds running,
     // losing the per-query map both times; a file in the repo root makes

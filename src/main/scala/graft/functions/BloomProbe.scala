@@ -50,6 +50,18 @@ case class BloomProbe(bytes: Array[Byte], child: Expression)
     defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
   }
 
+  // Array[Byte] as a case-class field would give equals/hashCode ARRAY
+  // REFERENCE identity — two identical probes would never compare equal,
+  // defeating expression canonicalization, semanticEquals, and
+  // subexpression elimination. Compare byte CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case BloomProbe(b, c) => java.util.Arrays.equals(bytes, b) && child == c
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(bytes) + child.hashCode()
+
   override protected def withNewChildInternal(newChild: Expression): BloomProbe =
     copy(child = newChild)
 }

@@ -889,7 +889,11 @@ object AnalyticsQueries {
     val d38 = DecimalType(38, 0)
     val ev = Tables.events(s, dir)
       .select(col("event_type").as("grp"),
-        expr("unix_micros(ts) div 3600000000").as("h"),
+        // date_trunc flooring, not truncating `div` — the uniform
+        // hour-bucket convention across the query family (q108 /
+        // StreamResample); `div` of the date_trunc'd micros is exact
+        // because they are a multiple of 3.6e9, pre-1970 included.
+        expr("unix_micros(date_trunc('HOUR', ts)) div 3600000000").as("h"),
         (col("value").cast(DecimalType(18, 2)) * lit(100))
           .cast(LongType).as("y"))
     val hmin = ev.agg(min(col("h")).as("hmin"))
@@ -1146,7 +1150,7 @@ object AnalyticsQueries {
     "q119_group_trend" ->
       """WITH e AS (
         |  SELECT event_type AS grp,
-        |         epoch_us(ts) // 3600000000 AS h,
+        |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
         |         ((value::DECIMAL(18,2)) * 100)::BIGINT AS y
         |  FROM events),
         |m AS (SELECT min(h) AS hmin FROM e),

@@ -146,8 +146,14 @@ object OpsQueries {
     * partitioning key for the actual rewrite; this query is its
     * planning/audit half, shipping 256 rows of footer stats.
     */
-  def zorderCells(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+  /** Row-level Morton-cell assignment — q117's bucketize + interleave
+    * exposed at row grain, carrying EVERY lineitem column so the actual
+    * rewrite ([[graft.sources.ZorderPublish]]) can write complete rows.
+    * The cell rollup (q117) and the physical rewrite both build on this
+    * one definition, so the audited layout and the written layout cannot
+    * diverge. */
+  def rowCells(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
     val ext = li.agg(min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
       min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx"))
     val nb = 1L << ZBits
@@ -159,7 +165,13 @@ object OpsQueries {
       // `div`: exact BIGINT division in both engines (DuckDB `//`)
       .withColumn("bp", expr(s"((l_partkey - pmn) * $nb) div (pmx - pmn + 1)"))
       .withColumn("bs", expr(s"((l_suppkey - smn) * $nb) div (smx - smn + 1)"))
-      .select(zcell.cast(LongType).as("zcell"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("zcell", zcell.cast(LongType))
+      .drop("bp", "bs", "pmn", "pmx", "smn", "smx")
+  }
+
+  def zorderCells(s: SparkSession, dir: String): DataFrame = {
+    rowCells(s, dir)
+      .select(col("zcell"), col("l_partkey"), col("l_suppkey"))
       .groupBy(col("zcell"))
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
@@ -256,16 +268,24 @@ object OpsQueries {
     */
   def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // Insert ids are offset by max(doc_id)+1 — derived, not a constant —
+    // so an inserted key can NEVER collide with a real doc's update at
+    // any corpus size (a fixed 100000 offset would collide once doc_id
+    // reaches it, and the per-key "distinct versions" invariant the
+    // max(struct) compaction relies on would silently break). One scalar
+    // agg broadcast back: a planning statistic, free at 100 TB.
+    val off = broadcast(base.agg((max(col("doc_id")) + lit(1L)).as("off")))
     def change(ver: Int, op: String, pred: Column, id: Column, text: Column) =
-      base.where(pred).select(id.as("doc_id"), lit(ver.toLong).as("ver"),
-        lit(op).as("op"), text.as("ctext"))
+      base.where(pred).crossJoin(off)
+        .select(id.as("doc_id"), lit(ver.toLong).as("ver"),
+          lit(op).as("op"), text.as("ctext"))
     val changes =
       change(1, "U", col("doc_id") % 3 === 0, col("doc_id"),
         concat(lit("v1 "), col("text")))
         .unionAll(change(2, "U", col("doc_id") % 2 === 0, col("doc_id"),
           concat(lit("v2 "), col("text"))))
         .unionAll(change(2, "I", col("doc_id") % 5 === 0,
-          col("doc_id") + lit(100000L), concat(lit("new "), col("text"))))
+          col("doc_id") + col("off"), concat(lit("new "), col("text"))))
         .unionAll(change(3, "D", col("doc_id") % 7 === 0, col("doc_id"),
           lit("")))
     val latest = changes
@@ -517,14 +537,15 @@ object OpsQueries {
 
     "q122_merge_upsert" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
+        |off AS (SELECT max(doc_id) + 1 AS off FROM base),
         |changes AS (
         |  SELECT doc_id, 1::BIGINT AS ver, 'U' AS op, 'v1 ' || text AS ctext
         |  FROM base WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id, 2, 'U', 'v2 ' || text FROM base WHERE doc_id % 2 = 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, 2, 'I', 'new ' || text
-        |  FROM base WHERE doc_id % 5 = 0
+        |  SELECT doc_id + off, 2, 'I', 'new ' || text
+        |  FROM base, off WHERE doc_id % 5 = 0
         |  UNION ALL
         |  SELECT doc_id, 3, 'D', '' FROM base WHERE doc_id % 7 = 0),
         |latest AS (

@@ -99,7 +99,10 @@ object StreamCentroid {
         while (i < sums.length) { sums(i) += m.scaled(i); i += 1 }
       }
       state.update(CellSums(n, sums))
-      (0 until VectorOps.Dim).iterator.map(i =>
+      // An empty row iterator with no prior state leaves n = 0; meanOf
+      // would divide by zero and emit 64 NaN snapshots for the cell.
+      if (n == 0) Iterator.empty
+      else (0 until VectorOps.Dim).iterator.map(i =>
         CentroidRow(key, n, (i + 1).toLong, meanOf(sums(i), n)))
     }
   }
