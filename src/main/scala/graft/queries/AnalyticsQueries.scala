@@ -668,8 +668,14 @@ object AnalyticsQueries {
     */
   /** The capped near-dup edge set (doc pairs sharing ≥ 1
     * cross-doc-duplicated 8-gram, hot grams df-capped) — the graph
-    * q112's census and q125's community detection both analyze. */
-  private def dupEdges(s: SparkSession, dir: String): DataFrame = {
+    * q112's census and q125's community detection both analyze.
+    * Materialized ONCE per run via [[graft.RunCache]]: the four
+    * consumers (q112/q125/q126/q128) read the same parquet instead of
+    * each re-running the gram pair join over the corpus. */
+  private def dupEdges(s: SparkSession, dir: String): DataFrame =
+    graft.RunCache.parquetOnce(s, s"dup_edges|$dir")(buildDupEdges(s, dir))
+
+  private def buildDupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val nDocs = docs.count() // metadata-only parquet count (q81/q96 precedent)
     val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
@@ -793,7 +799,9 @@ object AnalyticsQueries {
     * DECIMAL(38,0).
     */
   def modularityAudit(s: SparkSession, dir: String): DataFrame = {
-    val edges = dupEdges(s, dir).localCheckpoint()
+    // parquet-backed via RunCache — already lineage-truncated, no
+    // localCheckpoint (which would pin the edges in executor memory)
+    val edges = dupEdges(s, dir)
     val labels = lpaLabels(edges)
     val m = edges.agg(count(lit(1)).as("m"))
     val lx = labels.select(col("node").as("x"), col("label").as("cx"))

@@ -19,4 +19,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** sf0.001 testdata — smallest scale, for specs that read real tables. */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Run `body` with the RocksDB state store provider — the 100 TB-state
+    * posture (million-key dedup/profile/heavy-hitter state does not fit
+    * the default in-heap HDFS-backed provider). Restores the prior
+    * provider afterwards so specs stay order-independent. */
+  def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -184,6 +184,7 @@ class OpsSpec extends SparkSpec {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    val off = base.map(_._1).max + 1 // q122's derived insert-id offset
     val brute = scala.collection.mutable.Map.empty[Long, (String, String, Long)]
     base.foreach { case (id, text) =>
       val ops = Seq(
@@ -195,7 +196,7 @@ class OpsSpec extends SparkSpec {
         val (v, op, t) = ops.maxBy(_._1)
         if (op != "D") brute(id) = (t, op, v)
       }
-      if (id % 5 == 0) brute(id + 100000L) = (s"new $text", "I", 2L)
+      if (id % 5 == 0) brute(id + off) = (s"new $text", "I", 2L)
     }
     assert(res == brute.toMap, "merge result differs from the brute CDC apply")
     // witnesses for each semantic: last-writer-wins, delete, insert, keep
@@ -205,7 +206,7 @@ class OpsSpec extends SparkSpec {
       "an id hit by v1 and v2 must carry the v2 text")
     assert(ids.filter(_ % 7 == 0).forall(id => !res.contains(id)),
       "deleted keys must be absent")
-    assert(ids.filter(_ % 5 == 0).forall(id => res.contains(id + 100000L)),
+    assert(ids.filter(_ % 5 == 0).forall(id => res.contains(id + off)),
       "inserted keys must be present")
     assert(ids.find(id => id % 2 != 0 && id % 3 != 0 && id % 7 != 0)
       .exists(id => res(id)._2 == "K"), "an untouched key must survive as-is")

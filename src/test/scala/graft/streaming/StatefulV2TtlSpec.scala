@@ -20,18 +20,6 @@ import graft.streaming.Stateful.UserEvent
 class StatefulV2TtlSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private def startQuery[T](ds: Dataset[T], name: String) =
     ds.writeStream.format("memory").queryName(name)
       .trigger(Trigger.ProcessingTime("200 milliseconds"))

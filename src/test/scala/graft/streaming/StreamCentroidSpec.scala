@@ -15,18 +15,6 @@ import graft.{SparkSpec, Tables}
 class StreamCentroidSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private lazy val vecs: Seq[(Long, Seq[Float])] =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))

@@ -23,18 +23,6 @@ class StreamContainmentSpec extends SparkSpec {
   private val noise2 =
     "red orange yellow green blue indigo violet cyan magenta umber ochre teal"
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("shingleSet matches the batch definition: distinct word-8-grams") {
     assert(StreamContainment.shingleSet(excerpt).length == 5)
     assert(StreamContainment.shingleSet("a b c").isEmpty)

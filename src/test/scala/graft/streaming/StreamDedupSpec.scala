@@ -8,6 +8,7 @@ class StreamDedupSpec extends SparkSpec {
   import spark.implicits._
 
   test("first occurrence passes, duplicates drop — within and across batches") {
+    withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Doc]
     val query = StreamDedup.firstSeen(stream.toDF())
@@ -25,6 +26,7 @@ class StreamDedupSpec extends SparkSpec {
       // "gamma" from batch 2; batch-2 re-occurrences dropped
       assert(kept == Seq(1L, 2L, 5L))
     } finally query.stop()
+    }
   }
 
   test("dropDuplicatesWithinWatermark bounds state for the TTL'd variant") {

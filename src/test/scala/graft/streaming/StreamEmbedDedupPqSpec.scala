@@ -11,18 +11,6 @@ import graft.streaming.StreamEmbedDedup.Vec
 class StreamEmbedDedupPqSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("PQ candidate + exact verify catches a cross-batch near-copy of a real embedding") {
     withRocksDb {
       // real sf0.001 embeddings (the distribution the PQ codebook was

@@ -18,18 +18,6 @@ class StreamEmbedDedupSpec extends SparkSpec {
     (0 until dim).map(i =>
       (if (math.abs(i - center) <= 3) 1.0f else 0.01f) + (if (i == 0) 0.02f else 0f))
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("high-cosine pair across batches is caught; dissimilar vectors are not") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext

@@ -12,18 +12,6 @@ import graft.SparkSpec
 class StreamHeavyHittersSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Latest snapshot rows = per bucket, the rows carrying its max n
     * (n is monotone per bucket across batches). */
   private def latest(rows: Seq[(Long, Long, String, Long)])

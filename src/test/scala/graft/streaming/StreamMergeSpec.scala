@@ -12,18 +12,6 @@ import graft.SparkSpec
 class StreamMergeSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private type Chg = (Long, Long, String, String)
 
   /** q122's deterministic change log, rebuilt from the base table. */
@@ -31,11 +19,12 @@ class StreamMergeSpec extends SparkSpec {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val off = base.map(_._1).max + 1 // q122's derived insert-id offset
     base.flatMap { case (id, text) =>
       Seq(
         if (id % 3 == 0) Some((id, 1L, "U", s"v1 $text")) else None,
         if (id % 2 == 0) Some((id, 2L, "U", s"v2 $text")) else None,
-        if (id % 5 == 0) Some((id + 100000L, 2L, "I", s"new $text")) else None,
+        if (id % 5 == 0) Some((id + off, 2L, "I", s"new $text")) else None,
         if (id % 7 == 0) Some((id, 3L, "D", "")) else None).flatten
     }
   }

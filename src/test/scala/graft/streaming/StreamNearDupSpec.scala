@@ -19,18 +19,6 @@ class StreamNearDupSpec extends SparkSpec {
   private val distinct2 =
     "yet another unrelated document mentioning catalyst tungsten codegen plans"
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("signature/banding matches the batch family's shape") {
     val sig = StreamNearDup.signature(base)
     assert(sig.length == graft.llm.Dedup.MinHashK)

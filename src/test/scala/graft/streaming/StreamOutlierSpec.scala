@@ -13,18 +13,6 @@ import graft.SparkSpec
 class StreamOutlierSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private lazy val rows: Seq[(String, Double)] =
     spark.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("event_type", "value").as[(String, Double)]

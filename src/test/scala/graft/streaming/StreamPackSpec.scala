@@ -12,18 +12,6 @@ class StreamPackSpec extends SparkSpec {
   import spark.implicits._
   import StreamPack.{Doc, Packed}
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   test("packing continues across micro-batches exactly where it left off") { withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Doc]

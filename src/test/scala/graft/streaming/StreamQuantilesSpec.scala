@@ -14,18 +14,6 @@ import graft.SparkSpec
 class StreamQuantilesSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withRocksDb[T](body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** rows emitted with the max n per (grp, ql) = the latest snapshot. */
   private def latest(rows: Seq[(String, String, Long, Double, Double)])
     : Map[(String, String), (Long, Double, Double)] = {
