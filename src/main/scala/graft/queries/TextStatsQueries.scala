@@ -427,6 +427,7 @@ object TextStatsQueries {
     "q100_heavy_hitters" -> heavyHitters,
     "q97_bpe_pairs"      -> bpePairs,
     "q99_bpe_apply"      -> bpeApply,
+    "q131_bpe_train"     -> ((s, dir) => graft.llm.BpeTrain.bpeTrainQuery(s, dir)),
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
     "q35_token_stats"    -> tokenStats,

@@ -39,7 +39,7 @@ class SmokeSpec extends SparkSpec {
     // twin; q99's BPE merge loop is iterative with data-dependent trip
     // count (not SQL-expressible — BpeSpec carries its correctness)
     val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct",
-      "q54_minhash_mllib", "q99_bpe_apply")
+      "q54_minhash_mllib", "q99_bpe_apply", "q131_bpe_train")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with no oracle and no waiver: $missing")
