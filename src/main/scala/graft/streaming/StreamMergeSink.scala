@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The DISK half of the CDC merge path (r6 verdict item 7): StreamMerge
+  * materializes per-key current state to a sink; this writes it into a
+  * bucket-partitioned parquet MERGE TARGET via foreachBatch, completing
+  * the q122 lakehouse write path — change log in, queryable table on
+  * storage out.
+  *
+  * Per micro-batch: bucket the batch's rows by key hash, eagerly load
+  * ONLY the touched buckets of the existing target (localCheckpoint —
+  * materialized before the overwrite so the job never reads files it is
+  * replacing; a table format's transaction log does this atomically at
+  * scale), merge per key by highest version (q122's max(struct)
+  * arg-max), and rewrite just those buckets with DYNAMIC partition
+  * overwrite (IdempotentSinkSpec's idiom, set per-write so no session
+  * state leaks). Tombstones ('D') are KEPT as rows, not deleted —
+  * that is what makes replay and out-of-order delivery safe: a late v1
+  * for a deleted key loses to the v3 tombstone by version comparison,
+  * where physical deletion would resurrect it. [[liveView]] is the
+  * consumer-facing filter.
+  *
+  * Idempotence: re-merging any batch re-derives identical bucket
+  * contents (max-ver per key is replay-invariant), so at-least-once
+  * delivery and checkpoint-replay after restart both leave the target
+  * byte-equal. Scale posture: work per batch is proportional to the
+  * TOUCHED buckets' size, not the table; buckets bound file counts and
+  * give the overwrite its partition granularity.
+  */
+object StreamMergeSink {
+
+  /** Merge one batch of per-key current rows into the parquet target. */
+  def mergeBatch(target: String, buckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val incoming = batch
+      .select(col("docId"), col("ver"), col("op"), col("text"))
+      .withColumn("bucket", pmod(col("docId"), lit(buckets.toLong)))
+      .localCheckpoint()
+    val touched = incoming.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val existing =
+      try s.read.parquet(target).where(col("bucket").isin(touched: _*))
+        .select(col("docId"), col("ver"), col("op"), col("text"), col("bucket"))
+      catch { // first batch: no target yet (the two shapes Spark throws)
+        case _: org.apache.spark.sql.AnalysisException => incoming.limit(0)
+        case _: java.io.FileNotFoundException => incoming.limit(0)
+      }
+    // eager: materialize the old bucket contents BEFORE overwriting them
+    val merged = existing.localCheckpoint()
+      .unionByName(incoming)
+      .groupBy(col("docId"), col("bucket"))
+      .agg(max(struct(col("ver"), col("op"), col("text"))).as("m"))
+      .select(col("docId"), col("m.ver").as("ver"), col("m.op").as("op"),
+        col("m.text").as("text"), col("bucket"))
+    merged.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .mode("overwrite")
+      .parquet(target)
+  }
+
+  /** changes(doc_id, ver, op, text) stream → continuously merged
+    * parquet target, checkpointed (restart-safe, replay-idempotent). */
+  def start(changes: DataFrame, target: String, checkpoint: String,
+            buckets: Int = 16): StreamingQuery =
+    StreamMerge(changes).toDF().writeStream
+      .foreachBatch(mergeBatch(target, buckets) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The merge target as consumers see it: tombstones filtered out. */
+  def liveView(s: SparkSession, target: String): DataFrame =
+    s.read.parquet(target).where(col("op") =!= "D")
+      .select(col("docId"), col("ver"), col("op"), col("text"))
+}
