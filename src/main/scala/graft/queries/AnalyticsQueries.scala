@@ -860,6 +860,47 @@ object AnalyticsQueries {
         (lit(2L) * col("m") * col("c") - col("b") * col("b")).as("r_den"))
   }
 
+  // ---------------------------------------------------------------- q132
+
+  /** k-core peel depth and fixed round count (q125's fixed-iteration
+    * discipline: deterministic, oracle-able as unrolled CTE rounds). */
+  private val KcoreK = 2
+  private val KcoreRounds = 6
+
+  /** q132 — k-core reduction of the near-dup graph (Seidman 1983;
+    * Batagelj–Zaveršnik peeling): iteratively delete nodes with degree
+    * < k, here k = 2 for [[KcoreRounds]] synchronous rounds. The
+    * surviving 2-core is the DENSE heart of the duplication graph —
+    * chains and pendant docs (one near-dup partner, harmless) peel
+    * away, while template families (every member tied into multiple
+    * others) survive; it is the standard cheap screen a curation
+    * pipeline runs before the expensive community/modularity passes,
+    * and the fixed round count makes the partial peel deterministic on
+    * any graph (this corpus's converges in fewer rounds — the spec
+    * proves fixpoint parity with an unbounded brute).
+    *
+    * Scale shape: per round one degree partial-agg plus two semi-
+    * join-shaped equi-joins, all on 8-byte node ids; the edge frame
+    * only shrinks, lineage is checkpoint-truncated per round
+    * (q91/q125's discipline), and the input edges are the RunCache
+    * parquet — the corpus is never rescanned.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    def degrees(edges: DataFrame): DataFrame = edges
+      .select(col("x").as("node")).unionAll(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var edges = dupEdges(s, dir)
+    for (_ <- 1 to KcoreRounds) {
+      val keep = degrees(edges).where(col("deg") >= KcoreK).select(col("node"))
+      edges = edges
+        .join(keep.select(col("node").as("x")), Seq("x"))
+        .join(keep.select(col("node").as("y")), Seq("y"))
+        .localCheckpoint()
+    }
+    degrees(edges).select(col("node"), col("deg").as("deg_core"))
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private def prIterCte(i: Int): String =
@@ -969,7 +1010,8 @@ object AnalyticsQueries {
     "q112_triangles" -> triangles,
     "q125_label_propagation" -> labelPropagation,
     "q126_modularity" -> modularityAudit,
-    "q128_assortativity" -> assortativity
+    "q128_assortativity" -> assortativity,
+    "q132_kcore" -> kcore
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -1071,7 +1113,32 @@ object AnalyticsQueries {
        |                              ORDER BY c DESC, nl) AS rn
        |    FROM c$i) WHERE rn = 1)""".stripMargin
 
+  /** One synchronous k-core peel round as CTEs (the Spark loop's round,
+    * verbatim: degrees → keep ≥ k → restrict edges to kept nodes).
+    * MATERIALIZED is load-bearing: each round references the previous
+    * edge frame three times, so DuckDB's default inlining re-expands
+    * the whole gram pipeline 3^rounds times (observed as a
+    * too-many-open-files explosion at round 6). */
+  private def kcoreIterCte(i: Int): String =
+    s"""dg$i AS MATERIALIZED (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT x AS node FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1})
+       |  GROUP BY node),
+       |k$i AS MATERIALIZED (SELECT node FROM dg$i WHERE deg >= 2),
+       |e$i AS MATERIALIZED (
+       |  SELECT p.x, p.y FROM e${i - 1} p
+       |  JOIN k$i a ON a.node = p.x JOIN k$i b ON b.node = p.y)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q132_kcore" ->
+      (s"""WITH $dupEdgeCtesSql,
+         |e0 AS MATERIALIZED (SELECT x, y FROM e),
+         |${(1 to KcoreRounds).map(kcoreIterCte).mkString(",\n")}
+         |SELECT node, count(*)::BIGINT AS deg_core FROM (
+         |  SELECT x AS node FROM e$KcoreRounds
+         |  UNION ALL SELECT y FROM e$KcoreRounds)
+         |GROUP BY node ORDER BY node""".stripMargin),
+
     "q128_assortativity" ->
       s"""WITH $dupEdgeCtesSql,
         |deg AS (

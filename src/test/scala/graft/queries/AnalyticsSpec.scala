@@ -445,4 +445,36 @@ class AnalyticsSpec extends SparkSpec {
     val overlap = (exact & ivf).size / 10.0
     assert(overlap >= 0.8, s"fused overlap $overlap (exact=$exact ivf=$ivf)")
   }
+
+  test("q132: fixed-round peel equals the true 2-core fixpoint; pendants peel") {
+    // independent edge derivation (q112's brute) + peel-to-fixpoint
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    var edges = (for ((_, ds) <- gramDocs.toSeq if ds.size >= 2 && ds.size <= cap;
+                      a <- ds; b <- ds if a < b) yield (a, b)).toSet
+    val allNodes = edges.flatMap(e => Set(e._1, e._2))
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = AnalyticsQueries.kcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "6-round peel differs from the 2-core fixpoint on this graph")
+    assert(got.nonEmpty, "sf0.001 must retain a 2-core witness")
+    assert(got.keySet.size < allNodes.size,
+      "sf0.001 must peel at least one pendant node (witness)")
+  }
 }
