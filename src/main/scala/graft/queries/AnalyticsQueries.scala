@@ -860,6 +860,52 @@ object AnalyticsQueries {
         (lit(2L) * col("m") * col("c") - col("b") * col("b")).as("r_den"))
   }
 
+  // ---------------------------------------------------------------- q133
+
+  /** q133 — lag-1 serial correlation of `events.value` per event type,
+    * in EXACT integers (q119's convention): is the metric a random
+    * walk, mean-reverting, or trending at the sample-to-sample grain?
+    * — the autocorrelation check monitoring runs before alerting on a
+    * drift statistic (a high-|r₁| series needs a longer alert window;
+    * q119's slope on an autocorrelated series overstates confidence).
+    * Per group, consecutive (ts, event_id)-ordered value pairs (x =
+    * prev, y = next) reduce to five DECIMAL(38,0) monoids; the emitted
+    * Pearson pieces are num = n·Σxy − Σx·Σy and the two denominator
+    * factors n·Σx² − (Σx)², n·Σy² − (Σy)² — the consumer's one lossy
+    * step is r₁ = num / √(dx·dy). Magnitude: BIGINT carries cent-scale
+    * values to n ~ 10⁵ per group; past that the emitted columns widen
+    * to DECIMAL(38,0), same plan (q118/q119's note).
+    *
+    * Scale shape: the only shuffle is the per-type lag window (same
+    * shape as q124's per-user window — thousands of independent
+    * partitions at real cardinalities; event_type here is 5 groups,
+    * the documented worst case); the five sums partial-aggregate.
+    */
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("grp")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .where(col("x").isNotNull)
+      .select(col("grp"), col("x").cast(d38).as("x"), col("y").cast(d38).as("y"))
+    pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("grp"), col("n"),
+        (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+          .cast(LongType).as("r_num"),
+        (col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast(LongType).as("den_x"),
+        (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+          .cast(LongType).as("den_y"))
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------- q132
 
   /** k-core peel depth and fixed round count (q125's fixed-iteration
@@ -1011,7 +1057,8 @@ object AnalyticsQueries {
     "q125_label_propagation" -> labelPropagation,
     "q126_modularity" -> modularityAudit,
     "q128_assortativity" -> assortativity,
-    "q132_kcore" -> kcore
+    "q132_kcore" -> kcore,
+    "q133_autocorr" -> autocorr
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -1130,6 +1177,28 @@ object AnalyticsQueries {
        |  JOIN k$i a ON a.node = p.x JOIN k$i b ON b.node = p.y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q133_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp, ts, event_id,
+        |         ((value::DECIMAL(18,2)) * 100)::BIGINT AS y
+        |  FROM events),
+        |p AS (
+        |  SELECT grp, y,
+        |         lag(y) OVER (PARTITION BY grp ORDER BY ts, event_id) AS x
+        |  FROM e),
+        |st AS (
+        |  SELECT grp, count(*)::HUGEINT AS n,
+        |         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+        |         sum(y::HUGEINT * y::HUGEINT) AS syy
+        |  FROM p WHERE x IS NOT NULL GROUP BY grp)
+        |SELECT grp, n::BIGINT AS n,
+        |       (n * sxy - sx * sy)::BIGINT AS r_num,
+        |       (n * sxx - sx * sx)::BIGINT AS den_x,
+        |       (n * syy - sy * sy)::BIGINT AS den_y
+        |FROM st ORDER BY grp""".stripMargin,
+
     "q132_kcore" ->
       (s"""WITH $dupEdgeCtesSql,
          |e0 AS MATERIALIZED (SELECT x, y FROM e),

@@ -249,6 +249,37 @@ object OpsQueries {
       .orderBy(col("zcell"))
   }
 
+  /** q135 — shuffle-key skew audit: for each join/aggregation key a
+    * pipeline plans to shuffle on, the per-key frequency profile that
+    * decides the strategy BEFORE the job runs — broadcast the dim,
+    * salt the key (q51's path), or trust AQE's skew split. Per audited
+    * column: row count, distinct-key count, the heaviest key's count
+    * and identity. The imbalance factor is the consumer's division
+    * (max_cnt · n_keys / n_rows — q118/q119's exact-pieces convention);
+    * max_cnt/n_rows vs 1/shuffle_partitions is the straggler test.
+    *
+    * Scale shape: one partial-aggregated groupBy per audited column
+    * (map-side combined, shuffle bounded by distinct keys — the same
+    * exchange the real job would pay once, bought here as planning
+    * statistics); the per-column profile folds to ONE row via the
+    * max(struct) arg-max (q122's idiom), ties to the larger key string,
+    * so the report is #columns rows at any corpus size.
+    */
+  def skewAudit(s: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: Column): DataFrame =
+      df.groupBy(key.cast("string").as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(struct(col("c"), col("k"))).as("m"))
+        .select(lit(name).as("key_col"), col("n_rows"), col("n_keys"),
+          col("m.c").as("max_cnt"), col("m.k").as("top_key"))
+    one("lineitem.l_orderkey", Tables.lineitem(s, dir), col("l_orderkey"))
+      .unionAll(one("lineitem.l_partkey", Tables.lineitem(s, dir), col("l_partkey")))
+      .unionAll(one("lineitem.l_suppkey", Tables.lineitem(s, dir), col("l_suppkey")))
+      .unionAll(one("events.user_id", Tables.events(s, dir), col("user_id")))
+      .unionAll(one("events.event_type", Tables.events(s, dir), col("event_type")))
+      .orderBy(col("key_col"))
+  }
+
   /** q122 — CDC MERGE (upsert-apply): the write-path half of a
     * lakehouse engine — apply a change log of versioned
     * UPDATE/DELETE/INSERT events onto a base snapshot, latest version
@@ -405,7 +436,8 @@ object OpsQueries {
     "q117_zorder_cells"   -> zorderCells,
     "q118_outlier_audit"  -> outlierAudit,
     "q120_compaction_plan" -> compactionPlan,
-    "q122_merge_upsert"   -> mergeUpsert
+    "q122_merge_upsert"   -> mergeUpsert,
+    "q135_skew_audit"     -> skewAudit
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,6 +565,29 @@ object OpsQueries {
          |tot
          |GROUP BY w.pred_col, w.b, w.lo, w.hi, tot.cells_total, tot.rows_total
          |ORDER BY pred_col, b""".stripMargin
+    },
+
+    "q135_skew_audit" -> {
+      // ties on max_cnt break to the LARGER key string — the window
+      // mirror of the Spark side's max(struct(c, k)) arg-max
+      def one(i: Int, name: String, tbl: String, key: String) =
+        (s"""cnt$i AS (
+            |  SELECT $key::VARCHAR AS k, count(*)::BIGINT AS c
+            |  FROM $tbl GROUP BY 1)""".stripMargin,
+          s"""SELECT '$name' AS key_col, sum(c)::BIGINT AS n_rows,
+             |       count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_cnt,
+             |       (SELECT k FROM cnt$i ORDER BY c DESC, k DESC LIMIT 1)
+             |         AS top_key
+             |FROM cnt$i""".stripMargin)
+      val parts = Seq(
+        one(1, "lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        one(2, "lineitem.l_partkey", "lineitem", "l_partkey"),
+        one(3, "lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        one(4, "events.user_id", "events", "user_id"),
+        one(5, "events.event_type", "events", "event_type"))
+      s"""WITH ${parts.map(_._1).mkString(",\n")}
+         |${parts.map(_._2).mkString("\nUNION ALL\n")}
+         |ORDER BY key_col""".stripMargin
     },
 
     "q122_merge_upsert" ->

@@ -638,7 +638,51 @@ object SimilarityQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Dimension prefix for q134's truncation audit. */
+  private val PrefixDims = 16
+
+  /** q134 — embedding-truncation (Matryoshka-style) recall audit: how
+    * much ANN quality survives keeping only the first [[PrefixDims]] of
+    * 64 dimensions? Per query, |full-dim brute top-K ∩ prefix-dim brute
+    * top-K| — the number a deployment reads before switching its
+    * candidate stage to truncated vectors (4× memory/bandwidth cut,
+    * the float-precision sibling of q113's int8 move). q129's audit
+    * shape: both arms are the LITERAL q31 pipeline (one over sliced
+    * vectors), so the oracle proves arms and intersection at once.
+    *
+    * Scale shape: both arms are the documented brute baseline over the
+    * bounded query set (QuerySetSize × corpus row-local dot products,
+    * partial top-K per query); the production path would swap the
+    * prefix arm's scan into q55's IVF — the audit's cost model is
+    * q31's, deliberately.
+    */
+  def prefixRecall(s: SparkSession, dir: String): DataFrame = {
+    val ep = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        slice(VectorOps.toDoubleArr(col("embedding")), 1, PrefixDims).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val qp = ep.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val prefixTop = qp.crossJoin(ep).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+      .join(prefixTop, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(lit(K.toLong)).as("k"),
+        first(lit(PrefixDims.toLong)).as("dims"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_prefix_recall" -> prefixRecall,
     "q106_int8_quantize" -> int8Quantize,
     "q116_embed_covariance" -> embedCovariance,
     "q129_ann_recall" -> annRecall,
@@ -655,10 +699,11 @@ object SimilarityQueries {
     "q113_knn_ivf_int8" -> knnIvfInt8
   )
 
-  /** q31's oracle body — also the brute arm of q129's recall audit. */
-  private lazy val knnBruteSql: String =
+  /** q31's oracle body over any (vec_id, embedding) source — also the
+    * brute arm of q129's recall audit and (sliced) of q134's. */
+  private def bruteSqlOver(src: String): String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM $src),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm
        |  FROM e WHERE vec_id < $QuerySetSize),
@@ -672,6 +717,8 @@ object SimilarityQueries {
        |  FROM c)
        |SELECT query_id, neighbor_id, cos, rn FROM r
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
+  private lazy val knnBruteSql: String = bruteSqlOver("embeddings")
 
   /** q55's oracle body — also the ANN arm of q129's recall audit. */
   private lazy val knnIvfSql: String = {
@@ -996,6 +1043,17 @@ object SimilarityQueries {
     // q129: both arms are the EXACT q31/q55 oracle texts, nested as
     // CTE subqueries (their own WITHs scope locally) — the audit is
     // definitionally over the same two result sets
+    "q134_prefix_recall" ->
+      s"""WITH brute AS ($knnBruteSql),
+         |pfx AS (${bruteSqlOver(s"(SELECT vec_id, list_slice(embedding, 1, $PrefixDims) AS embedding FROM embeddings) pe")})
+         |SELECT b.query_id, count(p.neighbor_id)::BIGINT AS hits,
+         |       CAST($K AS BIGINT) AS k, CAST($PrefixDims AS BIGINT) AS dims
+         |FROM brute b
+         |LEFT JOIN pfx p
+         |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
+
     "q129_ann_recall" ->
       s"""WITH brute AS ($knnBruteSql),
          |ivf AS ($knnIvfSql)

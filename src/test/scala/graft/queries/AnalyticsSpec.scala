@@ -446,6 +446,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(overlap >= 0.8, s"fused overlap $overlap (exact=$exact ivf=$ivf)")
   }
 
+  test("q133: serial-correlation statistics equal an exact BigInt brute per group") {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS BIGINT) AS tsn", "event_id",
+        "CAST(value AS DECIMAL(18,2)) AS v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).movePointRight(2).longValueExact()))
+    val exp = rows.groupBy(_._1).view.mapValues { es =>
+      val ys = es.sortBy(e => (e._2, e._3)).map(e => BigInt(e._4))
+      val (xs, ny) = (ys.dropRight(1), ys.drop(1))
+      val n = BigInt(xs.size)
+      val sx = xs.sum; val sy = ny.sum
+      val sxy = xs.zip(ny).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ny.map(a => a * a).sum
+      (n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+    }.toMap
+    val got = AnalyticsQueries.autocorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3)), BigInt(r.getLong(4))))).toMap
+    assert(got == exp, "autocorr sufficient statistics differ from brute")
+    // |r1| <= 1 (Cauchy-Schwarz on the exact integers)
+    exp.foreach { case (g, (_, num, dx, dy)) =>
+      assert(num * num <= dx * dy, s"$g: |r1| > 1 — impossible")
+    }
+  }
+
   test("q132: fixed-round peel equals the true 2-core fixpoint; pendants peel") {
     // independent edge derivation (q112's brute) + peel-to-fixpoint
     val docs = docsTokens

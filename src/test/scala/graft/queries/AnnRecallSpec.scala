@@ -174,4 +174,20 @@ class AnnRecallSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(lsh == brute) // J≥0.5 pairs almost surely collide in ≥1 of 4 bands
   }
+
+  test("q134 truncation audit: well-formed, above chance, and honestly lossy") {
+    val rows = SimilarityQueries.prefixRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 50)
+    rows.foreach { case (_, hits, k, dims) =>
+      assert(k == 5L && dims == 16L && hits >= 0L && hits <= k)
+    }
+    val mean = rows.map(_._2).sum.toDouble / (5.0 * rows.length)
+    // chance overlap of two top-5 lists over ~500 vectors is ~0.01;
+    // the 16-dim prefix must beat chance decisively...
+    assert(mean > 0.05, s"prefix recall $mean is indistinguishable from chance")
+    // ...and on THESE unstructured synthetic embeddings it cannot be
+    // lossless — a 1.0 here would mean the audit isn't measuring
+    assert(mean < 1.0, s"prefix recall $mean claims lossless truncation")
+  }
 }

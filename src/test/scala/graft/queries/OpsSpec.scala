@@ -260,4 +260,32 @@ class OpsSpec extends SparkSpec {
       } else assert(math.abs(relErr) < 0.6, s"$name rel_err $relErr")
     }
   }
+
+  test("q135: skew profile equals brute per-key counting on every audited column") {
+    val got = OpsQueries.skewAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    def brute(tbl: String, key: String): (Long, Long, Long, String) = {
+      val ks = spark.read.parquet(s"$sfDir/$tbl.parquet")
+        .selectExpr(s"CAST($key AS STRING) AS k").collect().map(_.getString(0))
+      val cnt = ks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val maxC = cnt.values.max
+      // ties on the count break to the LARGER key string (arg-max order)
+      val top = cnt.filter(_._2 == maxC).keys.max
+      (ks.length.toLong, cnt.size.toLong, maxC, top)
+    }
+    val cases = Seq(
+      "lineitem.l_orderkey" -> ("lineitem", "l_orderkey"),
+      "lineitem.l_partkey" -> ("lineitem", "l_partkey"),
+      "lineitem.l_suppkey" -> ("lineitem", "l_suppkey"),
+      "events.user_id" -> ("events", "user_id"),
+      "events.event_type" -> ("events", "event_type"))
+    assert(got.keySet == cases.map(_._1).toSet)
+    cases.foreach { case (name, (tbl, key)) =>
+      assert(got(name) == brute(tbl, key), s"$name profile differs from brute")
+    }
+    // the report must expose real imbalance somewhere (l_orderkey groups
+    // several lineitems per order — max_cnt > 1 while user_id is sparse)
+    assert(got("lineitem.l_orderkey")._3 > 1L)
+  }
 }
