@@ -287,4 +287,40 @@ class PlanSpec extends SparkSpec {
     assert(probeFilters.nonEmpty,
       "graft_bloom_probe must pre-filter the fact side beneath the semi join")
   }
+
+  test("q135 skew audit: partial aggregation only — no windows, no joins") {
+    val df = graft.SparkEntry.queries("q135_skew_audit")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "the arg-max fold must not use a rank window")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "per-column profiles fold independently; nothing should join")
+  }
+
+  test("q133 autocorr: exactly one window (the lag); sums partial-aggregate") {
+    val df = graft.SparkEntry.queries("q133_autocorr")(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1,
+      s"expected only the per-group lag window, found ${windows.size}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && p.substring(firstExchange).contains("HashAggregate"),
+      "the five monoids must combine map-side after the window")
+  }
+
+  test("q132 k-core rounds join on 8-byte node ids only, no cartesian") {
+    val p = plan("q132_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "peel rounds must stay equi-join-shaped")
+    val windows = graft.SparkEntry.queries("q132_kcore")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "degree counting must be a partial agg, not a window")
+  }
 }
