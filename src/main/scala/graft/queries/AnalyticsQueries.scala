@@ -860,6 +860,108 @@ object AnalyticsQueries {
         (lit(2L) * col("m") * col("c") - col("b") * col("b")).as("r_den"))
   }
 
+  // ---------------------------------------------------------- q136/q137
+
+  /** PSI bin count for q136 (10 equi-width bins, q117's integer
+    * bucketize arithmetic). */
+  private val PsiBins = 10L
+
+  /** The drift-pair split both distribution audits use: half 0 = events
+    * before the corpus's temporal midpoint (exact integer micros), half
+    * 1 = at/after — the "reference window vs current window" shape of a
+    * production drift monitor, made deterministic. */
+  private def halvedValues(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), unix_micros(col("ts")).as("tu"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("v"))
+    val ext = ev.agg(min(col("tu")).as("tmn"), max(col("tu")).as("tmx"),
+      min(col("v")).as("vmn"), max(col("v")).as("vmx"))
+    ev.crossJoin(broadcast(ext))
+      .withColumn("half",
+        when(col("tu") < expr("tmn + (tmx - tmn) div 2"), lit(0L))
+          .otherwise(lit(1L)))
+  }
+
+  /** q136 — distribution-drift bin counts (the integer inputs to PSI,
+    * the Population Stability Index every model-monitoring stack
+    * alerts on): per event type, `value` bucketed into 10 equi-width
+    * bins over the GLOBAL [min,max] (so both halves share edges —
+    * PSI's requirement), counted separately for the before/after
+    * halves, with the half totals riding along. The PSI itself is
+    * Σ (p_a − p_b)·ln(p_a/p_b) — logs drift across engines, so the
+    * query ships the exact counts and the division is the consumer's
+    * (q118/q119's convention).
+    *
+    * Scale shape: one scalar-extent pass broadcast back (q117's
+    * pattern), then ONE partial-aggregated groupBy over ≤ groups × 10
+    * bins × 2 halves keys; the totals join is a broadcast of ≤
+    * groups×2 rows. Bins missing in a half surface as zero — the
+    * full 10-bin frame is generated per group, not inferred from data.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = halvedValues(s, dir)
+      .withColumn("bin",
+        expr(s"((v - vmn) * $PsiBins) div (vmx - vmn + 1)"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"))
+    // dense 10-bin frame per group: a bin empty in BOTH halves still
+    // reports (0, 0) — a drift report with silently absent bins reads
+    // as "no drift" exactly when drift is total
+    val frame = binned.select(col("grp")).distinct()
+      .crossJoin(binFrame(s))
+    val tot = binned.groupBy(col("grp"))
+      .agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    frame.join(binned, Seq("grp", "bin"), "left")
+      .join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("tot_a"), col("tot_b"))
+      .orderBy(col("grp"), col("bin"))
+  }
+
+  private def binFrame(s: SparkSession): DataFrame =
+    s.range(PsiBins).select(col("id").as("bin"))
+
+  /** q137 — exact two-sample Kolmogorov–Smirnov distance per event
+    * type between the same before/after halves: D = max over observed
+    * values of |F_a(v) − F_b(v)|, shipped as the EXACT integer pieces
+    * ks_num = max |cum_a·n_b − cum_b·n_a| and the two sample sizes
+    * (D = ks_num / (n_a·n_b) is the consumer's division). PSI (q136)
+    * sees only binned mass; KS is bin-free and catches shape shifts
+    * inside a bin — the pair is the standard drift-monitor battery.
+    *
+    * Scale shape: counts collapse to one row per (group, distinct
+    * value, half) BEFORE the window (partial agg — the window input is
+    * distinct-value-bounded, not row-bounded); then ONE per-group
+    * ordered window computes both running sums in the same pass, and a
+    * final partial agg takes the max. Value cardinality here is
+    * cent-bounded; a continuous metric at 100 TB would pre-quantize
+    * (q106's dial) to keep the window frame bounded.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val counts = halvedValues(s, dir)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c_b"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    counts
+      .withColumn("cum_a", sum(col("c_a")).over(w))
+      .withColumn("cum_b", sum(col("c_b")).over(w))
+      .join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("d"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(max(col("d")).as("ks_num"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("ks_num"))
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------- q133
 
   /** q133 — lag-1 serial correlation of `events.value` per event type,
@@ -1058,7 +1160,9 @@ object AnalyticsQueries {
     "q126_modularity" -> modularityAudit,
     "q128_assortativity" -> assortativity,
     "q132_kcore" -> kcore,
-    "q133_autocorr" -> autocorr
+    "q133_autocorr" -> autocorr,
+    "q136_psi_drift" -> psiDrift,
+    "q137_ks_drift" -> ksDrift
   )
 
   /** Shared RRF oracle pieces: the lexical-arm CTE chain and the
@@ -1176,7 +1280,63 @@ object AnalyticsQueries {
        |  SELECT p.x, p.y FROM e${i - 1} p
        |  JOIN k$i a ON a.node = p.x JOIN k$i b ON b.node = p.y)""".stripMargin
 
+  /** Shared CTEs for the drift pair: halved cent values + extents. */
+  private val halvedSql =
+    """e AS (
+      |  SELECT event_type AS grp, epoch_us(ts) AS tu,
+      |         ((value::DECIMAL(18,2)) * 100)::BIGINT AS v
+      |  FROM events),
+      |ext AS (
+      |  SELECT min(tu) AS tmn, max(tu) AS tmx,
+      |         min(v) AS vmn, max(v) AS vmx FROM e),
+      |h AS (
+      |  SELECT grp, v,
+      |         CASE WHEN tu < tmn + (tmx - tmn) // 2 THEN 0 ELSE 1 END AS half
+      |  FROM e, ext)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q136_psi_drift" ->
+      s"""WITH $halvedSql,
+         |binned AS (
+         |  SELECT grp, ((v - vmn) * 10) // (vmx - vmn + 1) AS bin,
+         |         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM h, ext GROUP BY 1, 2),
+         |frame AS (
+         |  SELECT DISTINCT grp, b.bin
+         |  FROM binned, (SELECT unnest(range(0, 10)) AS bin) b),
+         |tot AS (
+         |  SELECT grp, sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
+         |  FROM binned GROUP BY grp)
+         |SELECT f.grp, f.bin::BIGINT AS bin,
+         |       COALESCE(n_a, 0)::BIGINT AS n_a,
+         |       COALESCE(n_b, 0)::BIGINT AS n_b, tot_a, tot_b
+         |FROM frame f
+         |LEFT JOIN binned USING (grp, bin)
+         |JOIN tot USING (grp)
+         |ORDER BY grp, bin""".stripMargin,
+
+    "q137_ks_drift" ->
+      s"""WITH $halvedSql,
+         |counts AS (
+         |  SELECT grp, v,
+         |         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c_a,
+         |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c_b
+         |  FROM h GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT grp, sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b
+         |  FROM counts GROUP BY grp),
+         |cum AS (
+         |  SELECT grp,
+         |         sum(c_a) OVER (PARTITION BY grp ORDER BY v) AS cum_a,
+         |         sum(c_b) OVER (PARTITION BY grp ORDER BY v) AS cum_b
+         |  FROM counts)
+         |SELECT grp, n_a, n_b,
+         |       max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS ks_num
+         |FROM cum JOIN tot USING (grp)
+         |GROUP BY grp, n_a, n_b
+         |ORDER BY grp""".stripMargin,
+
     "q133_autocorr" ->
       """WITH e AS (
         |  SELECT event_type AS grp, ts, event_id,

@@ -472,6 +472,63 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  /** events as (grp, tu micros, cents), plus the drift-pair midpoint
+    * split — the brute mirror of halvedValues. */
+  private def halvedBrute: Seq[(String, Long, Long)] = {
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "CAST(ts AS BIGINT) AS tu",
+        "CAST(value AS DECIMAL(18,2)) AS v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).movePointRight(2).longValueExact()))
+    val tmn = rows.map(_._2).min; val tmx = rows.map(_._2).max
+    val mid = tmn + (tmx - tmn) / 2
+    rows.map { case (g, tu, v) => (g, if (tu < mid) 0L else 1L, v) }
+  }
+
+  test("q136: PSI bin counts equal a brute bucketize; all 10 bins reported") {
+    val rows = halvedBrute
+    val vmn = rows.map(_._3).min; val vmx = rows.map(_._3).max
+    def bin(v: Long) = (v - vmn) * 10 / (vmx - vmn + 1)
+    val exp = rows.groupBy(r => (r._1, bin(r._3))).view.mapValues { rs =>
+      (rs.count(_._2 == 0L).toLong, rs.count(_._2 == 1L).toLong)
+    }.toMap
+    val tot = rows.groupBy(_._1).view.mapValues(rs =>
+      (rs.count(_._2 == 0L).toLong, rs.count(_._2 == 1L).toLong)).toMap
+    val got = AnalyticsQueries.psiDrift(spark, sfDir).collect()
+    val grps = rows.map(_._1).distinct
+    assert(got.length == grps.size * 10, "dense 10-bin frame per group")
+    got.foreach { r =>
+      val (g, b) = (r.getString(0), r.getLong(1))
+      val (ea, eb) = exp.getOrElse((g, b), (0L, 0L))
+      assert((r.getLong(2), r.getLong(3)) == ((ea, eb)), s"($g,$b) counts")
+      assert((r.getLong(4), r.getLong(5)) == tot(g), s"($g) totals")
+    }
+  }
+
+  test("q137: KS numerator equals a brute max over the merged value grid") {
+    val rows = halvedBrute
+    val exp = rows.groupBy(_._1).view.mapValues { rs =>
+      val a = rs.filter(_._2 == 0L).map(_._3).sorted
+      val b = rs.filter(_._2 == 1L).map(_._3).sorted
+      val na = a.size.toLong; val nb = b.size.toLong
+      val grid = (a ++ b).distinct.sorted
+      val d = grid.map { v =>
+        val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+        math.abs(ca * nb - cb * na)
+      }.max
+      (na, nb, d)
+    }.toMap
+    val got = AnalyticsQueries.ksDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, "KS statistics differ from brute")
+    // D/(na*nb) is a probability distance: numerator bounded by na*nb
+    exp.foreach { case (g, (na, nb, d)) =>
+      assert(d <= na * nb, s"$g: D > 1 — impossible")
+      assert(d > 0, s"$g: identical halves are vanishingly unlikely here")
+    }
+  }
+
   test("q132: fixed-round peel equals the true 2-core fixpoint; pendants peel") {
     // independent edge derivation (q112's brute) + peel-to-fixpoint
     val docs = docsTokens
