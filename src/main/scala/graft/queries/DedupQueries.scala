@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.llm.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -349,6 +349,75 @@ object DedupQueries {
       .orderBy(col("inner_doc"), col("outer_doc"))
   }
 
+  /** q138's deterministic split bucket: 60-bit md5 of the doc id,
+    * mod 10 — buckets 0–7 train, 8 val, 9 test (the frozen-manifest
+    * 80/10/10 convention). Hash-of-key, not random: the split is
+    * reproducible from the data alone, survives reruns/backfills, and
+    * both engines compute it identically. */
+  private def splitBucket: Column =
+    pmod(call_function("graft_h60",
+      concat(lit("split|"), col("doc_id").cast("string"))), lit(10L))
+
+  private def splitName: Column =
+    when(splitBucket < 8, "train").when(splitBucket === 8, "val")
+      .otherwise("test")
+
+  /** q138 — the train/val/test split MANIFEST: per (lang, source,
+    * split), document and character counts — the artifact a training
+    * pipeline freezes so every downstream job agrees on membership
+    * without re-deriving it. Split assignment is row-local hash
+    * arithmetic; stratification balance per (lang, source) is readable
+    * directly off the manifest (the consumer's division).
+    *
+    * Scale shape: one partial-aggregated groupBy over ≤ langs ×
+    * sources × 3 keys; no joins, no windows, row-local bucketing in
+    * whole-stage codegen.
+    */
+  def splitManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), splitName.as("split"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"), col("source"), col("split"))
+
+  /** q139 — cross-split LEAKAGE audit of q138's split: how many
+    * distinct 8-gram shingles appear in more than one split, and how
+    * many test documents share at least one gram with train — the
+    * number that decides whether a benchmark score on the test split
+    * means anything (q76's decontamination applied to the pipeline's
+    * OWN split instead of an external eval set). One row:
+    * (n_grams, n_train_val, n_train_test, n_val_test,
+    * n_leaky_test_docs).
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 keys (q96's
+    * documented collision assumption); per gram a bit_or of the
+    * 3-bit split mask partial-aggregates map-side, the pair counts
+    * fold to ONE row, and the leaky-doc pass re-joins test postings
+    * to train-bit grams on the hash key — every shuffle is
+    * gram-hash- or doc-id-keyed, nothing is all-pairs.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    // split → one-hot bit: train 1, val 2, test 4
+    val bit = when(splitBucket < 8, 1L).when(splitBucket === 8, 2L)
+      .otherwise(4L)
+    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"), bit.as("bit"))
+    val masks = sh.groupBy(col("h")).agg(bit_or(col("bit")).as("mask"))
+    val pairCounts = masks.agg(count(lit(1)).as("n_grams"),
+      sum(when((col("mask").bitwiseAND(lit(3))) === 3, 1L).otherwise(0L))
+        .as("n_train_val"),
+      sum(when((col("mask").bitwiseAND(lit(5))) === 5, 1L).otherwise(0L))
+        .as("n_train_test"),
+      sum(when((col("mask").bitwiseAND(lit(6))) === 6, 1L).otherwise(0L))
+        .as("n_val_test"))
+    val leakyTest = sh.where(col("bit") === 4)
+      .join(masks.where((col("mask").bitwiseAND(lit(1))) === 1)
+        .select(col("h")), Seq("h"))
+      .agg(countDistinct(col("doc_id")).as("n_leaky_test_docs"))
+    pairCounts.crossJoin(leakyTest)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_containment"      -> containment,
     "q24_dedup_exact"      -> dedupExact,
@@ -359,7 +428,9 @@ object DedupQueries {
     "q29_simhash_neardup"  -> simhashNearDup,
     "q54_minhash_mllib"    -> minhashMllib,
     "q73_dedup_clusters"   -> dedupClusters,
-    "q76_decontaminate"    -> decontaminate
+    "q76_decontaminate"    -> decontaminate,
+    "q138_split_manifest"  -> splitManifest,
+    "q139_split_leakage"   -> splitLeakage
   )
 
   /** Shared oracle-side CTE chain producing the q27 candidate/size/common
@@ -434,6 +505,44 @@ object DedupQueries {
          |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)
          |SELECT id AS doc_id, min(r) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q138_split_manifest" ->
+      """WITH b AS (
+        |  SELECT lang, source, n_chars,
+        |         ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 10
+        |           AS bk
+        |  FROM documents)
+        |SELECT lang, source,
+        |       CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY lang, source, split""".stripMargin,
+
+    "q139_split_leakage" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(8)}),
+         |sb AS (
+         |  SELECT doc_id, s,
+         |         CASE WHEN bk < 8 THEN 1 WHEN bk = 8 THEN 2 ELSE 4 END AS bit
+         |  FROM (
+         |    SELECT doc_id, s,
+         |           ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+         |             % 10 AS bk
+         |    FROM sh)),
+         |m AS (SELECT s, bit_or(bit) AS mask FROM sb GROUP BY s),
+         |pc AS (
+         |  SELECT count(*)::BIGINT AS n_grams,
+         |    sum(CASE WHEN mask & 3 = 3 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_train_val,
+         |    sum(CASE WHEN mask & 5 = 5 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_train_test,
+         |    sum(CASE WHEN mask & 6 = 6 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_val_test
+         |  FROM m),
+         |lk AS (
+         |  SELECT count(DISTINCT sb.doc_id)::BIGINT AS n_leaky_test_docs
+         |  FROM sb JOIN m USING (s) WHERE sb.bit = 4 AND m.mask & 1 = 1)
+         |SELECT pc.*, lk.* FROM pc, lk""".stripMargin,
 
     "q76_decontaminate" ->
       s"""WITH plant AS (
