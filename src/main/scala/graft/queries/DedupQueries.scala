@@ -160,7 +160,15 @@ object DedupQueries {
     * without pinning executor memory). The driver loop carries only a
     * converged flag — never row data.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp")).orderBy(col("doc_id"))
+
+  /** q73's component labels (id, comp) without the presentation sort —
+    * shared with q141, which re-aggregates them and must not inherit a
+    * useless mid-plan global order. Only graph-member docs appear;
+    * consumers treat absent docs as singleton components. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     // q27's pair join materialized once per run (RunCache): the edge
     // list is parquet-backed, so the Gate count below and both cluster
     // branches read files instead of re-running the minhash pipeline —
@@ -180,7 +188,49 @@ object DedupQueries {
         pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")))
-    labeled.select(col("id").as("doc_id"), col("comp")).orderBy(col("doc_id"))
+    labeled
+  }
+
+  /** q141 — the dedup ROI report: the cluster-size histogram of the
+    * near-dup components plus what removing non-canonical members buys
+    * — for each cluster size, how many clusters exist, how many
+    * documents and duplicate documents they hold, and the exact
+    * characters a keep-the-min-id policy deletes. This is the number a
+    * curation run quotes when it claims "near-dedup removed N% of the
+    * corpus", and the size histogram is the standard skew check before
+    * committing to it (one mega-cluster usually means the similarity
+    * threshold, not the data, made the decision). Docs outside the
+    * near-dup graph count as singleton clusters, so every corpus row
+    * is accounted for: Σ n_docs == corpus size.
+    *
+    * Scale shape: the labels are the RunCache-backed q73 plan (the
+    * edge parquet is read, not recomputed); the docs↔labels equi-join
+    * shuffles 16-byte (id, comp) pairs against the slim (doc_id,
+    * n_chars) projection; both rollups partial-aggregate —
+    * component-cardinality first, then the ≤ max-cluster-size key
+    * space. No windows, no sorts beyond the presentation ORDER BY. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val perCluster = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_chars")).as("chars_total"),
+        // min-id canonical convention: comp IS the kept member's id
+        sum(when(col("doc_id") =!= col("comp"), col("n_chars"))
+          .otherwise(lit(0L))).as("chars_removed"))
+    perCluster.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1L).as("dup_docs"),
+        sum(col("chars_total")).as("chars_total"),
+        sum(col("chars_removed")).as("chars_removed"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("dup_docs"), col("chars_total"), col("chars_removed"))
+      .orderBy(col("cluster_size"))
   }
 
   /** Small-graph path: the entire edge list flows to one task which
@@ -428,6 +478,7 @@ object DedupQueries {
     "q29_simhash_neardup"  -> simhashNearDup,
     "q54_minhash_mllib"    -> minhashMllib,
     "q73_dedup_clusters"   -> dedupClusters,
+    "q141_dedup_stats"     -> dedupStats,
     "q76_decontaminate"    -> decontaminate,
     "q138_split_manifest"  -> splitManifest,
     "q139_split_leakage"   -> splitLeakage
@@ -436,6 +487,26 @@ object DedupQueries {
   /** Shared oracle-side CTE chain producing the q27 candidate/size/common
     * relations; q27 selects verified pairs from it, q73 closes them
     * transitively with a recursive CTE. */
+  /** [[minhashCtesSql]] extended through q73's transitive closure: the
+    * verified pair list, its undirected doubling, and the recursive
+    * reachability relation `reach` — shared by the q73 and q141
+    * oracles (callers prepend WITH RECURSIVE). */
+  private def clusterReachCtesSql: String =
+    s"""$minhashCtesSql,
+       |pairs AS (
+       |  SELECT da AS doc_a, db AS doc_b
+       |  FROM common
+       |  JOIN sz sa ON da = sa.doc_id
+       |  JOIN sz sb ON db = sb.doc_id
+       |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
+       |und AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS r FROM und
+       |  UNION
+       |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)""".stripMargin
+
   private def minhashCtesSql: String =
     s"""dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
        |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
@@ -489,22 +560,29 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q73_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtesSql,
-         |pairs AS (
-         |  SELECT da AS doc_a, db AS doc_b
-         |  FROM common
-         |  JOIN sz sa ON da = sa.doc_id
-         |  JOIN sz sb ON db = sb.doc_id
-         |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
-         |und AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT DISTINCT s AS id, s AS r FROM und
-         |  UNION
-         |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)
+      s"""WITH RECURSIVE $clusterReachCtesSql
          |SELECT id AS doc_id, min(r) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q141_dedup_stats" ->
+      s"""WITH RECURSIVE $clusterReachCtesSql,
+         |lab AS (
+         |  SELECT d.doc_id, d.n_chars, coalesce(r.comp, d.doc_id) AS comp
+         |  FROM documents d
+         |  LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) r
+         |    ON d.doc_id = r.id),
+         |pc AS (
+         |  SELECT comp, count(*)::BIGINT AS sz,
+         |         CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |         CAST(sum(CASE WHEN doc_id <> comp THEN n_chars ELSE 0 END)
+         |              AS BIGINT) AS chars_removed
+         |  FROM lab GROUP BY comp)
+         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs,
+         |       CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+         |       CAST(sum(chars_total) AS BIGINT) AS chars_total,
+         |       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+         |FROM pc GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "q138_split_manifest" ->
       """WITH b AS (

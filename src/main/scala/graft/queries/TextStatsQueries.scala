@@ -234,7 +234,18 @@ object TextStatsQueries {
     * the conjunction verdict. Catalyst fuses all row-local flags into
     * the scan projection; the only shuffles are the digest window and
     * the bigram cascade. */
-  def curationVerdict(s: SparkSession, dir: String): DataFrame = {
+  def curationVerdict(s: SparkSession, dir: String): DataFrame =
+    verdictFlags(s, dir)
+      .select(col("doc_id"), col("is_canonical"), col("lang_ok"),
+        col("quality_ok"), col("rep_keep"), col("sample_keep"),
+        (col("is_canonical") && col("lang_ok") && col("quality_ok") &&
+          col("rep_keep") && col("sample_keep")).as("verdict"))
+      .orderBy(col("doc_id"))
+
+  /** q75's per-document gate flags with the accounting columns (source,
+    * token count) riding along — shared by the per-doc verdict and
+    * q140's stage funnel, so both report the SAME decisions. */
+  private def verdictFlags(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Quality
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"), toks.as("w"))
@@ -250,19 +261,54 @@ object TextStatsQueries {
     val rate = when(col("source") === "src0", 80L)
       .when(col("source") === "src1", 50L)
       .otherwise(25L)
-    val flags = docs
+    docs
       .join(bigramStats(docs.select(col("doc_id"), col("w"))), Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"), nTok.cast(LongType).as("n_tok"),
         (col("doc_id") === canon).as("is_canonical"),
         (predLang(col("w")) === col("lang")).as("lang_ok"),
         (Quality.score(col("w")) >= 0.5).as("quality_ok"),
         (topBi <= 0.18 && dupTok <= 0.60).as("rep_keep"),
         (pct < rate).as("sample_keep"))
-    flags.select(col("doc_id"), col("is_canonical"), col("lang_ok"),
-        col("quality_ok"), col("rep_keep"), col("sample_keep"),
-        (col("is_canonical") && col("lang_ok") && col("quality_ok") &&
-          col("rep_keep") && col("sample_keep")).as("verdict"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Funnel stage names, in gate order: stage k's row counts the
+    * documents (and their tokens) still alive after the first k gates. */
+  private val FunnelStages =
+    Seq("ingest", "dedup", "lang", "quality", "repetition", "sample")
+
+  /** q140 — the curation funnel report (the "data ablation card" every
+    * corpus release ships): per source, how many documents and tokens
+    * survive after each successive curation gate — exact dedup,
+    * language agreement, quality bar, repetition filter, sampling gate
+    * — applied in the pipeline's order. Each document contributes to
+    * stages 0..depth where depth is the index of its first failing
+    * gate, so within a source the funnel is monotone non-increasing by
+    * construction and the stage-5 row equals q75's verdict=true count.
+    *
+    * Scale shape: the flags are q75's one-pass plan (row-local
+    * projections + the digest window + the bigram cascade); the funnel
+    * fan-out is a row-local posexplode of at most 6 stage indices that
+    * partial-aggregates map-side into a (6 × sources)-key space — the
+    * report shuffle is group-cardinality-sized regardless of corpus
+    * size. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val depth = when(!col("is_canonical"), lit(0L))
+      .when(!col("lang_ok"), lit(1L))
+      .when(!col("quality_ok"), lit(2L))
+      .when(!col("rep_keep"), lit(3L))
+      .when(!col("sample_keep"), lit(4L))
+      .otherwise(lit(5L))
+    verdictFlags(s, dir)
+      .select(col("source"), col("n_tok"), depth.as("depth"))
+      .select(col("source"), col("n_tok"),
+        explode(sequence(lit(0L), col("depth"))).as("stage"))
+      .groupBy(col("stage"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("stage"),
+        element_at(typedLit(FunnelStages), (col("stage") + 1L).cast("int"))
+          .as("stage_name"),
+        col("source"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("stage"), col("source"))
   }
 
   /** q97 — BPE merge-candidate statistics: the corpus-wide frequency of
@@ -436,11 +482,55 @@ object TextStatsQueries {
     "q62_stratified_sample" -> stratifiedSample,
     "q69_tfidf"          -> tfidf,
     "q74_repetition"     -> repetition,
-    "q75_curation_verdict" -> curationVerdict
+    "q75_curation_verdict" -> curationVerdict,
+    "q140_curation_funnel" -> curationFunnel
   )
 
   private def markersSqlList(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** The q75 flag pipeline as a CTE chain ending in `f` (doc_id,
+    * source, n_tok + the five gate flags) — shared by the q75 and q140
+    * oracles exactly as [[verdictFlags]] is shared on the Spark side. */
+  private lazy val verdictFlagsCtesSql: String = {
+    val scores = LangMarkers.map { case (c, ms) =>
+      s"len(list_filter(w, t -> list_contains(${markersSqlList(ms)}, t)))::BIGINT AS s_$c"
+    }.mkString(",\n         ")
+    val g = LangMarkers.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
+    val chain = LangMarkers.map { case (c, _) => s"WHEN s_$c = g THEN '$c'" }
+      .mkString("CASE ", " ", " ELSE '??' END")
+    s"""t AS (
+       |  SELECT doc_id, lang, source, text,
+       |         string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sc AS (SELECT doc_id, lang, source, text, w, $scores FROM t),
+       |gg AS (SELECT *, $g AS g FROM sc),
+       |bi AS (
+       |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gm
+       |  FROM (SELECT doc_id, w,
+       |               unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM t)),
+       |bstat AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS n_bi, count(*)::BIGINT AS d_bi,
+       |         max(c)::BIGINT AS m_bi
+       |  FROM (SELECT doc_id, gm, count(*) AS c FROM bi GROUP BY doc_id, gm)
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT gg.doc_id, gg.source, len(w)::BIGINT AS n_tok,
+       |    (gg.doc_id = min(gg.doc_id) OVER (PARTITION BY md5(text))) AS is_canonical,
+       |    ($chain) = lang AS lang_ok,
+       |    (0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
+       |      + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
+       |      + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE)) >= 0.5 AS quality_ok,
+       |    (CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
+       |          ELSE m_bi::DOUBLE / n_bi END) <= 0.18
+       |      AND (CASE WHEN len(w) = 0 THEN 0.0
+       |           ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END) <= 0.60 AS rep_keep,
+       |    ('0x' || substr(md5('mix|' || CAST(gg.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+       |      < (CASE WHEN source = 'src0' THEN 80
+       |              WHEN source = 'src1' THEN 50 ELSE 25 END) AS sample_keep
+       |  FROM gg LEFT JOIN bstat ON gg.doc_id = bstat.doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q105_vocab_coverage" ->
@@ -584,49 +674,32 @@ object TextStatsQueries {
         |WHERE len(text) >= 8
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q75_curation_verdict" -> {
-      val scores = LangMarkers.map { case (c, ms) =>
-        s"len(list_filter(w, t -> list_contains(${markersSqlList(ms)}, t)))::BIGINT AS s_$c"
-      }.mkString(",\n         ")
-      val g = LangMarkers.map { case (c, _) => s"s_$c" }.mkString("greatest(", ", ", ")")
-      val chain = LangMarkers.map { case (c, _) => s"WHEN s_$c = g THEN '$c'" }
-        .mkString("CASE ", " ", " ELSE '??' END")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, source, text,
-         |         string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sc AS (SELECT doc_id, lang, source, text, w, $scores FROM t),
-         |gg AS (SELECT *, $g AS g FROM sc),
-         |bi AS (
-         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gm
-         |  FROM (SELECT doc_id, w,
-         |               unnest(generate_series(1, len(w) - 1)) AS i
-         |        FROM t)),
-         |bstat AS (
-         |  SELECT doc_id, sum(c)::BIGINT AS n_bi, count(*)::BIGINT AS d_bi,
-         |         max(c)::BIGINT AS m_bi
-         |  FROM (SELECT doc_id, gm, count(*) AS c FROM bi GROUP BY doc_id, gm)
-         |  GROUP BY doc_id),
-         |f AS (
-         |  SELECT gg.doc_id,
-         |    (gg.doc_id = min(gg.doc_id) OVER (PARTITION BY md5(text))) AS is_canonical,
-         |    ($chain) = lang AS lang_ok,
-         |    (0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
-         |      + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
-         |      + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE)) >= 0.5 AS quality_ok,
-         |    (CASE WHEN n_bi IS NULL OR n_bi = 0 THEN 0.0
-         |          ELSE m_bi::DOUBLE / n_bi END) <= 0.18
-         |      AND (CASE WHEN len(w) = 0 THEN 0.0
-         |           ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END) <= 0.60 AS rep_keep,
-         |    ('0x' || substr(md5('mix|' || CAST(gg.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
-         |      < (CASE WHEN source = 'src0' THEN 80
-         |              WHEN source = 'src1' THEN 50 ELSE 25 END) AS sample_keep
-         |  FROM gg LEFT JOIN bstat ON gg.doc_id = bstat.doc_id)
+    "q75_curation_verdict" ->
+      s"""WITH $verdictFlagsCtesSql
          |SELECT doc_id, is_canonical, lang_ok, quality_ok, rep_keep, sample_keep,
          |       (is_canonical AND lang_ok AND quality_ok AND rep_keep
          |        AND sample_keep) AS verdict
-         |FROM f ORDER BY doc_id""".stripMargin
-    },
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q140_curation_funnel" ->
+      s"""WITH $verdictFlagsCtesSql,
+         |st AS (
+         |  SELECT source, n_tok,
+         |         CASE WHEN NOT is_canonical THEN 0
+         |              WHEN NOT lang_ok THEN 1
+         |              WHEN NOT quality_ok THEN 2
+         |              WHEN NOT rep_keep THEN 3
+         |              WHEN NOT sample_keep THEN 4 ELSE 5 END AS depth
+         |  FROM f),
+         |stg AS (SELECT unnest(range(0, 6)) AS stage)
+         |SELECT CAST(stage AS BIGINT) AS stage,
+         |       CASE stage WHEN 0 THEN 'ingest' WHEN 1 THEN 'dedup'
+         |            WHEN 2 THEN 'lang' WHEN 3 THEN 'quality'
+         |            WHEN 4 THEN 'repetition' ELSE 'sample' END AS stage_name,
+         |       source, count(*)::BIGINT AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM stg JOIN st ON st.depth >= stg.stage
+         |GROUP BY 1, 2, 3 ORDER BY stage, source""".stripMargin,
 
     "q74_repetition" ->
       """WITH t AS (
