@@ -414,9 +414,74 @@ object CurationQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  // ——— q143: content-defined chunking ————————————————————————————————
+  // Rolling-hash parameters. The window hash is Horner over the last
+  // CdcW per-token hashes x (the 60-bit md5 prefix mod the Mersenne
+  // prime — q26's token-hash convention, minhashTokenXSql's SQL twin):
+  // every intermediate is < 2^31 * 1000003 + 2^31 < 2^52, so both
+  // engines reproduce the arithmetic bit-for-bit in signed 64-bit.
+  private val CdcW    = 4             // rolling window, tokens
+  private val CdcA    = 1000003L      // Horner base
+  private val CdcP    = 2147483647L   // Mersenne prime 2^31-1
+  private val CdcDiv  = 16L           // boundary: h % 16 == 0 → mean chunk ~16
+
+  /** q143 — content-defined chunking (the LBFS/Rabin idiom:
+    * Muthitacharoen et al., "A Low-Bandwidth Network File System",
+    * SOSP 2001): chunk boundaries fall where a rolling hash of the last
+    * [[CdcW]] tokens hits `h % 16 == 0`, plus a forced boundary at the
+    * document end. Unlike q103's fixed-stride chunker, an insertion
+    * near the head re-synchronizes at the next content boundary — every
+    * chunk after it keeps its digest, which is what makes CDC the
+    * chunking a dedup-friendly pipeline wants: edit one paragraph of a
+    * mirrored document and the chunk-level dedup (q114's idiom) still
+    * collapses the untouched 99%.
+    *
+    * Emits (doc_id, chunk_idx, start_tok, n_tok, chunk_digest) — the
+    * digest, never the chunk text, so downstream dedup ships 16-byte
+    * keys. Scale shape: pure row-local flatMap (the shingles lesson —
+    * a typed sliding window is ~10× cheaper than the interpreted
+    * higher-order-function formulation), zero shuffles before the
+    * presentation sort; at 100 TB this is scan-bound. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        def hex(s0: String): String =
+          md5.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val w = text.trim.split("\\s+").filter(_.nonEmpty)
+        val n = w.length
+        if (n == 0) Iterator.empty
+        else {
+          val xs = w.map(t => java.lang.Long.parseLong(hex(t).substring(0, 15), 16) % CdcP)
+          val bs = scala.collection.mutable.ArrayBuffer[Int]()
+          var p = CdcW
+          while (p <= n) {
+            var h = xs(p - CdcW)
+            var i = p - CdcW + 1
+            while (i < p) { h = (h * CdcA + xs(i)) % CdcP; i += 1 }
+            if (h % CdcDiv == 0L) bs += p
+            p += 1
+          }
+          if (bs.isEmpty || bs.last != n) bs += n
+          var prev = 0
+          bs.iterator.zipWithIndex.map { case (b, ci) =>
+            val digest = hex(w.slice(prev, b).mkString(" "))
+            val row = (id, (ci + 1).toLong, (prev + 1).toLong, (b - prev).toLong, digest)
+            prev = b
+            row
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_digest")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_chunk_overlap" -> chunkOverlap,
     "q114_chunk_dedup"   -> chunkDedup,
+    "q143_cdc_chunks"    -> cdcChunks,
     "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
@@ -452,6 +517,41 @@ object CurationQueries {
          |         ' ') AS chunk
          |FROM ch
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q143_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     t -> t <> '') AS w
+         |  FROM documents),
+         |nn AS (
+         |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM d
+         |  WHERE len(w) > 0),
+         |xs AS (
+         |  SELECT doc_id, n,
+         |         list_transform(w, t ->
+         |           ('0x' || substr(md5(t), 1, 15))::BIGINT % $CdcP) AS x
+         |  FROM nn),
+         |hp AS (
+         |  SELECT doc_id, u.p
+         |  FROM xs, unnest(range($CdcW, n + 1)) AS u(p)
+         |  WHERE ((((((x[p-3] * $CdcA + x[p-2]) % $CdcP) * $CdcA + x[p-1])
+         |          % $CdcP) * $CdcA + x[p]) % $CdcP) % $CdcDiv = 0),
+         |bnd AS (
+         |  SELECT doc_id, p FROM hp
+         |  UNION
+         |  SELECT doc_id, n AS p FROM nn),
+         |ch AS (
+         |  SELECT doc_id, p,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY p)
+         |           AS chunk_idx,
+         |         coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+         |           AS prev
+         |  FROM bnd)
+         |SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+         |       c.prev + 1 AS start_tok, c.p - c.prev AS n_tok,
+         |       md5(array_to_string(n2.w[c.prev+1:c.p], ' ')) AS chunk_digest
+         |FROM ch c JOIN nn n2 ON c.doc_id = n2.doc_id
+         |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
     "q114_chunk_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id,

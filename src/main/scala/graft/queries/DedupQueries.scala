@@ -233,6 +233,51 @@ object DedupQueries {
       .orderBy(col("cluster_size"))
   }
 
+  /** q142 — LSH recall audit: the empirical S-curve of the banded
+    * MinHash path, measured against ground truth. Per jaccard bucket
+    * (integer twentieths — bucket 10 is [0.50,0.55), bucket 20 is
+    * exactly 1.0), how many true near-dup pairs exist (brute shingle
+    * join, q25's definition) and how many of them the q27 banded path
+    * actually surfaced. This is the audit a pipeline runs before
+    * trusting LSH dedup at full scale: recall loss concentrates in the
+    * lowest buckets (pairs just over threshold collide in no band), and
+    * the per-bucket curve says whether the (bands, rows) choice — not
+    * the data — is deciding what gets deduplicated. Same idiom as the
+    * q129 ANN-recall and q134 truncation audits: the approximation and
+    * its ground truth as one oracle-checked result.
+    *
+    * All thresholding and bucketing is exact integer arithmetic
+    * (j ≥ 0.5 ⇔ 3c ≥ na+nb; bucket = 20c div u) — no float boundary
+    * can disagree cross-engine. The LSH arm reads the RunCache edge
+    * parquet q73/q141 share (free after the first graph query of the
+    * run); the brute arm is the audit's intrinsic cost, and at 100 TB
+    * it is the part you'd sample — the engine-side plan stays one
+    * shingle scan feeding an inverted-index join bounded by
+    * Σ_shingle count², never a crossJoin. */
+  def lshAudit(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val ex = pairs
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(20 * c) div (sa.n + sb.n - c)").as("j_bucket"))
+    val found = graft.RunCache.parquetOnce(s, s"q27_pairs|$dir")(
+        minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
+      .withColumn("f", lit(1L))
+    ex.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("f"), lit(0L))).as("n_found"))
+      .orderBy(col("j_bucket"))
+  }
+
   /** Small-graph path: the entire edge list flows to one task which
     * runs union-find with min-id roots — zero loop shuffles, output
     * identical to [[labelPropagate]]. */
@@ -479,6 +524,7 @@ object DedupQueries {
     "q54_minhash_mllib"    -> minhashMllib,
     "q73_dedup_clusters"   -> dedupClusters,
     "q141_dedup_stats"     -> dedupStats,
+    "q142_lsh_audit"       -> lshAudit,
     "q76_decontaminate"    -> decontaminate,
     "q138_split_manifest"  -> splitManifest,
     "q139_split_leakage"   -> splitLeakage
@@ -563,6 +609,31 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterReachCtesSql
          |SELECT id AS doc_id, min(r) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q142_lsh_audit" ->
+      s"""WITH $minhashCtesSql,
+         |ep AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM dt a JOIN dt b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT doc_a, doc_b, (20 * c) // (sa.n + sb.n - c) AS j_bucket
+         |  FROM ep
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE 3 * c >= sa.n + sb.n),
+         |fnd AS (
+         |  SELECT da AS doc_a, db AS doc_b
+         |  FROM common
+         |  JOIN sz sa ON da = sa.doc_id
+         |  JOIN sz sb ON db = sb.doc_id
+         |  WHERE 3 * c >= sa.n + sb.n)
+         |SELECT j_bucket, count(*)::BIGINT AS n_pairs,
+         |       sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |         AS n_found
+         |FROM ex LEFT JOIN fnd f
+         |  ON ex.doc_a = f.doc_a AND ex.doc_b = f.doc_b
+         |GROUP BY j_bucket ORDER BY j_bucket""".stripMargin,
 
     "q141_dedup_stats" ->
       s"""WITH RECURSIVE $clusterReachCtesSql,
