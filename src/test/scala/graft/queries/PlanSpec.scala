@@ -313,6 +313,34 @@ class PlanSpec extends SparkSpec {
       "the five monoids must combine map-side after the window")
   }
 
+  test("q143 CDC chunking is row-local: no joins, no windows, no mid-plan exchange") {
+    val df = graft.SparkEntry.queries("q143_cdc_chunks")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "chunk boundaries are per-row; no window may appear")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "CDC must not join anything")
+    // at most one exchange: the presentation sort's range partitioning —
+    // the chunker itself never shuffles
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(exchanges.size <= 1, "only the final ORDER BY may exchange")
+  }
+
+  test("q142 LSH audit: equi-joins only, windowless, shingle scan feeds both arms") {
+    val p = plan("q142_lsh_audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "both arms must stay inverted-index equi-join-shaped")
+    val windows = graft.SparkEntry.queries("q142_lsh_audit")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "bucketed recall is a partial agg, not a window")
+  }
+
   test("q132 k-core rounds join on 8-byte node ids only, no cartesian") {
     val p = plan("q132_kcore")
     assert(!p.contains("CartesianProduct") &&
