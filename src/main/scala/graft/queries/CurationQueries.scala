@@ -67,7 +67,19 @@ object CurationQueries {
     * executors pack 1000 shards independently; no global ordering
     * exists anywhere in the plan.
     */
-  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    packAssign(s, dir)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+
+  /** q79's per-document pack assignment (doc_id, source, n_tok,
+    * pack_id) without the roll-up — shared with q144, whose cascade
+    * needs pack membership rather than pack summaries. */
+  private def packAssign(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
@@ -75,12 +87,6 @@ object CurationQueries {
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("source"), col("n_tok"),
         expr(s"(cum - n_tok) div $PackBudget").as("pack_id"))
-      .groupBy(col("source"), col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("pack_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy(col("source"), col("pack_id"))
   }
 
   /** q80 — token-weighted mixture capping (the UniMax/DoReMi-style mix
@@ -478,10 +484,78 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** The takedown flag as row-local hash arithmetic over doc_id (the
+    * q138 split idiom with a different salt): ~1/16 of the corpus.
+    * Being a predicate — not a materialized id list — every cascade leg
+    * below flags rows in place with ZERO joins against a takedown
+    * relation; a production takedown list (explicit ids) swaps this
+    * predicate for a bloom probe (q115's idiom) without changing any
+    * plan shape. */
+  private def isTakedown(id: Column): Column =
+    pmod(call_function("graft_h60",
+      concat(lit("takedown|"), id.cast("string"))), lit(16L)) === 0L
+
+  /** q144 — takedown / deletion-cascade audit (the right-to-erasure and
+    * licensing-takedown question every corpus operator answers): when
+    * the flagged documents leave, what else must move? One row per
+    * downstream artifact: the documents themselves, the q103 chunks
+    * that vanish with them, the q79 packs broken by losing a member,
+    * the surviving documents sitting in those broken packs (they must
+    * be repacked — their training sequences change without their
+    * content changing), and the q27 near-dup edges severed (exactly one
+    * endpoint leaves — the survivor's dedup decision may flip on the
+    * next run). n_total carries each artifact's population so every
+    * row reads as a fraction.
+    *
+    * Scale shape: four scan-shaped legs (documents, chunk rows, pack
+    * assignment, edge parquet), each aggregating to ≤ pack-count rows
+    * with the takedown flag computed in place; the only joins are the
+    * 1-row scalar combines of the final union. Σ cohab over ALL packs
+    * doubles as the surviving-corpus total — packing partitions the
+    * corpus, so no second documents pass is needed. */
+  def takedownCascade(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .agg(coalesce(sum(when(isTakedown(col("doc_id")), 1L).otherwise(0L)),
+          lit(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("1_documents").as("artifact"), col("n_affected"), col("n_total"))
+    val chunks = chunkRows(s, dir)
+      .agg(coalesce(sum(when(isTakedown(col("doc_id")), 1L).otherwise(0L)),
+          lit(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("2_chunks").as("artifact"), col("n_affected"), col("n_total"))
+    val pk = packAssign(s, dir)
+      .withColumn("td", isTakedown(col("doc_id")))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(max(when(col("td"), 1L).otherwise(0L)).as("broken"),
+        sum(when(!col("td"), 1L).otherwise(0L)).as("cohab"))
+    val packs = pk
+      .agg(coalesce(sum(col("broken")), lit(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("3_packs").as("artifact"), col("n_affected"), col("n_total"))
+    val cohab = pk
+      .agg(coalesce(sum(when(col("broken") === 1L, col("cohab"))
+          .otherwise(0L)), lit(0L)).as("n_affected"),
+        coalesce(sum(col("cohab")), lit(0L)).as("n_total"))
+      .select(lit("4_pack_cohabitants").as("artifact"),
+        col("n_affected"), col("n_total"))
+    val edges = graft.RunCache.parquetOnce(s, s"q27_pairs|$dir")(
+        DedupQueries.minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
+      .agg(coalesce(sum(when(
+          isTakedown(col("doc_a")) =!= isTakedown(col("doc_b")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_affected"),
+        count(lit(1)).as("n_total"))
+      .select(lit("5_dup_edges_severed").as("artifact"),
+        col("n_affected"), col("n_total"))
+    Seq(docs, chunks, packs, cohab, edges).reduce(_.unionByName(_))
+      .orderBy(col("artifact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_chunk_overlap" -> chunkOverlap,
     "q114_chunk_dedup"   -> chunkDedup,
     "q143_cdc_chunks"    -> cdcChunks,
+    "q144_takedown_cascade" -> takedownCascade,
     "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
@@ -552,6 +626,75 @@ object CurationQueries {
          |       md5(array_to_string(n2.w[c.prev+1:c.p], ' ')) AS chunk_digest
          |FROM ch c JOIN nn n2 ON c.doc_id = n2.doc_id
          |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
+    "q144_takedown_cascade" ->
+      s"""WITH ${DedupQueries.minhashCtesSql},
+         |prs AS (
+         |  SELECT da, db FROM common
+         |  JOIN sz sa ON da = sa.doc_id
+         |  JOIN sz sb ON db = sb.doc_id
+         |  WHERE 3 * c >= sa.n + sb.n),
+         |tdd AS (
+         |  SELECT doc_id,
+         |         (('0x' || substr(md5('takedown|' || doc_id), 1, 15))::BIGINT
+         |          % 16 = 0) AS td
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'),
+         |                     t -> t <> '') AS w
+         |  FROM documents),
+         |cnn AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM dw
+         |  WHERE len(w) > 0),
+         |chn AS (
+         |  SELECT doc_id,
+         |         1 + CASE WHEN n > $ChunkW
+         |                  THEN (n - $ChunkW + ${ChunkS - 1}) // $ChunkS
+         |                  ELSE 0 END AS n_chunks
+         |  FROM cnn),
+         |pt AS (
+         |  SELECT doc_id, source,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok
+         |  FROM documents),
+         |pc AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pt),
+         |pk AS (
+         |  SELECT source, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_id,
+         |         max(CASE WHEN td THEN 1 ELSE 0 END) AS broken,
+         |         sum(CASE WHEN NOT td THEN 1 ELSE 0 END) AS cohab
+         |  FROM pc JOIN tdd USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT '1_documents' AS artifact,
+         |       coalesce(sum(CASE WHEN td THEN 1 ELSE 0 END), 0)::BIGINT
+         |         AS n_affected,
+         |       count(*)::BIGINT AS n_total
+         |FROM tdd
+         |UNION ALL
+         |SELECT '2_chunks',
+         |       coalesce(sum(CASE WHEN td THEN n_chunks ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(n_chunks), 0)::BIGINT
+         |FROM chn JOIN tdd USING (doc_id)
+         |UNION ALL
+         |SELECT '3_packs', coalesce(sum(broken), 0)::BIGINT,
+         |       count(*)::BIGINT
+         |FROM pk
+         |UNION ALL
+         |SELECT '4_pack_cohabitants',
+         |       coalesce(sum(CASE WHEN broken = 1 THEN cohab ELSE 0 END), 0)::BIGINT,
+         |       coalesce(sum(cohab), 0)::BIGINT
+         |FROM pk
+         |UNION ALL
+         |SELECT '5_dup_edges_severed',
+         |       coalesce(sum(CASE WHEN ta.td <> tb.td THEN 1 ELSE 0 END), 0)::BIGINT,
+         |       count(*)::BIGINT
+         |FROM prs
+         |JOIN tdd ta ON prs.da = ta.doc_id
+         |JOIN tdd tb ON prs.db = tb.doc_id
+         |ORDER BY artifact""".stripMargin,
+
     "q114_chunk_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -553,7 +553,9 @@ object DedupQueries {
        |  UNION
        |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)""".stripMargin
 
-  private def minhashCtesSql: String =
+  /** Package-visible: q144's severed-edge leg rebuilds the q27 pair
+    * pipeline in its oracle from the same CTE chain. */
+  private[queries] def minhashCtesSql: String =
     s"""dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
        |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
        |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id),

@@ -296,4 +296,34 @@ class CurationSpec extends SparkSpec {
     assert(dups.nonEmpty, "no duplicated chunk at test scale — vacuous dedup")
     assert(dups.forall(occ => occ.count(o => verdicts(o._1)._2) == 1))
   }
+
+  test("q144 cascade legs tie out against brute flag recomputation") {
+    def td(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"takedown|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16) % 16 == 0
+    }
+    val got = CurationQueries.takedownCascade(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("1_documents", "2_chunks", "3_packs",
+      "4_pack_cohabitants", "5_dup_edges_severed"))
+    got.values.foreach { case (aff, tot) =>
+      assert(aff >= 0L && aff <= tot, s"affected $aff out of range of $tot") }
+    // leg 1 against a brute hash pass over the raw table
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got("1_documents") == ((ids.count(td).toLong, ids.length.toLong)))
+    assert(got("1_documents")._1 > 0, "takedown set empty — vacuous cascade")
+    // leg 2 against the tested chunker's own rows
+    val ch = CurationQueries.chunkOverlap(spark, sfDir).collect()
+      .map(_.getLong(0))
+    assert(got("2_chunks") == ((ch.count(td).toLong, ch.length.toLong)))
+    // leg 4's total is the surviving corpus: packing partitions the docs
+    assert(got("4_pack_cohabitants")._2 == ids.length.toLong - got("1_documents")._1)
+    // leg 5 endpoints come from q27's pair list
+    val prs = DedupQueries.minhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got("5_dup_edges_severed") ==
+      ((prs.count(p => td(p._1) != td(p._2)).toLong, prs.length.toLong)))
+  }
 }

@@ -341,6 +341,20 @@ class PlanSpec extends SparkSpec {
     assert(windows.isEmpty, "bucketed recall is a partial agg, not a window")
   }
 
+  test("q144 cascade: scan-shaped legs — the only window is q79's pack sum, no row joins") {
+    val df = graft.SparkEntry.queries("q144_takedown_cascade")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size <= 2,
+      s"only the pack running sum may window (pk feeds two legs): ${windows.size}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "takedown flags are computed in place — no leg may join a takedown list")
+  }
+
   test("q132 k-core rounds join on 8-byte node ids only, no cartesian") {
     val p = plan("q132_kcore")
     assert(!p.contains("CartesianProduct") &&
