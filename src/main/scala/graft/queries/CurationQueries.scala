@@ -551,11 +551,101 @@ object CurationQueries {
       .orderBy(col("artifact"))
   }
 
+  /** q146 — temperature-weighted mixture allocation (the UniMax /
+    * multilingual-sampling companion to q80's hard caps): each source's
+    * share of a fixed token budget is proportional to tok^(1/2) —
+    * temperature τ = 2 flattening, the standard compromise between
+    * proportional sampling (starves the tail) and uniform (over-samples
+    * tiny sources). Integer end to end: the weight is floor(√tok)
+    * (IEEE sqrt of an integer < 2^53 is correctly rounded, so both
+    * engines floor the same double), floor-allocations by integer
+    * division, and the B − Σfloor leftover units go to the largest
+    * remainders (ties to source name) — the Hamilton largest-remainder
+    * method, so Σ alloc == B exactly, provable in a spec.
+    *
+    * Scale shape: ONE partial-agg corpus scan to per-source token
+    * totals; everything downstream operates on that #sources-row
+    * relation — the scalar total and deficit are 1-row broadcast
+    * combines, and the remainder rank is a window over #sources rows,
+    * not corpus rows. */
+  def mixtureAlloc(s: SparkSession, dir: String): DataFrame = {
+    val B = 100000L
+    val st = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(toks).cast(LongType)).as("n_tok"))
+      .withColumn("weight", floor(sqrt(col("n_tok"))).cast(LongType))
+    val tw = st.agg(sum(col("weight")).as("total_w"))
+    val fl = st.crossJoin(broadcast(tw))
+      .select(col("source"), col("n_tok"), col("weight"),
+        expr(s"($B * weight) div total_w").as("af"),
+        expr(s"($B * weight) % total_w").as("rem"))
+    val df = fl.agg((lit(B) - sum(col("af"))).as("deficit"))
+    val rk = fl.withColumn("rn", row_number().over(
+      Window.orderBy(col("rem").desc, col("source"))))
+    rk.crossJoin(broadcast(df))
+      .select(col("source"), col("n_tok"), col("weight"),
+        (col("af") + when(col("rn") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** q147 — hashed-bigram target affinity: the DSIR importance signal
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", arXiv:2302.03169) in exact-rational form.
+    * Every document is scored by how much its hashed-bigram profile
+    * resembles a target domain (source src0 stands in for the curated
+    * target corpus) versus the raw corpus: features are token bigrams
+    * hashed into 4096 buckets (graft_h60), and a document is
+    * target-affine when dot_t · total_raw > dot_r · total_target —
+    * the cross-multiplied form of p_target(doc) / p_raw(doc) > 1 under
+    * hashed unigram-of-bigrams models, no float division anywhere.
+    * Per source: docs with ≥ 1 bigram, affine docs, and the summed
+    * dot-product masses (the consumer's resampling-rate numerators).
+    *
+    * Scale shape: one explode pass to (doc, bucket) counts with
+    * map-side partial agg; the global histogram is 4096 rows and its
+    * totals 1 row — both broadcast, and neither grows with the corpus
+    * (the feature space is fixed by construction, the DSIR trick);
+    * the per-doc dot is a partial agg keyed by doc_id. The affinity
+    * compare is DECIMAL(38,0) cross-multiplication so the rational
+    * test survives 100-TB-scale masses without BIGINT overflow. */
+  def dsirAffinity(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> concat(x, ' ', w[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        pmod(call_function("graft_h60", concat(lit("dsir|"), col("b"))),
+          lit(4096L)).as("f"))
+    val dc = bg.groupBy(col("doc_id"), col("source"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    val gc = dc.groupBy(col("f"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("ct"))
+    val tot = gc.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val dots = dc.join(broadcast(gc), Seq("f"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c") * col("ct")).as("dot_t"),
+        sum(col("c") * col("cr")).as("dot_r"))
+    dots.crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(
+          col("dot_t").cast("decimal(38,0)") * col("tr").cast("decimal(38,0)") >
+          col("dot_r").cast("decimal(38,0)") * col("tt").cast("decimal(38,0)"),
+          1L).otherwise(0L)).as("n_affine"),
+        sum(col("dot_t")).as("dot_t_total"),
+        sum(col("dot_r")).as("dot_r_total"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_chunk_overlap" -> chunkOverlap,
     "q114_chunk_dedup"   -> chunkDedup,
     "q143_cdc_chunks"    -> cdcChunks,
     "q144_takedown_cascade" -> takedownCascade,
+    "q146_mixture_alloc"    -> mixtureAlloc,
+    "q147_dsir_affinity"    -> dsirAffinity,
     "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
@@ -694,6 +784,61 @@ object CurationQueries {
          |JOIN tdd ta ON prs.da = ta.doc_id
          |JOIN tdd tb ON prs.db = tb.doc_id
          |ORDER BY artifact""".stripMargin,
+
+    "q146_mixture_alloc" ->
+      """WITH st AS (
+        |  SELECT source,
+        |         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT
+        |           AS n_tok
+        |  FROM documents GROUP BY source),
+        |wt AS (
+        |  SELECT source, n_tok,
+        |         CAST(floor(sqrt(n_tok)) AS BIGINT) AS weight
+        |  FROM st),
+        |tw AS (SELECT sum(weight)::BIGINT AS total_w FROM wt),
+        |fl AS (
+        |  SELECT source, n_tok, weight,
+        |         (100000 * weight) // total_w AS af,
+        |         (100000 * weight) % total_w AS rem
+        |  FROM wt, tw),
+        |df AS (SELECT (100000 - sum(af))::BIGINT AS deficit FROM fl),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |  FROM fl)
+        |SELECT source, n_tok, weight,
+        |       (af + CASE WHEN rn <= deficit THEN 1 ELSE 0 END)::BIGINT
+        |         AS alloc
+        |FROM rk, df ORDER BY source""".stripMargin,
+
+    "q147_dsir_affinity" ->
+      """WITH dw AS (
+        |  SELECT doc_id, source,
+        |         string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5('dsir|' || w[i+1] || ' ' || w[i+2]),
+        |          1, 15))::BIGINT % 4096 AS f
+        |  FROM dw, unnest(range(0, greatest(len(w) - 1, 0))) AS u(i)),
+        |dc AS (
+        |  SELECT doc_id, source, f, count(*)::BIGINT AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |gc AS (
+        |  SELECT f, sum(c)::BIGINT AS cr,
+        |         sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)::BIGINT
+        |           AS ct
+        |  FROM dc GROUP BY f),
+        |tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM gc),
+        |dots AS (
+        |  SELECT doc_id, source,
+        |         sum(c * ct)::BIGINT AS dot_t, sum(c * cr)::BIGINT AS dot_r
+        |  FROM dc JOIN gc USING (f) GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN dot_t::DECIMAL(38,0) * tr > dot_r::DECIMAL(38,0) * tt
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_affine,
+        |       sum(dot_t)::BIGINT AS dot_t_total,
+        |       sum(dot_r)::BIGINT AS dot_r_total
+        |FROM dots, tot GROUP BY source ORDER BY source""".stripMargin,
 
     "q114_chunk_dedup" ->
       s"""WITH d AS (

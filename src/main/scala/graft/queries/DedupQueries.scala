@@ -278,6 +278,46 @@ object DedupQueries {
       .orderBy(col("j_bucket"))
   }
 
+  /** q145 — canonical selection, the dedup APPLY step: per near-dup
+    * cluster, the member a keep-the-best policy retains. Policy here:
+    * most whitespace tokens, ties to the smallest doc_id — the
+    * "longest member" rule production near-dedup pipelines default to
+    * (the longest variant usually subsumes its truncated/boilerplate-
+    * trimmed near-dups). Each cluster row carries the kept member,
+    * the token mass dropped, and whether the pick agrees with q141's
+    * keep-the-min-id convention — the delta between the two policies
+    * is exactly what a curation review wants on one page.
+    *
+    * The argmax is a SCALAR max_by key: (n_tok, -doc_id) packed into
+    * one BIGINT (n_tok·2^33 − doc_id), so both engines order
+    * identically with no struct-comparator semantics in play (DuckDB
+    * arg_max over a struct key is unsupported) and the aggregation
+    * stays a partial-agg — no window, no sort before the presentation
+    * ORDER BY. Labels come from the RunCache-backed q73 plan (the
+    * edge parquet is read, not recomputed); the docs↔labels join
+    * shuffles 8-byte ids against the slim (doc_id, n_tok) projection.
+    */
+  def canonicalPick(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir) // (id, comp); members only
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tok"))
+    labels.join(docs, col("id") === col("doc_id"))
+      .select(col("comp"), col("doc_id"), col("n_tok"),
+        (col("n_tok") * lit(8589934592L) - col("doc_id")).as("pk"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"),
+        expr("max_by(doc_id, pk)").as("keep_doc"),
+        expr("max_by(n_tok, pk)").as("keep_n_tok"),
+        sum(col("n_tok")).as("tok_total"))
+      .select(col("comp"), col("sz"), col("keep_doc"), col("keep_n_tok"),
+        col("tok_total"),
+        (col("tok_total") - col("keep_n_tok")).as("tok_dropped"),
+        when(col("keep_doc") === col("comp"), 1L).otherwise(0L)
+          .as("minid_agrees"))
+      .orderBy(col("comp"))
+  }
+
   /** Small-graph path: the entire edge list flows to one task which
     * runs union-find with min-id roots — zero loop shuffles, output
     * identical to [[labelPropagate]]. */
@@ -524,6 +564,7 @@ object DedupQueries {
     "q54_minhash_mllib"    -> minhashMllib,
     "q73_dedup_clusters"   -> dedupClusters,
     "q141_dedup_stats"     -> dedupStats,
+    "q145_canonical_pick"  -> canonicalPick,
     "q142_lsh_audit"       -> lshAudit,
     "q76_decontaminate"    -> decontaminate,
     "q138_split_manifest"  -> splitManifest,
@@ -656,6 +697,26 @@ object DedupQueries {
          |       CAST(sum(chars_total) AS BIGINT) AS chars_total,
          |       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
          |FROM pc GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "q145_canonical_pick" ->
+      s"""WITH RECURSIVE $clusterReachCtesSql,
+         |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |tk AS (
+         |  SELECT doc_id,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok
+         |  FROM documents),
+         |m AS (
+         |  SELECT lab.comp, tk.doc_id, tk.n_tok,
+         |         tk.n_tok * 8589934592 - tk.doc_id AS pk
+         |  FROM lab JOIN tk ON lab.id = tk.doc_id)
+         |SELECT comp, count(*)::BIGINT AS sz,
+         |       arg_max(doc_id, pk) AS keep_doc,
+         |       arg_max(n_tok, pk) AS keep_n_tok,
+         |       sum(n_tok)::BIGINT AS tok_total,
+         |       (sum(n_tok) - arg_max(n_tok, pk))::BIGINT AS tok_dropped,
+         |       (CASE WHEN arg_max(doc_id, pk) = comp THEN 1 ELSE 0 END)::BIGINT
+         |         AS minid_agrees
+         |FROM m GROUP BY comp ORDER BY comp""".stripMargin,
 
     "q138_split_manifest" ->
       """WITH b AS (

@@ -326,4 +326,69 @@ class CurationSpec extends SparkSpec {
     assert(got("5_dup_edges_severed") ==
       ((prs.count(p => td(p._1) != td(p._2)).toLong, prs.length.toLong)))
   }
+
+  test("q146 allocation equals a brute Hamilton recomputation and sums to B") {
+    val B = 100000L
+    val bys = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = bys.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val totalW = w.values.sum
+    val af = w.view.mapValues(x => B * x / totalW).toMap
+    val deficit = B - af.values.sum
+    val bump = w.keys.toSeq
+      .sortBy(s => (-(B * w(s) % totalW), s)).take(deficit.toInt).toSet
+    val expect = bys.keys.map(s =>
+      s -> ((bys(s), w(s), af(s) + (if (bump(s)) 1L else 0L)))).toMap
+    val got = CurationQueries.mixtureAlloc(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._3).sum == B, "shares must sum to the budget exactly")
+    // the flattening must actually bind: no source may hold a share more
+    // than one bump away from its exact proportional entitlement
+    got.foreach { case (s, (_, wt, alloc)) =>
+      val lo = B * wt / totalW
+      assert(alloc == lo || alloc == lo + 1, s"$s alloc $alloc vs floor $lo") }
+  }
+
+  test("q147 per-source affinity equals a brute hashed-bigram recomputation") {
+    def h60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perDoc = docs.map { case (id, src, text) =>
+      val w = text.trim.split("\\s+")
+      val fs = w.iterator.zip(w.iterator.drop(1))
+        .map { case (a, b) => h60(s"dsir|$a $b") % 4096 }.toSeq
+      (id, src, fs.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }.filter(_._3.nonEmpty)
+    val cr = perDoc.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val ct = perDoc.filter(_._2 == "src0").flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val expect = perDoc.groupBy(_._2).view.mapValues { ds =>
+      val dots = ds.map { case (_, _, c) =>
+        (c.map { case (f, n) => n * ct.getOrElse(f, 0L) }.sum,
+          c.map { case (f, n) => n * cr(f) }.sum) }
+      (ds.length.toLong,
+        dots.count { case (dt, dr) =>
+          BigInt(dt) * tr > BigInt(dr) * tt }.toLong,
+        dots.map(_._1).sum, dots.map(_._2).sum)
+    }.toMap
+    val got = CurationQueries.dsirAffinity(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // the signal must detect the target: src0 has the highest affine rate
+    val rates = got.view.mapValues(v => v._2.toDouble / v._1).toMap
+    assert(rates("src0") == rates.values.max,
+      s"target source must be most affine: $rates")
+  }
 }

@@ -47,4 +47,29 @@ class DedupClustersSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaProp == expected)
   }
+
+  test("q145 canonical pick is the longest member, ties to min id, per q73 cluster") {
+    val labels = DedupQueries.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, comp)
+    val nTok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .toMap
+    val expect = labels.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.map(_._1)
+      val keep = members.minBy(id => (-nTok(id), id))
+      comp -> ((members.length.toLong, keep, nTok(keep),
+        members.map(nTok).sum, members.map(nTok).sum - nTok(keep),
+        if (keep == comp) 1L else 0L))
+    }
+    val got = DedupQueries.canonicalPick(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.forall(_._1 >= 2),
+      "labels cover only near-dup graph members, so every cluster has >= 2 docs")
+    // the policy must differ from keep-the-min-id somewhere at this scale,
+    // or the comparison column is vacuous
+    assert(got.values.exists(_._6 == 0L), "no pick disagreed with min-id")
+  }
 }

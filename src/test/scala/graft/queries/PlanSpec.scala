@@ -355,6 +355,47 @@ class PlanSpec extends SparkSpec {
       "takedown flags are computed in place — no leg may join a takedown list")
   }
 
+  test("q145 canonical pick: one partial agg over the labels join, windowless") {
+    val df = graft.SparkEntry.queries("q145_canonical_pick")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "the argmax is a scalar max_by key, never a window")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "labels join docs on 8-byte ids only")
+  }
+
+  test("q146 mixture alloc: corpus scan aggregates before any per-source math") {
+    val df = graft.SparkEntry.queries("q146_mixture_alloc")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1,
+      s"only the #sources-row remainder rank may window: ${windows.size}")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "scalar combines must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing after the per-source rollup is big enough to shuffle-join")
+  }
+
+  test("q147 dsir affinity: fixed-size histogram broadcasts, zero windows") {
+    val df = graft.SparkEntry.queries("q147_dsir_affinity")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "per-doc dots are partial aggs, never windows")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-row global histogram must broadcast back to the doc counts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no corpus-sized shuffle join anywhere in the affinity path")
+  }
+
   test("q132 k-core rounds join on 8-byte node ids only, no cartesian") {
     val p = plan("q132_kcore")
     assert(!p.contains("CartesianProduct") &&
