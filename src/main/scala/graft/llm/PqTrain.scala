@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** DISTRIBUTED product-quantization codebook training (Jégou et al.
+  * 2011) — the training half of the q64/q113 ANN stack, previously only
+  * available as driver-side tooling (scripts/train_pq_codebook.py).
+  * Lloyd k-means per contiguous subspace, all M subspaces trained in
+  * the SAME synchronous rounds: one job per round covers every
+  * subspace, not M sequential loops.
+  *
+  * Determinism across engines, partitionings, and cluster sizes — the
+  * property float k-means normally lacks — comes from the q102 dsum
+  * idiom: member-vector element sums ride DECIMAL(18,9) (exact,
+  * associative; float addition order would make the trained codebook
+  * depend on task scheduling), and the mean division happens once per
+  * round on the driver in BigDecimal with a fixed scale/rounding.
+  * Assignment distances are row-local double arithmetic in fixed
+  * dimension order — deterministic everywhere — with ties to the
+  * smallest centroid id, and an emptied cell keeps its previous
+  * centroid (the script's convention).
+  *
+  * Scale shape: the vectors are scanned once into a persisted
+  * (vec_id, subspace, subvector) relation; each round is a row-local
+  * assignment pass over it plus ONE map-side-combined aggregation into
+  * ≤ M·K rows of (count, SubDim decimal sums) — the only rows that
+  * ever reach the driver (model state, BpeTrain's discipline; never
+  * corpus data). Broadcast model size is M·K·SubDim doubles — 8 KiB —
+  * regardless of corpus size.
+  */
+object PqTrain {
+
+  val M = 8        // subspaces
+  val SubDim = 8   // dims per subspace (M * SubDim = VectorOps.Dim)
+  val K = 16       // centroids per subspace
+  // 10 synchronous rounds: measured on the sf0.1 embeddings, rounds
+  // past 10 buy < 0.3% SSE each (the first 4 buy 24%) while every
+  // round costs one fixed-overhead cluster job — the classic
+  // synchronous-iteration economics. The offline script's 20 is a
+  // single-node safety margin; `rounds` stays a parameter.
+  val Rounds = 10
+
+  /** Mean with the fixed driver-side contract: scale 9, HALF_UP —
+    * the same rounding Spark's double→DECIMAL(18,9) cast applies to
+    * the addends. */
+  private def mean(sum: java.math.BigDecimal, n: Long): Double =
+    sum.divide(java.math.BigDecimal.valueOf(n), 9,
+      java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** The trained books: books(m)(k) is an 8-dim centroid, plus the
+    * final-round member count per (m, k). */
+  def train(s: SparkSession, dir: String, rounds: Int = Rounds)
+    : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+    import s.implicits._
+    val sub: Dataset[(Long, Int, Array[Double])] = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        (0 until M).iterator.map(m =>
+          (id, m, java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)))
+      }.persist()
+
+    // init = the K smallest vec_ids' subvectors, the script's "first K"
+    val books: Array[Array[Array[Double]]] =
+      Array.ofDim[Array[Double]](M, K)
+    val idRank = sub.filter(_._2 == 0).map(_._1).orderBy(col("value"))
+      .limit(K).collect().zipWithIndex.toMap
+    sub.filter(r => idRank.contains(r._1)).collect()
+      .foreach { case (id, m, x) => books(m)(idRank(id)) = x }
+
+    val counts = Array.ofDim[Long](M, K)
+    val sums = (0 until SubDim).map(d =>
+      sum(element_at(col("x"), d + 1).cast(DecimalType(18, 9))).as(s"s$d"))
+    var r = 0
+    while (r < rounds) {
+      val bc = s.sparkContext.broadcast(books.map(_.map(_.clone())))
+      val cells = sub.map { case (_, m, x) =>
+        val bk = bc.value(m)
+        var best = 0
+        var bd = Double.MaxValue
+        var k = 0
+        while (k < K) {
+          var d2 = 0.0
+          var d = 0
+          while (d < SubDim) {
+            val t = x(d) - bk(k)(d); d2 += t * t; d += 1
+          }
+          if (d2 < bd) { bd = d2; best = k } // strict: ties keep min k
+          k += 1
+        }
+        (m, best, x)
+      }.toDF("m", "k", "x")
+        .groupBy(col("m"), col("k"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      for (m <- 0 until M; k <- 0 until K) counts(m)(k) = 0L
+      cells.foreach { row =>
+        val (m, k) = (row.getInt(0), row.getInt(1))
+        val n = row.getLong(2)
+        counts(m)(k) = n
+        books(m)(k) = Array.tabulate(SubDim)(d =>
+          mean(row.getDecimal(3 + d), n))
+      }
+      bc.destroy()
+      r += 1
+    }
+    sub.unpersist()
+    (books, counts)
+  }
+
+  /** q148 — the trained codebook in flat comparable form: one row per
+    * (subspace, centroid, dim) with the final-round member count.
+    * Rows-only by design (the merge loop is iterative, not
+    * SQL-expressible — q131's precedent); exactness is proven by
+    * PqTrainSpec's independent recomputation instead. */
+  def pqTrainQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (books, counts) = train(s, dir)
+    (for {
+      m <- 0 until M; k <- 0 until K; d <- 0 until SubDim
+    } yield (m.toLong, k.toLong, counts(m)(k), (d + 1).toLong, books(m)(k)(d)))
+      .toDF("m", "k", "n_members", "dim", "cval")
+      .orderBy(col("m"), col("k"), col("dim"))
+  }
+}

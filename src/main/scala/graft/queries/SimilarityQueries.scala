@@ -696,7 +696,8 @@ object SimilarityQueries {
     "q77_semantic_sample" -> semanticSample,
     "q59_array_ops"     -> arrayOps,
     "q64_knn_ivfpq"     -> knnIvfPq,
-    "q113_knn_ivf_int8" -> knnIvfInt8
+    "q113_knn_ivf_int8" -> knnIvfInt8,
+    "q148_pq_train" -> ((s, dir) => graft.llm.PqTrain.pqTrainQuery(s, dir))
   )
 
   /** q31's oracle body over any (vec_id, embedding) source — also the
