@@ -20,6 +20,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** sf0.001 testdata — smallest scale, for specs that read real tables. */
   val sfDir = "/root/testdata/sf0.001"
 
+  /** `ts` → micro-epoch BIGINT selectExpr fragment, valid for both
+    * physical generations of events.parquet (legacy TIMESTAMP(NANOS)
+    * arriving as nano-long under the session's nanosAsLong flag, and
+    * timestamp[us] arriving as TIMESTAMP_NTZ) — the spec-side mirror of
+    * Tables.events' normalization, so brute recomputations stay
+    * independent of the production reader but agree on the unit. */
+  lazy val tsMicros: String = {
+    val t = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    if (t == org.apache.spark.sql.types.LongType) "(ts div 1000)"
+    else "unix_micros(CAST(ts AS TIMESTAMP))"
+  }
+
   /** Run `body` with the RocksDB state store provider — the 100 TB-state
     * posture (million-key dedup/profile/heavy-hitter state does not fit
     * the default in-heap HDFS-backed provider). Restores the prior

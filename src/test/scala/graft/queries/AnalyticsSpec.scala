@@ -363,10 +363,9 @@ class AnalyticsSpec extends SparkSpec {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "ts", "event_id", "value").collect()
+      .selectExpr("event_type", s"$tsMicros AS tsu", "event_id", "value").collect()
       .map { r =>
-        val ns = r.getLong(1) // TIMESTAMP(NANOS) arrives as nano-epoch long
-        val us = Math.floorDiv(ns, 1000L)
+        val us = r.getLong(1)
         val hour = Math.floorDiv(us, 3600000000L) * 3600L
         (r.getString(0), fmt.format(java.time.Instant.ofEpochSecond(hour)),
           us, r.getLong(2), r.getDouble(3))
@@ -389,7 +388,7 @@ class AnalyticsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .toMap
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "CAST(ts AS BIGINT) div 3600000000000 AS h",
+      .selectExpr("event_type", s"$tsMicros div 3600000000 AS h",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val hmin = ev.map(_._2).min
@@ -415,7 +414,7 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "CAST(ts AS BIGINT) AS tsn", "event_id", "event_type")
+      .selectExpr("user_id", s"$tsMicros AS tsn", "event_id", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val brute = ev.groupBy(_._1).values.flatMap { rows =>
@@ -448,7 +447,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q133: serial-correlation statistics equal an exact BigInt brute per group") {
     val rows = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "CAST(ts AS BIGINT) AS tsn", "event_id",
+      .selectExpr("event_type", s"$tsMicros AS tsn", "event_id",
         "CAST(value AS DECIMAL(18,2)) AS v")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -476,7 +475,7 @@ class AnalyticsSpec extends SparkSpec {
     * split — the brute mirror of halvedValues. */
   private def halvedBrute: Seq[(String, Long, Long)] = {
     val rows = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "CAST(ts AS BIGINT) AS tu",
+      .selectExpr("event_type", s"$tsMicros AS tu",
         "CAST(value AS DECIMAL(18,2)) AS v").collect()
       .map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2).movePointRight(2).longValueExact()))
@@ -559,5 +558,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 must retain a 2-core witness")
     assert(got.keySet.size < allNodes.size,
       "sf0.001 must peel at least one pendant node (witness)")
+  }
+
+  test("q149: hop map equals a brute 4-round multi-source BFS") {
+    val docs = docsTokens
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = (for ((_, ds) <- gramDocs.toSeq if ds.size >= 2 && ds.size <= cap;
+                      a <- ds; b <- ds if a < b) yield (a, b)).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = docs.map(_._1).filter(id => h60("takedown", id.toString) % 16 == 0)
+    val dist = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    for (hop <- 1L to 4L) {
+      val frontier = dist.collect { case (n, h) if h == hop - 1 => n }.toSeq
+      for (n <- frontier; m <- adj.getOrElse(n, Set.empty)
+           if !dist.contains(m)) dist(m) = hop
+    }
+    val got = AnalyticsQueries.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap, "BFS hop map differs from brute traversal")
+    assert(got.valuesIterator.contains(0L), "seeds must appear at hop 0")
+    assert(got.valuesIterator.exists(_ > 0L),
+      "sf0.001 must reach at least one non-seed doc (witness)")
   }
 }

@@ -38,8 +38,12 @@ class SmokeSpec extends SparkSpec {
     // rows-only by design: stemmer/HLL sketch/MLlib LSH have no DuckDB
     // twin; q99's BPE merge loop is iterative with data-dependent trip
     // count (not SQL-expressible — BpeSpec carries its correctness)
+    // q148's PQ training is q131's shape: a fixed-round k-means merge
+    // loop over subvector blocks — iterative, not SQL-expressible;
+    // PqTrainSpec carries its correctness.
     val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct",
-      "q54_minhash_mllib", "q99_bpe_apply", "q131_bpe_train")
+      "q54_minhash_mllib", "q99_bpe_apply", "q131_bpe_train",
+      "q148_pq_train")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with no oracle and no waiver: $missing")

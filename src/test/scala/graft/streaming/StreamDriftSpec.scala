@@ -18,7 +18,7 @@ class StreamDriftSpec extends SparkSpec {
     * after-half rows the stream will replay. */
   private lazy val (vmn, vmx, afterHalf, expected) = {
     val rows = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("event_type", "CAST(ts AS BIGINT) AS tu",
+      .selectExpr("event_type", s"$tsMicros AS tu",
         "CAST(value AS DECIMAL(18,2)) AS v").collect()
       .map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2).movePointRight(2).longValueExact()))

@@ -19,11 +19,11 @@ class StreamTransitionsSpec extends SparkSpec {
   /** events in per-user event-time order (the keyed-log contract). */
   private lazy val ordered: Seq[Ev] =
     spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "CAST(ts AS BIGINT) AS tsn", "event_id", "event_type")
+      .selectExpr("user_id", s"$tsMicros AS tsu", "event_id", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(t => (t._2, t._3))
-      .map(t => (t._1, new Timestamp(t._2 / 1000000L), t._3, t._4))
+      .map(t => (t._1, new Timestamp(t._2 / 1000L), t._3, t._4))
 
   private def run(batches: Seq[Seq[Ev]], name: String)
     : Map[(Long, String, String), Long] = withRocksDb {

@@ -19,11 +19,11 @@ class StreamTransitionsV2Spec extends SparkSpec {
 
   private lazy val real: Seq[Ev] =
     spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "CAST(ts AS BIGINT) AS tsn", "event_id", "event_type")
+      .selectExpr("user_id", s"$tsMicros AS tsu", "event_id", "event_type")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(t => (t._2, t._3))
-      .map(t => (t._1, new Timestamp(t._2 / 1000000L), t._3, t._4))
+      .map(t => (t._1, new Timestamp(t._2 / 1000L), t._3, t._4))
 
   private lazy val maxTsMs: Long = real.map(_._2.getTime).max
   private val Day = 86400000L
