@@ -1049,6 +1049,53 @@ object AnalyticsQueries {
       .orderBy(col("node"))
   }
 
+  // ---------------------------------------------------------------- q149
+
+  /** Fixed BFS depth — like [[KcoreRounds]], a deterministic synchronous
+    * round count so the partial traversal is oracle-able as unrolled
+    * CTEs; 4 hops is the radius a takedown review actually inspects. */
+  private val BfsRounds = 4
+
+  /** q149 — takedown blast-radius: multi-source BFS hop distance over
+    * the near-dup graph from the flagged documents (q144's takedown
+    * flag). q144 counts the ONE-hop cascade; this answers the follow-up
+    * a compliance review asks next — how far does contaminated content
+    * propagate through transitive near-duplication? One row per
+    * document within [[BfsRounds]] hops of any flagged doc: (node,
+    * hop), hop = exact shortest-path distance (0 = flagged itself,
+    * including isolated flagged docs with no dup partner).
+    *
+    * Frontier-delta form, not re-relaxation: each round joins ONLY the
+    * newly-reached frontier (hop = i−1) against the adjacency list and
+    * anti-joins out already-visited nodes, so total work is O(Σ
+    * frontier-degree) — edges touched once per endpoint across the
+    * whole traversal, the textbook Pregel BFS — rather than re-scanning
+    * the full visited set every round. All joins carry 8-byte node ids;
+    * lineage is checkpoint-truncated per round (q91/q125/q132's
+    * discipline); the corpus is scanned once for seeds and never again
+    * (edges come from the RunCache parquet).
+    */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = dupEdges(s, dir)
+    val und = edges.select(col("x").as("node"), col("y").as("nbr"))
+      .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
+    val seeds = Tables.documents(s, dir)
+      .where(pmod(call_function("graft_h60",
+        concat(lit("takedown|"), col("doc_id").cast("string"))),
+        lit(16L)) === 0L)
+      .select(col("doc_id").as("node"), lit(0L).as("hop"))
+    var dist = seeds.localCheckpoint()
+    for (i <- 1 to BfsRounds) {
+      val frontier = dist.where(col("hop") === lit((i - 1).toLong))
+      val fresh = frontier.join(und, Seq("node"))
+        .select(col("nbr").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
+      dist = dist.unionAll(fresh).localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
   // ------------------------------------------------------------ oracles
 
   private def prIterCte(i: Int): String =
@@ -1161,6 +1208,7 @@ object AnalyticsQueries {
     "q128_assortativity" -> assortativity,
     "q132_kcore" -> kcore,
     "q133_autocorr" -> autocorr,
+    "q149_bfs_hops" -> bfsHops,
     "q136_psi_drift" -> psiDrift,
     "q137_ks_drift" -> ksDrift
   )
@@ -1264,6 +1312,21 @@ object AnalyticsQueries {
        |                              ORDER BY c DESC, nl) AS rn
        |    FROM c$i) WHERE rn = 1)""".stripMargin
 
+  /** One synchronous BFS round as CTEs (the Spark loop's round,
+    * verbatim: frontier = hop i−1 → neighbors → min-fold into the
+    * visited set; MIN(hop) subsumes the Spark side's anti-join — a
+    * node reached earlier keeps its smaller hop). */
+  private def bfsIterCte(i: Int): String =
+    s"""f$i AS MATERIALIZED (
+       |  SELECT DISTINCT u.nbr AS node
+       |  FROM h${i - 1} p JOIN und u ON u.node = p.node
+       |  WHERE p.hop = ${i - 1}),
+       |h$i AS MATERIALIZED (
+       |  SELECT node, MIN(hop) AS hop FROM (
+       |    SELECT node, hop FROM h${i - 1}
+       |    UNION ALL SELECT node, $i AS hop FROM f$i)
+       |  GROUP BY node)""".stripMargin
+
   /** One synchronous k-core peel round as CTEs (the Spark loop's round,
     * verbatim: degrees → keep ≥ k → restrict edges to kept nodes).
     * MATERIALIZED is load-bearing: each round references the previous
@@ -1359,6 +1422,18 @@ object AnalyticsQueries {
         |       (n * syy - sy * sy)::BIGINT AS den_y
         |FROM st ORDER BY grp""".stripMargin,
 
+    "q149_bfs_hops" ->
+      (s"""WITH $dupEdgeCtesSql,
+         |und AS MATERIALIZED (
+         |  SELECT x AS node, y AS nbr FROM e
+         |  UNION ALL SELECT y AS node, x AS nbr FROM e),
+         |h0 AS MATERIALIZED (
+         |  SELECT doc_id AS node, 0 AS hop FROM documents
+         |  WHERE ('0x' || substr(md5('takedown|' || doc_id), 1, 15))::BIGINT
+         |        % 16 = 0),
+         |${(1 to BfsRounds).map(bfsIterCte).mkString(",\n")}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(hop AS BIGINT) AS hop
+         |FROM h$BfsRounds ORDER BY node""".stripMargin),
     "q132_kcore" ->
       (s"""WITH $dupEdgeCtesSql,
          |e0 AS MATERIALIZED (SELECT x, y FROM e),

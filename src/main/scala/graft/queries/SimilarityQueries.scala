@@ -615,6 +615,64 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Power-iteration depth and fixed-point scale for q150 — fixed
+    * rounds (q125/q132/q149's determinism discipline) so the partial
+    * iteration is oracle-able as unrolled CTEs; 8 rounds separates the
+    * top eigenvector to the 1e-6 quantum on any spectrum with a
+    * non-trivial gap. */
+  private val PowerRounds = 8
+  private val PowerScale = 1000000L
+
+  /** q150 — the PCA top principal direction by POWER ITERATION over
+    * q116's covariance, entirely in integers: v₀ = 𝟙·S, then
+    * [[PowerRounds]] rounds of w = C·v followed by max-norm rescale
+    * v' = sign(w)·(|w|·S div max|w|), S = [[PowerScale]]. Emits one row
+    * per dimension: (dim, v) with v the fixed-point component in
+    * [−S, S] (max-normalized, so some |v| = S exactly). This is the
+    * direction a whitening/drift monitor projects onto first — and the
+    * iterative-linear-algebra pattern (matmul as join+agg) that PCA,
+    * PageRank (q91), and spectral methods share.
+    *
+    * Cross-engine exactness: every multiply/add is integer (DECIMAL(38)
+    * here, HUGEINT in the oracle); the one division per round is made
+    * unambiguous by taking |w| first — integer division of NON-NEGATIVE
+    * operands is floor = truncate in both engines, where signed `div`
+    * semantics could diverge. Magnitude bound: |C·v| ≤ D·max|c|·S
+    * ≈ 4·10²² at sf0.1 — inside DECIMAL(38,0) and HUGEINT, far outside
+    * BIGINT, which is why the accumulators are wide.
+    *
+    * Scale shape: the ONLY corpus-sized work is q116's one-pass
+    * covariance (map-side D² fan-out, ≤2,080 rows/partition to the
+    * exchange), localCheckpoint-pinned so the scan runs once; the
+    * iteration then joins a D×D frame (≤4,096 rows) with a D-row
+    * vector 8 times — driver-scale linear algebra expressed as plans,
+    * with per-round checkpoint lineage truncation.
+    */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d21 = DecimalType(21, 0)
+    val upper = embedCovariance(s, dir).select(col("i"), col("j"), col("cov_num"))
+    val full = upper.unionAll(
+      upper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
+      .select(col("i"), col("j"), col("cov_num").cast(d21).as("c"))
+      .localCheckpoint()
+    var v = full.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(PowerScale).as("v"))
+    for (_ <- 1 to PowerRounds) {
+      val w = full.join(v.select(col("dim").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("v").cast(d21)).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("i").as("dim"),
+          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(w) * $PowerScale) div m")).as("v"))
+        .localCheckpoint()
+    }
+    v.orderBy(col("dim"))
+  }
+
   /** q129 — the ANN rollout gate as a QUERY: recall@K of the IVF index
     * (q55) against exact brute truth (q31), per query — hits =
     * |IVF top-K ∩ brute top-K|; corpus recall is Σhits / (Q·K), the
@@ -685,6 +743,7 @@ object SimilarityQueries {
     "q134_prefix_recall" -> prefixRecall,
     "q106_int8_quantize" -> int8Quantize,
     "q116_embed_covariance" -> embedCovariance,
+    "q150_pca_power" -> pcaPower,
     "q129_ann_recall" -> annRecall,
     "q101_semdedup_prune" -> semDedupPrune,
     "q102_centroid_update" -> centroidUpdate,
@@ -699,6 +758,21 @@ object SimilarityQueries {
     "q113_knn_ivf_int8" -> knnIvfInt8,
     "q148_pq_train" -> ((s, dir) => graft.llm.PqTrain.pqTrainQuery(s, dir))
   )
+
+  /** One power-iteration round as CTEs (the Spark loop's round,
+    * verbatim: w = C·v as join+sum, then sign·(|w|·S div max|w|) —
+    * operands non-negative so `//`'s floor equals `div`'s truncate). */
+  private def powerIterCte(i: Int): String =
+    s"""w$i AS MATERIALIZED (
+       |  SELECT c.i AS dim, SUM(c.c * v.v) AS w
+       |  FROM cov c JOIN v${i - 1} v ON v.dim = c.j
+       |  GROUP BY c.i),
+       |v$i AS MATERIALIZED (
+       |  SELECT dim,
+       |         (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+       |           * ((abs(w) * $PowerScale)
+       |              // (SELECT MAX(abs(w)) FROM w$i)) AS v
+       |  FROM w$i)""".stripMargin
 
   /** q31's oracle body over any (vec_id, embedding) source — also the
     * brute arm of q129's recall audit and (sliced) of q134's. */
@@ -826,6 +900,22 @@ object SimilarityQueries {
     // q116: same unnest idiom as q106; the join on vec_id pairs the
     // dimensions DuckDB-side (the Spark plan forms pairs row-locally
     // instead — semantics identical, N·D² rows either way at sf0.01)
+    "q150_pca_power" ->
+      (s"""WITH ei AS (
+         |  SELECT vec_id,
+         |         (generate_subscripts(embedding, 1) - 1)::BIGINT AS i,
+         |         CAST(floor(unnest(embedding)::DOUBLE * 1000) AS BIGINT) AS x
+         |  FROM embeddings),
+         |cov AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |         ((count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x))::BIGINT)
+         |           ::HUGEINT AS c
+         |  FROM ei a JOIN ei b USING (vec_id)
+         |  GROUP BY a.i, b.i),
+         |v0 AS (SELECT DISTINCT i AS dim, $PowerScale::HUGEINT AS v FROM cov),
+         |${(1 to PowerRounds).map(powerIterCte).mkString(",\n")}
+         |SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+         |FROM v$PowerRounds ORDER BY dim""".stripMargin),
     "q116_embed_covariance" ->
       """WITH ei AS (
         |  SELECT vec_id,

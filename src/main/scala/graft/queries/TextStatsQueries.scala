@@ -194,6 +194,55 @@ object TextStatsQueries {
     * with transform over the sliced token array (codegen'd, no UDF),
     * exploded once, aggregated on (doc_id, bigram) then doc_id. Docs
     * with < 2 tokens produce no row (callers left-join + coalesce). */
+  /** Head-sample length for q151 — the per-term postings prefix the
+    * index metadata carries (skip-pointer seed / dictionary preview). */
+  private val IndexHead = 8
+
+  /** q151 — the inverted index BUILD: the sorted-postings construction
+    * every lexical retrieval engine runs (q69/q86 SCORE against
+    * postings; this emits the index artifact's metadata). One row per
+    * term: document frequency, total term frequency, posting extent
+    * (doc_lo/doc_hi), the largest gap between consecutive sorted
+    * postings (the delta-encoding worst case — what sizes the
+    * varint/PFoR budget), and the first [[IndexHead]] doc ids
+    * comma-joined (skip-pointer seed). The head is serialized as a
+    * string, not an array: the checker's row-hash contract is
+    * flat-atomic columns (SmokeSpec, q102's r5 lesson), and a
+    * deterministic join of sorted ids loses nothing.
+    *
+    * Scale shape: tokenize→explode is map-side; one (term, doc_id)
+    * partial-agg collapses per-doc repeats BEFORE the per-term shuffle,
+    * so the wire carries one row per distinct (term, doc) pair. The
+    * per-term window sort IS the index build — postings leave the build
+    * sorted on disk; nothing here collects a full postings list into
+    * one row (the emitted head is capped at [[IndexHead]] ids), so the
+    * output stays |vocab| rows of scalars at any corpus size. A skewed
+    * hot term makes one big sort group — the production mitigation is
+    * doc-id-range sharding of that term's partition, which changes the
+    * window key, not this plan's shape.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1).over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"),
+        coalesce(max(col("gap")), lit(0L)).as("gap_max"),
+        sort_array(collect_list(when(col("rn") <= IndexHead, col("doc_id"))))
+          .as("h"))
+      .select(col("term"), col("df"), col("tf_total"),
+        col("doc_lo"), col("doc_hi"), col("gap_max"),
+        array_join(expr("transform(h, x -> cast(x AS string))"), ",")
+          .as("postings_head"))
+      .orderBy(col("term"))
+  }
+
   private def bigramStats(docs: DataFrame): DataFrame = {
     val bi = docs.select(col("doc_id"), explode(expr(
       "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> concat(x, ' ', w[i + 1]))")).as("g"))
@@ -481,6 +530,7 @@ object TextStatsQueries {
     "q37_string_indexer" -> stringIndexerSql,
     "q62_stratified_sample" -> stratifiedSample,
     "q69_tfidf"          -> tfidf,
+    "q151_inverted_index" -> invertedIndex,
     "q74_repetition"     -> repetition,
     "q75_curation_verdict" -> curationVerdict,
     "q140_curation_funnel" -> curationFunnel
@@ -579,6 +629,26 @@ object TextStatsQueries {
         |         AS rnk, pair, cnt
         |FROM top ORDER BY rnk""".stripMargin,
 
+    "q151_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |tfd AS (
+        |  SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM terms GROUP BY term, doc_id),
+        |g AS (
+        |  SELECT term, doc_id, tf,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+        |         doc_id - lag(doc_id) OVER (PARTITION BY term
+        |                                    ORDER BY doc_id) AS gap
+        |  FROM tfd)
+        |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+        |       min(doc_id)::BIGINT AS doc_lo, max(doc_id)::BIGINT AS doc_hi,
+        |       coalesce(max(gap), 0)::BIGINT AS gap_max,
+        |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+        |         FILTER (rn <= 8) AS postings_head
+        |FROM g GROUP BY term ORDER BY term""".stripMargin,
     "q69_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, t FROM (

@@ -136,6 +136,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(!p.contains("Join"), "q116 must not self-join the exploded table")
   }
 
+  test("q150 fixed-point eigenvector equals a brute BigInt power iteration") {
+    val S = BigInt(1000000)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(f =>
+        BigInt(math.floor(f.toDouble * 1000.0).toLong)).toArray)
+    val dim = vecs.head.length
+    val n = BigInt(vecs.length)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val si = vecs.map(_(i)).sum; val sj = vecs.map(_(j)).sum
+      val qij = vecs.map(v => v(i) * v(j)).sum
+      n * qij - si * sj
+    }
+    var v = Array.fill(dim)(S)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => x.sign * (x.abs * S / m))
+    }
+    val got = SimilarityQueries.pcaPower(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    assert(got.size == dim)
+    for (i <- 0 until dim)
+      assert(got(i.toLong) == v(i), s"component $i differs from brute")
+    // max-normalization invariant: some component sits at exactly ±S
+    assert(got.values.map(_.abs).max == S, "max-norm rescale must pin to S")
+  }
+
   test("q129 per-query hits equal an independent set intersection; bounds hold") {
     // at sf0.01 like the bar tests above — the audit must REPRODUCE the
     // recall they measure, so it runs where they run
