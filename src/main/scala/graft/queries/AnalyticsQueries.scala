@@ -5,7 +5,7 @@ import graft.llm.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Round-3 analytics surface: the remaining operator families a
   * 100 TB training-data engine needs beyond the reference's own ops —
@@ -1008,6 +1008,56 @@ object AnalyticsQueries {
       .orderBy(col("grp"))
   }
 
+  // ---------------------------------------------------------------- q152
+
+  /** Sample size for q152's bottom-k-by-hash quantile sketch. */
+  private val QsK = 64
+
+  /** q152 — APPROXIMATE per-group quantiles from a deterministic
+    * mergeable sample: the bottom-[[QsK]] rows by a salted 60-bit hash
+    * of the event id (a KMV-style uniform row sample, carried by the
+    * native `graft_topk` heap aggregate on the negated priority), then
+    * order statistics over the ≤k retained cents values. This is the
+    * one-pass companion to q104: q104's exact histogram-narrowing scans
+    * the corpus twice and shuffles a 512-bin histogram; this scans
+    * ONCE and ships ≤k (priority, cents) pairs per partition — the
+    * sketch a 100 TB monitoring pass actually runs, with q104 as its
+    * calibration oracle (the spec bounds the rank error). Deterministic
+    * because the hash order is a function of the data, not the
+    * partitioning — so it is exact-oracle-able cross-engine, unlike
+    * random-reservoir or KLL sketches whose merge order shows in the
+    * result. (Tie-break between equal 60-bit priorities falls to the
+    * heap's lexicographic tag order vs the oracle's numeric order —
+    * divergence needs an md5 collision across ≤10⁵ ids, the engine-wide
+    * h60 assumption.)
+    *
+    * Scale shape: one scan; per (group × partition) the aggregate
+    * buffer is a ≤k heap, map-side combined; the quantile extraction
+    * works on |groups| rows of k-element arrays — row-local transform/
+    * array_sort, no second corpus pass, no per-group full sort.
+    */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d18 = DecimalType(18, 2)
+    val pri = call_function("graft_h60",
+      concat(lit("qs|"), col("event_id").cast(StringType)))
+    val ev = Tables.events(s, dir)
+      .select(explode(array(col("event_type"), lit("ALL"))).as("grp"),
+        (col("value").cast(d18) * lit(100)).cast(LongType).as("cents"),
+        (-pri).as("negp"))
+    ev.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_topk",
+          col("negp"), col("cents").cast(StringType), lit(QsK)).as("tk"))
+      .withColumn("sc", expr("array_sort(transform(tk, x -> CAST(x.tag AS BIGINT)))"))
+      .withColumn("m", size(col("sc")).cast(LongType))
+      .crossJoin(broadcast(QTargets.toDF("ql", "qp")))
+      .select(col("grp"), col("ql"), col("n"), col("m").as("k_used"),
+        expr("element_at(sc, CAST((qp * m + 99) div 100 AS INT))")
+          .as("est_cents"))
+      .orderBy(col("grp"), col("ql"))
+  }
+
   // ---------------------------------------------------------------- q132
 
   /** k-core peel depth and fixed round count (q125's fixed-iteration
@@ -1201,6 +1251,7 @@ object AnalyticsQueries {
     "q94_rrf_hybrid_ivf" -> rrfHybridIvf,
     "q98_dup_span_remove" -> dupSpanRemove,
     "q104_exact_quantiles" -> exactQuantiles,
+    "q152_quantile_sketch" -> quantileSketch,
     "q109_kmv_overlap" -> kmvOverlap,
     "q112_triangles" -> triangles,
     "q125_label_propagation" -> labelPropagation,
@@ -1422,6 +1473,28 @@ object AnalyticsQueries {
         |       (n * syy - sy * sy)::BIGINT AS den_y
         |FROM st ORDER BY grp""".stripMargin,
 
+    "q152_quantile_sketch" ->
+      (s"""WITH ev AS (
+         |  SELECT unnest([event_type, 'ALL']) AS grp,
+         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |         ('0x' || substr(md5('qs|' || event_id), 1, 15))::BIGINT AS pri
+         |  FROM events),
+         |rk AS (
+         |  SELECT grp, cents,
+         |         row_number() OVER (PARTITION BY grp ORDER BY pri, cents) AS rn,
+         |         count(*) OVER (PARTITION BY grp) AS n
+         |  FROM ev),
+         |smp AS (SELECT grp, cents, n FROM rk WHERE rn <= $QsK),
+         |srt AS (
+         |  SELECT grp, cents, n,
+         |         row_number() OVER (PARTITION BY grp ORDER BY cents) AS sr,
+         |         count(*) OVER (PARTITION BY grp) AS m
+         |  FROM smp),
+         |t(ql, qp) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+         |SELECT s.grp, t.ql, s.n::BIGINT AS n, s.m::BIGINT AS k_used,
+         |       s.cents AS est_cents
+         |FROM srt s JOIN t ON s.sr = (t.qp * s.m + 99) // 100
+         |ORDER BY grp, ql""".stripMargin),
     "q149_bfs_hops" ->
       (s"""WITH $dupEdgeCtesSql,
          |und AS MATERIALIZED (

@@ -560,6 +560,41 @@ class AnalyticsSpec extends SparkSpec {
       "sf0.001 must peel at least one pendant node (witness)")
   }
 
+  test("q152: sketch equals a brute hash-sample; rank error is bounded") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_type", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .collect()
+      .flatMap(r => Seq(r.getString(0), "ALL")
+        .map(g => (g, r.getLong(1), r.getLong(2))))
+    val k = 64
+    val targets = Seq(("p50", 50), ("p90", 90), ("p99", 99))
+    val exp = ev.groupBy(_._1).flatMap { case (g, rows) =>
+      val n = rows.length.toLong
+      val smp = rows.map(t => (h60("qs", t._2.toString), t._3))
+        .sortBy(t => (t._1, t._2)).take(k).map(_._2).sorted
+      val m = smp.length.toLong
+      targets.map { case (ql, qp) =>
+        (g, ql) -> ((n, m, smp(((qp * m + 99) / 100 - 1).toInt)))
+      }
+    }.toMap
+    val got = AnalyticsQueries.quantileSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, "sketch differs from brute hash-sample")
+    // calibration against the exact answer: the estimate's true rank
+    // must sit near the target percentile (4σ ≈ 4·√(p(1-p)/k) < 0.25)
+    ev.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._3).sorted
+      targets.foreach { case (ql, qp) =>
+        val est = got((g, ql))._3
+        val rank = sorted.count(_ <= est).toDouble / sorted.length
+        assert(math.abs(rank - qp / 100.0) <= 0.25,
+          s"($g,$ql) rank error ${math.abs(rank - qp / 100.0)}")
+      }
+    }
+  }
+
   test("q149: hop map equals a brute 4-round multi-source BFS") {
     val docs = docsTokens
     val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)

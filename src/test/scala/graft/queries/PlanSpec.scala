@@ -406,4 +406,37 @@ class PlanSpec extends SparkSpec {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.isEmpty, "degree counting must be a partial agg, not a window")
   }
+
+  test("q149 BFS rounds stay equi-join-shaped on 8-byte node ids") {
+    val p = plan("q149_bfs_hops")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "frontier expansion must stay equi-join-shaped")
+    assert(!p.contains("Window"), "hop minimization is an agg, not a window")
+  }
+
+  test("q150 power iteration never re-joins the corpus") {
+    // the only corpus-sized work is q116's one-pass covariance, pinned
+    // behind a localCheckpoint; the iteration joins D-row/D²-row frames
+    val p = plan("q150_pca_power")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the matmul")
+    assert(!p.contains("embeddings.parquet"),
+      "corpus scan must be checkpoint-pinned, not re-planned per round")
+  }
+
+  test("q151 index build is aggs plus one per-term window, no join") {
+    val p = plan("q151_inverted_index")
+    assert(!p.contains("Join"), "index build must not join")
+    assert("Window".r.findAllIn(p).size >= 1, "per-term sort is the build")
+  }
+
+  test("q152 sketch aggregates partially and never sorts the corpus") {
+    val p = plan("q152_quantile_sketch")
+    assert(p.contains("partial_graft_topk") || p.contains("graft_topk"),
+      "sample must ride the native heap aggregate")
+    assert(!p.contains("Window"),
+      "quantile extraction must be array-local, not a window sort")
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj == 0, "targets join must broadcast")
+  }
 }
