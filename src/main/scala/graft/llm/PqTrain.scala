@@ -50,29 +50,32 @@ object PqTrain {
     sum.divide(java.math.BigDecimal.valueOf(n), 9,
       java.math.RoundingMode.HALF_UP).doubleValue
 
-  /** The trained books: books(m)(k) is an 8-dim centroid, plus the
-    * final-round member count per (m, k). */
-  def train(s: SparkSession, dir: String, rounds: Int = Rounds)
+  /** The trained books: books(m)(k) is a subDim-dim centroid, plus the
+    * final-round member count per (m, k). Geometry is parameterized so
+    * the SAME trainer covers PQ (M subspaces of SubDim) and IVF coarse
+    * centroids (one subspace of the full dimension — q154). */
+  def train(s: SparkSession, dir: String, rounds: Int = Rounds,
+            nSub: Int = M, subDim: Int = SubDim, nCent: Int = K)
     : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
     import s.implicits._
     val sub: Dataset[(Long, Int, Array[Double])] = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
-        (0 until M).iterator.map(m =>
-          (id, m, java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)))
+        (0 until nSub).iterator.map(m =>
+          (id, m, java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)))
       }.persist()
 
     // init = the K smallest vec_ids' subvectors, the script's "first K"
     val books: Array[Array[Array[Double]]] =
-      Array.ofDim[Array[Double]](M, K)
+      Array.ofDim[Array[Double]](nSub, nCent)
     val idRank = sub.filter(_._2 == 0).map(_._1).orderBy(col("value"))
-      .limit(K).collect().zipWithIndex.toMap
+      .limit(nCent).collect().zipWithIndex.toMap
     sub.filter(r => idRank.contains(r._1)).collect()
       .foreach { case (id, m, x) => books(m)(idRank(id)) = x }
 
-    val counts = Array.ofDim[Long](M, K)
-    val sums = (0 until SubDim).map(d =>
+    val counts = Array.ofDim[Long](nSub, nCent)
+    val sums = (0 until subDim).map(d =>
       sum(element_at(col("x"), d + 1).cast(DecimalType(18, 9))).as(s"s$d"))
     var r = 0
     while (r < rounds) {
@@ -82,10 +85,10 @@ object PqTrain {
         var best = 0
         var bd = Double.MaxValue
         var k = 0
-        while (k < K) {
+        while (k < nCent) {
           var d2 = 0.0
           var d = 0
-          while (d < SubDim) {
+          while (d < subDim) {
             val t = x(d) - bk(k)(d); d2 += t * t; d += 1
           }
           if (d2 < bd) { bd = d2; best = k } // strict: ties keep min k
@@ -96,12 +99,12 @@ object PqTrain {
         .groupBy(col("m"), col("k"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      for (m <- 0 until M; k <- 0 until K) counts(m)(k) = 0L
+      for (m <- 0 until nSub; k <- 0 until nCent) counts(m)(k) = 0L
       cells.foreach { row =>
         val (m, k) = (row.getInt(0), row.getInt(1))
         val n = row.getLong(2)
         counts(m)(k) = n
-        books(m)(k) = Array.tabulate(SubDim)(d =>
+        books(m)(k) = Array.tabulate(subDim)(d =>
           mean(row.getDecimal(3 + d), n))
       }
       bc.destroy()

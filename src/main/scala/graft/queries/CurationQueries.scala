@@ -225,6 +225,37 @@ object CurationQueries {
     * engines). */
   private val QueryTerms = Seq("spark", "fast", "table")
 
+  /** Shared by q86 (from-scratch arm) and q153 (index-served arm). */
+  private val Bm25OracleSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+      |stats AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+      |  FROM lens),
+      |postings AS (
+      |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS t FROM d)
+      |  WHERE t IN ('spark', 'fast', 'table')
+      |  GROUP BY doc_id, t),
+      |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+      |           * ((tf::DOUBLE * 2.2)
+      |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
+      |           AS DECIMAL(18,9)) AS ts
+      |  FROM postings p
+      |  JOIN dfreq USING (t)
+      |  JOIN lens USING (doc_id)
+      |  CROSS JOIN stats)
+      |SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score,
+      |       count(*) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** q86 — BM25 retrieval: top-10 documents for a fixed query, the
     * classic Okapi scoring with the RATIONAL idf (N-df+0.5)/(df+0.5) —
     * the same monotone-transform trick as q69, since ln() differs by
@@ -237,6 +268,63 @@ object CurationQueries {
     * query-term postings to the shuffle; df and avgdl are tiny aggs
     * broadcast back; the final cut is TakeOrdered.
     */
+  /** The serve-path index artifacts behind q153 (RunCache, the dupEdges
+    * idiom): the FULL postings frame (term, doc_id, tf — what q151's
+    * build sorts and summarizes) and the doc-length norm table, built
+    * once per run from one corpus pass each, then read from parquet by
+    * every scorer. dl is size(w) over the UNFILTERED whitespace split —
+    * q86's exact length convention — while postings drop empty tokens
+    * (query terms are never empty, so scores cannot differ). */
+  private def postingsArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.RunCache.parquetOnce(s, s"postings|$dir")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
+
+  private def doclenArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.RunCache.parquetOnce(s, s"doclens|$dir")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast(LongType).as("dl")))
+
+  /** q153 — BM25 SERVED FROM THE INDEX: q86's exact scoring (same
+    * expressions, same DECIMAL(18,9) discipline, same oracle) with the
+    * corpus scan replaced by the materialized postings + doc-length
+    * artifacts. This is the retrieval deployment shape: the index is
+    * built once (one tokenize pass per artifact, amortized over every
+    * query thereafter), and a query touches only its own terms'
+    * postings — the term filter lands on the artifact's parquet scan as
+    * a pushed `In` predicate, so a 100 TB corpus serves a 3-term query
+    * by reading 3 terms' row groups, zero tokenization, zero full-text
+    * I/O. q86 keeps the from-scratch plan as this query's control arm.
+    */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val lens = doclenArtifact(s, dir)
+    val stats = lens.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val postings = postingsArtifact(s, dir)
+      .where(col("t").isin(QueryTerms: _*))
+      .select(col("doc_id"), col("t"), col("tf"))
+    val dfreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast(DoubleType)
+    val dfD = col("df").cast(DoubleType)
+    val idf = (col("n").cast(DoubleType) - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val norm = tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+      (col("dl").cast(DoubleType) / col("avgdl")))
+    val termScore = idf * ((tfD * lit(2.2)) / norm)
+    postings
+      .join(broadcast(dfreq), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        termScore.cast("decimal(18,9)").as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ts")).cast(DoubleType).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
     val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
@@ -454,13 +542,35 @@ object CurationQueries {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val md5 = java.security.MessageDigest.getInstance("MD5")
-        def hex(s0: String): String =
-          md5.digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val hexChars = "0123456789abcdef".toCharArray
+        // full 32-hex digest via a char table — java.util.Formatter per
+        // byte ("%02x".format) costs ~1µs each and dominated this
+        // flatMap at sf0.1 (millions of calls), ~6 s of pure formatting
+        def hex(s0: String): String = {
+          val d = md5.digest(s0.getBytes("UTF-8"))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexChars(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        // first 15 hex nibbles = bytes 0..6 plus byte 7's high nibble,
+        // read directly — bit-identical to parseLong(hex.take(15), 16)
+        def h60(s0: String): Long = {
+          val d = md5.digest(s0.getBytes("UTF-8"))
+          var v = 0L
+          var i = 0
+          while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+          (v << 4) | ((d(7) & 0xf0L) >>> 4)
+        }
         val w = text.trim.split("\\s+").filter(_.nonEmpty)
         val n = w.length
         if (n == 0) Iterator.empty
         else {
-          val xs = w.map(t => java.lang.Long.parseLong(hex(t).substring(0, 15), 16) % CdcP)
+          val xs = w.map(t => h60(t) % CdcP)
           val bs = scala.collection.mutable.ArrayBuffer[Int]()
           var p = CdcW
           while (p <= n) {
@@ -655,6 +765,7 @@ object CurationQueries {
     "q83_group_sample"      -> groupSample,
     "q85_shuffle_shard"     -> shuffleShard,
     "q86_bm25"              -> bm25,
+    "q153_bm25_indexed"     -> bm25Indexed,
     "q87_incremental_delta" -> incrementalDelta
   )
 
@@ -911,35 +1022,11 @@ object CurationQueries {
         |       doc_id
         |FROM s ORDER BY shard, seq""".stripMargin,
 
-    "q86_bm25" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |lens AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
-        |stats AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-        |  FROM lens),
-        |postings AS (
-        |  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
-        |    SELECT doc_id, unnest(w) AS t FROM d)
-        |  WHERE t IN ('spark', 'fast', 'table')
-        |  GROUP BY doc_id, t),
-        |dfreq AS (SELECT t, count(*)::BIGINT AS df FROM postings GROUP BY t),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |         CAST(((n::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
-        |           * ((tf::DOUBLE * 2.2)
-        |              / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))
-        |           AS DECIMAL(18,9)) AS ts
-        |  FROM postings p
-        |  JOIN dfreq USING (t)
-        |  JOIN lens USING (doc_id)
-        |  CROSS JOIN stats)
-        |SELECT doc_id, CAST(sum(ts) AS DOUBLE) AS score,
-        |       count(*) AS n_terms
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q86_bm25" -> Bm25OracleSql,
+    // q153 serves the SAME scores from the materialized index; the
+    // oracle is deliberately the from-scratch recomputation — the two
+    // plans must agree to the bit for the artifact to be lossless
+    "q153_bm25_indexed" -> Bm25OracleSql,
 
     "q78_pii_scrub" ->
       """WITH a AS (

@@ -756,7 +756,8 @@ object SimilarityQueries {
     "q59_array_ops"     -> arrayOps,
     "q64_knn_ivfpq"     -> knnIvfPq,
     "q113_knn_ivf_int8" -> knnIvfInt8,
-    "q148_pq_train" -> ((s, dir) => graft.llm.PqTrain.pqTrainQuery(s, dir))
+    "q148_pq_train" -> ((s, dir) => graft.llm.PqTrain.pqTrainQuery(s, dir)),
+    "q154_ivf_train" -> ((s, dir) => graft.llm.IvfTrain.ivfTrainQuery(s, dir))
   )
 
   /** One power-iteration round as CTEs (the Spark loop's round,

@@ -44,8 +44,14 @@ object StreamContainment {
   case class Hit(innerDoc: Long, outerDoc: Long, nInner: Long)
 
   private def h60(s: String): Long = {
+    // first 15 hex nibbles read directly from the digest bytes —
+    // bit-identical to parseLong(hex.take(15), 16) without the
+    // per-byte Formatter cost (q143's lesson)
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
   /** Distinct word-8-gram shingles of one document — same shingle

@@ -391,4 +391,22 @@ class CurationSpec extends SparkSpec {
     assert(rates("src0") == rates.values.max,
       s"target source must be most affine: $rates")
   }
+
+  test("q153 index-served BM25 equals q86 bit-for-bit; serve path never scans the corpus") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getLong(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))
+        .toSeq
+    assert(rows("q153_bm25_indexed") == rows("q86_bm25"),
+      "index-served scores must be bit-identical to the from-scratch arm")
+    val df = CurationQueries.bm25Indexed(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("documents.parquet"),
+      "serve path must read the artifacts, not the corpus")
+    assert(p.contains("graft_runcache"), "artifact scan missing from plan")
+    assert(p.contains("In(t, [fast,spark,table])") || p.contains("In(t"),
+      s"query-term filter must push into the postings artifact scan")
+  }
 }

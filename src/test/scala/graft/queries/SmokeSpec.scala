@@ -43,7 +43,7 @@ class SmokeSpec extends SparkSpec {
     // PqTrainSpec carries its correctness.
     val rowsOnly = Set("q38_stem_tokens", "q45_approx_distinct",
       "q54_minhash_mllib", "q99_bpe_apply", "q131_bpe_train",
-      "q148_pq_train")
+      "q148_pq_train", "q154_ivf_train")
     val missing = graft.SparkEntry.queries.keySet --
       graft.SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries with no oracle and no waiver: $missing")
