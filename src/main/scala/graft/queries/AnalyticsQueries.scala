@@ -229,15 +229,18 @@ object AnalyticsQueries {
   def rrfHybridIvf(s: SparkSession, dir: String): DataFrame =
     fuseRrf(lexArm(s, dir), vecArmIvf(s, dir))
 
-  /** Lexical candidate arm: q86's BM25 scoring, ranked to depth 20. */
+  /** Lexical candidate arm: q86's BM25 scoring, ranked to depth 20 —
+    * served from the RunCache postings + doc-length artifacts (q153's
+    * serve path: the term filter pushes into the artifact scan, the
+    * corpus is never re-tokenized; dl is the same unfiltered-split
+    * convention, postings the same non-empty-term grain, so scores are
+    * unchanged and the oracle stays the from-scratch recomputation). */
   private def lexArm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("dl"))
+    val lens = CurationQueries.doclenArtifact(s, dir)
     val stats = lens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
-    val postings = docs.select(col("doc_id"), explode(col("w")).as("t"))
+    val postings = CurationQueries.postingsArtifact(s, dir)
       .where(col("t").isin(RrfQueryTerms: _*))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dfreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast(DoubleType)
     val dfD = col("df").cast(DoubleType)

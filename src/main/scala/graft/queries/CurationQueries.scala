@@ -275,14 +275,14 @@ object CurationQueries {
     * every scorer. dl is size(w) over the UNFILTERED whitespace split —
     * q86's exact length convention — while postings drop empty tokens
     * (query terms are never empty, so scores cannot differ). */
-  private def postingsArtifact(s: SparkSession, dir: String): DataFrame =
+  private[queries] def postingsArtifact(s: SparkSession, dir: String): DataFrame =
     graft.RunCache.parquetOnce(s, s"postings|$dir")(
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
         .where(col("t") =!= "")
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
 
-  private def doclenArtifact(s: SparkSession, dir: String): DataFrame =
+  private[queries] def doclenArtifact(s: SparkSession, dir: String): DataFrame =
     graft.RunCache.parquetOnce(s, s"doclens|$dir")(
       Tables.documents(s, dir)
         .select(col("doc_id"), size(toks).cast(LongType).as("dl")))

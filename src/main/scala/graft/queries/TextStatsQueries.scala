@@ -159,13 +159,14 @@ object TextStatsQueries {
     * is increasing), preserving all per-term rankings while staying
     * bit-exact double division. Top-3 terms per document. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val n = docs.count() // metadata-only parquet count
-    val terms = docs
-      .select(col("doc_id"), explode(toks).as("t"))
-      .where(col("t") =!= "")
-    val tf = terms.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy("t").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).count() // metadata-only parquet count
+    // the RunCache postings artifact IS the (doc_id, term, tf) frame
+    // this query used to rebuild by re-tokenizing the corpus (q153's
+    // serve-path discipline); its rows are distinct (doc, term) pairs,
+    // so df is one further partial agg
+    val tf = CurationQueries.postingsArtifact(s, dir)
+      .select(col("doc_id"), col("t"), col("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val score = col("tf").cast(DoubleType) *
       (lit((n + 1).toDouble) / (col("df") + lit(1L)).cast(DoubleType))
     val w = Window.partitionBy(col("doc_id"))
