@@ -673,6 +673,62 @@ object SimilarityQueries {
     v.orderBy(col("dim"))
   }
 
+  /** Representatives per label for q155's cohesion audit. */
+  private val RepK = 8
+
+  /** q155 — embedding-space label-cohesion audit: for every label pair
+    * (a ≤ b), the exact pair count and DECIMAL-stable cosine sum over
+    * hash-sampled representatives — the separation diagnostic an
+    * embedding rollout reads (intra-label mass on the diagonal,
+    * inter-label mass off it; mean = cos_sum / n_pairs is the
+    * consumer's division). Representatives are the bottom-[[RepK]]
+    * vec_ids per label by salted 60-bit hash — q152's deterministic
+    * sampling idiom riding the native `graft_topk` heap, so the sample
+    * is a function of the data, not of partitioning, and the audit is
+    * exact-oracle-able.
+    *
+    * Scale shape: one corpus pass partial-aggregates the ≤ |labels|·k
+    * representative ids (bounded heap buffers on the wire); vectors are
+    * fetched by a broadcast semi-join of that id set; the pair fan-out
+    * is over the ≤ 80-row representative frame (an eval frame, never
+    * the corpus — the documented bounded-crossJoin class). Per-pair
+    * cosines go through DECIMAL(18,9) before summing (q86's
+    * order-independence discipline).
+    */
+  def labelCohesion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val e = Tables.embeddings(s, dir)
+    val pri = call_function("graft_h60",
+      concat(lit("lrep|"), col("vec_id").cast(StringType)))
+    val repIds = e
+      .select(col("label"), (-pri).as("negp"),
+        lpad(col("vec_id").cast(StringType), 20, "0").as("tag"))
+      .groupBy(col("label"))
+      .agg(call_function("graft_topk", col("negp"), col("tag"), lit(RepK))
+        .as("tk"))
+      .select(col("label"), explode(col("tk")).as("e"))
+      .select(col("label"), col("e.tag").cast(LongType).as("vec_id"))
+    val reps = e.select(col("vec_id"),
+        VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .join(broadcast(repIds.select(col("vec_id"), col("label"))), "vec_id")
+      .localCheckpoint()
+    val a = reps.select(col("label").as("la"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = reps.select(col("label").as("lb"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("la") < col("lb") ||
+        (col("la") === col("lb") && col("ia") < col("ib")))
+      .select(col("la").cast(LongType).as("label_a"),
+        col("lb").cast(LongType).as("label_b"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .cast("decimal(18,9)").as("ts"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ts")).cast("double").as("cos_sum"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** q129 — the ANN rollout gate as a QUERY: recall@K of the IVF index
     * (q55) against exact brute truth (q31), per query — hits =
     * |IVF top-K ∩ brute top-K|; corpus recall is Σhits / (Q·K), the
@@ -744,6 +800,7 @@ object SimilarityQueries {
     "q106_int8_quantize" -> int8Quantize,
     "q116_embed_covariance" -> embedCovariance,
     "q150_pca_power" -> pcaPower,
+    "q155_label_cohesion" -> labelCohesion,
     "q129_ann_recall" -> annRecall,
     "q101_semdedup_prune" -> semDedupPrune,
     "q102_centroid_update" -> centroidUpdate,
@@ -901,6 +958,31 @@ object SimilarityQueries {
     // q116: same unnest idiom as q106; the join on vec_id pairs the
     // dimensions DuckDB-side (the Spark plan forms pairs row-locally
     // instead — semantics identical, N·D² rows either way at sf0.01)
+    "q155_label_cohesion" ->
+      (s"""WITH e AS (
+         |  SELECT vec_id, label, embedding, $nrmSql AS nrm FROM embeddings),
+         |pri AS (
+         |  SELECT vec_id, label, embedding, nrm,
+         |         row_number() OVER (PARTITION BY label ORDER BY
+         |           ('0x' || substr(md5('lrep|' || vec_id), 1, 15))::BIGINT,
+         |           vec_id) AS rn
+         |  FROM e),
+         |reps AS (
+         |  SELECT label, vec_id, embedding, nrm FROM pri WHERE rn <= $RepK),
+         |p AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |         CAST(list_dot_product(a.embedding::DOUBLE[],
+         |                               b.embedding::DOUBLE[])
+         |              / (a.nrm * b.nrm) AS DECIMAL(18,9)) AS ts
+         |  FROM reps a JOIN reps b
+         |    ON a.label < b.label
+         |    OR (a.label = b.label AND a.vec_id < b.vec_id))
+         |SELECT CAST(label_a AS BIGINT) AS label_a,
+         |       CAST(label_b AS BIGINT) AS label_b,
+         |       count(*)::BIGINT AS n_pairs,
+         |       CAST(sum(ts) AS DOUBLE) AS cos_sum
+         |FROM p GROUP BY label_a, label_b
+         |ORDER BY label_a, label_b""".stripMargin),
     "q150_pca_power" ->
       (s"""WITH ei AS (
          |  SELECT vec_id,

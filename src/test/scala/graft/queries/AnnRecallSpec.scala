@@ -136,6 +136,53 @@ class AnnRecallSpec extends SparkSpec {
     assert(!p.contains("Join"), "q116 must not self-join the exploded table")
   }
 
+  test("q155 cohesion audit equals a brute sampled-pair recomputation") {
+    def h60(tag: String, v: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((tag + "|" + v).getBytes("UTF-8"))
+      var x = 0L
+      for (i <- 0 until 7) x = (x << 8) | (d(i) & 0xffL)
+      (x << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val reps = rows.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (h60("lrep", t._1.toString), t._1)).take(8)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val flat = reps.toSeq.flatMap { case (l, vs) => vs.map(v => (l, v._1, v._3)) }
+    val exp = flat.flatMap { case (la, ia, va) =>
+      flat.collect { case (lb, ib, vb)
+        if la < lb || (la == lb && ia < ib) =>
+        ((la, lb), java.math.BigDecimal.valueOf(cos(va, vb))
+          .setScale(9, java.math.RoundingMode.HALF_UP))
+      }
+    }.groupBy(_._1).view.mapValues { ps =>
+      (ps.size.toLong,
+        ps.map(_._2).reduce(_.add(_)).doubleValue)
+    }.toMap
+    val got = SimilarityQueries.labelCohesion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (n, cs)) =>
+      assert(n == exp(k)._1, s"$k pair count")
+      assert(java.lang.Double.compare(cs, exp(k)._2) == 0,
+        s"$k cos_sum: got $cs, brute ${exp(k)._2}")
+    }
+    // structure: diagonal pairs are C(k,2), off-diagonal k*k
+    val k = 8L
+    got.foreach { case ((la, lb), (n, _)) =>
+      if (la == lb) assert(n == k * (k - 1) / 2, s"($la,$lb) intra count")
+      else assert(n == k * k, s"($la,$lb) inter count")
+    }
+  }
+
   test("q150 fixed-point eigenvector equals a brute BigInt power iteration") {
     val S = BigInt(1000000)
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
