@@ -1011,6 +1011,42 @@ object AnalyticsQueries {
       .orderBy(col("grp"))
   }
 
+  // ---------------------------------------------------------------- q156
+
+  /** q156 — the source-contamination matrix: near-dup edges rolled up
+    * to (source_a, source_b) cells — the provenance question a corpus
+    * operator asks when the dedup report lights up ("is src3 scraping
+    * src1, or duplicating itself?"). Diagonal cells are within-source
+    * template mass; off-diagonal cells are cross-source contamination,
+    * normalized undirected via least/greatest so each unordered pair
+    * reports once. Emits n_edges plus the distinct documents the
+    * cell's edges touch on each side (n_docs_a/n_docs_b) — edge count
+    * says volume, doc counts say spread (one hub page mirrored
+    * everywhere vs broad overlap).
+    *
+    * Scale shape: the edges come from the RunCache parquet (corpus
+    * never rescanned); the two provenance lookups are broadcast joins
+    * against the (doc_id, source) projection; the roll-up is one
+    * partial agg over |sources|² cells. The distinct-doc counts ride
+    * the same agg as count(DISTINCT ...) over 8-byte ids within
+    * bounded cells.
+    */
+  def sourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val e = dupEdges(s, dir)
+      .join(broadcast(src.select(col("doc_id").as("x"), col("source").as("sx"))), Seq("x"))
+      .join(broadcast(src.select(col("doc_id").as("y"), col("source").as("sy"))), Seq("y"))
+      .select(least(col("sx"), col("sy")).as("source_a"),
+        greatest(col("sx"), col("sy")).as("source_b"),
+        when(col("sx") <= col("sy"), col("x")).otherwise(col("y")).as("da"),
+        when(col("sx") <= col("sy"), col("y")).otherwise(col("x")).as("db"))
+    e.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ---------------------------------------------------------------- q152
 
   /** Sample size for q152's bottom-k-by-hash quantile sketch. */
@@ -1263,6 +1299,7 @@ object AnalyticsQueries {
     "q132_kcore" -> kcore,
     "q133_autocorr" -> autocorr,
     "q149_bfs_hops" -> bfsHops,
+    "q156_source_dup_matrix" -> sourceDupMatrix,
     "q136_psi_drift" -> psiDrift,
     "q137_ks_drift" -> ksDrift
   )
@@ -1476,6 +1513,20 @@ object AnalyticsQueries {
         |       (n * syy - sy * sy)::BIGINT AS den_y
         |FROM st ORDER BY grp""".stripMargin,
 
+    "q156_source_dup_matrix" ->
+      (s"""WITH $dupEdgeCtesSql,
+         |sd AS (SELECT doc_id, source FROM documents),
+         |m AS (
+         |  SELECT least(a.source, b.source) AS source_a,
+         |         greatest(a.source, b.source) AS source_b,
+         |         CASE WHEN a.source <= b.source THEN e.x ELSE e.y END AS da,
+         |         CASE WHEN a.source <= b.source THEN e.y ELSE e.x END AS db
+         |  FROM e JOIN sd a ON a.doc_id = e.x JOIN sd b ON b.doc_id = e.y)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_edges,
+         |       count(DISTINCT da)::BIGINT AS n_docs_a,
+         |       count(DISTINCT db)::BIGINT AS n_docs_b
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin),
     "q152_quantile_sketch" ->
       (s"""WITH ev AS (
          |  SELECT unnest([event_type, 'ALL']) AS grp,

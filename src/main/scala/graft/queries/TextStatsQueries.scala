@@ -85,6 +85,34 @@ object TextStatsQueries {
 
   /** q35 — per-source corpus statistics: doc counts, whitespace-token and
     * BPE-ish-token totals, vocabulary size, average length. */
+  /** q157 — the token-budget curve over quality tiers: docs bucketed by
+    * ⌊10·q34-score⌋ (clamped to tier 9), per tier the doc/token mass
+    * and the cumulative mass from the BEST tier down — the curve a
+    * mixture planner reads to pick the quality threshold that still
+    * meets the token budget ("keeping tiers ≥ t yields N tokens").
+    * Tier edges are floors of bit-identical doubles (q34's score is
+    * hash-green cross-engine), so the bucketing is exact.
+    *
+    * Scale shape: one scan, row-local scoring (the q34 expressions),
+    * one partial agg into ≤ 10 tier rows; the cumulative window runs
+    * over those ≤ 10 rows — a global window over a TIER frame, not a
+    * corpus frame.
+    */
+  def qualityBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Quality
+    val tiers = Tables.documents(s, dir).select(toks.as("w"))
+      .select(least(lit(9L), floor(Quality.score(col("w")) * 10)).as("tier"),
+        Quality.nTokens(col("w")).as("nt"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val w = Window.orderBy(col("tier").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiers
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .orderBy(col("tier").desc)
+  }
+
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("n_chars"), toks.as("w"), col("text"))
@@ -526,6 +554,7 @@ object TextStatsQueries {
     "q131_bpe_train"     -> ((s, dir) => graft.llm.BpeTrain.bpeTrainQuery(s, dir)),
     "q33_lang_id"        -> langId,
     "q34_quality_score"  -> qualityScore,
+    "q157_quality_budget" -> qualityBudget,
     "q35_token_stats"    -> tokenStats,
     "q36_fingerprint"    -> fingerprint,
     "q37_string_indexer" -> stringIndexerSql,
@@ -716,6 +745,27 @@ object TextStatsQueries {
          |    + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
          |    + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE) AS score
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q157_quality_budget" ->
+      s"""WITH t AS (
+         |  SELECT string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sc AS (
+         |  SELECT len(w)::BIGINT AS nt,
+         |    0.3::DOUBLE * (len(list_distinct(w))::DOUBLE / len(w))
+         |      + 0.3::DOUBLE * (1.0::DOUBLE - len(list_filter(w, t -> t IN (${Tokenize.stopWordsSqlList})))::DOUBLE / len(w))
+         |      + 0.4::DOUBLE * least(1.0::DOUBLE, len(w)::DOUBLE / 100.0::DOUBLE) AS score
+         |  FROM t),
+         |g AS (
+         |  SELECT least(9, floor(score * 10))::BIGINT AS tier,
+         |         count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+         |  FROM sc GROUP BY tier)
+         |SELECT tier, n_docs, n_tokens,
+         |       sum(n_docs) OVER (ORDER BY tier DESC
+         |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_docs,
+         |       sum(n_tokens) OVER (ORDER BY tier DESC
+         |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+         |FROM g ORDER BY tier DESC""".stripMargin,
 
     "q35_token_stats" ->
       """WITH d AS (

@@ -595,6 +595,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q156: contamination matrix equals a brute edge roll-up") {
+    val docs = docsTokens
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
+    val gramDocs = scala.collection.mutable.Map
+      .empty[Vector[String], scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - 8)
+      gramDocs.getOrElseUpdate(w.slice(i, i + 8),
+        scala.collection.mutable.Set.empty) += id
+    val edges = (for ((_, ds) <- gramDocs.toSeq if ds.size >= 2 && ds.size <= cap;
+                      a <- ds; b <- ds if a < b) yield (a, b)).toSet
+    val cells = edges.toSeq.map { case (x, y) =>
+      val (sx, sy) = (src(x), src(y))
+      if (sx <= sy) ((sx, sy), x, y) else ((sy, sx), y, x)
+    }
+    val exp = cells.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.map(_._2).distinct.size.toLong,
+        es.map(_._3).distinct.size.toLong)
+    }.toMap
+    val got = AnalyticsQueries.sourceDupMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, "matrix differs from brute roll-up")
+    assert(got.nonEmpty, "sf0.001 must surface at least one dup cell")
+    assert(got.keys.exists { case (a, b) => a != b },
+      "sf0.001 must surface cross-source contamination (witness)")
+  }
+
   test("q149: hop map equals a brute 4-round multi-source BFS") {
     val docs = docsTokens
     val cap = math.max(5L, math.ceil(0.01 * docs.size).toLong)
