@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
+
+/** Persistent, corpus-fingerprinted artifact store — the cross-run
+  * promotion of [[RunCache]] (r7 verdict item 3). RunCache materializes
+  * a derived frame once per JVM; production pipelines need the derived
+  * artifacts (near-dup edges, postings, ANN codebooks) to outlive the
+  * job and be REUSED by the next run over the same corpus, while a
+  * changed corpus must transparently rebuild. The key is therefore a
+  * corpus FINGERPRINT: an order-independent digest of the source table
+  * (q110's anti-entropy checksum discipline — commutative h60 sum mod
+  * 2⁶¹−1, so the digest is independent of partitioning and row order,
+  * and one partial-aggregated scan computes it).
+  *
+  * Layout: `<root>/<key>/fp-<digest>/(data, manifest.json)`
+  * (dash, not `fp=`: a hive-style dir name would collide with the `fp`
+  * DATA column under DuckDB's hive-partitioning auto-detection).
+  * `<key>` names the artifact AND its build recipe version — a changed
+  * algorithm must change the key, or a same-corpus rerun would serve
+  * stale semantics. Builds land in a staging dir and are published by
+  * one atomic rename, so concurrent processes race safely (the loser
+  * deletes its staging dir and reads the winner's artifact) and a
+  * crashed build can never leave a half-written artifact behind.
+  *
+  * The artifact carries its fingerprint as a data column: a consumer
+  * globbing `<root>/<key>/ * /data` across corpus versions (the DuckDB
+  * oracle does exactly this — it cannot resolve the fp directory name,
+  * but it CAN recompute the fingerprint in SQL and filter on the
+  * column) selects the matching corpus's rows with a plain predicate.
+  * That is what lets the serve queries and their oracles read the SAME
+  * trained bytes — [[graft.llm.ServeBooks]].
+  */
+object ArtifactStore {
+
+  /** 2⁶¹ − 1 — q110's fold modulus (OpsQueries.CkMod). */
+  val Mod = 2305843009213693951L
+
+  def root: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR", "/root/repo/artifacts")
+
+  // ------------------------------------------------------------ fingerprints
+
+  /** Row digest for the embeddings table: doubles cannot ride a
+    * portable text digest (q110's rationale), so the embedding
+    * contributes through q116's exact quantization — Σ_d ⌊x_d·10³⌋ is
+    * an integer both engines compute bit-identically, value-sensitive
+    * to the milli quantum. */
+  private def embeddingsRowDigest: Column = {
+    val qs = aggregate(
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1000.0)).cast(LongType)),
+      lit(0L), (a, b) => a + b)
+    call_function("graft_h60", concat(lit("ck|embeddings|"), concat_ws("|",
+      coalesce(col("vec_id").cast(StringType), lit("\u0000NULL")),
+      coalesce(col("label").cast(StringType), lit("\u0000NULL")),
+      qs.cast(StringType))))
+  }
+
+  /** SQL twin of the embeddings fingerprint — a scalar subquery the
+    * oracle inlines to select the artifact rows for ITS corpus. */
+  val embeddingsFpSql: String =
+    """(SELECT (sum(('0x' || substr(md5('ck|embeddings|' ||
+      |    concat_ws('|',
+      |      coalesce(vec_id::VARCHAR, chr(0) || 'NULL'),
+      |      coalesce(label::VARCHAR, chr(0) || 'NULL'),
+      |      list_sum(list_transform(embedding,
+      |        x -> floor(x::DOUBLE * 1000)::BIGINT))::BIGINT::VARCHAR)),
+      |  1, 15))::BIGINT::HUGEINT) % 2305843009213693951)::BIGINT
+      | FROM embeddings)""".stripMargin
+
+  /** Documents fingerprint = q110's `documents` sum_digest, verbatim
+    * (same tag, same key columns) — the checksum the verdict named as
+    * the manifest key. */
+  private def documentsRowDigest: Column =
+    queries.OpsQueries.checksumHash("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  private val fpMemo = new ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private def fpOf(s: SparkSession, dir: String, table: String,
+                   digest: => Column): Long =
+    fpMemo.computeIfAbsent((dir, table), _ => {
+      val r = Tables.load(s, dir, table)
+        .select(digest.as("h"))
+        .agg((sum(col("h").cast(DecimalType(38, 0))) % lit(Mod))
+          .cast(LongType).as("fp"))
+        .head().getLong(0)
+      Long.box(r)
+    })
+
+  def embeddingsFp(s: SparkSession, dir: String): Long =
+    fpOf(s, dir, "embeddings", embeddingsRowDigest)
+
+  def documentsFp(s: SparkSession, dir: String): Long =
+    fpOf(s, dir, "documents", documentsRowDigest)
+
+  // ------------------------------------------------------------ store
+
+  /** Build-thunk invocations, observable by ArtifactStoreSpec's
+    * "second session builds nothing" assertion. */
+  private[graft] val buildCount = new ConcurrentHashMap[String, Integer]()
+
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** Drop the in-process memo — simulates a fresh JVM for specs; the
+    * on-disk artifacts are the state under test. */
+  private[graft] def resetMemoForTest(): Unit = memo.clear()
+
+  /** Glob the oracle reads for artifact `key` (all corpus versions —
+    * filter on the `fp` column with the matching fingerprint SQL). */
+  def sqlGlob(key: String): String = s"$root/$key/*/data/*.parquet"
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively(_)) finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** The artifact for (key, fp): read if published, else build once and
+    * publish atomically. The returned frame READS the parquet (lineage
+    * truncated at a file source — RunCache's contract), and carries the
+    * fingerprint as column `fp`. */
+  def parquetOnce(s: SparkSession, key: String, fp: Long)
+                 (build: => DataFrame): DataFrame = {
+    val dir = Paths.get(root, key, s"fp-$fp")
+    val path = memo.computeIfAbsent(dir.toString, _ => {
+      if (!Files.exists(dir.resolve("manifest.json"))) {
+        buildCount.merge(key, Int.box(1), (a, b) => Int.box(a + b))
+        val tmp = Paths.get(root, key,
+          s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+        Files.createDirectories(tmp)
+        build.withColumn("fp", lit(fp))
+          .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+        Files.writeString(tmp.resolve("manifest.json"),
+          s"""{"key":"$key","fp":$fp,""" +
+            s""""created":"${java.time.Instant.now}"}\n""")
+        try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost a publish race to a concurrent process: its artifact
+          // is complete (rename is atomic) — discard ours, read theirs
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(tmp)
+          case _: java.nio.file.FileSystemException
+            if Files.exists(dir.resolve("manifest.json")) =>
+            deleteRecursively(tmp)
+        }
+      }
+      dir.toString
+    })
+    s.read.parquet(s"$path/data")
+  }
+
+  /** Drop a published artifact (the takedown-cascade invalidation
+    * path): removes the fp dir and the in-process memo entry so the
+    * next consumer rebuilds from the live corpus. */
+  def invalidate(key: String, fp: Long): Unit = {
+    val dir = Paths.get(root, key, s"fp-$fp")
+    memo.remove(dir.toString)
+    if (Files.exists(dir)) deleteRecursively(dir)
+  }
+}

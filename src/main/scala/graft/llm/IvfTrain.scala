@@ -3,11 +3,12 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** DISTRIBUTED IVF coarse-centroid training — the LAST offline training
-  * step brought in-engine: q55/q64/q113 serve from a frozen
-  * driver-trained codebook (`scripts/train_ivf_codebook.py`), q148
-  * trains the PQ residual books distributed, and this trains the coarse
-  * lists. It is [[PqTrain.train]] at the degenerate geometry (one
+/** DISTRIBUTED IVF coarse-centroid training: q148 trains the PQ
+  * residual books distributed, and this trains the coarse lists. The
+  * serve queries (q55/q64/q113) read their coarse book from
+  * [[ServeBooks]], which runs THIS trainer at the serve geometry and
+  * publishes the result to the corpus-fingerprinted ArtifactStore —
+  * the train→serve loop is closed in-engine (r7 verdict item 1). It is [[PqTrain.train]] at the degenerate geometry (one
   * subspace spanning the full [[VectorOps.Dim]] dimensions): same
   * first-K init, same exact DECIMAL(18,9) element-sum discipline that
   * makes float k-means independent of partitioning and scheduling, same

@@ -21,31 +21,39 @@ object Pq {
 
   import PqCodebook.{M, SubDim, K, books}
 
-  /** ||c_mk||², precomputed in Scala; the same double literal is printed
-    * into the SQL twin, so both engines see identical constants. */
-  private def c2(m: Int, k: Int): Double = {
+  /** ||c||² by the strict left fold (= DuckDB `list_dot_product(c, c)`). */
+  private def csq(c: Array[Double]): Double = {
     var s = 0.0
     var i = 0
-    while (i < SubDim) { val x = books(m)(k)(i); s += x * x; i += 1 }
+    while (i < c.length) { val x = c(i); s += x * x; i += 1 }
     s
   }
 
-  /** PQ reconstruction x̂ of a 64-dim `array<double>` column: per
+  private def c2(m: Int, k: Int): Double = csq(books(m)(k))
+
+  /** PQ reconstruction x̂ of a 64-dim `array<double>` column over an
+    * arbitrary books geometry (the ServeBooks-trained path): per
     * subspace argmin_k (||c||² − 2·v_m·c) — the ||v_m||² term is common
     * to all k and dropped — then the chosen centroid, concatenated. */
-  def reconstruct(v: Column): Column = {
-    val parts = (0 until M).map { m =>
-      val vm = slice(v, m * SubDim + 1, SubDim)
-      val dists = (0 until K).map { k =>
-        lit(c2(m, k)) - lit(2.0) * VectorOps.dot(vm, array(books(m)(k).map(lit(_)): _*))
+  def reconstructWith(bks: Array[Array[Array[Double]]])(v: Column): Column = {
+    val nSub = bks.length
+    val subDim = bks(0)(0).length
+    val parts = (0 until nSub).map { m =>
+      val vm = slice(v, m * subDim + 1, subDim)
+      val dists = bks(m).map { c =>
+        lit(csq(c)) - lit(2.0) * VectorOps.dot(vm, array(c.map(lit(_)): _*))
       }
-      val arr = array(dists: _*)
+      val arr = array(dists.toSeq: _*)
       val idx = array_position(arr, array_min(arr)).cast("int")
-      val bookArr = array(books(m).map(c => array(c.map(lit(_)): _*)): _*)
+      val bookArr = array(bks(m).map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
       element_at(bookArr, idx)
     }
     concat(parts: _*)
   }
+
+  /** [[reconstructWith]] over the frozen [[PqCodebook]] — the
+    * stream-start snapshot path (StreamEmbedDedupPq). */
+  def reconstruct(v: Column): Column = reconstructWith(books)(v)
 
   /** SQL twin of [[reconstruct]] over a DOUBLE[] expression. */
   def reconstructSql(v: String): String = {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** DISTRIBUTED product-quantization codebook training (Jégou et al.
-  * 2011) — the training half of the q64/q113 ANN stack, previously only
-  * available as driver-side tooling (scripts/train_pq_codebook.py).
+  * 2011) — the training half of the q64/q113 ANN stack; [[ServeBooks]]
+  * publishes its output as the corpus-fingerprinted artifact the serve
+  * queries and their oracles read.
   * Lloyd k-means per contiguous subspace, all M subspaces trained in
   * the SAME synchronous rounds: one job per round covers every
   * subspace, not M sequential loops.
@@ -39,8 +40,7 @@ object PqTrain {
   // 10 synchronous rounds: measured on the sf0.1 embeddings, rounds
   // past 10 buy < 0.3% SSE each (the first 4 buy 24%) while every
   // round costs one fixed-overhead cluster job — the classic
-  // synchronous-iteration economics. The offline script's 20 is a
-  // single-node safety margin; `rounds` stays a parameter.
+  // synchronous-iteration economics; `rounds` stays a parameter.
   val Rounds = 10
 
   /** Mean with the fixed driver-side contract: scale 9, HALF_UP —

@@ -1,0 +1,164 @@
+package graft.llm
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.ArtifactStore
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The ANN train→serve loop, closed (r7 verdict item 1): the serve
+  * queries (q55/q64/q113, q94's vector arm, q129's audit) read their
+  * coarse-IVF and PQ codebooks from [[ArtifactStore]]-published
+  * artifacts TRAINED IN-ENGINE by [[PqTrain.train]] — not from
+  * script-frozen literals. The artifact is keyed by the embeddings
+  * corpus fingerprint, so a new corpus retrains transparently and a
+  * rerun over the same corpus reuses the published book; the DuckDB
+  * oracle reads the SAME parquet (recomputing the fingerprint in SQL —
+  * ArtifactStore's glob+filter contract), which is what keeps the serve
+  * queries exact-oracle-able with no literal codebook anywhere.
+  *
+  * The collected books are MODEL STATE (32×64 + 8×16×8 doubles ≈ 20
+  * KiB), the trainers' driver-side discipline: they come back to the
+  * driver once per (corpus, geometry) and are folded into row-local
+  * expressions — which also removes the old ×32 crossJoin+window
+  * assignment (r7 verdict item 8): nearest-cell and probe-list are now
+  * pure projections, zero shuffle, inside whole-stage codegen.
+  *
+  * DECIMAL-discipline determinism (PqTrain's contract) makes the
+  * trained bytes independent of partitioning and scheduling, so the
+  * artifact is reproducible: delete it and the rebuild is bit-identical.
+  */
+object ServeBooks {
+
+  /** Serve-side coarse geometry — q55's documented dial (32 cells). */
+  val CoarseCells = 32
+  /** Lloyd rounds for both serve books — PqTrain.Rounds' economics. */
+  val Rounds = 10
+
+  /** Artifact keys carry the geometry + recipe version: a changed
+    * trainer MUST change the key (ArtifactStore's staleness contract). */
+  val CoarseKey = s"ivf_coarse_c${CoarseCells}_r${Rounds}_v1"
+  val PqKey = s"pq_books_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_v1"
+
+  private val coarseMemo = new ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val pqMemo = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** Trained coarse codebook for the corpus at `dir`: cents(cid) is a
+    * 64-dim centroid. Trains+publishes on first touch per corpus,
+    * collects FROM the published parquet (the exact doubles the oracle
+    * reads). */
+  def coarse(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    coarseMemo.computeIfAbsent(s"$dir|$fp", _ => {
+      val df = ArtifactStore.parquetOnce(s, CoarseKey, fp) {
+        import s.implicits._
+        val (books, _) = PqTrain.train(s, dir, Rounds, 1, VectorOps.Dim, CoarseCells)
+        (for { k <- 0 until CoarseCells; d <- 0 until VectorOps.Dim }
+          yield (k.toLong, (d + 1).toLong, books(0)(k)(d)))
+          .toDF("cid", "dim", "cval")
+      }
+      val cents = Array.ofDim[Double](CoarseCells, VectorOps.Dim)
+      df.select(col("cid"), col("dim"), col("cval")).collect().foreach { r =>
+        cents(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+      cents
+    })
+  }
+
+  /** Trained PQ books for the corpus at `dir`: books(m)(k) is a
+    * SubDim-dim centroid (PqTrain geometry). */
+  def pq(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    pqMemo.computeIfAbsent(s"$dir|$fp", _ => {
+      val df = ArtifactStore.parquetOnce(s, PqKey, fp) {
+        import s.implicits._
+        val (books, _) = PqTrain.train(s, dir, Rounds)
+        (for {
+          m <- 0 until PqTrain.M; k <- 0 until PqTrain.K
+          d <- 0 until PqTrain.SubDim
+        } yield (m.toLong, k.toLong, (d + 1).toLong, books(m)(k)(d)))
+          .toDF("m", "k", "dim", "cval")
+      }
+      val books = Array.ofDim[Double](PqTrain.M, PqTrain.K, PqTrain.SubDim)
+      df.select(col("m"), col("k"), col("dim"), col("cval")).collect()
+        .foreach { r =>
+          books(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt - 1) =
+            r.getDouble(3)
+        }
+      books
+    })
+  }
+
+  // ------------------------------------------------ assignment expressions
+
+  /** ||c||² by the same strict left fold as DuckDB's
+    * `list_dot_product(cv, cv)` — the scalar the SQL twin recomputes. */
+  private def c2(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Per-cell assignment scores: ||c_k||² − 2·v·c_k — the L2² argmin
+    * with the per-vector ||v||² term dropped (common to all cells, so
+    * cell order and ties are unchanged). The SQL twin computes the SAME
+    * reduced form, keeping the compared doubles bit-identical. */
+  private def scores(cents: Array[Array[Double]], v: Column): Seq[Column] =
+    cents.toSeq.map { c =>
+      lit(c2(c)) - lit(2.0) * VectorOps.dot(v, array(c.map(lit(_)): _*))
+    }
+
+  /** Nearest-cell id as a row-local expression — argmin over the
+    * broadcast-as-literals book, first index on ties (= ORDER BY score,
+    * cid). No join, no window, no shuffle. */
+  def cell(cents: Array[Array[Double]], v: Column): Column = {
+    val arr = array(scores(cents, v): _*)
+    (array_position(arr, array_min(arr)) - 1).cast(LongType)
+  }
+
+  /** The `n` nearest cell ids, ascending by (score, cid), as an
+    * array<bigint> — the query-side probe list, row-local like [[cell]]. */
+  def probeCells(cents: Array[Array[Double]], n: Int, v: Column): Column = {
+    val pairs = scores(cents, v).zipWithIndex.map { case (sc, i) =>
+      struct(sc.as("s"), lit(i.toLong).as("cid"))
+    }
+    transform(slice(array_sort(array(pairs: _*)), 1, n), _.getField("cid"))
+  }
+
+  // ------------------------------------------------ SQL twins (oracle side)
+
+  /** Oracle CTE body for the trained coarse book: rows of the published
+    * artifact for THIS corpus (fingerprint recomputed in SQL),
+    * assembled back into (cid, cv DOUBLE[]). Interpolate inside WITH. */
+  def coarseCentsCteSql: String =
+    s"""cents AS (
+       |  SELECT cid, list(cval ORDER BY dim) AS cv
+       |  FROM read_parquet('${ArtifactStore.sqlGlob(CoarseKey)}')
+       |  WHERE fp = ${ArtifactStore.embeddingsFpSql}
+       |  GROUP BY cid)""".stripMargin
+
+  /** Same for the PQ books: (m, k, ck DOUBLE[]). */
+  def pqBooksCteSql: String =
+    s"""pq AS (
+       |  SELECT m, k, list(cval ORDER BY dim) AS ck
+       |  FROM read_parquet('${ArtifactStore.sqlGlob(PqKey)}')
+       |  WHERE fp = ${ArtifactStore.embeddingsFpSql}
+       |  GROUP BY m, k)""".stripMargin
+
+  /** Oracle ranking CTE over `e(vec_id, v DOUBLE[])` + `cents`: every
+    * (vector, cell) scored by the reduced form and ranked — rk=1 is the
+    * assignment, rk<=p the probe list. The relational twin of
+    * [[cell]]/[[probeCells]] (same doubles, same tie rule). */
+  def assignRankCteSql: String =
+    s"""a AS (
+       |  SELECT e.vec_id, c.cid,
+       |         list_dot_product(c.cv, c.cv)
+       |           - 2.0 * list_dot_product(e.v, c.cv) AS score
+       |  FROM e, cents c),
+       |r AS (
+       |  SELECT vec_id, cid,
+       |         CAST(row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY score, cid) AS BIGINT) AS rk
+       |  FROM a)""".stripMargin
+}

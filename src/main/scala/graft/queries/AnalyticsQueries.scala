@@ -282,30 +282,24 @@ object AnalyticsQueries {
   // scanning ~3/8 of the corpus instead of all of it.
   private val RrfIvfProbes = 12
 
-  /** IVF vector arm: q55's trained-codebook assignment (pure dot-form
-    * distances, identical expression tree in DuckDB), the vec_id-0
-    * query probing its RrfIvfProbes nearest of 32 cells; exact cosine
+  /** IVF vector arm: q55's ServeBooks-trained codebook (in-engine
+    * Lloyd, corpus-fingerprinted artifact shared with the oracle) via
+    * the same row-local argmin/probe expressions; the vec_id-0 query
+    * probes its RrfIvfProbes nearest of 32 cells and exact cosine
     * ranks only the probed cells' members. */
   private def vecArmIvf(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.IvfCodebook
-    import s.implicits._
+    import graft.llm.ServeBooks
+    val book = ServeBooks.coarse(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-    val cents = IvfCodebook.centroids.toSeq.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cv")
-    val dist = VectorOps.dot(col("v"), col("v")) -
-      lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
-      VectorOps.dot(col("cv"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-    val cells = assigned.where(col("rk") === 1 && col("vec_id") =!= 0)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = assigned.where(col("rk") <= RrfIvfProbes && col("vec_id") === 0)
-      .select(col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("probe"))
+    val cells = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(ServeBooks.probeCells(book, RrfIvfProbes, col("v")))
+          .as("probe"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val wVec = Window.orderBy(col("cos").desc, col("doc_id"))
     broadcast(probes).join(cells, col("probe") === col("cell"))
@@ -1052,6 +1046,12 @@ object AnalyticsQueries {
   /** Sample size for q152's bottom-k-by-hash quantile sketch. */
   private val QsK = 64
 
+  /** Order-preserving tag encoding for the q152 heap: cents + 10¹⁷
+    * (always positive for any |cents| < 10¹⁷ — far beyond the
+    * DECIMAL(18,2) event values) zero-padded to 18 digits, so the
+    * heap's lexicographic tie order equals numeric cents order. */
+  private val QsTagOff = 100000000000000000L
+
   /** q152 — APPROXIMATE per-group quantiles from a deterministic
     * mergeable sample: the bottom-[[QsK]] rows by a salted 60-bit hash
     * of the event id (a KMV-style uniform row sample, carried by the
@@ -1065,10 +1065,11 @@ object AnalyticsQueries {
     * because the hash order is a function of the data, not the
     * partitioning — so it is exact-oracle-able cross-engine, unlike
     * random-reservoir or KLL sketches whose merge order shows in the
-    * result. (Tie-break between equal 60-bit priorities falls to the
-    * heap's lexicographic tag order vs the oracle's numeric order —
-    * divergence needs an md5 collision across ≤10⁵ ids, the engine-wide
-    * h60 assumption.)
+    * result. (The heap's tag rides an order-preserving fixed-width
+    * encoding — cents offset to non-negative and zero-padded, q155's
+    * lpad idiom — so even on an equal-priority md5 collision the heap's
+    * lexicographic tie order EQUALS the oracle's numeric ORDER BY pri,
+    * cents; ADVICE r7.)
     *
     * Scale shape: one scan; per (group × partition) the aggregate
     * buffer is a ≤k heap, map-side combined; the quantile extraction
@@ -1087,8 +1088,11 @@ object AnalyticsQueries {
     ev.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         call_function("graft_topk",
-          col("negp"), col("cents").cast(StringType), lit(QsK)).as("tk"))
-      .withColumn("sc", expr("array_sort(transform(tk, x -> CAST(x.tag AS BIGINT)))"))
+          col("negp"),
+          lpad((col("cents") + lit(QsTagOff)).cast(StringType), 18, "0"),
+          lit(QsK)).as("tk"))
+      .withColumn("sc", expr(
+        s"array_sort(transform(tk, x -> CAST(x.tag AS BIGINT) - ${QsTagOff}L))"))
       .withColumn("m", size(col("sc")).cast(LongType))
       .crossJoin(broadcast(QTargets.toDF("ql", "qp")))
       .select(col("grp"), col("ql"), col("n"), col("m").as("k_used"),
@@ -1356,11 +1360,6 @@ object AnalyticsQueries {
       |         AS rrf_score
       |FROM lex FULL OUTER JOIN vec USING (doc_id)
       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
-
-  private def rrfIvfCentValuesSql: String =
-    graft.llm.IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
-    }.mkString(",\n    ")
 
   /** Shared capped near-dup edge CTEs (the `e(x, y)` relation) — the
     * oracle-side mirror of [[dupEdges]], used by q112 and q125. */
@@ -1889,26 +1888,14 @@ object AnalyticsQueries {
 
     "q94_rrf_hybrid_ivf" -> (
       "WITH " + rrfLexCtesSql + ",\n" +
-      s"""ev AS (
+      s"""e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,
         |         sqrt(list_dot_product(embedding::DOUBLE[],
         |                               embedding::DOUBLE[])) AS nrm
         |  FROM embeddings),
-        |cents AS (
-        |  SELECT CAST(cid AS BIGINT) AS cid, cv
-        |  FROM (VALUES
-        |    $rrfIvfCentValuesSql) t(cid, cv)),
-        |a AS (
-        |  SELECT ev.vec_id, c.cid,
-        |         list_dot_product(ev.v, ev.v)
-        |           - 2.0 * list_dot_product(ev.v, c.cv)
-        |           + list_dot_product(c.cv, c.cv) AS dist
-        |  FROM ev, cents c),
-        |r AS (
-        |  SELECT vec_id, cid,
-        |         CAST(row_number() OVER (PARTITION BY vec_id
-        |              ORDER BY dist, cid) AS BIGINT) AS rk
-        |  FROM a),
+        |ev AS (SELECT vec_id, v, nrm FROM e),
+        |${graft.llm.ServeBooks.coarseCentsCteSql},
+        |${graft.llm.ServeBooks.assignRankCteSql},
         |cells AS (
         |  SELECT ev.vec_id, ev.v, ev.nrm, r.cid AS cell
         |  FROM ev JOIN r ON ev.vec_id = r.vec_id AND r.rk = 1

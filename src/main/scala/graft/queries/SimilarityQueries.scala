@@ -159,9 +159,11 @@ object SimilarityQueries {
   // codebook buys recall at the same candidate budget).
   private val IvfProbes = 8
 
-  /** Centroid relation from the frozen codebook (graft.llm.IvfCodebook —
-    * fixed-seed Lloyd k-means, values rounded to 6 decimals so both
-    * engines parse identical doubles). 32 rows, broadcast everywhere. */
+  /** Centroid relation from the frozen reference codebook
+    * (graft.llm.IvfCodebook) — the pinned-snapshot basis the CURATION
+    * queries (q77/q101/q102) cluster on, so their verdicts are stable
+    * across retrains. The SERVE queries (q55/q64/q113) read the
+    * in-engine-trained [[graft.llm.ServeBooks]] artifact instead. */
   private def centroids(s: SparkSession): DataFrame = {
     import s.implicits._
     IvfCodebook.centroids.toSeq.zipWithIndex
@@ -171,27 +173,28 @@ object SimilarityQueries {
 
   /** q55 — IVF (inverted-file) ANN, the second scale path beside
     * sign-LSH: every vector is assigned to its nearest coarse-codebook
-    * cell (trained k-means centroids frozen to literals — deterministic,
-    * so the oracle holds), queries probe their 8 nearest cells, and
-    * ranking happens only inside the probed cells. Join cost is
-    * Σ_cell |queries probing cell|·|cell| — never a crossJoin.
+    * cell, queries probe their 8 nearest cells, and ranking happens only
+    * inside the probed cells. Join cost is Σ_cell |queries probing
+    * cell|·|cell| — never a crossJoin.
+    *
+    * The codebook is TRAINED IN-ENGINE ([[graft.llm.ServeBooks.coarse]]:
+    * PqTrain's DECIMAL-deterministic Lloyd at the serve geometry,
+    * published to the corpus-fingerprinted ArtifactStore; the oracle
+    * reads the same parquet). Assignment and probe-list are row-local
+    * literal-argmin expressions over the ≈16 KiB collected book — no
+    * crossJoin, no per-vector window, no shuffle before the candidate
+    * join (r7 verdict item 8).
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val book = graft.llm.ServeBooks.coarse(s, dir)
     val e = vecs(s, dir)
-    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
-    // L2²(v,c) = ||v||² − 2·v·c + ||c||²
-    val dist = col("nrm") * col("nrm") -
-      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-    val cells = assigned.where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = assigned.where(col("rk") <= IvfProbes && col("vec_id") < QuerySetSize)
+    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cid").as("probe"))
+        col("nrm").as("qnrm"),
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
+          .as("probe"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -244,29 +247,22 @@ object SimilarityQueries {
     * needs only the candidate's 8-byte PQ code, 32× smaller than raw
     * float32, which is what makes a 100 TB index RAM-resident — then the
     * shortlist alone is re-ranked by exact L2 (the one stage that
-    * touches raw vectors). Both codebooks are frozen k-means literals,
-    * every distance an identical expression tree in DuckDB —
+    * touches raw vectors). Both codebooks are trained in-engine
+    * (graft.llm.ServeBooks — PqTrain's DECIMAL-deterministic Lloyd,
+    * corpus-fingerprinted artifact shared with the oracle), every
+    * distance an identical expression tree in DuckDB —
     * exact-oracle-able end to end. */
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.Pq
+    import graft.llm.{Pq, ServeBooks}
+    val book = ServeBooks.coarse(s, dir)
+    val pqBooks = ServeBooks.pq(s, dir)
     val e = vecs(s, dir)
-    val cents = centroids(s)
-    // assignment distance via pure dot forms (no sqrt round-trip) so the
-    // oracle's expression tree is identical
-    val dist = VectorOps.dot(col("v"), col("v")) -
-      lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
-      VectorOps.dot(col("cv"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-    val cells = assigned.where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), Pq.reconstruct(col("v")).as("xhat"),
-        col("cid").as("cell"))
-    val probes = assigned.where(col("rk") <= IvfProbes && col("vec_id") < QuerySetSize)
+    val cells = e.select(col("vec_id"), col("v"),
+      Pq.reconstructWith(pqBooks)(col("v")).as("xhat"),
+      ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("cid").as("probe"))
+        explode(ServeBooks.probeCells(book, IvfProbes, col("v"))).as("probe"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
     val shortlist = probes
@@ -389,9 +385,9 @@ object SimilarityQueries {
     * over the frozen coarse codebook): assign every vector to its
     * nearest centroid, then emit each cell's member count and new mean
     * vector. This is how the IVF/PQ codebooks themselves get trained at
-    * corpus scale (scripts/train_ivf_codebook.py runs the same step
-    * single-node), and the canonical shape of EM-style iterative
-    * fitting on Spark.
+    * corpus scale (graft.llm.PqTrain iterates it distributed;
+    * ServeBooks publishes the result), and the canonical shape of
+    * EM-style iterative fitting on Spark.
     *
     * Scale shape: assignment is rows × 32 broadcast centroids; the
     * update is ONE partial-aggregated groupBy — each task combines its
@@ -458,10 +454,10 @@ object SimilarityQueries {
     * dequant/distance expression mirrors the DuckDB oracle tree, so
     * the whole two-stage pipeline is exact-oracle-able end to end.
     *
-    * Scale shape: identical to q64 — assignment rows × 32 broadcast
-    * centroids, candidate join bounded by probed cells, per-query
-    * shortlist-50 window, exact re-rank touches ≤ 50 raw vectors per
-    * query.
+    * Scale shape: identical to q64 — row-local literal-argmin
+    * assignment over the ServeBooks-trained book (no join, no window),
+    * candidate join bounded by probed cells, per-query shortlist-50
+    * window, exact re-rank touches ≤ 50 raw vectors per query.
     */
   def knnIvfInt8(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
@@ -487,20 +483,13 @@ object SimilarityQueries {
         lit(mn) + ((code + lit(0.5)) * lit(mx - mn)) / lit(255.0)
       }
     }: _*)
-    val cents = centroids(s)
-    val dist = VectorOps.dot(col("v"), col("v")) -
-      lit(2.0) * VectorOps.dot(col("v"), col("cv")) +
-      VectorOps.dot(col("cv"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-    val cells = assigned.where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), xhat.as("xhat"), col("cid").as("cell"))
-    val probes = assigned.where(col("rk") <= IvfProbes && col("vec_id") < QuerySetSize)
+    val book = graft.llm.ServeBooks.coarse(s, dir)
+    val cells = e.select(col("vec_id"), col("v"), xhat.as("xhat"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("cid").as("probe"))
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
+          .as("probe"))
     val adc = VectorOps.dot(col("qv"), col("qv")) -
       lit(2.0) * VectorOps.dot(col("qv"), col("xhat")) +
       VectorOps.dot(col("xhat"), col("xhat"))
@@ -637,7 +626,10 @@ object SimilarityQueries {
     * here, HUGEINT in the oracle); the one division per round is made
     * unambiguous by taking |w| first — integer division of NON-NEGATIVE
     * operands is floor = truncate in both engines, where signed `div`
-    * semantics could diverge. Magnitude bound: |C·v| ≤ D·max|c|·S
+    * semantics could diverge. The all-zero-spectrum degenerate case
+    * (max|w| = 0, e.g. constant embeddings) divides by nullif(·, 0) on
+    * BOTH sides, so the engines agree on NULL components instead of one
+    * erroring while the other nulls silently (ADVICE r7). Magnitude bound: |C·v| ≤ D·max|c|·S
     * ≈ 4·10²² at sf0.1 — inside DECIMAL(38,0) and HUGEINT, far outside
     * BIGINT, which is why the accumulators are wide.
     *
@@ -667,7 +659,7 @@ object SimilarityQueries {
       v = w.crossJoin(broadcast(m))
         .select(col("i").as("dim"),
           (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(w) * $PowerScale) div m")).as("v"))
+            expr(s"(abs(w) * $PowerScale) div nullif(m, 0)")).as("v"))
         .localCheckpoint()
     }
     v.orderBy(col("dim"))
@@ -829,7 +821,7 @@ object SimilarityQueries {
        |  SELECT dim,
        |         (CASE WHEN w < 0 THEN -1 ELSE 1 END)
        |           * ((abs(w) * $PowerScale)
-       |              // (SELECT MAX(abs(w)) FROM w$i)) AS v
+       |              // (SELECT nullif(MAX(abs(w)), 0) FROM w$i)) AS v
        |  FROM w$i)""".stripMargin
 
   /** q31's oracle body over any (vec_id, embedding) source — also the
@@ -853,37 +845,27 @@ object SimilarityQueries {
 
   private lazy val knnBruteSql: String = bruteSqlOver("embeddings")
 
-  /** q55's oracle body — also the ANN arm of q129's recall audit. */
+  /** q55's oracle body — also the ANN arm of q129's recall audit.
+    * Centroids come from the ServeBooks-published artifact (the SAME
+    * parquet the Spark side trained and serves from), selected by the
+    * fingerprint this corpus hashes to in SQL. */
   private lazy val knnIvfSql: String = {
-    val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
-    }.mkString(",\n    ")
+    import graft.llm.ServeBooks
     s"""WITH e AS (
-       |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
-       |cents AS (
-       |  SELECT CAST(cid AS BIGINT) AS cid, cv,
-       |         sqrt(list_dot_product(cv, cv)) AS cnrm
-       |  FROM (VALUES
-       |    $centRows) t(cid, cv)),
-       |a AS (
-       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-       |         e.nrm * e.nrm
-       |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
-       |           + c.cnrm * c.cnrm AS dist
-       |  FROM e, cents c),
-       |r AS (
-       |  SELECT vec_id, embedding, nrm, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-       |  FROM a),
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings),
+       |${ServeBooks.coarseCentsCteSql},
+       |${ServeBooks.assignRankCteSql},
        |cells AS (
-       |  SELECT vec_id, embedding, nrm, cid AS cell FROM r WHERE rk = 1),
+       |  SELECT e.vec_id, e.v, e.nrm, r.cid AS cell
+       |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, embedding AS qv, nrm AS qnrm, cid AS probe
-       |  FROM r WHERE rk <= $IvfProbes AND vec_id < $QuerySetSize),
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm, r.cid AS probe
+       |  FROM e JOIN r ON e.vec_id = r.vec_id
+       |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
        |c2 AS (
        |  SELECT query_id, cells.vec_id AS neighbor_id,
-       |         list_dot_product(qv::DOUBLE[], cells.embedding::DOUBLE[])
-       |           / (qnrm * cells.nrm) AS cos
+       |         list_dot_product(qv, cells.v) / (qnrm * cells.nrm) AS cos
        |  FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id),
        |rr AS (
        |  SELECT query_id, neighbor_id, cos,
@@ -893,6 +875,7 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cos, rn FROM rr
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
   }
+
 
   private def ivfCentValuesSql: String =
     IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
@@ -1051,21 +1034,8 @@ object SimilarityQueries {
          |dims AS (
          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
          |  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)),
-         |cents AS (
-         |  SELECT CAST(cid AS BIGINT) AS cid, cv
-         |  FROM (VALUES
-         |    $ivfCentValuesSql) t(cid, cv)),
-         |a AS (
-         |  SELECT e.vec_id, c.cid,
-         |         list_dot_product(e.v, e.v)
-         |           - 2.0 * list_dot_product(e.v, c.cv)
-         |           + list_dot_product(c.cv, c.cv) AS dist
-         |  FROM e, cents c),
-         |r AS (
-         |  SELECT vec_id, cid,
-         |         CAST(row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY dist, cid) AS BIGINT) AS rk
-         |  FROM a),
+         |${graft.llm.ServeBooks.coarseCentsCteSql},
+         |${graft.llm.ServeBooks.assignRankCteSql},
          |cells AS (
          |  SELECT e.vec_id, e.v,
          |         list_transform(range(1, ${VectorOps.Dim + 1}), i ->
@@ -1106,27 +1076,31 @@ object SimilarityQueries {
          |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
     "q64_knn_ivfpq" -> {
-      import graft.llm.Pq
+      import graft.llm.{Pq, PqTrain, ServeBooks}
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (
-         |  SELECT CAST(cid AS BIGINT) AS cid, cv
-         |  FROM (VALUES
-         |    $ivfCentValuesSql) t(cid, cv)),
-         |a AS (
-         |  SELECT e.vec_id, c.cid,
-         |         list_dot_product(e.v, e.v)
-         |           - 2.0 * list_dot_product(e.v, c.cv)
-         |           + list_dot_product(c.cv, c.cv) AS dist
-         |  FROM e, cents c),
-         |r AS (
-         |  SELECT vec_id, cid,
-         |         CAST(row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY dist, cid) AS BIGINT) AS rk
-         |  FROM a),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.pqBooksCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |pqd AS (
+         |  SELECT e.vec_id, p.m, p.k, p.ck,
+         |         list_dot_product(p.ck, p.ck)
+         |           - 2.0 * list_dot_product(
+         |               list_slice(e.v, p.m * ${PqTrain.SubDim} + 1,
+         |                 (p.m + 1) * ${PqTrain.SubDim}), p.ck) AS d
+         |  FROM e, pq p),
+         |pqr AS (
+         |  SELECT vec_id, m, ck,
+         |         row_number() OVER (PARTITION BY vec_id, m
+         |              ORDER BY d, k) AS prk
+         |  FROM pqd),
+         |xh AS (
+         |  SELECT vec_id, flatten(list(ck ORDER BY m)) AS xhat
+         |  FROM pqr WHERE prk = 1 GROUP BY vec_id),
          |cells AS (
-         |  SELECT e.vec_id, e.v, ${Pq.reconstructSql("e.v")} AS xhat, r.cid AS cell
-         |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |  SELECT e.vec_id, e.v, xh.xhat, r.cid AS cell
+         |  FROM e JOIN xh ON e.vec_id = xh.vec_id
+         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
          |probes AS (
          |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
          |  FROM e JOIN r ON e.vec_id = r.vec_id

@@ -54,12 +54,19 @@ object StreamIndex {
       var lo = prior.docLo
       var hi = prior.docHi
       var head = prior.head
+      def insert(id: Long, ps: Seq[Long]) = {
+        val (below, above) = ps.span(_ <= id)
+        (below :+ id) ++ above
+      }
       rows.foreach { td =>
         df += 1
         tf += td.tf
         lo = math.min(lo, td.docId)
         hi = math.max(hi, td.docId)
-        head = (head :+ td.docId).sorted.take(HeadK)
+        // bounded maintenance (ADVICE r7): skip ids that cannot enter a
+        // full head, O(k) splice otherwise — no per-arrival re-sort
+        if (head.length < HeadK) head = insert(td.docId, head)
+        else if (td.docId < head.last) head = insert(td.docId, head.init)
       }
       if (df == prior.df) Iterator.empty
       else {

@@ -42,13 +42,16 @@ object StreamMergeSink {
       .localCheckpoint()
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getLong(0))
+    // first-batch detection is an EXISTENCE check, not a catch (r7
+    // verdict item 7): a genuine analysis error on a present target —
+    // schema drift, corrupted footer — must fail the batch loudly, not
+    // silently re-initialize the table from one batch's rows
+    val tgtPath = new org.apache.hadoop.fs.Path(target)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val existing =
-      try s.read.parquet(target).where(col("bucket").isin(touched: _*))
+      if (!fs.exists(tgtPath)) incoming.limit(0)
+      else s.read.parquet(target).where(col("bucket").isin(touched: _*))
         .select(col("docId"), col("ver"), col("op"), col("text"), col("bucket"))
-      catch { // first batch: no target yet (the two shapes Spark throws)
-        case _: org.apache.spark.sql.AnalysisException => incoming.limit(0)
-        case _: java.io.FileNotFoundException => incoming.limit(0)
-      }
     // eager: materialize the old bucket contents BEFORE overwriting them
     val merged = existing.localCheckpoint()
       .unionByName(incoming)

@@ -44,9 +44,19 @@ object StreamQuantileSketch {
       val prior = Option(state.get()).getOrElse(SketchState(0L, Seq.empty))
       var n = prior.n
       var pairs = prior.pairs
+      val ord = Ordering[(Long, Long)]
+      def insert(pair: (Long, Long), ps: Seq[(Long, Long)]) = {
+        val (below, above) = ps.span(ord.lteq(_, pair))
+        (below :+ pair) ++ above
+      }
       rows.foreach { m =>
         n += 1
-        pairs = ((m.pri, m.cents) +: pairs).sorted.take(K)
+        val pair = (m.pri, m.cents)
+        // bounded maintenance (ADVICE r7): O(1) reject for rows that
+        // cannot enter a full sample, one O(k) splice otherwise — never
+        // a full re-sort per arrival
+        if (pairs.length < K) pairs = insert(pair, pairs)
+        else if (ord.lt(pair, pairs.last)) pairs = insert(pair, pairs.init)
       }
       if (n == prior.n) Iterator.empty
       else {

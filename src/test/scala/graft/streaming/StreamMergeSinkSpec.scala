@@ -77,4 +77,33 @@ class StreamMergeSinkSpec extends SparkSpec {
       assert(live() == expected, "replaying a merged batch changed the target")
     }
   }
+
+  test("missing target initializes; a corrupt target throws, not resets") {
+    import org.apache.spark.sql.functions.max
+    val dir = Files.createTempDirectory("merge_sink_guard").toString
+    val batch = Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b"))
+      .toDF("docId", "ver", "op", "text")
+    // absent target: the existence check takes the first-batch path
+    StreamMergeSink.mergeBatch(s"$dir/fresh", 4)(batch, 0L)
+    assert(StreamMergeSink.liveView(spark, s"$dir/fresh").count() == 2)
+
+    // present-but-corrupt target (not parquet): the old catch-all would
+    // have treated this as "no target yet" and OVERWRITTEN it from one
+    // batch; r7 verdict item 7 demands it fail loudly instead
+    val corrupt = s"$dir/corrupt"
+    Files.createDirectories(java.nio.file.Paths.get(corrupt))
+    Files.writeString(java.nio.file.Paths.get(corrupt, "part-0.parquet"),
+      "this is not parquet")
+    val thrown = intercept[Throwable] {
+      StreamMergeSink.mergeBatch(corrupt, 4)(
+        batch, 1L)
+      // force the lazy read if the write path didn't already
+      spark.read.parquet(corrupt).collect()
+    }
+    assert(thrown != null)
+    assert(Files.readString(
+      java.nio.file.Paths.get(corrupt, "part-0.parquet"))
+      == "this is not parquet",
+      "a failing merge must not have clobbered the corrupt target")
+  }
 }
