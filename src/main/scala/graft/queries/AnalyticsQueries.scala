@@ -230,7 +230,7 @@ object AnalyticsQueries {
     fuseRrf(lexArm(s, dir), vecArmIvf(s, dir))
 
   /** Lexical candidate arm: q86's BM25 scoring, ranked to depth 20 —
-    * served from the RunCache postings + doc-length artifacts (q153's
+    * served from the ArtifactStore postings + doc-length artifacts (q153's
     * serve path: the term filter pushes into the artifact scan, the
     * corpus is never re-tokenized; dl is the same unfiltered-split
     * convention, postings the same non-empty-term grain, so scores are
@@ -666,11 +666,13 @@ object AnalyticsQueries {
   /** The capped near-dup edge set (doc pairs sharing ≥ 1
     * cross-doc-duplicated 8-gram, hot grams df-capped) — the graph
     * q112's census and q125's community detection both analyze.
-    * Materialized ONCE per run via [[graft.RunCache]]: the four
-    * consumers (q112/q125/q126/q128) read the same parquet instead of
-    * each re-running the gram pair join over the corpus. */
+    * Materialized ONCE per corpus via [[graft.ArtifactStore]] (the
+    * documents fingerprint keys it): consumers across this AND later
+    * runs read the same parquet instead of re-running the gram pair
+    * join over the corpus; a changed corpus rebuilds transparently. */
   private def dupEdges(s: SparkSession, dir: String): DataFrame =
-    graft.RunCache.parquetOnce(s, s"dup_edges|$dir")(buildDupEdges(s, dir))
+    graft.ArtifactStore.documentsArtifact(s, dir, "dup_edges_v1")(
+      buildDupEdges(s, dir))
 
   private def buildDupEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -796,7 +798,7 @@ object AnalyticsQueries {
     * DECIMAL(38,0).
     */
   def modularityAudit(s: SparkSession, dir: String): DataFrame = {
-    // parquet-backed via RunCache — already lineage-truncated, no
+    // parquet-backed via ArtifactStore — already lineage-truncated, no
     // localCheckpoint (which would pin the edges in executor memory)
     val edges = dupEdges(s, dir)
     val labels = lpaLabels(edges)
@@ -1018,7 +1020,7 @@ object AnalyticsQueries {
     * says volume, doc counts say spread (one hub page mirrored
     * everywhere vs broad overlap).
     *
-    * Scale shape: the edges come from the RunCache parquet (corpus
+    * Scale shape: the edges come from the ArtifactStore parquet (corpus
     * never rescanned); the two provenance lookups are broadcast joins
     * against the (doc_id, source) projection; the roll-up is one
     * partial agg over |sources|² cells. The distinct-doc counts ride
@@ -1123,7 +1125,7 @@ object AnalyticsQueries {
     * Scale shape: per round one degree partial-agg plus two semi-
     * join-shaped equi-joins, all on 8-byte node ids; the edge frame
     * only shrinks, lineage is checkpoint-truncated per round
-    * (q91/q125's discipline), and the input edges are the RunCache
+    * (q91/q125's discipline), and the input edges are the ArtifactStore
     * parquet — the corpus is never rescanned.
     */
   def kcore(s: SparkSession, dir: String): DataFrame = {
@@ -1166,7 +1168,7 @@ object AnalyticsQueries {
     * the full visited set every round. All joins carry 8-byte node ids;
     * lineage is checkpoint-truncated per round (q91/q125/q132's
     * discipline); the corpus is scanned once for seeds and never again
-    * (edges come from the RunCache parquet).
+    * (edges come from the ArtifactStore parquet).
     */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)

@@ -268,22 +268,22 @@ object CurationQueries {
     * query-term postings to the shuffle; df and avgdl are tiny aggs
     * broadcast back; the final cut is TakeOrdered.
     */
-  /** The serve-path index artifacts behind q153 (RunCache, the dupEdges
-    * idiom): the FULL postings frame (term, doc_id, tf — what q151's
-    * build sorts and summarizes) and the doc-length norm table, built
-    * once per run from one corpus pass each, then read from parquet by
-    * every scorer. dl is size(w) over the UNFILTERED whitespace split —
+  /** The serve-path index artifacts behind q153 (ArtifactStore,
+    * documents-fingerprinted): the FULL postings frame (term, doc_id,
+    * tf — what q151's build summarizes) and the doc-length norm table,
+    * built once per CORPUS from one pass each, then read from parquet
+    * by every scorer in this and every later run. dl is size(w) over the UNFILTERED whitespace split —
     * q86's exact length convention — while postings drop empty tokens
     * (query terms are never empty, so scores cannot differ). */
   private[queries] def postingsArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.RunCache.parquetOnce(s, s"postings|$dir")(
+    graft.ArtifactStore.documentsArtifact(s, dir, "postings_v1")(
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("t"))
         .where(col("t") =!= "")
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
 
   private[queries] def doclenArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.RunCache.parquetOnce(s, s"doclens|$dir")(
+    graft.ArtifactStore.documentsArtifact(s, dir, "doclens_v1")(
       Tables.documents(s, dir)
         .select(col("doc_id"), size(toks).cast(LongType).as("dl")))
 
@@ -298,11 +298,17 @@ object CurationQueries {
     * by reading 3 terms' row groups, zero tokenization, zero full-text
     * I/O. q86 keeps the from-scratch plan as this query's control arm.
     */
-  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
-    val lens = doclenArtifact(s, dir)
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame =
+    bm25Over(doclenArtifact(s, dir), postingsArtifact(s, dir))
+
+  /** q86's exact scoring over EXPLICIT index artifacts — shared by q153
+    * (the ArtifactStore postings) and the stream-compacted index
+    * (graft.streaming.StreamIndexCompact), whose spec proves both
+    * serve identically. */
+  private[graft] def bm25Over(lens: DataFrame, postingsAll: DataFrame): DataFrame = {
     val stats = lens.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl"))
-    val postings = postingsArtifact(s, dir)
+    val postings = postingsAll
       .where(col("t").isin(QueryTerms: _*))
       .select(col("doc_id"), col("t"), col("tf"))
     val dfreq = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -649,8 +655,7 @@ object CurationQueries {
         coalesce(sum(col("cohab")), lit(0L)).as("n_total"))
       .select(lit("4_pack_cohabitants").as("artifact"),
         col("n_affected"), col("n_total"))
-    val edges = graft.RunCache.parquetOnce(s, s"q27_pairs|$dir")(
-        DedupQueries.minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
+    val edges = DedupQueries.minhashPairsArtifact(s, dir)
       .agg(coalesce(sum(when(
           isTakedown(col("doc_a")) =!= isTakedown(col("doc_b")), 1L)
           .otherwise(0L)), lit(0L)).as("n_affected"),

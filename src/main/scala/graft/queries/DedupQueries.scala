@@ -168,13 +168,20 @@ object DedupQueries {
     * shared with q141, which re-aggregates them and must not inherit a
     * useless mid-plan global order. Only graph-member docs appear;
     * consumers treat absent docs as singleton components. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    // q27's pair join materialized once per run (RunCache): the edge
-    // list is parquet-backed, so the Gate count below and both cluster
-    // branches read files instead of re-running the minhash pipeline —
-    // and a later bench/suite invocation of q73 reuses it outright.
-    val pairs = graft.RunCache.parquetOnce(s, s"q27_pairs|$dir")(
+  /** q27's near-dup pair list as a persistent corpus artifact
+    * (ArtifactStore, documents fingerprint): built once per corpus,
+    * shared by q73's clustering, q139's leakage audit, q142's LSH
+    * audit, q144's cascade, and q156's source matrix. */
+  private[queries] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "minhash_pairs_v1")(
       minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    // q27's pair join materialized once per CORPUS (ArtifactStore):
+    // the edge list is parquet-backed, so the Gate count below and both
+    // cluster branches read files instead of re-running the minhash
+    // pipeline — and any later run over the same corpus reuses it.
+    val pairs = minhashPairsArtifact(s, dir)
     // The near-dup GRAPH is orders of magnitude smaller than the corpus
     // (only docs with a >= 0.5-Jaccard partner). Below ~1M edges the
     // distributed fixpoint is pure scheduling overhead — solve the
@@ -203,7 +210,7 @@ object DedupQueries {
     * near-dup graph count as singleton clusters, so every corpus row
     * is accounted for: Σ n_docs == corpus size.
     *
-    * Scale shape: the labels are the RunCache-backed q73 plan (the
+    * Scale shape: the labels are the ArtifactStore-backed q73 plan (the
     * edge parquet is read, not recomputed); the docs↔labels equi-join
     * shuffles 16-byte (id, comp) pairs against the slim (doc_id,
     * n_chars) projection; both rollups partial-aggregate —
@@ -248,7 +255,7 @@ object DedupQueries {
     *
     * All thresholding and bucketing is exact integer arithmetic
     * (j ≥ 0.5 ⇔ 3c ≥ na+nb; bucket = 20c div u) — no float boundary
-    * can disagree cross-engine. The LSH arm reads the RunCache edge
+    * can disagree cross-engine. The LSH arm reads the ArtifactStore edge
     * parquet q73/q141 share (free after the first graph query of the
     * run); the brute arm is the audit's intrinsic cost, and at 100 TB
     * it is the part you'd sample — the engine-side plan stays one
@@ -268,9 +275,7 @@ object DedupQueries {
       .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
       .select(col("doc_a"), col("doc_b"),
         expr("(20 * c) div (sa.n + sb.n - c)").as("j_bucket"))
-    val found = graft.RunCache.parquetOnce(s, s"q27_pairs|$dir")(
-        minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
-      .withColumn("f", lit(1L))
+    val found = minhashPairsArtifact(s, dir).withColumn("f", lit(1L))
     ex.join(found, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("j_bucket"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -293,7 +298,7 @@ object DedupQueries {
     * identically with no struct-comparator semantics in play (DuckDB
     * arg_max over a struct key is unsupported) and the aggregation
     * stays a partial-agg — no window, no sort before the presentation
-    * ORDER BY. Labels come from the RunCache-backed q73 plan (the
+    * ORDER BY. Labels come from the ArtifactStore-backed q73 plan (the
     * edge parquet is read, not recomputed); the docs↔labels join
     * shuffles 8-byte ids against the slim (doc_id, n_tok) projection.
     */

@@ -188,7 +188,7 @@ object TextStatsQueries {
     * bit-exact double division. Top-3 terms per document. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.documents(s, dir).count() // metadata-only parquet count
-    // the RunCache postings artifact IS the (doc_id, term, tf) frame
+    // the ArtifactStore postings artifact IS the (doc_id, term, tf) frame
     // this query used to rebuild by re-tokenizing the corpus (q153's
     // serve-path discipline); its rows are distinct (doc, term) pairs,
     // so df is one further partial agg

@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.ArtifactStore
+import graft.streaming.StreamMergeSink
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The takedown cascade as an ACTION over the on-disk state (r7 verdict
+  * item 5) — q144 is the audit REPORT (how much would a takedown
+  * touch); this applies it: flagged docs are tombstoned out of the
+  * StreamMergeSink live table, scrubbed from the compacted index
+  * artifacts, and every corpus-derived ArtifactStore family is
+  * invalidated so no stale edge list or postings file keeps serving
+  * severed documents. Each leg is replay-idempotent — running the
+  * cascade twice leaves byte-identical state — because erasure
+  * pipelines re-run on failure and a cascade that double-applies is a
+  * cascade nobody dares re-run.
+  *
+  * Legs:
+  *  1. Live table: a version-superseding tombstone ('D' at ver+1) per
+  *     flagged, not-yet-deleted doc, merged through
+  *     [[StreamMergeSink.mergeBatch]] — the SAME merge path the CDC
+  *     stream uses, so ordering/replay semantics are inherited, and
+  *     the second pass finds only tombstones and writes nothing.
+  *  2. Index target ([[graft.streaming.StreamIndexCompact]] layout):
+  *     the flagged docs' postings and doc-length rows are dropped and
+  *     only their buckets rewritten (dynamic partition overwrite —
+  *     work scales with touched buckets, not the index).
+  *  3. Derived artifacts: every documents-derived ArtifactStore family
+  *     ([[DocArtifactKeys]]) is invalidated for this corpus's
+  *     fingerprint — the edge lists and postings were pure functions
+  *     of a corpus that no longer exists, so they must die with it;
+  *     the next consumer rebuilds from the post-takedown corpus.
+  */
+object TakedownApply {
+
+  /** The documents-derived artifact families a takedown invalidates. */
+  val DocArtifactKeys: Seq[String] =
+    Seq("minhash_pairs_v1", "dup_edges_v1", "postings_v1", "doclens_v1")
+
+  /** Leg 1: tombstone flagged docs in the merge target. Returns the
+    * number of newly tombstoned docs (0 on a re-run — idempotent). */
+  def tombstoneMerged(s: SparkSession, target: String, buckets: Int,
+                      flagged: Seq[Long]): Long = {
+    val live = s.read.parquet(target)
+      .where(col("docId").isin(flagged: _*) && col("op") =!= "D")
+      .groupBy(col("docId")).agg(max(col("ver")).as("ver"))
+      .select(col("docId"), (col("ver") + 1L).as("ver"),
+        lit("D").as("op"), lit("").as("text"))
+      .localCheckpoint()
+    val n = live.count()
+    if (n > 0) StreamMergeSink.mergeBatch(target, buckets)(live, -1L)
+    n
+  }
+
+  /** Leg 2: drop flagged docs from the compacted index target,
+    * rewriting only the buckets that held them. */
+  def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    Seq("postings", "doclens").foreach { sub =>
+      val path = s"$target/$sub"
+      val tgtPath = new org.apache.hadoop.fs.Path(path)
+      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(tgtPath)) {
+        val all = s.read.parquet(path)
+        // partition-column inference reads `bucket` back as INT —
+        // normalize to long before collecting
+        val touched = all.where(col("doc_id").isin(flagged: _*))
+          .select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (touched.nonEmpty) {
+          val remaining = all.where(col("bucket").isin(touched: _*) &&
+              !col("doc_id").isin(flagged: _*))
+            .localCheckpoint()
+          remaining.write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(path)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // written frame — a bucket whose every row was flagged writes
+          // no rows, so its old files must be dropped explicitly
+          val kept = remaining.select(col("bucket").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          touched.filterNot(kept).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true)
+          }
+        }
+      }
+    }
+
+  /** Leg 3: invalidate every documents-derived artifact family for the
+    * corpus at `dir` (they encode pre-takedown content). */
+  def invalidateArtifacts(s: SparkSession, dir: String,
+                          keys: Seq[String] = DocArtifactKeys): Unit = {
+    val fp = ArtifactStore.documentsFp(s, dir)
+    keys.foreach(ArtifactStore.invalidate(_, fp))
+  }
+
+  /** The full cascade over a deployment's state. Any leg whose target
+    * does not apply can be skipped by passing None/Nil. */
+  def cascade(s: SparkSession, flagged: Seq[Long],
+              mergeTarget: Option[String] = None, mergeBuckets: Int = 16,
+              indexTarget: Option[String] = None,
+              corpusDir: Option[String] = None): Unit = {
+    mergeTarget.foreach(tombstoneMerged(s, _, mergeBuckets, flagged))
+    indexTarget.foreach(scrubIndex(s, _, flagged))
+    corpusDir.foreach(invalidateArtifacts(s, _))
+  }
+}

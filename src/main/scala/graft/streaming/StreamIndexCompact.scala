@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
+
+/** The batch/stream index halves MEETING ON DISK (r7 verdict item 4):
+  * [[StreamIndex]] maintains the bounded per-term METADATA; this
+  * foreachBatch compaction (StreamMergeSink's idiom) maintains the
+  * SERVE artifacts — the full postings (doc_id, t, tf) and doc-length
+  * frames in exactly the shape q153's scorer reads — so a long-running
+  * ingest keeps a live index that `CurationQueries.bm25Over` serves
+  * from identically to the batch-built ArtifactStore postings
+  * (StreamIndexCompactSpec proves postings, lengths, and the scored
+  * top-10 all agree).
+  *
+  * Per micro-batch: arriving docs tokenize row-locally with batch
+  * q151/q153's exact whitespace split (postings drop empty tokens,
+  * lengths count the unfiltered split — q86's length convention),
+  * bucket by doc_id, eagerly load ONLY the touched buckets of the
+  * existing targets, dedup per key, and rewrite just those buckets
+  * with dynamic partition overwrite.
+  *
+  * Idempotence: the delivery contract is StreamIndex's — each doc
+  * arrives whole, append-only corpus — so a REDELIVERED doc re-derives
+  * byte-identical rows and the per-key max() dedup leaves the bucket
+  * unchanged; checkpoint replay after restart is a no-op rewrite.
+  * Scale posture: per batch the work is the touched buckets' size, not
+  * the index; the term-pruned q153 read path is untouched (the `In`
+  * filter still pushes into the parquet scan).
+  */
+object StreamIndexCompact {
+
+  /** Merge one batch of (doc_id, text) docs into the index target. */
+  def compactBatch(target: String, buckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val docs = batch
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+      .localCheckpoint()
+    val newPostings = docs
+      .select(col("doc_id"), col("bucket"), explode(col("w")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("bucket"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val newLens = docs
+      .select(col("doc_id"), col("bucket"),
+        size(col("w")).cast(LongType).as("dl"))
+    val touched = docs.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+
+    def merge(sub: String, incoming: DataFrame, keys: Seq[String],
+              valueCol: String): Unit = {
+      val path = s"$target/$sub"
+      val tgtPath = new org.apache.hadoop.fs.Path(path)
+      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // existence check, not a catch — StreamMergeSink's r7 discipline
+      val existing =
+        if (!fs.exists(tgtPath)) incoming.limit(0)
+        else s.read.parquet(path).where(col("bucket").isin(touched: _*))
+          .select(incoming.columns.map(col): _*)
+      val groupCols = col("bucket") +: keys.map(col)
+      existing.localCheckpoint()
+        .unionByName(incoming)
+        .groupBy(groupCols: _*)
+        .agg(max(col(valueCol)).as(valueCol))
+        .select(incoming.columns.map(col): _*)
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    }
+    merge("postings", newPostings, Seq("doc_id", "t"), "tf")
+    merge("doclens", newLens, Seq("doc_id"), "dl")
+  }
+
+  /** docs(doc_id, text) stream → continuously compacted index target. */
+  def start(docs: DataFrame, target: String, checkpoint: String,
+            buckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(compactBatch(target, buckets) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The compacted artifacts in the exact frames bm25Over consumes. */
+  def postings(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
+    s.read.parquet(s"$target/postings").select(col("doc_id"), col("t"), col("tf"))
+
+  def doclens(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
+    s.read.parquet(s"$target/doclens").select(col("doc_id"), col("dl"))
+}

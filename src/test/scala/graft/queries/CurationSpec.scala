@@ -405,7 +405,7 @@ class CurationSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("documents.parquet"),
       "serve path must read the artifacts, not the corpus")
-    assert(p.contains("graft_runcache"), "artifact scan missing from plan")
+    assert(p.contains("postings_v1"), "artifact scan missing from plan")
     assert(p.contains("In(t, [fast,spark,table])") || p.contains("In(t"),
       s"query-term filter must push into the postings artifact scan")
   }
