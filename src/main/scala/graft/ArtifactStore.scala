@@ -167,6 +167,34 @@ object ArtifactStore {
                        (build: => DataFrame): DataFrame =
     parquetOnce(s, key, documentsFp(s, dir))(build).drop("fp")
 
+  /** Janitor: keep the `keep` most recently PUBLISHED fingerprints of
+    * `key`, delete the rest (manifest write time orders publications).
+    * Corpus versions accumulate one fp dir per regeneration; a
+    * retention of a few generations covers concurrent readers of the
+    * previous corpus while bounding disk. NOT auto-invoked — deletion
+    * under a live reader is an operator's call, so this is the
+    * explicit janitor-job API (same posture as compaction q120).
+    * Returns the deleted fingerprint dirs. */
+  def gcKeepLatest(key: String, keep: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(root, key)
+    if (!Files.isDirectory(base)) return Seq.empty
+    val kids = Files.list(base)
+    val fps =
+      try kids.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("fp-") &&
+          Files.exists(p.resolve("manifest.json")))
+        .sortBy(p =>
+          Files.getLastModifiedTime(p.resolve("manifest.json")).toMillis)
+      finally kids.close()
+    val doomed = fps.dropRight(keep)
+    doomed.foreach { p =>
+      memo.remove(p.toString)
+      deleteRecursively(p)
+    }
+    doomed.map(_.getFileName.toString)
+  }
+
   /** Drop a published artifact (the takedown-cascade invalidation
     * path): removes the fp dir and the in-process memo entry so the
     * next consumer rebuilds from the live corpus. */

@@ -44,22 +44,28 @@ object ServeBooks {
   private val coarseMemo = new ConcurrentHashMap[String, Array[Array[Double]]]()
   private val pqMemo = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
+  /** The published coarse-book artifact ROWS (cid, dim, cval) —
+    * trains+publishes on first touch per corpus; also the frame q159's
+    * drift audit reads. */
+  def coarseFrame(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    ArtifactStore.parquetOnce(s, CoarseKey, fp) {
+      import s.implicits._
+      val (books, _) = PqTrain.train(s, dir, Rounds, 1, VectorOps.Dim, CoarseCells)
+      (for { k <- 0 until CoarseCells; d <- 0 until VectorOps.Dim }
+        yield (k.toLong, (d + 1).toLong, books(0)(k)(d)))
+        .toDF("cid", "dim", "cval")
+    }.select(col("cid"), col("dim"), col("cval"))
+  }
+
   /** Trained coarse codebook for the corpus at `dir`: cents(cid) is a
-    * 64-dim centroid. Trains+publishes on first touch per corpus,
-    * collects FROM the published parquet (the exact doubles the oracle
-    * reads). */
+    * 64-dim centroid — collected FROM the published parquet (the exact
+    * doubles the oracle reads), memoized as model state. */
   def coarse(s: SparkSession, dir: String): Array[Array[Double]] = {
     val fp = ArtifactStore.embeddingsFp(s, dir)
     coarseMemo.computeIfAbsent(s"$dir|$fp", _ => {
-      val df = ArtifactStore.parquetOnce(s, CoarseKey, fp) {
-        import s.implicits._
-        val (books, _) = PqTrain.train(s, dir, Rounds, 1, VectorOps.Dim, CoarseCells)
-        (for { k <- 0 until CoarseCells; d <- 0 until VectorOps.Dim }
-          yield (k.toLong, (d + 1).toLong, books(0)(k)(d)))
-          .toDF("cid", "dim", "cval")
-      }
       val cents = Array.ofDim[Double](CoarseCells, VectorOps.Dim)
-      df.select(col("cid"), col("dim"), col("cval")).collect().foreach { r =>
+      coarseFrame(s, dir).collect().foreach { r =>
         cents(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2)
       }
       cents
@@ -108,6 +114,12 @@ object ServeBooks {
     cents.toSeq.map { c =>
       lit(c2(c)) - lit(2.0) * VectorOps.dot(v, array(c.map(lit(_)): _*))
     }
+
+  /** The assignment's own score value — min over the per-cell scores;
+    * adding dot(v, v) back yields the exact L2² to the assigned
+    * centroid (q158's health metric, free with the argmin). */
+  def minScore(cents: Array[Array[Double]], v: Column): Column =
+    array_min(array(scores(cents, v): _*))
 
   /** Nearest-cell id as a row-local expression — argmin over the
     * broadcast-as-literals book, first index on ties (= ORDER BY score,

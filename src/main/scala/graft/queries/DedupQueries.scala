@@ -558,6 +558,35 @@ object DedupQueries {
     pairCounts.crossJoin(leakyTest)
   }
 
+  /** q160 — split VOCABULARY-drift audit: per term, the token
+    * occurrences falling in each of q138's frozen splits, with the
+    * split token totals riding along (rates and a chi-square are the
+    * consumer's divisions — q118/q136's exact-integer convention).
+    * q138 proves the splits are SIZE-balanced and q139 that they do
+    * not leak; this is the third eval-integrity leg — that the
+    * held-out splits sample the same LANGUAGE as train (a term whose
+    * mass sits wholly in one split means eval perplexity measures
+    * vocabulary luck, not model quality).
+    *
+    * Scale shape: one scan, row-local split hash + tokenize, ONE
+    * partial-aggregated groupBy into |vocab| rows of three count
+    * monoids; the totals are a 1-row broadcast combine.
+    */
+  def splitVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val t = Tables.documents(s, dir)
+      .select(splitName.as("split"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+    val counts = t.groupBy(col("term"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val tot = counts.agg(sum(col("n_train")).as("tot_train"),
+      sum(col("n_val")).as("tot_val"), sum(col("n_test")).as("tot_test"))
+    counts.crossJoin(broadcast(tot))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_containment"      -> containment,
     "q24_dedup_exact"      -> dedupExact,
@@ -573,6 +602,7 @@ object DedupQueries {
     "q142_lsh_audit"       -> lshAudit,
     "q76_decontaminate"    -> decontaminate,
     "q138_split_manifest"  -> splitManifest,
+    "q160_split_vocab_drift" -> splitVocabDrift,
     "q139_split_leakage"   -> splitLeakage
   )
 
@@ -723,6 +753,29 @@ object DedupQueries {
          |         AS minid_agrees
          |FROM m GROUP BY comp ORDER BY comp""".stripMargin,
 
+    "q160_split_vocab_drift" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |              ELSE 'test' END AS split, t AS term
+        |  FROM (
+        |    SELECT ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT
+        |             % 10 AS b,
+        |           unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |c AS (
+        |  SELECT term,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+        |  FROM d GROUP BY term),
+        |tot AS (
+        |  SELECT sum(n_train)::BIGINT AS tot_train,
+        |         sum(n_val)::BIGINT AS tot_val,
+        |         sum(n_test)::BIGINT AS tot_test
+        |  FROM c)
+        |SELECT term, n_train, n_val, n_test, tot_train, tot_val, tot_test
+        |FROM c CROSS JOIN tot ORDER BY term""".stripMargin,
     "q138_split_manifest" ->
       """WITH b AS (
         |  SELECT lang, source, n_chars,

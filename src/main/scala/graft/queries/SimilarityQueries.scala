@@ -787,6 +787,130 @@ object SimilarityQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q158 — IVF index-health audit over the SERVE artifact: per
+    * trained cell, the member count and the DECIMAL-stable sum of
+    * exact L2² assignment distances (mean = dist_sum / n_members is
+    * the consumer's division). This is the dashboard an ANN rollout
+    * watches: dead cells (n_members = 0 — wasted probe budget),
+    * oversized cells (candidate-stage hotspots), and rising mean
+    * distance (the corpus drifting away from the codebook — the
+    * retrain trigger). Every cell appears, INCLUDING empty ones: a
+    * health audit blind to dead cells reads "healthy" exactly when
+    * the index is degenerate.
+    *
+    * Scale shape: assignment is the row-local literal-argmin of the
+    * serve path (no join, no window); the exact distance is
+    * dot(v,v) + min-score (the argmin's own value, no recompute);
+    * ONE partial agg into ≤32 rows; the dense cell frame is a 32-row
+    * broadcast left join.
+    */
+  def ivfHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ServeBooks
+    val book = ServeBooks.coarse(s, dir)
+    val e = vecs(s, dir)
+    val assigned = e.select(
+        ServeBooks.cell(book, col("v")).as("cid"),
+        (VectorOps.dot(col("v"), col("v")) +
+          ServeBooks.minScore(book, col("v"))).as("dist"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(18,9)")).as("ds"))
+    val frame = book.indices.map(_.toLong).toDF("cid")
+    broadcast(frame).join(assigned, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("ds"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(18,9)")).cast("double").as("dist_sum"))
+      .orderBy(col("cid"))
+  }
+
+  /** q159 — codebook-drift audit: per cell, the scaled L2² distance
+    * between the FROZEN reference snapshot (graft.llm.IvfCodebook —
+    * what the curation queries and stream-start state are pinned to)
+    * and the freshly TRAINED serve book (the ServeBooks artifact) —
+    * the "how far has the corpus moved since the deployed snapshot"
+    * number that decides when the pinned consumers re-freeze. Integer
+    * end to end (q116's convention): each squared component is
+    * floored at the 10¹² quantum from bit-identical doubles, so no
+    * float sum crosses engines.
+    *
+    * Scale shape: corpus-free — 32×64 artifact rows join a 2,048-row
+    * literal frame; the only scan is the tiny codebook parquet.
+    */
+  def codebookDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ServeBooks
+    val trained = ServeBooks.coarseFrame(s, dir)
+    val ref = (for {
+      k <- IvfCodebook.centroids.indices; d <- 0 until VectorOps.Dim
+    } yield (k.toLong, (d + 1).toLong, IvfCodebook.centroids(k)(d)))
+      .toDF("cid", "dim", "rval")
+    trained.join(broadcast(ref), Seq("cid", "dim"))
+      .select(col("cid"),
+        floor((col("rval") - col("cval")) * (col("rval") - col("cval"))
+          * lit(1000000000000.0)).cast(LongType).as("d2"))
+      .groupBy(col("cid"))
+      .agg(sum(col("d2")).as("drift_scaled"), count(lit(1)).as("n_dims"))
+      .orderBy(col("cid"))
+  }
+
+  /** Probe budgets for q161's recall curve — the q55 dial swept. */
+  private val ProbeBudgets = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** q161 — the IVF probe-budget RECALL CURVE: recall@K of the q55
+    * index against brute truth at every probe budget in
+    * [[ProbeBudgets]], in one query — the tuning artifact behind
+    * q55's "8 probes" dial (q142 is the same artifact for the LSH
+    * bands). Emits (n_probes, hits, denom): corpus recall at budget p
+    * is hits/denom, the consumer's division. Because a vector lives in
+    * exactly one cell, its admission rank is the rank of that cell in
+    * the query's probe order, so ONE assignment pass serves every
+    * budget — the curve costs one candidate enumeration plus six
+    * bounded re-ranks, not six index runs.
+    *
+    * Scale shape: assignment and probe ranks are the serve path's
+    * row-local expressions; the admitted-candidate frame is the q55
+    * join at its widest budget; each budget re-ranks a filter of that
+    * frame inside per-(budget, query) windows (bounded query set), and
+    * the brute arm is q31's documented gated baseline.
+    */
+  def probeCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.ServeBooks
+    val book = ServeBooks.coarse(s, dir)
+    val e = vecs(s, dir)
+    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
+      ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        posexplode(ServeBooks.probeCells(book, ServeBooks.CoarseCells,
+          col("v"))).as(Seq("p0", "probe")))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        (col("p0") + 1).cast(LongType).as("arank"), col("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val adm = probes.join(cells,
+        col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos.as("cos"), col("arank"))
+    val budgets = ProbeBudgets.toDF("n_probes")
+    val w = Window.partitionBy(col("n_probes"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val ivfTop = adm.crossJoin(broadcast(budgets))
+      .where(col("arank") <= col("n_probes"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("n_probes"), col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+      .crossJoin(broadcast(budgets))
+    brute.join(ivfTop, Seq("n_probes", "query_id", "neighbor_id"), "left")
+      .groupBy(col("n_probes"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("denom"))
+      .orderBy(col("n_probes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_prefix_recall" -> prefixRecall,
     "q106_int8_quantize" -> int8Quantize,
@@ -806,6 +930,9 @@ object SimilarityQueries {
     "q64_knn_ivfpq"     -> knnIvfPq,
     "q113_knn_ivf_int8" -> knnIvfInt8,
     "q148_pq_train" -> ((s, dir) => graft.llm.PqTrain.pqTrainQuery(s, dir)),
+    "q158_ivf_health" -> ivfHealth,
+    "q159_codebook_drift" -> codebookDrift,
+    "q161_probe_curve" -> probeCurve,
     "q154_ivf_train" -> ((s, dir) => graft.llm.IvfTrain.ivfTrainQuery(s, dir))
   )
 
@@ -1187,6 +1314,100 @@ object SimilarityQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q55_knn_ivf" -> knnIvfSql,
+
+    // q161: probe ranks come straight from the assignment CTE's rk
+    // (the probe order IS the assignment order); six budgets re-rank
+    // the admitted frame, brute truth is q31's oracle body
+    "q161_probe_curve" -> {
+      import graft.llm.ServeBooks
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+         |  FROM embeddings),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |cells AS (
+         |  SELECT e.vec_id, e.v, e.nrm, r.cid AS cell
+         |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |qprobes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+         |         r.rk AS arank, r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE e.vec_id < $QuerySetSize),
+         |adm AS (
+         |  SELECT query_id, cells.vec_id AS neighbor_id,
+         |         list_dot_product(qv, cells.v) / (qnrm * cells.nrm) AS cos,
+         |         arank
+         |  FROM qprobes JOIN cells
+         |    ON probe = cell AND cells.vec_id <> query_id),
+         |budgets AS (
+         |  SELECT CAST(unnest([${ProbeBudgets.mkString(", ")}]) AS BIGINT)
+         |    AS n_probes),
+         |ivf AS (
+         |  SELECT n_probes, query_id, neighbor_id FROM (
+         |    SELECT b.n_probes, a.query_id, a.neighbor_id,
+         |           row_number() OVER (PARTITION BY b.n_probes, a.query_id
+         |                ORDER BY a.cos DESC, a.neighbor_id) AS rn
+         |    FROM adm a CROSS JOIN budgets b
+         |    WHERE a.arank <= b.n_probes)
+         |  WHERE rn <= $K),
+         |brute AS ($knnBruteSql)
+         |SELECT b.n_probes, count(i.neighbor_id)::BIGINT AS hits,
+         |       count(*)::BIGINT AS denom
+         |FROM (SELECT bb.n_probes, br.query_id, br.neighbor_id
+         |      FROM brute br CROSS JOIN budgets bb) b
+         |LEFT JOIN ivf i
+         |  ON i.n_probes = b.n_probes AND i.query_id = b.query_id
+         |     AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.n_probes
+         |ORDER BY b.n_probes""".stripMargin
+    },
+
+    // q158: same artifact cents + assignment CTEs as q55; dist is the
+    // argmin's own score plus dot(v,v), DECIMAL-summed per cell over a
+    // dense 32-cell frame (empty cells report 0)
+    "q158_ivf_health" -> {
+      import graft.llm.ServeBooks
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |asg AS (
+         |  SELECT a.vec_id, a.cid,
+         |         list_dot_product(e.v, e.v) + a.score AS dist
+         |  FROM a
+         |  JOIN r ON a.vec_id = r.vec_id AND a.cid = r.cid AND r.rk = 1
+         |  JOIN e ON e.vec_id = a.vec_id),
+         |agg AS (
+         |  SELECT cid, count(*)::BIGINT AS n_members,
+         |         sum(CAST(dist AS DECIMAL(18,9))) AS ds
+         |  FROM asg GROUP BY cid)
+         |SELECT c.cid, coalesce(n_members, 0)::BIGINT AS n_members,
+         |       CAST(coalesce(ds, 0) AS DOUBLE) AS dist_sum
+         |FROM (SELECT DISTINCT cid FROM cents) c
+         |LEFT JOIN agg ON c.cid = agg.cid
+         |ORDER BY c.cid""".stripMargin
+    },
+
+    // q159: frozen reference literals vs the trained artifact, squared
+    // component differences floored at the 1e-12 quantum (q116's
+    // integer convention) so no float sum crosses engines
+    "q159_codebook_drift" -> {
+      import graft.llm.ServeBooks
+      s"""WITH ref AS (
+         |  SELECT CAST(cid AS BIGINT) AS cid, cv
+         |  FROM (VALUES
+         |    $ivfCentValuesSql) t(cid, cv)),
+         |${ServeBooks.coarseCentsCteSql.replace("cents AS", "trained AS")}
+         |SELECT ref.cid,
+         |       list_sum(list_transform(range(1, ${VectorOps.Dim + 1}), i ->
+         |         CAST(floor((ref.cv[i] - trained.cv[i])
+         |                    * (ref.cv[i] - trained.cv[i])
+         |                    * 1000000000000.0) AS BIGINT)))::BIGINT
+         |         AS drift_scaled,
+         |       CAST(${VectorOps.Dim} AS BIGINT) AS n_dims
+         |FROM ref JOIN trained ON ref.cid = trained.cid
+         |ORDER BY ref.cid""".stripMargin
+    },
 
     // q129: both arms are the EXACT q31/q55 oracle texts, nested as
     // CTE subqueries (their own WITHs scope locally) — the audit is

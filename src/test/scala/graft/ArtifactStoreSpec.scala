@@ -82,6 +82,25 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(builds == 2)
   }
 
+  test("gcKeepLatest retains the newest fingerprints, deletes the rest") {
+    val key = freshKey("gc")
+    (1L to 4L).foreach { fp =>
+      ArtifactStore.parquetOnce(spark, key, fp)(Seq(fp).toDF("v")).collect()
+      // distinct publication times so retention order is well-defined
+      Thread.sleep(15)
+    }
+    val deleted = ArtifactStore.gcKeepLatest(key, 2)
+    assert(deleted.toSet == Set("fp-1", "fp-2"), s"deleted: $deleted")
+    assert(!Files.exists(Paths.get(ArtifactStore.root, key, "fp-1")))
+    assert(Files.exists(Paths.get(ArtifactStore.root, key, "fp-4")))
+    // a GC'd fingerprint rebuilds transparently on next touch
+    var rebuilt = false
+    ArtifactStore.parquetOnce(spark, key, 1L) {
+      rebuilt = true; Seq(1L).toDF("v")
+    }.collect()
+    assert(rebuilt, "a collected fingerprint must rebuild on demand")
+  }
+
   test("embeddings fingerprint is corpus-sensitive and stable") {
     val a = ArtifactStore.embeddingsFp(spark, sfDir)
     val b = ArtifactStore.embeddingsFp(spark, sfDir)
