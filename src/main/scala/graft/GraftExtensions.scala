@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, DotProduct, Hash60Expr, Kmv, MisraGries, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Kmv, MisraGries, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -27,6 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (children: Seq[Expression]) => BpeEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_tbl"),
+      new ExpressionInfo(classOf[BpeEncodeTbl].getName, "graft_bpe_tbl"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_bpe_tbl takes (token, spec STRING literal), got ${children.length} args")
+        val spec = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_bpe_tbl spec must be a STRING literal, got $other")
+        }
+        BpeEncodeTbl(children.head, spec)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_mg_candidates"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_mg_candidates"),

@@ -40,3 +40,43 @@ case class BpeEncode(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }
+
+/** `graft_bpe_tbl(token, spec)` — BPE encoding with an EXPLICIT merge
+  * table carried in the plan (spec = a STRING literal of "lhs rhs"
+  * lines, Bpe.toSpec's wire format). This is the serve half of the
+  * BPE train→apply loop: q99 builds the spec from the
+  * ArtifactStore-published table BpeTrain produced, and because the
+  * table rides the expression (addReferenceObj — serialized with the
+  * plan, parsed once), the SAME plan is correct on a 1000-executor
+  * cluster, not just one JVM. BloomProbe's literal-argument pattern.
+  */
+case class BpeEncodeTbl(child: Expression, spec: String)
+  extends UnaryExpression {
+
+  @transient private lazy val table: Bpe.Table = Bpe.parseSpec(spec)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_tbl expects string, got $t")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_bpe_tbl"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Bpe.encodeJoinedWith(input.asInstanceOf[UTF8String].toString, table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.llm.Bpe.encodeJoinedWith($c.toString(), $ref))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTbl =
+    copy(child = newChild)
+}

@@ -1,14 +1,14 @@
 package graft.llm
 
-/** Frozen BPE merge table: 64 merges trained on the sf0.01
-  * documents table (scripts/train_bpe_merges.py — standard BPE
-  * induction, Sennrich et al. 2016: per round, merge the corpus-wide
-  * most frequent adjacent symbol pair; deterministic tie-break). The
-  * FIRST entry is by construction q97_bpe_pairs' top-1 merge
-  * candidate; q99_bpe_apply applies the whole table. Frozen to
-  * literals (IvfCodebook precedent) so the apply step is a pure
-  * deterministic function both engines and every spec agree on.
-  * Regenerate with the script if the testdata changes.
+/** FROZEN REFERENCE BPE merge table: 64 merges trained on the sf0.01
+  * documents table (standard BPE induction, Sennrich et al. 2016: per
+  * round, merge the corpus-wide most frequent adjacent symbol pair;
+  * deterministic tie-break). The FIRST entry is by construction
+  * q97_bpe_pairs' top-1 merge candidate. Kept as the pinned snapshot
+  * BpeTrainSpec proves the distributed trainer reproduces; the APPLY
+  * path (q99) serves the in-engine-trained [[BpeServe]] artifact
+  * instead (IvfCodebook's round-8 pattern). To regenerate this
+  * snapshot, dump `BpeTrain.train(s, dir, rounds = 64)`.
   */
 object Bpe {
   val merges: Vector[(String, String)] = Vector(
@@ -123,4 +123,27 @@ object Bpe {
     * return shape (tokens are whitespace-split upstream, so ' ' can
     * never occur inside a piece). */
   def encodeJoined(token: String): String = encode(token).mkString(" ")
+
+  /** A parsed merge table as one serializable value — what the
+    * table-parameterized expression ships to executors. */
+  final case class Table(rank: Map[(String, String), Int],
+                         tbl: Vector[(String, String)]) extends Serializable
+
+  /** Wire format for a merge table inside a plan literal: one
+    * "lhs rhs" line per merge, training order. Unambiguous because
+    * tokens are whitespace-split upstream — no piece can contain a
+    * space or newline. */
+  def toSpec(tbl: Seq[(String, String)]): String =
+    tbl.map { case (a, b) => s"$a $b" }.mkString("\n")
+
+  def parseSpec(spec: String): Table = {
+    val pairs = spec.split("\n").iterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(' ')
+      (l.substring(0, i), l.substring(i + 1))
+    }.toVector
+    Table(pairs.iterator.zipWithIndex.toMap, pairs)
+  }
+
+  def encodeJoinedWith(token: String, t: Table): String =
+    encodeWith(token, t.rank, t.tbl).mkString(" ")
 }

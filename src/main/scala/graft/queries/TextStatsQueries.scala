@@ -442,14 +442,17 @@ object TextStatsQueries {
 
   /** q99 — BPE merge-table APPLICATION, the step after q97's candidate
     * statistics: re-tokenize the corpus with graft.llm.Bpe's frozen
-    * 64-merge table (trained by scripts/train_bpe_merges.py with
-    * exactly the objective q97 ranks — its first merge IS q97's top-1
-    * pair) and emit the top-20 resulting subword pieces with counts.
+    * 64-merge table — TRAINED IN-ENGINE (graft.llm.BpeServe: BpeTrain
+    * at serve depth, published to the documents-fingerprinted
+    * ArtifactStore; its first merge IS q97's top-1 pair by the
+    * training objective) — and emit the top-20 resulting subword
+    * pieces with counts.
     * This is the sanity pass every tokenizer rollout runs: which
     * pieces dominate the corpus once the learned merges are applied.
     *
     * Scale shape: the apply is a row-local native Catalyst expression
-    * (graft_bpe, whole-stage-codegen'd — no Python workers, no
+    * (graft_bpe_tbl, whole-stage-codegen'd, the ~1 KiB trained table
+    * riding the plan as its spec literal — no Python workers, no
     * fallback); pieces shuffle as short strings into a vocab-bounded
     * (≤ alphabet² + 64 merges) key space with map-side partial
     * aggregation; the top-20 cut is TakeOrdered (q97's pattern).
@@ -462,9 +465,11 @@ object TextStatsQueries {
     * (first merge == q97's top pair at the training scale).
     */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val spec = graft.llm.BpeServe.spec(s, dir)
     val pieces = Tables.documents(s, dir)
       .select(explode(toks).as("t")).where(col("t") =!= "")
-      .select(explode(split(call_function("graft_bpe", col("t")), " "))
+      .select(explode(split(
+        call_function("graft_bpe_tbl", col("t"), lit(spec)), " "))
         .as("piece"))
     val w = Window.orderBy(col("cnt").desc, col("piece"))
     pieces.groupBy(col("piece")).agg(count(lit(1)).as("cnt"))

@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * posting gap is a property of the FULL sorted postings list, which
   * bounded state cannot carry without the arrival-order contract this
   * family refuses (StreamTransitionsV2's lesson); the batch build owns
-  * that column.
+  * that column — and since r8 even IT computes gap_max only under a
+  * df cap (NULL above — TextStatsQueries.invertedIndex), so the two
+  * halves agree that an unbounded-term gap is not a streamable (or
+  * cheaply sortable) statistic.
   *
   * Delivery contract: each document's text arrives WHOLE in exactly one
   * row, exactly once (append-only corpus ingest — the same contract the

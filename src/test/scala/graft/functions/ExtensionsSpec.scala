@@ -31,6 +31,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == "run")
   }
 
+  test("graft_bpe_tbl applies the plan-literal merge table from SQL") {
+    // table: e+r, s+t, st+er — 'stern' folds s t e r n → st er n → ster n
+    val r = spark.sql(
+      "SELECT graft_bpe_tbl('stern', 'e r\ns t\nst er') AS p")
+      .head().getString(0)
+    assert(r == "ster n", s"got '$r'")
+  }
+
   test("graft_h60 is bit-identical to the SQL md5 chain it replaces") {
     import org.apache.spark.sql.functions._
     // corpus tokens + adversarial cases: empty, unicode, separators,

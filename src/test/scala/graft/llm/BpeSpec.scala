@@ -76,17 +76,7 @@ class BpeSpec extends SparkSpec {
       "first merge must carry the maximal pair count")
   }
 
-  test("q99 output equals an independent Scala recomputation at sf0.001") {
-    val res = graft.SparkEntry.queries("q99_bpe_apply")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("text").collect()
-      .flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
-      .foreach(t => Bpe.encode(t).foreach(p =>
-        counts(p) = counts.getOrElse(p, 0L) + 1L))
-    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
-      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
-    assert(res.toSeq == expect)
-  }
+  // q99's independent-recomputation parity moved to BpeServeSpec: the
+  // apply path now serves the in-engine-trained table, so the brute arm
+  // must train live rather than reuse the frozen snapshot.
 }

@@ -166,6 +166,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q158 health audit is windowless: row-local assignment, one partial agg") {
+    val df = graft.SparkEntry.queries("q158_ivf_health")(spark, sfDir)
+    val p = plan("q158_ivf_health")
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q158 must not window — the argmin is row-local")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 && p.substring(firstExchange).contains("HashAggregate"),
+      "per-cell stats must partial-aggregate before the exchange")
+  }
+
+  test("q161 probe sweep: every window is (budget, query)-partitioned") {
+    val df = graft.SparkEntry.queries("q161_probe_curve")(spark, sfDir)
+    val partNames = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name))
+    }
+    assert(partNames.nonEmpty && partNames.forall(ns =>
+      ns.contains("query_id") || ns.contains("n_probes")),
+      s"q161 windows must stay per-(budget, query): $partNames")
+    assert(partNames.forall(!_.contains("vec_id")),
+      "no per-vector window may reappear in the sweep")
+  }
+
   test("q151 head sample is a bounded heap; the gap window is df-capped") {
     // r7 verdict item 2: a stopword-grade term must never become one
     // reducer's full-list window sort. The head rides graft_topk; the
