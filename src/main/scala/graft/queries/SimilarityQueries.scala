@@ -911,6 +911,54 @@ object SimilarityQueries {
       .orderBy(col("n_probes"))
   }
 
+  /** Exact-L2 brute top-K — the ground truth the ADC paths rank
+    * against (q64/q113's re-rank metric is L2, not cosine), in the
+    * same pure dot forms. Internal arm of q162/q163. */
+  private def knnBruteL2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val l2 = VectorOps.dot(col("qv"), col("qv")) -
+      lit(2.0) * VectorOps.dot(col("qv"), col("v")) +
+      VectorOps.dot(col("v"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), l2.as("l2"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= K)
+  }
+
+  /** q162 — the IVF-PQ rollout gate as a QUERY (q129's audit shape for
+    * the ADC arm): per query, |q64 top-K ∩ exact-L2 top-K|. Registers
+    * what AnnRecallSpec asserts as a bar — both engines must agree on
+    * every per-query hit count, proving the PQ arm, the L2 truth arm,
+    * and the intersection at once. Scale shape: q64's documented plan
+    * plus the bounded brute arm and a Q×K equi-join. */
+  def adcRecall(s: SparkSession, dir: String): DataFrame = {
+    val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
+    val i = knnIvfPq(s, dir).select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    b.join(i, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(lit(K.toLong)).as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q163 — q162 for the int8-ADC arm (q113). */
+  def int8Recall(s: SparkSession, dir: String): DataFrame = {
+    val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
+    val i = knnIvfInt8(s, dir).select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    b.join(i, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(lit(K.toLong)).as("k"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_prefix_recall" -> prefixRecall,
     "q106_int8_quantize" -> int8Quantize,
@@ -933,6 +981,8 @@ object SimilarityQueries {
     "q158_ivf_health" -> ivfHealth,
     "q159_codebook_drift" -> codebookDrift,
     "q161_probe_curve" -> probeCurve,
+    "q162_adc_recall" -> adcRecall,
+    "q163_int8_recall" -> int8Recall,
     "q154_ivf_train" -> ((s, dir) => graft.llm.IvfTrain.ivfTrainQuery(s, dir))
   )
 
@@ -1038,6 +1088,132 @@ object SimilarityQueries {
        |  FROM ad),
        |asg AS (
        |  SELECT vec_id, embedding, nrm, cid AS cell, dist FROM rk WHERE rk = 1)""".stripMargin
+
+  /** Exact-L2 brute oracle body — truth arm of q162/q163. */
+  private lazy val knnBruteL2Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id < $QuerySetSize),
+       |c AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, e.v)
+       |           + list_dot_product(e.v, e.v) AS l2
+       |  FROM q, e WHERE e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, l2,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY l2, neighbor_id) AS BIGINT) AS rn
+       |  FROM c)
+       |SELECT query_id, neighbor_id, l2, rn FROM r
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
+  /** q64's oracle body — also the ADC arm of q162's recall audit. */
+  private lazy val knnIvfPqSql: String = {
+      import graft.llm.{Pq, PqTrain, ServeBooks}
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.pqBooksCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |pqd AS (
+         |  SELECT e.vec_id, p.m, p.k, p.ck,
+         |         list_dot_product(p.ck, p.ck)
+         |           - 2.0 * list_dot_product(
+         |               list_slice(e.v, p.m * ${PqTrain.SubDim} + 1,
+         |                 (p.m + 1) * ${PqTrain.SubDim}), p.ck) AS d
+         |  FROM e, pq p),
+         |pqr AS (
+         |  SELECT vec_id, m, ck,
+         |         row_number() OVER (PARTITION BY vec_id, m
+         |              ORDER BY d, k) AS prk
+         |  FROM pqd),
+         |xh AS (
+         |  SELECT vec_id, flatten(list(ck ORDER BY m)) AS xhat
+         |  FROM pqr WHERE prk = 1 GROUP BY vec_id),
+         |cells AS (
+         |  SELECT e.vec_id, e.v, xh.xhat, r.cid AS cell
+         |  FROM e JOIN xh ON e.vec_id = xh.vec_id
+         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |probes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
+         |         ${Pq.adcSql("p.qv", "cells.xhat")} AS adc
+         |  FROM probes p JOIN cells
+         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
+         |short AS (
+         |  SELECT query_id, qv, neighbor_id, nv,
+         |         row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc, neighbor_id) AS rs
+         |  FROM c),
+         |rr AS (
+         |  SELECT query_id, neighbor_id,
+         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
+         |           + list_dot_product(nv, nv)) AS l2,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY (list_dot_product(qv, qv)
+         |                - 2.0 * list_dot_product(qv, nv)
+         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
+         |  FROM short WHERE rs <= $PqShortlist)
+         |SELECT query_id, neighbor_id, l2, rn FROM rr
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q113's oracle body — also the int8-ADC arm of q163's audit. */
+  private lazy val knnIvfInt8Sql: String =
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (
+         |  SELECT unnest(embedding)::DOUBLE AS x,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |dims AS (
+         |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)),
+         |${graft.llm.ServeBooks.coarseCentsCteSql},
+         |${graft.llm.ServeBooks.assignRankCteSql},
+         |cells AS (
+         |  SELECT e.vec_id, e.v,
+         |         list_transform(range(1, ${VectorOps.Dim + 1}), i ->
+         |           CASE WHEN mxs[i] = mns[i] THEN mns[i]
+         |                ELSE mns[i] +
+         |                  ((least(255, greatest(0,
+         |                     floor(((e.v[i] - mns[i]) * 255.0)
+         |                       / (mxs[i] - mns[i])))) + 0.5)
+         |                   * (mxs[i] - mns[i])) / 255.0
+         |           END) AS xhat,
+         |         r.cid AS cell
+         |  FROM e CROSS JOIN dims
+         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |probes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
+         |         ${graft.llm.Pq.adcSql("p.qv", "cells.xhat")} AS adc
+         |  FROM probes p JOIN cells
+         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
+         |short AS (
+         |  SELECT query_id, qv, neighbor_id, nv,
+         |         row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc, neighbor_id) AS rs
+         |  FROM c),
+         |rr AS (
+         |  SELECT query_id, neighbor_id,
+         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
+         |           + list_dot_product(nv, nv)) AS l2,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY (list_dot_product(qv, qv)
+         |                - 2.0 * list_dot_product(qv, nv)
+         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
+         |  FROM short WHERE rs <= $Int8Shortlist)
+         |SELECT query_id, neighbor_id, l2, rn FROM rr
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same affine quantization; expression shapes (parenthesization,
@@ -1151,109 +1327,31 @@ object SimilarityQueries {
 
     // int8 ADC: the dims CTE recomputes the same exact per-dim min/max
     // the Spark side collected; dequant expression shapes mirror q106
-    "q113_knn_ivf_int8" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ex AS (
-         |  SELECT unnest(embedding)::DOUBLE AS x,
-         |         generate_subscripts(embedding, 1) AS i
-         |  FROM embeddings),
-         |dims AS (
-         |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-         |  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)),
-         |${graft.llm.ServeBooks.coarseCentsCteSql},
-         |${graft.llm.ServeBooks.assignRankCteSql},
-         |cells AS (
-         |  SELECT e.vec_id, e.v,
-         |         list_transform(range(1, ${VectorOps.Dim + 1}), i ->
-         |           CASE WHEN mxs[i] = mns[i] THEN mns[i]
-         |                ELSE mns[i] +
-         |                  ((least(255, greatest(0,
-         |                     floor(((e.v[i] - mns[i]) * 255.0)
-         |                       / (mxs[i] - mns[i])))) + 0.5)
-         |                   * (mxs[i] - mns[i])) / 255.0
-         |           END) AS xhat,
-         |         r.cid AS cell
-         |  FROM e CROSS JOIN dims
-         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
-         |probes AS (
-         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
-         |  FROM e JOIN r ON e.vec_id = r.vec_id
-         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
-         |c AS (
-         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
-         |         ${graft.llm.Pq.adcSql("p.qv", "cells.xhat")} AS adc
-         |  FROM probes p JOIN cells
-         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
-         |short AS (
-         |  SELECT query_id, qv, neighbor_id, nv,
-         |         row_number() OVER (PARTITION BY query_id
-         |              ORDER BY adc, neighbor_id) AS rs
-         |  FROM c),
-         |rr AS (
-         |  SELECT query_id, neighbor_id,
-         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
-         |           + list_dot_product(nv, nv)) AS l2,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY (list_dot_product(qv, qv)
-         |                - 2.0 * list_dot_product(qv, nv)
-         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
-         |  FROM short WHERE rs <= $Int8Shortlist)
-         |SELECT query_id, neighbor_id, l2, rn FROM rr
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+    "q113_knn_ivf_int8" -> knnIvfInt8Sql,
 
-    "q64_knn_ivfpq" -> {
-      import graft.llm.{Pq, PqTrain, ServeBooks}
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${ServeBooks.coarseCentsCteSql},
-         |${ServeBooks.pqBooksCteSql},
-         |${ServeBooks.assignRankCteSql},
-         |pqd AS (
-         |  SELECT e.vec_id, p.m, p.k, p.ck,
-         |         list_dot_product(p.ck, p.ck)
-         |           - 2.0 * list_dot_product(
-         |               list_slice(e.v, p.m * ${PqTrain.SubDim} + 1,
-         |                 (p.m + 1) * ${PqTrain.SubDim}), p.ck) AS d
-         |  FROM e, pq p),
-         |pqr AS (
-         |  SELECT vec_id, m, ck,
-         |         row_number() OVER (PARTITION BY vec_id, m
-         |              ORDER BY d, k) AS prk
-         |  FROM pqd),
-         |xh AS (
-         |  SELECT vec_id, flatten(list(ck ORDER BY m)) AS xhat
-         |  FROM pqr WHERE prk = 1 GROUP BY vec_id),
-         |cells AS (
-         |  SELECT e.vec_id, e.v, xh.xhat, r.cid AS cell
-         |  FROM e JOIN xh ON e.vec_id = xh.vec_id
-         |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
-         |probes AS (
-         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
-         |  FROM e JOIN r ON e.vec_id = r.vec_id
-         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
-         |c AS (
-         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
-         |         ${Pq.adcSql("p.qv", "cells.xhat")} AS adc
-         |  FROM probes p JOIN cells
-         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
-         |short AS (
-         |  SELECT query_id, qv, neighbor_id, nv,
-         |         row_number() OVER (PARTITION BY query_id
-         |              ORDER BY adc, neighbor_id) AS rs
-         |  FROM c),
-         |rr AS (
-         |  SELECT query_id, neighbor_id,
-         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
-         |           + list_dot_product(nv, nv)) AS l2,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |              ORDER BY (list_dot_product(qv, qv)
-         |                - 2.0 * list_dot_product(qv, nv)
-         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
-         |  FROM short WHERE rs <= $PqShortlist)
-         |SELECT query_id, neighbor_id, l2, rn FROM rr
-         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
-    },
+    "q162_adc_recall" ->
+      s"""WITH brute AS ($knnBruteL2Sql),
+         |ivf AS ($knnIvfPqSql)
+         |SELECT b.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |       CAST($K AS BIGINT) AS k
+         |FROM brute b
+         |LEFT JOIN ivf i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
+
+    "q163_int8_recall" ->
+      s"""WITH brute AS ($knnBruteL2Sql),
+         |ivf AS ($knnIvfInt8Sql)
+         |SELECT b.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |       CAST($K AS BIGINT) AS k
+         |FROM brute b
+         |LEFT JOIN ivf i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
+
+    "q64_knn_ivfpq" -> knnIvfPqSql,
 
     "q30_embed_neardup" ->
       s"""WITH e AS (
