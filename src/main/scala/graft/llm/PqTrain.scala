@@ -65,6 +65,61 @@ object PqTrain {
         (0 until nSub).iterator.map(m =>
           (id, m, java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)))
       }.persist()
+    trainSub(s, sub, rounds, nSub, subDim, nCent)
+  }
+
+  /** Nearest coarse cell by the SERVE-side reduced score ||c||² − 2·v·c
+    * (ServeBooks.cell's arithmetic, strict ascending-index folds, first
+    * index on ties) — the same cell every serve expression assigns, so
+    * residual training and residual serving agree on which centroid a
+    * vector's residual is taken against. */
+  private[llm] def nearestCell(cents: Array[Array[Double]],
+                               v: Array[Double]): Int = {
+    var best = 0
+    var bs = Double.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      var dt = 0.0; var cc = 0.0; var i = 0
+      while (i < c.length) { dt += v(i) * c(i); cc += c(i) * c(i); i += 1 }
+      val sc = cc - 2.0 * dt
+      if (sc < bs) { bs = sc; best = k } // strict: ties keep min k
+      k += 1
+    }
+    best
+  }
+
+  /** RESIDUAL product-quantization training — the IVFADC fine level
+    * proper (Jégou et al. 2011 §III.C: quantize r = v − c(v), not v;
+    * residual energy is a fraction of vector energy, so the same 4-bit
+    * budget per subspace spends its 16 cells on a far smaller support —
+    * q164's measured recall gain over the raw-vector books). Identical
+    * Lloyd core and DECIMAL discipline as [[train]]; only the flatMap
+    * prepends the row-local coarse assignment + subtraction, so the
+    * scale shape is unchanged (one persisted scan, one ≤M·K-row agg per
+    * round). */
+  def trainResidual(s: SparkSession, dir: String,
+                    coarse: Array[Array[Double]], rounds: Int = Rounds,
+                    nSub: Int = M, subDim: Int = SubDim, nCent: Int = K)
+    : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+    import s.implicits._
+    val sub: Dataset[(Long, Int, Array[Double])] = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cent = coarse(nearestCell(coarse, v))
+        val r = Array.tabulate(v.length)(i => v(i) - cent(i))
+        (0 until nSub).iterator.map(m =>
+          (id, m, java.util.Arrays.copyOfRange(r, m * subDim, (m + 1) * subDim)))
+      }.persist()
+    trainSub(s, sub, rounds, nSub, subDim, nCent)
+  }
+
+  private def trainSub(s: SparkSession,
+                       sub: Dataset[(Long, Int, Array[Double])], rounds: Int,
+                       nSub: Int, subDim: Int, nCent: Int)
+    : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
+    import s.implicits._
 
     // init = the K smallest vec_ids' subvectors, the script's "first K"
     val books: Array[Array[Array[Double]]] =

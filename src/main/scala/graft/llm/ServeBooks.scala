@@ -40,9 +40,15 @@ object ServeBooks {
     * trainer MUST change the key (ArtifactStore's staleness contract). */
   val CoarseKey = s"ivf_coarse_c${CoarseCells}_r${Rounds}_v1"
   val PqKey = s"pq_books_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_v1"
+  /** Residual-PQ books (q164): keyed by the PQ geometry AND the coarse
+    * geometry they are residual to — retuning either retrains. */
+  val PqResKey =
+    s"pq_res_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
 
   private val coarseMemo = new ConcurrentHashMap[String, Array[Array[Double]]]()
   private val pqMemo = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private val pqResMemo =
+    new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
   /** The published coarse-book artifact ROWS (cid, dim, cval) —
     * trains+publishes on first touch per corpus; also the frame q159's
@@ -80,6 +86,32 @@ object ServeBooks {
       val df = ArtifactStore.parquetOnce(s, PqKey, fp) {
         import s.implicits._
         val (books, _) = PqTrain.train(s, dir, Rounds)
+        (for {
+          m <- 0 until PqTrain.M; k <- 0 until PqTrain.K
+          d <- 0 until PqTrain.SubDim
+        } yield (m.toLong, k.toLong, (d + 1).toLong, books(m)(k)(d)))
+          .toDF("m", "k", "dim", "cval")
+      }
+      val books = Array.ofDim[Double](PqTrain.M, PqTrain.K, PqTrain.SubDim)
+      df.select(col("m"), col("k"), col("dim"), col("cval")).collect()
+        .foreach { r =>
+          books(r.getLong(0).toInt)(r.getLong(1).toInt)(r.getLong(2).toInt - 1) =
+            r.getDouble(3)
+        }
+      books
+    })
+  }
+
+  /** Trained RESIDUAL PQ books (q164's fine level): [[PqTrain
+    * .trainResidual]] against the served coarse book, published under
+    * [[PqResKey]]. books(m)(k) is a SubDim-dim residual centroid. */
+  def pqRes(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    pqResMemo.computeIfAbsent(s"$dir|$fp", _ => {
+      val coarseBook = coarse(s, dir)
+      val df = ArtifactStore.parquetOnce(s, PqResKey, fp) {
+        import s.implicits._
+        val (books, _) = PqTrain.trainResidual(s, dir, coarseBook, Rounds)
         (for {
           m <- 0 until PqTrain.M; k <- 0 until PqTrain.K
           d <- 0 until PqTrain.SubDim
@@ -155,6 +187,14 @@ object ServeBooks {
     s"""pq AS (
        |  SELECT m, k, list(cval ORDER BY dim) AS ck
        |  FROM read_parquet('${ArtifactStore.sqlGlob(PqKey)}')
+       |  WHERE fp = ${ArtifactStore.embeddingsFpSql}
+       |  GROUP BY m, k)""".stripMargin
+
+  /** Same for the residual-PQ books (q164): (m, k, ck DOUBLE[]). */
+  def pqResBooksCteSql: String =
+    s"""rpq AS (
+       |  SELECT m, k, list(cval ORDER BY dim) AS ck
+       |  FROM read_parquet('${ArtifactStore.sqlGlob(PqResKey)}')
        |  WHERE fp = ${ArtifactStore.embeddingsFpSql}
        |  GROUP BY m, k)""".stripMargin
 

@@ -283,6 +283,60 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q164 — IVF-PQ with RESIDUAL encoding: IVFADC as actually published
+    * (Jégou et al. 2011 §III.C — quantize r = v − c(v), not v itself).
+    * Same two-stage plan as q64: coarse probe (8 of 32 trained cells),
+    * ADC shortlist, exact re-rank. The difference is the reconstruction
+    * x̂ = c(v) + PQ(r): the fine books spend their 16 cells per subspace
+    * on the residual's far smaller support, so at the SAME 8-byte code
+    * budget and the SAME shortlist depth the quantization noise — and
+    * with it the shortlist's true-neighbor evictions — drops; q165
+    * audits both arms against exact-L2 truth (residual recall ≥ raw at
+    * every sf tested, AnnRecallSpec's measured numbers). Residual
+    * books train in-engine against the served coarse book
+    * ([[graft.llm.ServeBooks.pqRes]], corpus-fingerprinted artifact the
+    * oracle also reads); assignment, residual, and reconstruction are
+    * row-local expressions over ≈20 KiB of literal model state — no
+    * crossJoin, no per-vector window, no shuffle before the candidate
+    * join. */
+  def knnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{Pq, ServeBooks}
+    val book = ServeBooks.coarse(s, dir)
+    val resBooks = ServeBooks.pqRes(s, dir)
+    val e = vecs(s, dir)
+    val bookArr = array(book.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+    val cells = e
+      .select(col("vec_id"), col("v"),
+        ServeBooks.cell(book, col("v")).as("cell"))
+      .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
+      .withColumn("rhat", Pq.reconstructWith(resBooks)(
+        zip_with(col("v"), col("cent"), (a, b) => a - b)))
+      .select(col("vec_id"), col("v"),
+        zip_with(col("cent"), col("rhat"), (a, b) => a + b).as("xhat"),
+        col("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(ServeBooks.probeCells(book, IvfProbes, col("v"))).as("probe"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val shortlist = probes
+      .join(cells, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), Pq.adc(col("qv"), col("xhat")).as("adc"))
+      .withColumn("rs", row_number().over(wAdc))
+      .where(col("rs") <= PqShortlist)
+    val l2 = VectorOps.dot(col("qv"), col("qv")) -
+      lit(2.0) * VectorOps.dot(col("qv"), col("nv")) +
+      VectorOps.dot(col("nv"), col("nv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    shortlist
+      .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** q59 — array-function surface over the embedding column: size,
     * order-independent extrema (exact on floats), and an
     * order-controlled sum via dot-with-ones (strict left fold on both
@@ -959,7 +1013,50 @@ object SimilarityQueries {
       .orderBy(col("query_id"))
   }
 
+  /** q165 — q162's rollout gate for the residual arm (q164): per-query
+    * hits vs exact-L2 truth. Read beside q162 row-for-row, it is the
+    * residual-encoding gain as an oracle-checked number. */
+  def resRecall(s: SparkSession, dir: String): DataFrame = {
+    val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
+    val i = knnIvfPqRes(s, dir).select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    b.join(i, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        first(lit(K.toLong)).as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q168 — rank-WEIGHTED audit of the two ADC arms (q64 raw-PQ vs
+    * q164 residual-PQ) against exact-L2 truth, in one output: recall
+    * (q162/q165) counts hits anywhere in the top-K; this weights each
+    * hit by the 1/rank discount (the DCG family's position credit), so
+    * an arm that finds the right neighbors but SHUFFLES their order
+    * scores lower. The discount rides exact integers — 60 div rank,
+    * 60 = lcm(1..5), so per-query scores are integers in [0, 137] —
+    * because log2-discounted DCG and floating 1/rank sums would both
+    * hit the engines' 1-ULP ln/order-of-addition traps (q69's rule).
+    * Scale shape: two bounded Q×K joins over the arms' documented
+    * plans. */
+  def adcRankAudit(s: SparkSession, dir: String): DataFrame = {
+    val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
+    def armOf(df: DataFrame, name: String): DataFrame =
+      b.join(df.select(col("query_id"), col("neighbor_id"), col("rn")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(expr("CAST(60 div rn AS BIGINT)"), lit(0L)))
+          .as("rw60"),
+          sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(col("query_id"), lit(name).as("arm"), col("rw60"), col("hits"))
+    armOf(knnIvfPq(s, dir), "pq")
+      .unionByName(armOf(knnIvfPqRes(s, dir), "res"))
+      .orderBy(col("arm"), col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_knn_ivfpq_res" -> knnIvfPqRes,
+    "q165_res_recall" -> resRecall,
+    "q168_adc_rank_audit" -> adcRankAudit,
     "q134_prefix_recall" -> prefixRecall,
     "q106_int8_quantize" -> int8Quantize,
     "q116_embed_covariance" -> embedCovariance,
@@ -1136,6 +1233,74 @@ object SimilarityQueries {
          |  SELECT e.vec_id, e.v, xh.xhat, r.cid AS cell
          |  FROM e JOIN xh ON e.vec_id = xh.vec_id
          |    JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |probes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+         |c AS (
+         |  SELECT p.query_id, p.qv, cells.vec_id AS neighbor_id, cells.v AS nv,
+         |         ${Pq.adcSql("p.qv", "cells.xhat")} AS adc
+         |  FROM probes p JOIN cells
+         |    ON p.probe = cells.cell AND cells.vec_id <> p.query_id),
+         |short AS (
+         |  SELECT query_id, qv, neighbor_id, nv,
+         |         row_number() OVER (PARTITION BY query_id
+         |              ORDER BY adc, neighbor_id) AS rs
+         |  FROM c),
+         |rr AS (
+         |  SELECT query_id, neighbor_id,
+         |         (list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, nv)
+         |           + list_dot_product(nv, nv)) AS l2,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY (list_dot_product(qv, qv)
+         |                - 2.0 * list_dot_product(qv, nv)
+         |                + list_dot_product(nv, nv)), neighbor_id) AS BIGINT) AS rn
+         |  FROM short WHERE rs <= $PqShortlist)
+         |SELECT query_id, neighbor_id, l2, rn FROM rr
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** q164's oracle body — also the residual-ADC arm of q165's audit.
+    * Same shape as q64's, with the fine stage over the residual
+    * r = v − c(v) and the reconstruction c(v) + PQ(r); every
+    * elementwise subtract/add is a single IEEE op in both engines, so
+    * the compared doubles stay bit-identical. */
+  private lazy val knnIvfPqResSql: String = {
+      import graft.llm.{Pq, PqTrain, ServeBooks}
+      val dim = VectorOps.Dim
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.pqResBooksCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |resid AS (
+         |  SELECT e.vec_id, e.v, c.cv,
+         |         list_transform(range(1, ${dim + 1}),
+         |           i -> e.v[i] - c.cv[i]) AS rv
+         |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1
+         |    JOIN cents c ON c.cid = r.cid),
+         |pqd AS (
+         |  SELECT resid.vec_id, p.m, p.k, p.ck,
+         |         list_dot_product(p.ck, p.ck)
+         |           - 2.0 * list_dot_product(
+         |               list_slice(resid.rv, p.m * ${PqTrain.SubDim} + 1,
+         |                 (p.m + 1) * ${PqTrain.SubDim}), p.ck) AS d
+         |  FROM resid, rpq p),
+         |pqx AS (
+         |  SELECT vec_id, m, ck,
+         |         row_number() OVER (PARTITION BY vec_id, m
+         |              ORDER BY d, k) AS prk
+         |  FROM pqd),
+         |xh AS (
+         |  SELECT vec_id, flatten(list(ck ORDER BY m)) AS rhat
+         |  FROM pqx WHERE prk = 1 GROUP BY vec_id),
+         |cells AS (
+         |  SELECT resid.vec_id, resid.v,
+         |         list_transform(range(1, ${dim + 1}),
+         |           i -> resid.cv[i] + xh.rhat[i]) AS xhat,
+         |         r.cid AS cell
+         |  FROM resid JOIN xh ON resid.vec_id = xh.vec_id
+         |    JOIN r ON resid.vec_id = r.vec_id AND r.rk = 1),
          |probes AS (
          |  SELECT e.vec_id AS query_id, e.v AS qv, r.cid AS probe
          |  FROM e JOIN r ON e.vec_id = r.vec_id
@@ -1352,6 +1517,42 @@ object SimilarityQueries {
          |ORDER BY b.query_id""".stripMargin,
 
     "q64_knn_ivfpq" -> knnIvfPqSql,
+
+    "q164_knn_ivfpq_res" -> knnIvfPqResSql,
+
+    "q168_adc_rank_audit" ->
+      s"""WITH brute AS ($knnBruteL2Sql),
+         |pqa AS ($knnIvfPqSql),
+         |rsa AS ($knnIvfPqResSql),
+         |t AS (SELECT query_id, neighbor_id FROM brute),
+         |a1 AS (
+         |  SELECT t.query_id, 'pq' AS arm,
+         |         COALESCE(sum(60 // p.rn), 0)::BIGINT AS rw60,
+         |         count(p.neighbor_id)::BIGINT AS hits
+         |  FROM t LEFT JOIN pqa p
+         |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id),
+         |a2 AS (
+         |  SELECT t.query_id, 'res' AS arm,
+         |         COALESCE(sum(60 // r.rn), 0)::BIGINT AS rw60,
+         |         count(r.neighbor_id)::BIGINT AS hits
+         |  FROM t LEFT JOIN rsa r
+         |    ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT query_id, arm, rw60, hits FROM a1
+         |UNION ALL SELECT query_id, arm, rw60, hits FROM a2
+         |ORDER BY arm, query_id""".stripMargin,
+
+    "q165_res_recall" ->
+      s"""WITH brute AS ($knnBruteL2Sql),
+         |ivf AS ($knnIvfPqResSql)
+         |SELECT b.query_id, count(i.neighbor_id)::BIGINT AS hits,
+         |       CAST($K AS BIGINT) AS k
+         |FROM brute b
+         |LEFT JOIN ivf i
+         |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
 
     "q30_embed_neardup" ->
       s"""WITH e AS (

@@ -574,7 +574,87 @@ object TextStatsQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  // Count-Min dials: 4 independent hash rows × 64 buckets. Real
+  // deployments widen w (error ≈ n/w with probability 1 − 2⁻ᵈ holds at
+  // any w; memory is d·w longs either way); 64 keeps the oracle's
+  // cross-join cheap while leaving real collisions to audit at this
+  // vocabulary.
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 64L
+
+  /** Row-j CMS bucket of a token column — graft_h60 over the
+    * row-salted key, mod [[CmsWidth]] (the md5 60-bit family every
+    * sketch here rides; independent rows via the salt). Shared with
+    * [[graft.streaming.StreamCms]] so the live and nightly sketches
+    * bucket identically. */
+  private[graft] def cmsBucket(j: Column, t: Column): Column =
+    call_function("graft_h60",
+      concat(lit("cms"), j.cast(StringType), lit("|"), t)) % CmsWidth
+
+  /** q166 — Count-Min sketch build (Cormode & Muthukrishnan 2005): the
+    * mergeable frequency summary a 100 TB pipeline keeps when the
+    * vocabulary itself is too large to materialize. Each token
+    * occurrence increments one bucket per hash row; the sketch is the
+    * d×w count grid, a pure monoid (cell-wise sum — CmsSpec proves
+    * sketch(A) + sketch(B) == sketch(A ∪ B) for an arbitrary split).
+    *
+    * Scale shape: the ×d fan-out happens MAP-SIDE and collapses into
+    * the partial aggregate before the shuffle — each partition ships at
+    * most d·w = 256 cells regardless of row count, so the exchange
+    * carries per-partition sketches, not tokens: the plan IS the
+    * textbook "build local sketches, merge" algorithm, for free from
+    * partial aggregation. (The order-dependent conservative-update
+    * variant is deliberately absent: it breaks exactly this
+    * mergeability.)
+    */
+  def cmsSketch(s: SparkSession, dir: String): DataFrame =
+    cmsSketchOver(Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= ""))
+
+  /** The sketch over any token relation (column `t`) — CmsSpec feeds
+    * corpus halves through this to prove the merge law. */
+  private[queries] def cmsSketchOver(tok: DataFrame): DataFrame =
+    tok
+      .select(explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*))
+        .as("j"), col("t"))
+      .select(col("j"), cmsBucket(col("j"), col("t")).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("j"), col("bucket"))
+
+  /** q167 — CMS point-query audit: for every distinct term, the sketch
+    * estimate min_j grid[j][h_j(term)] beside the exact count and the
+    * overcount (collision mass). The one-sided error guarantee —
+    * estimate ≥ truth, always — is structural, so `overcount ≥ 0` for
+    * every row is asserted by CmsSpec and visible to the oracle. The
+    * serve form of this query is just the ≤d·w-row broadcast lookup;
+    * the exact arm exists here because an AUDIT recounts (q129's
+    * pattern: ship the sketch, keep the truth join for the gate).
+    *
+    * Scale shape: exact counts are one vocab-keyed partial agg; the
+    * estimate is a broadcast join against the ≤256-cell sketch fanned
+    * ×d map-side — no second corpus shuffle. */
+  def cmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sketch = cmsSketch(s, dir).select(
+      col("j"), col("bucket"), col("cnt"))
+    val exact = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("t"), col("exact_cnt"),
+        explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("t")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("t"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("t").as("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_cms_sketch"   -> cmsSketch,
+    "q167_cms_estimate" -> cmsEstimate,
     "q105_vocab_coverage" -> vocabCoverage,
     "q100_heavy_hitters" -> heavyHitters,
     "q97_bpe_pairs"      -> bpePairs,
@@ -640,7 +720,43 @@ object TextStatsQueries {
        |  FROM gg LEFT JOIN bstat ON gg.doc_id = bstat.doc_id)""".stripMargin
   }
 
+  /** Oracle CTE chain shared by q166/q167: the token stream and the
+    * CMS grid built by the same salted-md5 bucket arithmetic. */
+  private lazy val cmsCtesSql: String =
+    s"""tt AS (
+       |  SELECT t FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |    FROM documents) WHERE t <> ''),
+       |js AS (SELECT unnest(${(0 until CmsDepth).map(_.toString)
+            .mkString("[", ", ", "]")})::BIGINT AS j),
+       |grid AS (
+       |  SELECT j,
+       |         ('0x' || substr(md5('cms' || j::VARCHAR || '|' || t),
+       |            1, 15))::BIGINT % $CmsWidth AS bucket,
+       |         count(*)::BIGINT AS cnt
+       |  FROM tt CROSS JOIN js
+       |  GROUP BY j, bucket)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q166_cms_sketch" ->
+      s"""WITH $cmsCtesSql
+         |SELECT j, bucket, cnt FROM grid ORDER BY j, bucket""".stripMargin,
+
+    "q167_cms_estimate" ->
+      s"""WITH $cmsCtesSql,
+         |exact AS (
+         |  SELECT t, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t),
+         |est AS (
+         |  SELECT e.t, e.exact_cnt, min(g.cnt) AS cms_est
+         |  FROM exact e CROSS JOIN js
+         |  JOIN grid g ON g.j = js.j
+         |    AND g.bucket = ('0x' || substr(md5('cms' || js.j::VARCHAR
+         |          || '|' || e.t), 1, 15))::BIGINT % $CmsWidth
+         |  GROUP BY e.t, e.exact_cnt)
+         |SELECT t AS token, exact_cnt, cms_est,
+         |       cms_est - exact_cnt AS overcount
+         |FROM est ORDER BY token""".stripMargin,
+
     "q105_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source, t FROM (

@@ -67,6 +67,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall=$recall%.3f")
   }
 
+  test("residual IVF-PQ beats the raw-PQ arm: recall@5 above 75% " +
+      "against exact-L2 truth") {
+    // IVFADC proper (residual encoding): same 8-byte code budget, same
+    // probe set, same shortlist-50 — measured 0.800 at sf0.01 vs the
+    // raw-vector books' 0.756; the residual's smaller support spends
+    // the 16 cells/subspace where the error actually lives.
+    val got = topk(SimilarityQueries.knnIvfPqRes(spark, dir))
+    val recall = (l2Truth & got).size.toDouble / l2Truth.size
+    val raw = topk(SimilarityQueries.knnIvfPq(spark, dir))
+    val rawRecall = (l2Truth & raw).size.toDouble / l2Truth.size
+    info(f"residual IVF-PQ recall@5 = $recall%.3f (raw PQ = $rawRecall%.3f)")
+    assert(recall >= 0.75, f"recall=$recall%.3f")
+    assert(recall >= rawRecall,
+      f"residual ($recall%.3f) must not trail raw PQ ($rawRecall%.3f)")
+  }
+
   test("IVF-int8 beats the PQ bar: recall@5 above 80% against exact-L2 truth") {
     // Same coarse probe as q55/q64, int8-ADC shortlist-50, exact
     // re-rank. int8 reconstruction error is tiny next to PQ's, so the

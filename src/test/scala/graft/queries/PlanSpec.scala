@@ -150,7 +150,8 @@ class PlanSpec extends SparkSpec {
     // crossJoin(broadcast(cents)) + row_number over vec_id. With the
     // ServeBooks book folded into literal argmin/probe expressions, the
     // only windows left are the bounded per-QUERY ranking ones.
-    for (q <- Seq("q55_knn_ivf", "q64_knn_ivfpq", "q113_knn_ivf_int8")) {
+    for (q <- Seq("q55_knn_ivf", "q64_knn_ivfpq", "q113_knn_ivf_int8",
+        "q164_knn_ivfpq_res")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val partNames = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
@@ -164,6 +165,19 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     }
+  }
+
+  test("q166 CMS build merges partial sketches: partial agg before the " +
+      "one hash exchange") {
+    // the exchange must carry ≤ d·w cells per partition (local
+    // sketches), not token rows — i.e. a partial HashAggregate sits
+    // below the first shuffle, and the only exchanges are the merge
+    // and the presentation sort
+    val p = plan("q166_cms_sketch")
+    val nEx = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(nEx <= 2, p.take(1200))
+    assert(p.contains("partial_count"),
+      "map-side combine must feed the shuffle:\n" + p.take(1200))
   }
 
   test("q158 health audit is windowless: row-local assignment, one partial agg") {

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** Streaming Count-Min sketch (batch q166's cross-batch twin): the
+  * monoid state is batch-boundary-invariant and the final snapshot
+  * equals the batch grid over the same documents bit-for-bit — the
+  * live sketch serves the same estimates the nightly build would.
+  */
+class StreamCmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val texts: Seq[String] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect().toSeq
+
+  private lazy val batchGrid: Map[(Long, Long), Long] =
+    graft.queries.TextStatsQueries.cmsSketch(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map { case (j, b, c) => (j, b) -> c }.toMap
+
+  /** latest snapshot per cell = its max cnt (counts only grow). */
+  private def run(batches: Seq[Seq[String]], name: String)
+    : Map[(Long, Long), Long] = withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = StreamCms(stream.toDF().toDF("text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+      spark.table(name).as[(Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).max).toMap
+    } finally query.stop()
+  }
+
+  test("split invariance; final snapshot equals the batch q166 grid") {
+    val one = run(Seq(texts), "cms_one")
+    val (a, rest) = texts.splitAt(texts.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    val three = run(Seq(a, b, c), "cms_three")
+    assert(one == three, "sketch state depends on batch boundaries")
+    assert(one == batchGrid,
+      "live sketch differs from the batch q166 grid")
+  }
+}
