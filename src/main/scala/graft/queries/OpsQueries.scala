@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Operational / data-integrity queries: the jobs a 100 TB deployment
   * runs AROUND the data rather than on it — replica verification
@@ -297,28 +298,34 @@ object OpsQueries {
     * and the base never shuffles; here delta ≈ base so both sides
     * exchange, which is the worst case the plan still handles.
     */
-  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    // Insert ids are offset by max(doc_id)+1 — derived, not a constant —
-    // so an inserted key can NEVER collide with a real doc's update at
-    // any corpus size (a fixed 100000 offset would collide once doc_id
-    // reaches it, and the per-key "distinct versions" invariant the
-    // max(struct) compaction relies on would silently break). One scalar
-    // agg broadcast back: a planning statistic, free at 100 TB.
+  /** q122's deterministic change log over the base (doc_id, text)
+    * relation — shared with q169's time travel, which replays the SAME
+    * rows version-bounded. Insert ids are offset by max(doc_id)+1 —
+    * derived, not a constant — so an inserted key can NEVER collide
+    * with a real doc's update at any corpus size (a fixed 100000
+    * offset would collide once doc_id reaches it, and the per-key
+    * "distinct versions" invariant the max(struct) compaction relies
+    * on would silently break). One scalar agg broadcast back: a
+    * planning statistic, free at 100 TB. */
+  private def changeLog(base: DataFrame): DataFrame = {
     val off = broadcast(base.agg((max(col("doc_id")) + lit(1L)).as("off")))
     def change(ver: Int, op: String, pred: Column, id: Column, text: Column) =
       base.where(pred).crossJoin(off)
         .select(id.as("doc_id"), lit(ver.toLong).as("ver"),
           lit(op).as("op"), text.as("ctext"))
-    val changes =
-      change(1, "U", col("doc_id") % 3 === 0, col("doc_id"),
-        concat(lit("v1 "), col("text")))
-        .unionAll(change(2, "U", col("doc_id") % 2 === 0, col("doc_id"),
-          concat(lit("v2 "), col("text"))))
-        .unionAll(change(2, "I", col("doc_id") % 5 === 0,
-          col("doc_id") + col("off"), concat(lit("new "), col("text"))))
-        .unionAll(change(3, "D", col("doc_id") % 7 === 0, col("doc_id"),
-          lit("")))
+    change(1, "U", col("doc_id") % 3 === 0, col("doc_id"),
+      concat(lit("v1 "), col("text")))
+      .unionAll(change(2, "U", col("doc_id") % 2 === 0, col("doc_id"),
+        concat(lit("v2 "), col("text"))))
+      .unionAll(change(2, "I", col("doc_id") % 5 === 0,
+        col("doc_id") + col("off"), concat(lit("new "), col("text"))))
+      .unionAll(change(3, "D", col("doc_id") % 7 === 0, col("doc_id"),
+        lit("")))
+  }
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val changes = changeLog(base)
     val latest = changes
       .groupBy(col("doc_id"))
       .agg(max(struct(col("ver"), col("op"), col("ctext"))).as("m"))
@@ -331,6 +338,91 @@ object OpsQueries {
         coalesce(col("op"), lit("K")).as("last_op"),
         coalesce(col("ver"), lit(0L)).as("ver"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q169 — TIME TRAVEL over the merge path: reconstruct the q122
+    * table AS OF every version boundary v ∈ 0..3 (v=0 is the base
+    * snapshot) and emit the per-version audit a lakehouse's history
+    * command serves — live row count, cumulative tombstones, and a
+    * q110-style content checksum of the reconstructed state (so the
+    * check is value-sensitive: a wrong text at any version moves the
+    * digest, not just the counts). VERSION AS OF semantics: apply only
+    * changes with ver ≤ v, latest version winning per key — tombstones
+    * suppress, later upserts resurrect nothing retroactively.
+    *
+    * Scale shape: the audit fans base × |versions audited| (here 4) —
+    * the price of auditing EVERY version in one query; a production
+    * as-of read is the v-filtered single pass ([[graft.sources
+    * .TimeTravel.asOf]] on the streamed log). Change compaction per
+    * version is the same one partial max(struct) agg as q122; the
+    * checksum folds commutatively so the per-version rollup is one
+    * more partial agg. */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val changes = changeLog(base)
+    val vers = broadcast((0L to 3L).toDF("v"))
+    val latest = changes.join(vers, col("ver") <= col("v"))
+      .groupBy(col("v"), col("doc_id"))
+      .agg(max(struct(col("ver"), col("op"), col("ctext"))).as("m"))
+      .select(col("v"), col("doc_id"), col("m.op").as("op"),
+        col("m.ctext").as("ctext"))
+    val state = base.crossJoin(vers)
+      .join(latest, Seq("v", "doc_id"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("v"), col("doc_id"),
+        when(col("op").isNull, col("text")).otherwise(col("ctext")).as("t2"))
+    val live = state.groupBy(col("v"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(call_function("graft_h60",
+          concat(lit("tt|"), col("doc_id").cast(StringType), lit("|"),
+            col("t2"))).cast(DecimalType(38, 0))) % lit(CkMod))
+          .cast(LongType).as("ck"))
+    val tombs = latest.where(col("op") === "D")
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tomb_c"))
+    live.join(tombs, Seq("v"), "left")
+      .select(col("v"), col("n_rows"),
+        coalesce(col("n_tomb_c"), lit(0L)).as("n_tomb"), col("ck"))
+      .orderBy(col("v"))
+  }
+
+  /** Open-interval sentinel for q170 — a literal instead of NULL
+    * because the driver's checker NaN-floats nullable int64 columns
+    * (q61's rule), and Long.MaxValue reads as "forever" in both
+    * engines. */
+  private val Scd2Open = Long.MaxValue
+
+  /** q170 — SCD TYPE 2 history build (Kimball's slowly-changing
+    * dimension, the interval form of time travel): q169 answers "state
+    * AS OF v", this materializes each key's VALUE VERSIONS as validity
+    * intervals [ver_from, ver_to) with an is_current flag — the shape
+    * a warehouse dimension join actually uses (`BETWEEN` on the
+    * interval instead of re-running as-of per version). Base rows
+    * enter at version 0; every change — including a delete — closes
+    * its predecessor's interval; delete events bound intervals but
+    * produce no value row of their own, so a deleted key simply has no
+    * current row.
+    *
+    * Scale shape: one union of base + change log, ONE window keyed on
+    * doc_id ordered by ver whose per-key size is bounded by the
+    * VERSION COUNT (≤ 4 here; a dimension's churn per key, never
+    * corpus-sized — the q151 skew concern does not apply). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val events = base
+      .select(col("doc_id"), lit(0L).as("ver"), lit("B").as("op"),
+        col("text").as("ctext"))
+      .unionAll(changeLog(base))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ver"))
+    events
+      .withColumn("ver_to", coalesce(lead(col("ver"), 1).over(w),
+        lit(Scd2Open)))
+      .where(col("op") =!= "D")
+      .select(col("doc_id"), col("ctext").as("text"),
+        col("ver").as("ver_from"), col("ver_to"),
+        when(col("ver_to") === Scd2Open, lit(1L)).otherwise(lit(0L))
+          .as("is_current"))
+      .orderBy(col("doc_id"), col("ver_from"))
   }
 
   /** q127 — data-skipping effectiveness of q117's Z-order layout: for a
@@ -437,10 +529,72 @@ object OpsQueries {
     "q118_outlier_audit"  -> outlierAudit,
     "q120_compaction_plan" -> compactionPlan,
     "q122_merge_upsert"   -> mergeUpsert,
+    "q169_time_travel"    -> timeTravel,
+    "q170_scd2"           -> scd2,
     "q135_skew_audit"     -> skewAudit
   )
 
+  /** q122's change-log CTEs (base/off/changes) — shared by the q122
+    * and q169 oracles exactly as [[changeLog]] is on the Spark side. */
+  private val changeLogCtesSql: String =
+    """base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT max(doc_id) + 1 AS off FROM base),
+      |changes AS (
+      |  SELECT doc_id, 1::BIGINT AS ver, 'U' AS op, 'v1 ' || text AS ctext
+      |  FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'U', 'v2 ' || text FROM base WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id + off, 2, 'I', 'new ' || text
+      |  FROM base, off WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'D', '' FROM base WHERE doc_id % 7 = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q170_scd2" ->
+      s"""WITH $changeLogCtesSql,
+         |events AS (
+         |  SELECT doc_id, 0::BIGINT AS ver, 'B' AS op, text AS ctext
+         |  FROM base
+         |  UNION ALL SELECT doc_id, ver, op, ctext FROM changes),
+         |iv AS (
+         |  SELECT doc_id, ver, op, ctext,
+         |         COALESCE(lead(ver, 1) OVER (PARTITION BY doc_id
+         |             ORDER BY ver), ${Long.MaxValue}) AS ver_to
+         |  FROM events)
+         |SELECT doc_id, ctext AS text, ver AS ver_from, ver_to,
+         |       CASE WHEN ver_to = ${Long.MaxValue} THEN 1
+         |            ELSE 0 END::BIGINT AS is_current
+         |FROM iv WHERE op <> 'D'
+         |ORDER BY doc_id, ver_from""".stripMargin,
+
+    "q169_time_travel" ->
+      s"""WITH $changeLogCtesSql,
+         |vers AS (SELECT unnest([0, 1, 2, 3])::BIGINT AS v),
+         |latest AS (
+         |  SELECT vers.v, doc_id, arg_max(op, ver) AS op,
+         |         arg_max(ctext, ver) AS ctext
+         |  FROM changes JOIN vers ON changes.ver <= vers.v
+         |  GROUP BY vers.v, doc_id),
+         |state AS (
+         |  SELECT COALESCE(bv.v, l.v) AS v,
+         |         COALESCE(bv.doc_id, l.doc_id) AS doc_id,
+         |         CASE WHEN l.op IS NULL THEN bv.text ELSE l.ctext END AS t2,
+         |         l.op
+         |  FROM (SELECT vers.v, b.doc_id, b.text FROM base b CROSS JOIN vers) bv
+         |  FULL OUTER JOIN latest l ON bv.v = l.v AND bv.doc_id = l.doc_id),
+         |live AS (
+         |  SELECT v, count(*)::BIGINT AS n_rows,
+         |         (sum((('0x' || substr(md5('tt|' || doc_id::VARCHAR
+         |            || '|' || t2), 1, 15))::BIGINT)::HUGEINT)
+         |           % $CkMod)::BIGINT AS ck
+         |  FROM state WHERE op IS NULL OR op <> 'D' GROUP BY v),
+         |tomb AS (
+         |  SELECT v, count(*)::BIGINT AS n_tomb_c
+         |  FROM latest WHERE op = 'D' GROUP BY v)
+         |SELECT live.v, n_rows, COALESCE(n_tomb_c, 0)::BIGINT AS n_tomb, ck
+         |FROM live LEFT JOIN tomb ON live.v = tomb.v
+         |ORDER BY live.v""".stripMargin,
     // NULL cells ride the explicit chr(0)||'NULL' marker (Spark side:
     // the "\u0000NULL" literal) so concat_ws cannot collapse distinct null layouts
     "q110_table_checksum" ->
@@ -591,18 +745,7 @@ object OpsQueries {
     },
 
     "q122_merge_upsert" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |off AS (SELECT max(doc_id) + 1 AS off FROM base),
-        |changes AS (
-        |  SELECT doc_id, 1::BIGINT AS ver, 'U' AS op, 'v1 ' || text AS ctext
-        |  FROM base WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'U', 'v2 ' || text FROM base WHERE doc_id % 2 = 0
-        |  UNION ALL
-        |  SELECT doc_id + off, 2, 'I', 'new ' || text
-        |  FROM base, off WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 3, 'D', '' FROM base WHERE doc_id % 7 = 0),
+      s"""WITH $changeLogCtesSql,
         |latest AS (
         |  SELECT doc_id, max(ver)::BIGINT AS ver,
         |         arg_max(op, ver) AS op, arg_max(ctext, ver) AS ctext

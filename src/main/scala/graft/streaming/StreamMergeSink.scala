@@ -32,14 +32,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamMergeSink {
 
-  /** Merge one batch of per-key current rows into the parquet target. */
-  def mergeBatch(target: String, buckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+  /** Merge one batch of per-key current rows into the parquet target.
+    * With `log` set, the batch's rows are ALSO appended to a change log
+    * partitioned by batch_id — the raw material for [[graft.sources
+    * .TimeTravel]]'s VERSION AS OF reads and history audit. The log
+    * write uses dynamic partition overwrite on batch_id, so a replayed
+    * batch rewrites its own partition with identical rows instead of
+    * duplicating them (the same idempotence contract as the merge). */
+  def mergeBatch(target: String, buckets: Int, log: Option[String] = None)
+                (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
     val incoming = batch
       .select(col("docId"), col("ver"), col("op"), col("text"))
       .withColumn("bucket", pmod(col("docId"), lit(buckets.toLong)))
       .localCheckpoint()
+    log.foreach { lp =>
+      incoming.drop("bucket").withColumn("batch_id", lit(batchId))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite").parquet(lp)
+    }
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getLong(0))
     // first-batch detection is an EXISTENCE check, not a catch (r7
@@ -69,9 +81,9 @@ object StreamMergeSink {
   /** changes(doc_id, ver, op, text) stream → continuously merged
     * parquet target, checkpointed (restart-safe, replay-idempotent). */
   def start(changes: DataFrame, target: String, checkpoint: String,
-            buckets: Int = 16): StreamingQuery =
+            buckets: Int = 16, log: Option[String] = None): StreamingQuery =
     StreamMerge(changes).toDF().writeStream
-      .foreachBatch(mergeBatch(target, buckets) _)
+      .foreachBatch(mergeBatch(target, buckets, log) _)
       .option("checkpointLocation", checkpoint)
       .start()
 
