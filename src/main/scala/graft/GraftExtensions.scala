@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Kmv, MisraGries, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Kmv, MisraGries, PqDecode, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -78,6 +78,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_bloom_probe bloom must be a BINARY literal, got $other")
         }
         BloomProbe(bytes, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_decode"),
+      new ExpressionInfo(classOf[PqDecode].getName, "graft_pq_decode"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_pq_decode takes (cell BIGINT, codes ARRAY<BIGINT>, " +
+            s"spec STRING literal), got ${children.length} args")
+        val spec = children(2) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_decode spec must be a STRING literal, got $other")
+        }
+        PqDecode(children(0), children(1), spec)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

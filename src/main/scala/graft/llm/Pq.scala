@@ -55,6 +55,41 @@ object Pq {
     * stream-start snapshot path (StreamEmbedDedupPq). */
   def reconstruct(v: Column): Column = reconstructWith(books)(v)
 
+  /** PQ ENCODE: the chosen codeword id per subspace (0-based), as
+    * array<bigint> — the 8-byte-code form an index stores
+    * (ServeBooks.pqResCodes persists it; [[decodeCodes]] is the O(1)
+    * lookup inverse). Same argmin arithmetic and tie rule as
+    * [[reconstructWith]]. */
+  def encodeWith(bks: Array[Array[Array[Double]]])(v: Column): Column = {
+    val nSub = bks.length
+    val subDim = bks(0)(0).length
+    val parts = (0 until nSub).map { m =>
+      val vm = slice(v, m * subDim + 1, subDim)
+      val dists = bks(m).map { c =>
+        lit(csq(c)) - lit(2.0) * VectorOps.dot(vm, array(c.map(lit(_)): _*))
+      }
+      val arr = array(dists.toSeq: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("long")
+    }
+    array(parts: _*)
+  }
+
+  /** Reconstruction from STORED codes (attribute, not expression): per
+    * element a constant-time literal-table lookup — no argmin, no
+    * expensive subtree to duplicate, fully codegen'd. Inverse of
+    * [[encodeWith]] by construction. */
+  def decodeCodes(bks: Array[Array[Array[Double]]])(codes: Column): Column = {
+    val subDim = bks(0)(0).length
+    val bookArrs = bks.map(b =>
+      array(b.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*))
+    val parts = bks.indices.flatMap { m =>
+      val cm = element_at(bookArrs(m),
+        (element_at(codes, m + 1) + 1).cast("int"))
+      (1 to subDim).map(d => element_at(cm, d))
+    }
+    array(parts: _*)
+  }
+
   /** SQL twin of [[reconstruct]] over a DOUBLE[] expression. */
   def reconstructSql(v: String): String = {
     val parts = (0 until M).map { m =>

@@ -44,6 +44,10 @@ object ServeBooks {
     * geometry they are residual to — retuning either retrains. */
   val PqResKey =
     s"pq_res_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
+  /** The encoded corpus (cell + codeword ids per vector) — q164's
+    * precomputed index; keyed by the full geometry like [[PqResKey]]. */
+  val PqResCodesKey =
+    s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
 
   private val coarseMemo = new ConcurrentHashMap[String, Array[Array[Double]]]()
   private val pqMemo = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
@@ -126,6 +130,41 @@ object ServeBooks {
         }
       books
     })
+  }
+
+  /** The ENCODED residual-PQ index (q164's serve-side state): one row
+    * per corpus vector — coarse cell + the 8 chosen residual codeword
+    * ids — persisted as a corpus-fingerprinted artifact. This is the
+    * piece a production IVFADC deployment precomputes (the "index
+    * build" job): serving must never re-encode the corpus per query,
+    * both for cost (the encode argmin is ~136 dot products per vector)
+    * and because re-encoding inside one query plan duplicates the
+    * expensive argmin subtree into every consumer expression
+    * (measured: 2–7× the serve time). From the stored codes,
+    * reconstruction is pure constant-time literal-table lookups
+    * (Pq.decodeCodes). The build materializes the residual vectors
+    * once (localCheckpoint — the index-build job's intermediate) so
+    * the per-subspace argmin reads an attribute, not a duplicated
+    * subtree. */
+  def pqResCodes(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    val coarseBook = coarse(s, dir)
+    val resBooks = pqRes(s, dir)
+    ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
+      val bookArr = array(coarseBook.map(c =>
+        array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+      val e = graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      val assigned = e
+        .select(col("vec_id"), col("v"),
+          cell(coarseBook, col("v")).as("cell"))
+        .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+        .localCheckpoint()
+      assigned.select(col("vec_id"), col("cell"),
+        graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"))
+    }.select(col("vec_id"), col("cell"), col("codes"))
   }
 
   // ------------------------------------------------ assignment expressions

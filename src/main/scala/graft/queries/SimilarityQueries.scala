@@ -300,20 +300,26 @@ object SimilarityQueries {
     * crossJoin, no per-vector window, no shuffle before the candidate
     * join. */
   def knnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.{Pq, ServeBooks}
+    import graft.llm.{Pq, PqTrain, ServeBooks}
     val book = ServeBooks.coarse(s, dir)
     val resBooks = ServeBooks.pqRes(s, dir)
+    // the PRECOMPUTED index: (vec_id, cell, codes) — encoding happens
+    // once per corpus in the artifact build, never per query (the
+    // production IVFADC topology; also avoids re-deriving the encode
+    // argmin inside this plan, where consumer expressions would
+    // duplicate it — measured 2–7× serve-time regressions)
+    val codes = ServeBooks.pqResCodes(s, dir)
     val e = vecs(s, dir)
-    val bookArr = array(book.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
-    val cells = e
-      .select(col("vec_id"), col("v"),
-        ServeBooks.cell(book, col("v")).as("cell"))
-      .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
-      .withColumn("rhat", Pq.reconstructWith(resBooks)(
-        zip_with(col("v"), col("cent"), (a, b) => a - b)))
-      .select(col("vec_id"), col("v"),
-        zip_with(col("cent"), col("rhat"), (a, b) => a + b).as("xhat"),
-        col("cell"))
+    // x̂ = c(v) + PQ(r) via ONE native expression carrying both books
+    // as a plan-literal spec (graft_pq_decode — BpeEncodeTbl's
+    // pattern): a composed element_at form would fold the 32×64-double
+    // coarse book into each of 64 output elements, and Catalyst
+    // planning + codegen over that megabyte tree cost ~3.5 s of
+    // driver time per execution (measured; stage wall time was 1.2 s)
+    val spec = graft.functions.PqDecodeTable.toSpec(book, resBooks)
+    val cells = codes.select(col("vec_id"), col("cell"),
+      call_function("graft_pq_decode", col("cell"), col("codes"), lit(spec))
+        .as("xhat"))
     val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(ServeBooks.probeCells(book, IvfProbes, col("v"))).as("probe"))
@@ -322,15 +328,21 @@ object SimilarityQueries {
     val shortlist = probes
       .join(cells, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-        col("v").as("nv"), Pq.adc(col("qv"), col("xhat")).as("adc"))
+        Pq.adc(col("qv"), col("xhat")).as("adc"))
       .withColumn("rs", row_number().over(wAdc))
       .where(col("rs") <= PqShortlist)
+    // only the ≤ Q·shortlist survivors fetch their raw vectors — the
+    // re-rank stage's point lookups, not a corpus join; the shortlist
+    // is bounded by query-set × depth BY CONSTRUCTION, so it
+    // broadcasts and the corpus side never shuffles for the fetch
+    val nvs = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
     val l2 = VectorOps.dot(col("qv"), col("qv")) -
       lit(2.0) * VectorOps.dot(col("qv"), col("nv")) +
       VectorOps.dot(col("nv"), col("nv"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("l2"), col("neighbor_id"))
-    shortlist
+    nvs
+      .join(broadcast(shortlist), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)

@@ -39,6 +39,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == "ster n", s"got '$r'")
   }
 
+  test("graft_pq_decode reconstructs coarse(cell) + book(m)(code) exactly") {
+    // tiny geometry: 2 cells × dim 4, 2 subspaces × 2 codewords × 2 dims
+    val coarse = Array(Array(1.0, 2.0, 3.0, 4.0), Array(10.0, 20.0, 30.0, 40.0))
+    val books = Array(
+      Array(Array(0.5, 0.25), Array(-0.5, -0.25)),
+      Array(Array(0.125, 0.0625), Array(-0.125, -0.0625)))
+    val spec = PqDecodeTable.toSpec(coarse, books)
+    // spec round-trips bit-exactly (doubleToLongBits hex)
+    val dec = PqDecodeTable.parseSpec(spec)
+    assert(dec.coarse.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    val r = spark.sql(
+      s"SELECT graft_pq_decode(1L, array(0L, 1L), '$spec') AS x")
+      .head().getSeq[Double](0)
+    assert(r == Seq(10.5, 20.25, 30.0 - 0.125, 40.0 - 0.0625), s"got $r")
+  }
+
   test("graft_h60 is bit-identical to the SQL md5 chain it replaces") {
     import org.apache.spark.sql.functions._
     // corpus tokens + adversarial cases: empty, unicode, separators,
