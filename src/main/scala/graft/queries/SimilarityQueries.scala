@@ -299,16 +299,23 @@ object SimilarityQueries {
     * row-local expressions over ≈20 KiB of literal model state — no
     * crossJoin, no per-vector window, no shuffle before the candidate
     * join. */
-  def knnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
-    import graft.llm.{Pq, PqTrain, ServeBooks}
-    val book = ServeBooks.coarse(s, dir)
-    val resBooks = ServeBooks.pqRes(s, dir)
+  def knnIvfPqRes(s: SparkSession, dir: String): DataFrame =
     // the PRECOMPUTED index: (vec_id, cell, codes) — encoding happens
     // once per corpus in the artifact build, never per query (the
     // production IVFADC topology; also avoids re-deriving the encode
     // argmin inside this plan, where consumer expressions would
     // duplicate it — measured 2–7× serve-time regressions)
-    val codes = ServeBooks.pqResCodes(s, dir)
+    knnIvfPqResOver(s, dir, graft.llm.ServeBooks.pqResCodes(s, dir))
+
+  /** q164's serve tail over ANY codes frame (vec_id, cell, codes) —
+    * the batch artifact or [[graft.streaming.StreamAnnIndex]]'s
+    * stream-maintained target (StreamAnnIndexSpec proves both serve
+    * identically). */
+  def knnIvfPqResOver(s: SparkSession, dir: String,
+                      codes: DataFrame): DataFrame = {
+    import graft.llm.{Pq, ServeBooks}
+    val book = ServeBooks.coarse(s, dir)
+    val resBooks = ServeBooks.pqRes(s, dir)
     val e = vecs(s, dir)
     // x̂ = c(v) + PQ(r) via ONE native expression carrying both books
     // as a plan-literal spec (graft_pq_decode — BpeEncodeTbl's

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.llm.{Pq, ServeBooks, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the ANN code index — the vector analogue
+  * of [[StreamIndexCompact]] (batch/stream halves meeting on disk):
+  * vectors arriving on a stream are IVFADC-encoded (coarse cell + 8
+  * residual codeword ids) against books FROZEN AT STREAM START (the
+  * StreamEmbedDedupPq snapshot convention — a retrain is a new stream,
+  * not a mid-stream book swap, which would silently mix
+  * incommensurable codes in one index) and compacted into a
+  * bucket-partitioned parquet target in exactly the frame q164's
+  * serve tail reads — so a long-running ingest keeps a live ANN index
+  * that `SimilarityQueries.knnIvfPqResOver` serves from identically
+  * to the batch-built ArtifactStore codes (StreamAnnIndexSpec proves
+  * rows and served top-K both agree).
+  *
+  * Per micro-batch: encode row-locally (assignment + residual are the
+  * serve expressions; the per-subspace argmin reads the
+  * localCheckpoint-materialized residual, the pqResCodes build's
+  * anti-duplication discipline), bucket by vec_id, load ONLY touched
+  * buckets of the target, dedup per key, dynamic-overwrite those
+  * buckets. Idempotence: a redelivered vector re-encodes to
+  * byte-identical codes (the encode is deterministic row-local
+  * arithmetic), so the per-key max(struct) dedup leaves the bucket
+  * unchanged; checkpoint replay is a no-op rewrite.
+  *
+  * Scale posture: per batch the work is touched-buckets-sized; codes
+  * are 8 ids + a cell per vector (the 8-byte-code economics), so the
+  * maintained index stays ~32× smaller than the raw vectors it
+  * serves for.
+  */
+object StreamAnnIndex {
+
+  /** Encode + merge one batch of (vec_id, embedding) vectors. */
+  def compactBatch(target: String, coarse: Array[Array[Double]],
+                   resBooks: Array[Array[Array[Double]]], buckets: Int)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val bookArr = array(coarse.map(c =>
+      array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+    val assigned = batch
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        ServeBooks.cell(coarse, col("v")).as("cell"))
+      .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+      .withColumn("bucket", pmod(col("vec_id"), lit(buckets.toLong)))
+      .localCheckpoint()
+    val incoming = assigned.select(col("vec_id"), col("bucket"), col("cell"),
+      Pq.encodeWith(resBooks)(col("rv")).as("codes"))
+    val touched = assigned.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val tgtPath = new org.apache.hadoop.fs.Path(target)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // existence check, not a catch — StreamMergeSink's r7 discipline
+    val existing =
+      if (!fs.exists(tgtPath)) incoming.limit(0)
+      else s.read.parquet(target).where(col("bucket").isin(touched: _*))
+        .select(incoming.columns.map(col): _*)
+    existing.localCheckpoint()
+      .unionByName(incoming)
+      .groupBy(col("bucket"), col("vec_id"))
+      .agg(max(struct(col("cell"), col("codes"))).as("m"))
+      .select(col("vec_id"), col("bucket"),
+        col("m.cell").as("cell"), col("m.codes").as("codes"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .mode("overwrite")
+      .parquet(target)
+  }
+
+  /** vectors(vec_id, embedding) stream → continuously maintained code
+    * index at `target`, checkpointed. */
+  def start(vectors: DataFrame, target: String, checkpoint: String,
+            coarse: Array[Array[Double]],
+            resBooks: Array[Array[Array[Double]]],
+            buckets: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch(compactBatch(target, coarse, resBooks, buckets) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The maintained index in the exact frame knnIvfPqResOver consumes. */
+  def codes(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
+    s.read.parquet(target).select(col("vec_id"), col("cell"), col("codes"))
+}
