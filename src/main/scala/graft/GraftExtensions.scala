@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Kmv, MisraGries, PqDecode, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, Kmv, MisraGries, PqDecode, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -92,6 +92,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_pq_decode spec must be a STRING literal, got $other")
         }
         PqDecode(children(0), children(1), spec)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_int8_decode"),
+      new ExpressionInfo(classOf[Int8Decode].getName, "graft_int8_decode"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_int8_decode takes (codes ARRAY<BIGINT>, spec STRING " +
+            s"literal), got ${children.length} args")
+        val spec = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_int8_decode spec must be a STRING literal, got $other")
+        }
+        Int8Decode(children.head, spec)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

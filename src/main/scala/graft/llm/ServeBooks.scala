@@ -48,6 +48,12 @@ object ServeBooks {
     * precomputed index; keyed by the full geometry like [[PqResKey]]. */
   val PqResCodesKey =
     s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
+  /** q106's exact per-dim (min, max) scale table — the int8 family's
+    * model state. */
+  val Int8ScalesKey = "int8_scales_v1"
+  /** The int8-encoded corpus (cell + 64 codes per vector) — q113's
+    * precomputed index (q164's topology applied to the int8 arm). */
+  val Int8CodesKey = s"int8_codes_c${CoarseCells}_r${Rounds}_v1"
 
   private val coarseMemo = new ConcurrentHashMap[String, Array[Array[Double]]]()
   private val pqMemo = new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
@@ -164,6 +170,53 @@ object ServeBooks {
         .localCheckpoint()
       assigned.select(col("vec_id"), col("cell"),
         graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"))
+    }.select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  private val int8ScalesMemo =
+    new ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  /** q106's exact per-dim scale table, artifact-published and
+    * memoized as model state (64 rows, 128 doubles). */
+  def int8Scales(s: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    int8ScalesMemo.computeIfAbsent(s"$dir|$fp", _ => {
+      val df = ArtifactStore.parquetOnce(s, Int8ScalesKey, fp) {
+        graft.Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+          .select(col("i"), col("xf").cast("double").as("x"))
+          .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .select(col("i").cast(LongType).as("i"), col("mn"), col("mx"))
+      }
+      val mns = Array.ofDim[Double](VectorOps.Dim)
+      val mxs = Array.ofDim[Double](VectorOps.Dim)
+      df.select(col("i"), col("mn"), col("mx")).collect().foreach { r =>
+        mns(r.getLong(0).toInt) = r.getDouble(1)
+        mxs(r.getLong(0).toInt) = r.getDouble(2)
+      }
+      (mns, mxs)
+    })
+  }
+
+  /** The int8-encoded index (q113's serve-side state): one row per
+    * corpus vector — coarse cell + the 64 int8 codes (q106's exact
+    * quantization arithmetic, codes as longs) — persisted like
+    * [[pqResCodes]]: encode once per corpus, serve from attributes. */
+  def int8Codes(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val fp = ArtifactStore.embeddingsFp(s, dir)
+    val coarseBook = coarse(s, dir)
+    val (mns, mxs) = int8Scales(s, dir)
+    ArtifactStore.parquetOnce(s, Int8CodesKey, fp) {
+      val e = graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      val codesExpr = array((0 until VectorOps.Dim).map { i =>
+        val mn = mns(i); val mx = mxs(i)
+        if (mx == mn) lit(0L)
+        else least(lit(255L), greatest(lit(0L),
+          floor(((col("v").getItem(i) - lit(mn)) * lit(255.0)) / lit(mx - mn))))
+      }: _*)
+      e.select(col("vec_id"), cell(coarseBook, col("v")).as("cell"),
+        codesExpr.as("codes"))
     }.select(col("vec_id"), col("cell"), col("codes"))
   }
 

@@ -519,46 +519,38 @@ object SimilarityQueries {
     * reconstructs with ~16× less squared error on this corpus, which
     * is the classic memory/recall rung between raw floats and PQ).
     *
-    * The scale table (per-dim min/max — q106's exact aggregate) is
-    * collected driver-side: 128 doubles, the bounded-scalar-action
-    * shape of q100's candidate array, then folded into the dequant
-    * expressions as literals and broadcast with the plan. Codes are
-    * exact integers (floor over bit-identical IEEE doubles) and every
+    * The scale table (per-dim min/max — q106's exact aggregate) and
+    * the encoded corpus are both ArtifactStore-published
+    * (ServeBooks.int8Scales/int8Codes — q164's precomputed-index
+    * topology): serving reads stored (cell, codes) attributes and
+    * dequantizes through the native graft_int8_decode expression, the
+    * scale table riding the plan as a spec literal. Codes are exact
+    * integers (floor over bit-identical IEEE doubles) and every
     * dequant/distance expression mirrors the DuckDB oracle tree, so
-    * the whole two-stage pipeline is exact-oracle-able end to end.
+    * the whole two-stage pipeline is exact-oracle-able end to end —
+    * the oracle re-derives the encoding from the corpus, independently
+    * verifying the stored index.
     *
-    * Scale shape: identical to q64 — row-local literal-argmin
-    * assignment over the ServeBooks-trained book (no join, no window),
-    * candidate join bounded by probed cells, per-query shortlist-50
-    * window, exact re-rank touches ≤ 50 raw vectors per query.
+    * Scale shape: candidate join bounded by probed cells, per-query
+    * shortlist-50 window, exact re-rank fetches raw vectors via a
+    * bounded-shortlist broadcast — the corpus never shuffles.
     */
   def knnIvfInt8(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+    import graft.llm.ServeBooks
     val e = vecs(s, dir)
-    // q106's exact per-dim scale table, collected (64 rows, 128 doubles)
-    val dims = Tables.embeddings(s, dir)
-      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
-      .select(col("i"), col("xf").cast(DoubleType).as("x"))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
-      .toMap
-    // dequantized reconstruction, element-wise with literal scales:
-    // code = floor(((x − mn)·255)/(mx − mn)) clamped to [0,255]
-    // xhat = mn + ((code + 0.5)·(mx − mn))/255   (bucket centers)
-    // — the exact expression shapes of q106, so IEEE doubles match
-    val xhat = array((0 until VectorOps.Dim).map { i =>
-      val (mn, mx) = dims(i)
-      val x = col("v").getItem(i)
-      if (mx == mn) lit(mn)
-      else {
-        val code = least(lit(255L), greatest(lit(0L),
-          floor(((x - lit(mn)) * lit(255.0)) / lit(mx - mn))))
-        lit(mn) + ((code + lit(0.5)) * lit(mx - mn)) / lit(255.0)
-      }
-    }: _*)
-    val book = graft.llm.ServeBooks.coarse(s, dir)
-    val cells = e.select(col("vec_id"), col("v"), xhat.as("xhat"),
-      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val book = ServeBooks.coarse(s, dir)
+    // q164's precomputed-index topology applied to the int8 arm: the
+    // corpus's (cell, 64 int8 codes) rows are an artifact
+    // (ServeBooks.int8Codes), and dequantization is ONE native
+    // expression carrying the q106 scale table as a plan-literal spec
+    // — same bits as the old inline per-element arithmetic (single
+    // IEEE ops in the same order), so the oracle is unchanged
+    val (mns, mxs) = ServeBooks.int8Scales(s, dir)
+    val spec = graft.functions.Int8DecodeTable.toSpec(mns, mxs)
+    val cells = ServeBooks.int8Codes(s, dir)
+      .select(col("vec_id"), col("cell"),
+        call_function("graft_int8_decode", col("codes"), lit(spec))
+          .as("xhat"))
     val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
@@ -571,15 +563,18 @@ object SimilarityQueries {
     val shortlist = probes
       .join(cells, col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-        col("v").as("nv"), adc.as("adc"))
+        adc.as("adc"))
       .withColumn("rs", row_number().over(wAdc))
       .where(col("rs") <= Int8Shortlist)
+    // bounded-shortlist broadcast fetch of raw vectors (q164's shape)
+    val nvs = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
     val l2 = VectorOps.dot(col("qv"), col("qv")) -
       lit(2.0) * VectorOps.dot(col("qv"), col("nv")) +
       VectorOps.dot(col("nv"), col("nv"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("l2"), col("neighbor_id"))
-    shortlist
+    nvs
+      .join(broadcast(shortlist), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)

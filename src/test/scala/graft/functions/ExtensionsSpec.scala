@@ -55,6 +55,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == Seq(10.5, 20.25, 30.0 - 0.125, 40.0 - 0.0625), s"got $r")
   }
 
+  test("graft_int8_decode dequantizes to bucket centers, degenerate dim to mn") {
+    val mns = Array(0.0, -1.0, 5.0)
+    val mxs = Array(255.0, 1.0, 5.0) // dim 2 degenerate (mx = mn)
+    val spec = Int8DecodeTable.toSpec(mns, mxs)
+    val r = spark.sql(
+      s"SELECT graft_int8_decode(array(0L, 255L, 7L), '$spec') AS x")
+      .head().getSeq[Double](0)
+    assert(r == Seq(0.5, -1.0 + (255.5 * 2.0) / 255.0, 5.0), s"got $r")
+  }
+
   test("graft_h60 is bit-identical to the SQL md5 chain it replaces") {
     import org.apache.spark.sql.functions._
     // corpus tokens + adversarial cases: empty, unicode, separators,
