@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-overhead audit: for every registered query, one timed run
+  * (post-warmup) comparing WALL time against the sum of stage wall
+  * times. The difference is driver-side work — Catalyst analysis/
+  * optimization, codegen compilation, broadcast collection — which
+  * stays CONSTANT as data grows and so silently dominates small-scale
+  * measurements and serving-latency paths (the q164 lesson: 1.2 s of
+  * stages inside a 4.7 s query, all of it planning over literal-heavy
+  * trees). Output: one line per query, worst driver-share first.
+  *
+  * `runMain graft.PlanCost [sfDir] [minWallSec]`.
+  */
+object PlanCost {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val minWall = args.lift(1).map(_.toDouble).getOrElse(0.3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stageMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        for (a <- sc.stageInfo.completionTime; b <- sc.stageInfo.submissionTime)
+          stageMs.addAndGet(a - b)
+    })
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+    val rows = new ConcurrentLinkedQueue[(String, Double, Double)]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // listener events are async — poll until the counter quiesces
+      // (BenchMetrics.settle's idiom; queries run strictly sequentially)
+      def settle(): Long = {
+        var prev = -1L; var cur = stageMs.get(); var i = 0
+        while (cur != prev && i < 50) {
+          prev = cur; Thread.sleep(50); cur = stageMs.get(); i += 1
+        }
+        cur
+      }
+      // warm run: artifact builds, codegen cache, broadcast reuse
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      settle()
+      stageMs.set(0L)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (ok) rows.add((name, wall, settle() / 1e3))
+    }
+    import scala.jdk.CollectionConverters._
+    val all = rows.asScala.toSeq
+    val flagged = all
+      .filter { case (_, w, _) => w >= minWall }
+      .sortBy { case (_, w, st) => -(w - st) }
+    println("=== driver-share audit (wall >= %.1fs), worst first ===".format(minWall))
+    flagged.foreach { case (n, w, st) =>
+      println(f"$n%-28s wall=$w%6.2fs stages=$st%6.2fs driver=${w - st}%6.2fs (${100 * (w - st) / w}%4.0f%%)")
+    }
+    println(f"TOTAL wall=${all.map(_._2).sum}%.1fs stages=${all.map(_._3).sum}%.1fs")
+    spark.stop()
+  }
+}
