@@ -90,4 +90,43 @@ object StreamAnnIndex {
   /** The maintained index in the exact frame knnIvfPqResOver consumes. */
   def codes(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
     s.read.parquet(target).select(col("vec_id"), col("cell"), col("codes"))
+
+  /** Vector takedown over the LIVE index (TakedownApply's leg-2 idiom
+    * for the ANN target): drop flagged vec_ids, rewriting only the
+    * buckets that held them — including dropping a bucket whose every
+    * vector was flagged, which dynamic overwrite alone would leave
+    * behind. Serving through [[codes]] excludes the flagged vectors
+    * immediately (the deleted-set-before-reindex pattern of production
+    * ANN deployments); the ARTIFACT families need no action here —
+    * they are fingerprint-keyed to the source corpus, so regenerating
+    * the corpus without the flagged vectors retrains and re-encodes
+    * transparently (ArtifactStore's staleness contract). Idempotent:
+    * a second pass finds no flagged rows and rewrites nothing. */
+  def scrub(s: org.apache.spark.sql.SparkSession, target: String,
+            flagged: Seq[Long]): Unit = {
+    val tgtPath = new org.apache.hadoop.fs.Path(target)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tgtPath)) return
+    val all = s.read.parquet(target)
+    // partition-column inference reads `bucket` back as INT
+    val touched = all.where(col("vec_id").isin(flagged: _*))
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val remaining = all.where(col("bucket").isin(touched: _*) &&
+        !col("vec_id").isin(flagged: _*))
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+        col("cell"), col("codes"))
+      .localCheckpoint()
+    remaining.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .mode("overwrite")
+      .parquet(target)
+    val kept = remaining.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    touched.filterNot(kept).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$target/bucket=$b"), true)
+    }
+  }
 }

@@ -75,6 +75,19 @@ object StreamIndexCompact {
     }
     merge("postings", newPostings, Seq("doc_id", "t"), "tf")
     merge("doclens", newLens, Seq("doc_id"), "dl")
+    // per-batch delta log — the index's time-travel half (TimeTravel's
+    // batch_id-partition idiom): each batch's postings/length rows land
+    // in their own partition with dynamic overwrite, so replay rewrites
+    // identical rows and `asOfPostings` can reconstruct the index as
+    // served at ANY historical batch boundary (relevance-regression
+    // debugging: "what did last week's index score for this query")
+    Seq(("log/postings", newPostings.drop("bucket")),
+        ("log/doclens", newLens.drop("bucket"))).foreach { case (sub, df) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").mode("overwrite")
+        .parquet(s"$target/$sub")
+    }
   }
 
   /** docs(doc_id, text) stream → continuously compacted index target. */
@@ -91,4 +104,21 @@ object StreamIndexCompact {
 
   def doclens(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
     s.read.parquet(s"$target/doclens").select(col("doc_id"), col("dl"))
+
+  /** The index AS OF log batch `b` (inclusive): `batch_id ≤ b` is a
+    * partition filter (later batches pruned, never read); the max()
+    * dedup mirrors the compact merge so a doc redelivered across
+    * batches counts once. Feed both frames to `bm25Over` to reproduce
+    * exactly what the index served at that boundary. */
+  def asOfPostings(s: org.apache.spark.sql.SparkSession, target: String,
+                   b: Long): DataFrame =
+    s.read.parquet(s"$target/log/postings").where(col("batch_id") <= b)
+      .groupBy(col("doc_id"), col("t")).agg(max(col("tf")).as("tf"))
+      .select(col("doc_id"), col("t"), col("tf"))
+
+  def asOfDoclens(s: org.apache.spark.sql.SparkSession, target: String,
+                  b: Long): DataFrame =
+    s.read.parquet(s"$target/log/doclens").where(col("batch_id") <= b)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .select(col("doc_id"), col("dl"))
 }

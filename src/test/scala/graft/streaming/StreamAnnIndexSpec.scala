@@ -61,5 +61,31 @@ class StreamAnnIndexSpec extends SparkSpec {
       vectors.take(5).toDF("vec_id", "embedding"), 99L)
     assert(codesMap(StreamAnnIndex.codes(spark, target)) == batch,
       "replaying indexed vectors mutated the target")
+
+    // vector takedown: scrub flagged ids (incl. every vector of bucket
+    // 3 mod 4 — the all-flagged-bucket case), serve excludes them, and
+    // serving equals the batch codes minus the same ids
+    val flagged = vectors.map(_._1).filter(id => id % 4 == 3) ++ Seq(0L)
+    StreamAnnIndex.scrub(spark, target, flagged)
+    val scrubbed = codesMap(StreamAnnIndex.codes(spark, target))
+    assert(scrubbed == batch.removedAll(flagged),
+      "scrub must drop exactly the flagged vectors")
+    val servedAfter = graft.queries.SimilarityQueries
+      .knnIvfPqResOver(spark, sfDir, StreamAnnIndex.codes(spark, target))
+      .collect().map(_.toSeq).toSeq
+    val expectAfter = graft.queries.SimilarityQueries
+      .knnIvfPqResOver(spark, sfDir,
+        graft.llm.ServeBooks.pqResCodes(spark, sfDir)
+          .where(!org.apache.spark.sql.functions.col("vec_id")
+            .isin(flagged: _*)))
+      .collect().map(_.toSeq).toSeq
+    assert(servedAfter == expectAfter,
+      "post-scrub serving differs from the flag-filtered batch index")
+    assert(!servedAfter.exists(r => flagged.contains(r(1))),
+      "a flagged vector survived into the served top-K")
+    // idempotent: a second pass rewrites nothing
+    StreamAnnIndex.scrub(spark, target, flagged)
+    assert(codesMap(StreamAnnIndex.codes(spark, target)) == scrubbed,
+      "re-scrub mutated the target")
   }
 }

@@ -68,11 +68,39 @@ class StreamIndexCompactSpec extends SparkSpec {
     assert(fromStream == fromBatch,
       "q153 must serve the identical top-10 from the stream-built index")
 
+    // time travel: the index AS OF each historical batch boundary
+    // equals a direct build over that prefix of the corpus, and the
+    // final as-of serves the same scores as the live index
+    def prefixPostings(pfx: Seq[Doc]): Set[(Long, String, Long)] =
+      pfx.toDF("doc_id", "text")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .where(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+    assert(StreamIndexCompact.asOfPostings(spark, target, 0L)
+      .as[(Long, String, Long)].collect().toSet == prefixPostings(a),
+      "as-of batch 0 differs from the prefix build")
+    assert(StreamIndexCompact.asOfPostings(spark, target, 1L)
+      .as[(Long, String, Long)].collect().toSet == prefixPostings(a ++ b),
+      "as-of batch 1 differs from the prefix build")
+    val asOfFinal = graft.queries.CurationQueries.bm25Over(
+        StreamIndexCompact.asOfDoclens(spark, target, 2L),
+        StreamIndexCompact.asOfPostings(spark, target, 2L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(asOfFinal == fromBatch,
+      "final as-of must serve the live index's exact scores")
+
     // replay idempotence: re-compact an already-merged batch directly
     StreamIndexCompact.compactBatch(target, 8)(
       a.toDF("doc_id", "text"), 999L)
     assert(StreamIndexCompact.postings(spark, target)
       .as[(Long, String, Long)].collect().toSet == expPostings,
       "replaying a compacted batch changed the postings")
+    // ...and history stays intact: the rewritten partition re-derives
+    // identical rows, so every as-of is unchanged
+    assert(StreamIndexCompact.asOfPostings(spark, target, 1L)
+      .as[(Long, String, Long)].collect().toSet == prefixPostings(a ++ b),
+      "replay corrupted the as-of history")
   }
 }
