@@ -368,6 +368,12 @@ object AnalyticsQueries {
     val n = deg.count()
     val pr0 = PrScale / n
     val base = (3L * pr0) / 20L
+    // NOTE (round 8): unrolling the 5 rounds into one declarative plan
+    // (no per-round localCheckpoint) was tried and MEASURED SLOWER at
+    // sf0.1 (5.8 s vs ~4 s min): the cost is the 10 shuffle stages
+    // themselves, which the single-plan form still pays — plus a
+    // deeper AQE re-optimization per stage — while losing the round
+    // boundaries. The checkpointed loop stays.
     var pr: DataFrame = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
     var prevCkpt: DataFrame = null
     for (_ <- 1 to PrIters) {

@@ -88,6 +88,71 @@ object TakedownApply {
       }
     }
 
+  /** Leg 4 (erasure beats time travel): the merge sink's change LOG
+    * keeps every historical row, so [[TimeTravel.asOf]] would
+    * resurrect a taken-down document's content at old batch
+    * boundaries. Rewrite every log partition holding a flagged doc,
+    * replacing its rows with their TOMBSTONE form (content blanked,
+    * version and op='D' kept) — erasure is retroactive: the doc reads
+    * as deleted at EVERY boundary, while version-suppression of late
+    * upserts still works and unflagged history is byte-unchanged.
+    * Idempotent: a second pass rewrites tombstones to themselves. */
+  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit = {
+    val tgtPath = new org.apache.hadoop.fs.Path(log)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tgtPath)) return
+    val all = s.read.parquet(log)
+    val touched = all
+      .where(col("docId").isin(flagged: _*) &&
+        (col("op") =!= "D" || col("text") =!= ""))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    all.where(col("batch_id").isin(touched: _*))
+      .select(col("docId"), col("ver"),
+        when(col("docId").isin(flagged: _*), lit("D"))
+          .otherwise(col("op")).as("op"),
+        when(col("docId").isin(flagged: _*), lit(""))
+          .otherwise(col("text")).as("text"),
+        col("batch_id").cast("long").as("batch_id"))
+      .localCheckpoint()
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").mode("overwrite").parquet(log)
+  }
+
+  /** Leg 5: same retroactive erasure for the search index's
+    * time-travel log ([[graft.streaming.StreamIndexCompact]]'s
+    * `log/` layout) — index rows ARE content-derived (the terms), so
+    * flagged docs' rows are DROPPED from every touched batch
+    * partition: retroactively the doc was never indexed. */
+  def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    Seq("log/postings", "log/doclens").foreach { sub =>
+      val path = s"$target/$sub"
+      val tgtPath = new org.apache.hadoop.fs.Path(path)
+      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(tgtPath)) {
+        val all = s.read.parquet(path)
+        val touched = all.where(col("doc_id").isin(flagged: _*))
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (touched.nonEmpty) {
+          val remaining = all.where(col("batch_id").isin(touched: _*) &&
+              !col("doc_id").isin(flagged: _*))
+            .select(all.columns.filterNot(_ == "batch_id").map(col) :+
+              col("batch_id").cast("long").as("batch_id"): _*)
+            .localCheckpoint()
+          remaining.write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").mode("overwrite").parquet(path)
+          val kept = remaining.select(col("batch_id")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          touched.filterNot(kept).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch_id=$b"), true)
+          }
+        }
+      }
+    }
+
   /** Leg 3: invalidate every documents-derived artifact family for the
     * corpus at `dir` (they encode pre-takedown content). */
   def invalidateArtifacts(s: SparkSession, dir: String,
@@ -101,9 +166,14 @@ object TakedownApply {
   def cascade(s: SparkSession, flagged: Seq[Long],
               mergeTarget: Option[String] = None, mergeBuckets: Int = 16,
               indexTarget: Option[String] = None,
-              corpusDir: Option[String] = None): Unit = {
+              corpusDir: Option[String] = None,
+              mergeLog: Option[String] = None): Unit = {
     mergeTarget.foreach(tombstoneMerged(s, _, mergeBuckets, flagged))
-    indexTarget.foreach(scrubIndex(s, _, flagged))
+    indexTarget.foreach { t =>
+      scrubIndex(s, t, flagged)
+      scrubIndexLog(s, t, flagged)
+    }
+    mergeLog.foreach(scrubMergeLog(s, _, flagged))
     corpusDir.foreach(invalidateArtifacts(s, _))
   }
 }

@@ -83,4 +83,60 @@ class TakedownApplySpec extends SparkSpec {
       postAgain == postAfter && lensAgain == lensAfter,
       "the cascade must be replay-idempotent")
   }
+
+  test("erasure beats time travel: no as-of boundary resurrects flagged content") {
+    val dir = Files.createTempDirectory("takedown_tt").toString
+    val mergeTarget = s"$dir/table"; val mergeLog = s"$dir/mlog"
+    val indexTarget = s"$dir/index"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val flagged = docs.map(_._1).filter(_ % 5 == 0)
+    assert(flagged.nonEmpty)
+
+    // three logged batches of history for both the table and the index
+    val (a, rest) = docs.splitAt(docs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 3)
+    Seq(a, b, c).zipWithIndex.foreach { case (batch, i) =>
+      StreamMergeSink.mergeBatch(mergeTarget, 8, Some(mergeLog))(
+        batch.toDF("doc_id", "text")
+          .select(col("doc_id").as("docId"), lit(i + 1L).as("ver"),
+            lit("I").as("op"), col("text")), i.toLong)
+      StreamIndexCompact.compactBatch(indexTarget, 8)(
+        batch.toDF("doc_id", "text"), i.toLong)
+    }
+    val keepBefore = (0L to 2L).map(bid =>
+      TimeTravel.asOf(spark, mergeLog, bid)
+        .where(!col("docId").isin(flagged: _*))
+        .orderBy("docId").collect().toSeq)
+
+    TakedownApply.cascade(spark, flagged,
+      mergeTarget = Some(mergeTarget), mergeBuckets = 8,
+      indexTarget = Some(indexTarget), mergeLog = Some(mergeLog))
+
+    for (bid <- 0L to 2L) {
+      // merge log: flagged docs read as deleted at EVERY boundary, and
+      // their text exists nowhere in the raw log
+      val asOf = TimeTravel.asOf(spark, mergeLog, bid)
+      assert(asOf.where(col("docId").isin(flagged: _*)).count() == 0L,
+        s"as-of $bid resurrected a flagged doc")
+      assert(asOf.where(!col("docId").isin(flagged: _*))
+        .orderBy("docId").collect().toSeq == keepBefore(bid.toInt),
+        s"as-of $bid changed for unflagged docs")
+      // index log: flagged docs absent from the historical index
+      assert(StreamIndexCompact.asOfPostings(spark, indexTarget, bid)
+        .where(col("doc_id").isin(flagged: _*)).count() == 0L,
+        s"historical index at $bid still lists a flagged doc")
+    }
+    assert(spark.read.parquet(mergeLog)
+      .where(col("docId").isin(flagged: _*) && col("text") =!= "")
+      .count() == 0L, "flagged content survived in the raw merge log")
+
+    // idempotent: a second pass leaves both logs byte-equal
+    val rawBefore = spark.read.parquet(mergeLog).collect().map(_.toSeq).toSet
+    TakedownApply.scrubMergeLog(spark, mergeLog, flagged)
+    TakedownApply.scrubIndexLog(spark, indexTarget, flagged)
+    assert(spark.read.parquet(mergeLog).collect().map(_.toSeq).toSet == rawBefore,
+      "re-scrub mutated the merge log")
+  }
 }
