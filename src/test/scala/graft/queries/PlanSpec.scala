@@ -180,6 +180,34 @@ class PlanSpec extends SparkSpec {
       "map-side combine must feed the shuffle:\n" + p.take(1200))
   }
 
+  test("q167 CMS estimate: the sketch side broadcasts, the corpus joins no corpus") {
+    // the ≤ d·w-cell sketch must reach the estimate join as a broadcast
+    // build side — a shuffled join here would re-exchange the exact
+    // counts for a 256-row lookup table
+    val p = plan("q167_cms_estimate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"),
+      "the sketch lookup must not shuffle:\n" + p.take(1000))
+  }
+
+  test("q169 time travel: per-version compaction is the argmax partial agg, " +
+      "no window") {
+    val df = graft.SparkEntry.queries("q169_time_travel")(spark, sfDir)
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q169 must compact via max(struct), not a per-key sort window")
+  }
+
+  test("q170 SCD-2: exactly one window, keyed on doc_id") {
+    val df = graft.SparkEntry.queries("q170_scd2")(spark, sfDir)
+    val parts = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name))
+    }
+    assert(parts.size == 1 && parts.head.forall(_.contains("doc_id")),
+      s"expected one doc_id-keyed interval window, got $parts")
+  }
+
   test("q158 health audit is windowless: row-local assignment, one partial agg") {
     val df = graft.SparkEntry.queries("q158_ivf_health")(spark, sfDir)
     val p = plan("q158_ivf_health")
