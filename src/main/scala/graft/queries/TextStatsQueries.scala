@@ -652,9 +652,60 @@ object TextStatsQueries {
       .orderBy(col("token"))
   }
 
+  /** q171's width ladder — ×4 steps bracketing the serve width, the
+    * regime where the error-vs-memory tradeoff actually moves. */
+  private val CmsWidths = Seq(16L, 64L, 256L)
+
+  /** q171 — CMS WIDTH TUNING CURVE (q161's measure-the-dial pattern
+    * applied to the sketch family): for each candidate width w, the
+    * total and worst-case overcount across the vocabulary, plus the
+    * memory the grid costs (d·w cells). The standard bound says error
+    * ≈ n/w per row with high probability; this measures the ACTUAL
+    * collision mass on this corpus's Zipf shape — the artifact that
+    * justifies (or indicts) the serve width before a rollout, the way
+    * q161 justifies the probe count and q142 the LSH bands.
+    *
+    * Scale shape: one token scan fans ×(d·|widths|) map-side and
+    * collapses into the partial aggregate (q166's argument, ladder
+    * included: the exchange carries Σ_w d·w cells per partition); the
+    * estimate stage joins the vocab-bounded exact counts against the
+    * ≤Σ d·w-cell broadcast grid. */
+  def cmsWidthCurve(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).where(col("t") =!= "")
+    val wj = explode(array(
+      (for { w <- CmsWidths; j <- 0 until CmsDepth }
+        yield struct(lit(w).as("w"), lit(j.toLong).as("j"))): _*)).as("wj")
+    val grid = tok.select(wj, col("t"))
+      .select(col("wj.w").as("w"), col("wj.j").as("j"),
+        (call_function("graft_h60",
+          concat(lit("cms"), col("wj.j").cast(StringType), lit("|"), col("t")))
+          % col("wj.w")).as("bucket"))
+      .groupBy(col("w"), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+    val est = exact
+      .select(col("t"), col("exact_cnt"), wj)
+      .withColumn("w", col("wj.w")).withColumn("j", col("wj.j"))
+      .withColumn("bucket", call_function("graft_h60",
+        concat(lit("cms"), col("j").cast(StringType), lit("|"), col("t")))
+        % col("w"))
+      .join(broadcast(grid), Seq("w", "j", "bucket"))
+      .groupBy(col("w"), col("t"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est"))
+    est.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("est") - col("exact_cnt")).as("total_overcount"),
+        max(col("est") - col("exact_cnt")).as("max_overcount"))
+      .select(col("w"), (col("w") * CmsDepth).as("cells"),
+        col("n_terms"), col("total_overcount"), col("max_overcount"))
+      .orderBy(col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_cms_sketch"   -> cmsSketch,
     "q167_cms_estimate" -> cmsEstimate,
+    "q171_cms_width_curve" -> cmsWidthCurve,
     "q105_vocab_coverage" -> vocabCoverage,
     "q100_heavy_hitters" -> heavyHitters,
     "q97_bpe_pairs"      -> bpePairs,
@@ -738,6 +789,36 @@ object TextStatsQueries {
        |  GROUP BY j, bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q171_cms_width_curve" ->
+      s"""WITH tt AS (
+         |  SELECT t FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+         |    FROM documents) WHERE t <> ''),
+         |ws AS (SELECT unnest(${CmsWidths.mkString("[", ", ", "]")})::BIGINT AS w),
+         |js AS (SELECT unnest(${(0 until CmsDepth).map(_.toString)
+            .mkString("[", ", ", "]")})::BIGINT AS j),
+         |grid AS (
+         |  SELECT w, j,
+         |         ('0x' || substr(md5('cms' || j::VARCHAR || '|' || t),
+         |            1, 15))::BIGINT % w AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM tt CROSS JOIN ws CROSS JOIN js
+         |  GROUP BY w, j, bucket),
+         |exact AS (
+         |  SELECT t, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t),
+         |est AS (
+         |  SELECT ws.w, e.t, e.exact_cnt, min(g.cnt) AS est
+         |  FROM exact e CROSS JOIN ws CROSS JOIN js
+         |  JOIN grid g ON g.w = ws.w AND g.j = js.j
+         |    AND g.bucket = ('0x' || substr(md5('cms' || js.j::VARCHAR
+         |          || '|' || e.t), 1, 15))::BIGINT % ws.w
+         |  GROUP BY ws.w, e.t, e.exact_cnt)
+         |SELECT w, (w * $CmsDepth)::BIGINT AS cells,
+         |       count(*)::BIGINT AS n_terms,
+         |       sum(est - exact_cnt)::BIGINT AS total_overcount,
+         |       max(est - exact_cnt)::BIGINT AS max_overcount
+         |FROM est GROUP BY w ORDER BY w""".stripMargin,
+
     "q166_cms_sketch" ->
       s"""WITH $cmsCtesSql
          |SELECT j, bucket, cnt FROM grid ORDER BY j, bucket""".stripMargin,

@@ -45,4 +45,33 @@ class StreamCmsSpec extends SparkSpec {
     assert(one == batchGrid,
       "live sketch differs from the batch q166 grid")
   }
+
+  test("checkpointed restart resumes the sketch state (RocksDB provider)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("cms_restart").toString
+      val stream = MemoryStream[String]
+      val out = s"$dir/out"
+      def start() =
+        StreamCms(stream.toDF().toDF("text")).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append").start()
+      val (a, b) = texts.splitAt(texts.size / 2)
+      val q1 = start()
+      try { stream.addData(a); q1.processAllAvailable() } finally q1.stop()
+      // restart from the checkpoint; the second half's emissions must
+      // INCLUDE the first half's restored counts — taking the max per
+      // cell across all emissions then equals the whole-corpus batch
+      // grid iff state survived the restart
+      val q2 = start()
+      try { stream.addData(b); q2.processAllAvailable() } finally q2.stop()
+      val merged = spark.read.parquet(out)
+        .selectExpr("j", "bucket", "cnt").as[(Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).max).toMap
+      assert(merged == batchGrid,
+        "restart lost or double-counted sketch state")
+    }
+  }
 }
