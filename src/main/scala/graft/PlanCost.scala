@@ -65,12 +65,18 @@ object PlanCost {
     }
     import scala.jdk.CollectionConverters._
     val all = rows.asScala.toSeq
+    // stage walls OVERLAP when independent stages run concurrently
+    // (two scans feeding a join, AQE broadcast builds), so stage-sum
+    // can exceed wall; clamp the driver share at 0 — a clamped row
+    // reads "no driver problem, stages ran in parallel", which is the
+    // honest verdict for exactly those plans
     val flagged = all
       .filter { case (_, w, _) => w >= minWall }
-      .sortBy { case (_, w, st) => -(w - st) }
+      .sortBy { case (_, w, st) => -math.max(0.0, w - st) }
     println("=== driver-share audit (wall >= %.1fs), worst first ===".format(minWall))
     flagged.foreach { case (n, w, st) =>
-      println(f"$n%-28s wall=$w%6.2fs stages=$st%6.2fs driver=${w - st}%6.2fs (${100 * (w - st) / w}%4.0f%%)")
+      val d = math.max(0.0, w - st)
+      println(f"$n%-28s wall=$w%6.2fs stages=$st%6.2fs driver=$d%6.2fs (${100 * d / w}%4.0f%%)")
     }
     println(f"TOTAL wall=${all.map(_._2).sum}%.1fs stages=${all.map(_._3).sum}%.1fs")
     spark.stop()

@@ -21,6 +21,10 @@ object Int8DecodeTable {
     extends Serializable {
     def decode(codes: ArrayData): ArrayData = {
       val n = mns.length
+      // UnsafeArrayData.getLong does NO bounds check — a short codes
+      // array would silently read adjacent buffer memory
+      if (codes.numElements() < n) throw new IllegalArgumentException(
+        s"graft_int8_decode: ${codes.numElements()} codes for $n dims")
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {

@@ -34,12 +34,24 @@ object PqDecodeTable {
     private val sub = books(0)(0).length
 
     def decode(cell: Long, codes: ArrayData): ArrayData = {
+      // typed errors over silent garbage: getLong is unchecked and a
+      // bad cell would surface as an opaque executor AIOOBE
+      if (cell < 0 || cell >= coarse.length) throw new IllegalArgumentException(
+        s"graft_pq_decode: cell $cell outside [0, ${coarse.length})")
+      if (codes.numElements() < books.length) throw new IllegalArgumentException(
+        s"graft_pq_decode: ${codes.numElements()} codes for ${books.length} subspaces")
+      var m = 0
+      while (m < books.length) {
+        val k = codes.getLong(m)
+        if (k < 0 || k >= books(m).length) throw new IllegalArgumentException(
+          s"graft_pq_decode: code $k outside [0, ${books(m).length})")
+        m += 1
+      }
       val c = coarse(cell.toInt)
       val out = new Array[Double](dim)
       var i = 0
       while (i < dim) {
-        val m = i / sub
-        out(i) = c(i) + books(m)(codes.getLong(m).toInt)(i % sub)
+        out(i) = c(i) + books(i / sub)(codes.getLong(i / sub).toInt)(i % sub)
         i += 1
       }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

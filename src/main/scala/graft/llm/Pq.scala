@@ -57,8 +57,9 @@ object Pq {
 
   /** PQ ENCODE: the chosen codeword id per subspace (0-based), as
     * array<bigint> — the 8-byte-code form an index stores
-    * (ServeBooks.pqResCodes persists it; [[decodeCodes]] is the O(1)
-    * lookup inverse). Same argmin arithmetic and tie rule as
+    * (ServeBooks.pqResCodes persists it; the native
+    * graft.functions.PqDecode expression is the O(1) lookup inverse).
+    * Same argmin arithmetic and tie rule as
     * [[reconstructWith]]. */
   def encodeWith(bks: Array[Array[Array[Double]]])(v: Column): Column = {
     val nSub = bks.length
@@ -74,21 +75,10 @@ object Pq {
     array(parts: _*)
   }
 
-  /** Reconstruction from STORED codes (attribute, not expression): per
-    * element a constant-time literal-table lookup — no argmin, no
-    * expensive subtree to duplicate, fully codegen'd. Inverse of
-    * [[encodeWith]] by construction. */
-  def decodeCodes(bks: Array[Array[Array[Double]]])(codes: Column): Column = {
-    val subDim = bks(0)(0).length
-    val bookArrs = bks.map(b =>
-      array(b.map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*))
-    val parts = bks.indices.flatMap { m =>
-      val cm = element_at(bookArrs(m),
-        (element_at(codes, m + 1) + 1).cast("int"))
-      (1 to subDim).map(d => element_at(cm, d))
-    }
-    array(parts: _*)
-  }
+  // (reconstruction from stored codes lives in the native
+  // graft.functions.PqDecode expression — one plan node carrying the
+  // books as a spec literal; a composed-Column decode was measured to
+  // bloat planning and was removed)
 
   /** SQL twin of [[reconstruct]] over a DOUBLE[] expression. */
   def reconstructSql(v: String): String = {

@@ -148,7 +148,8 @@ object ServeBooks {
     * expensive argmin subtree into every consumer expression
     * (measured: 2–7× the serve time). From the stored codes,
     * reconstruction is pure constant-time literal-table lookups
-    * (Pq.decodeCodes). The build materializes the residual vectors
+    * (the native graft_pq_decode expression). The build
+    * materializes the residual vectors
     * once (localCheckpoint — the index-build job's intermediate) so
     * the per-subspace argmin reads an attribute, not a duplicated
     * subtree. */

@@ -588,8 +588,14 @@ object TextStatsQueries {
     * [[graft.streaming.StreamCms]] so the live and nightly sketches
     * bucket identically. */
   private[graft] def cmsBucket(j: Column, t: Column): Column =
+    cmsBucketAt(j, t, lit(CmsWidth))
+
+  /** Width-parameterized form — q171's tuning ladder MUST hash with
+    * the same salt family it is tuning, so the salted key lives only
+    * here. */
+  private[graft] def cmsBucketAt(j: Column, t: Column, w: Column): Column =
     call_function("graft_h60",
-      concat(lit("cms"), j.cast(StringType), lit("|"), t)) % CmsWidth
+      concat(lit("cms"), j.cast(StringType), lit("|"), t)) % w
 
   /** q166 — Count-Min sketch build (Cormode & Muthukrishnan 2005): the
     * mergeable frequency summary a 100 TB pipeline keeps when the
@@ -678,18 +684,14 @@ object TextStatsQueries {
         yield struct(lit(w).as("w"), lit(j.toLong).as("j"))): _*)).as("wj")
     val grid = tok.select(wj, col("t"))
       .select(col("wj.w").as("w"), col("wj.j").as("j"),
-        (call_function("graft_h60",
-          concat(lit("cms"), col("wj.j").cast(StringType), lit("|"), col("t")))
-          % col("wj.w")).as("bucket"))
+        cmsBucketAt(col("wj.j"), col("t"), col("wj.w")).as("bucket"))
       .groupBy(col("w"), col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
     val est = exact
       .select(col("t"), col("exact_cnt"), wj)
       .withColumn("w", col("wj.w")).withColumn("j", col("wj.j"))
-      .withColumn("bucket", call_function("graft_h60",
-        concat(lit("cms"), col("j").cast(StringType), lit("|"), col("t")))
-        % col("w"))
+      .withColumn("bucket", cmsBucketAt(col("j"), col("t"), col("w")))
       .join(broadcast(grid), Seq("w", "j", "bucket"))
       .groupBy(col("w"), col("t"), col("exact_cnt"))
       .agg(min(col("cnt")).as("est"))

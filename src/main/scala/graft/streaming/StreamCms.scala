@@ -43,7 +43,11 @@ object StreamCms {
 
     override def handleInputRows(key: CellKey, rows: Iterator[InRow],
                                  timerValues: TimerValues): Iterator[OutRow] = {
-      val n = Option(state.get()).getOrElse(0L) + rows.size
+      // exists(), not Option(get()): an unset ValueState[Long] returns
+      // null at the erased level, which unboxes to 0L BEFORE Option
+      // can see it — Option(get()).getOrElse would work only by that
+      // accident of null-unboxing
+      val n = (if (state.exists()) state.get() else 0L) + rows.size
       state.update(n)
       Iterator.single(OutRow(key.j, key.bucket, n))
     }
