@@ -28,10 +28,15 @@ object Int8DecodeTable {
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
+        val code = codes.getLong(i)
+        // typed-error-over-silent-garbage, matching PqDecode's
+        // per-code range check
+        if (code < 0L || code > 255L) throw new IllegalArgumentException(
+          s"graft_int8_decode: code $code at dim $i outside [0, 255]")
         val mn = mns(i); val mx = mxs(i)
         out(i) =
           if (mx == mn) mn
-          else mn + ((codes.getLong(i) + 0.5) * (mx - mn)) / 255.0
+          else mn + ((code + 0.5) * (mx - mn)) / 255.0
         i += 1
       }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

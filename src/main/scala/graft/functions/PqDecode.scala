@@ -80,6 +80,14 @@ object PqDecodeTable {
         java.lang.Long.parseUnsignedLong(x, 16)))
     val cf = longs(cbits).toArray
     val bf = longs(bbits).toArray
+    // the spec head declares the geometry; a coarse book wider than
+    // m*sub would otherwise mis-slice every cell after the first
+    if (cf.length != cells * dim) throw new IllegalArgumentException(
+      s"graft_pq_decode spec: coarse book has ${cf.length} values, " +
+        s"geometry declares $cells cells x $dim dims")
+    if (bf.length != m * k * sub) throw new IllegalArgumentException(
+      s"graft_pq_decode spec: fine books have ${bf.length} values, " +
+        s"geometry declares $m x $k x $sub")
     val coarse = Array.tabulate(cells, dim)((i, d) => cf(i * dim + d))
     val books = Array.tabulate(m, k, sub)((mm, kk, d) =>
       bf((mm * k + kk) * sub + d))

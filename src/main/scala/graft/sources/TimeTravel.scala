@@ -51,6 +51,18 @@ object TimeTravel {
     * redundant rows whose argmax is identical, and a re-run completes
     * the deletion. */
   def compact(s: SparkSession, log: String, upTo: Long): Unit = {
+    // an upTo beyond the max logged batch would delete every real
+    // partition and park the snapshot at a batch id that never
+    // existed — asOf at the true latest batch would silently read
+    // empty. Clamp to the newest real batch instead.
+    // cast: a partition column read back from disk infers as int
+    val maxBatch = s.read.parquet(log)
+      .agg(max(col("batch_id")).cast("long")).head.getLong(0)
+    val upTo0 = math.min(upTo, maxBatch)
+    compactClamped(s, log, upTo0)
+  }
+
+  private def compactClamped(s: SparkSession, log: String, upTo: Long): Unit = {
     val snap = s.read.parquet(log).where(col("batch_id") <= upTo)
       .groupBy(col("docId"))
       .agg(max(struct(col("ver"), col("op"), col("text"))).as("m"))

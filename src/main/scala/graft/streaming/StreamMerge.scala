@@ -7,9 +7,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 /** Streaming CDC materialization: batch q122's cross-batch twin — the
   * continuously-maintained MERGE target (the shape of a compacted
   * changelog topic or a live replica). Per key the state is the
-  * highest-version change seen; an arriving change replaces it iff its
-  * version is higher. Because the winner is determined by version
-  * comparison alone — not arrival order — the materialized row per key
+  * max-(ver, op, text) change seen — the SAME total order as batch
+  * q122's max(struct), so equal-version changes resolve identically
+  * on both paths. Because the winner is determined by that comparison
+  * alone — not arrival order — the materialized row per key
   * is invariant to batch boundaries AND to change reordering across
   * batches: a v2 arriving before its v1 still wins, which is the
   * invariant that makes at-least-once, out-of-order change delivery
@@ -37,11 +38,19 @@ object StreamMerge {
       state = getHandle.getValueState[Current]("current",
         Encoders.product[Current], TTLConfig.NONE)
 
+    // equal versions break ties by (op, text) — the same lexicographic
+    // order as batch q122's max(struct(ver, op, text)) — so the merged
+    // state (and thus the TimeTravel log) is arrival-order-invariant
+    // even when a key sees two same-version changes in one batch
+    private def wins(c: Change, cur: Current): Boolean =
+      c.ver > cur.ver || (c.ver == cur.ver &&
+        (c.op > cur.op || (c.op == cur.op && c.text > cur.text)))
+
     override def handleInputRows(key: Long, rows: Iterator[Change],
                                  timerValues: TimerValues): Iterator[MergedRow] = {
       var cur = Option(state.get())
       rows.foreach { c =>
-        if (cur.forall(_.ver < c.ver)) cur = Some(Current(c.ver, c.op, c.text))
+        if (cur.forall(wins(c, _))) cur = Some(Current(c.ver, c.op, c.text))
       }
       cur.foreach(state.update)
       cur.map(c => MergedRow(key, c.ver, c.op, c.text)).iterator

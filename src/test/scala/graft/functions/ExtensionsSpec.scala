@@ -95,6 +95,33 @@ class ExtensionsSpec extends SparkSpec {
       plan.take(400))
   }
 
+  test("graft_pq_decode rejects a spec whose arrays contradict the geometry") {
+    // head declares 2 cells x (2x2) dims but the coarse book carries 3
+    // cells' worth of values — must error, not silently mis-slice
+    val good = PqDecodeTable.toSpec(
+      Array(Array(1.0, 2.0, 3.0, 4.0), Array(5.0, 6.0, 7.0, 8.0)),
+      Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+        Array(Array(0.0, 0.0), Array(1.0, 1.0))))
+    val Array(head, cbits, bbits) = good.split(";", 3)
+    val widened = head + ";" + cbits + ",3ff0000000000000,3ff0000000000000," +
+      "3ff0000000000000,3ff0000000000000;" + bbits
+    val e = intercept[IllegalArgumentException](
+      PqDecodeTable.parseSpec(widened))
+    assert(e.getMessage.contains("coarse book"), e.getMessage)
+    val f = intercept[IllegalArgumentException](
+      PqDecodeTable.parseSpec(head + ";" + cbits + ";" +
+        bbits + ",3ff0000000000000"))
+    assert(f.getMessage.contains("fine books"), f.getMessage)
+  }
+
+  test("graft_int8_decode rejects codes outside [0, 255]") {
+    val spec = Int8DecodeTable.toSpec(Array(0.0, 0.0), Array(1.0, 1.0))
+    val e = intercept[Exception](spark.sql(
+      s"SELECT graft_int8_decode(array(0L, 256L), '$spec') AS x").collect())
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("outside [0, 255]"), msg)
+  }
+
   test("graft_dot rejects non-array arguments at analysis time") {
     val e = intercept[Exception](spark.sql("SELECT graft_dot(1, 2)").collect())
     assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"))

@@ -112,4 +112,21 @@ class TimeTravelSpec extends SparkSpec {
     assert(!asOfMap(log, 3L).contains(2L),
       "compacted tombstone failed to suppress a late low-version upsert")
   }
+
+  test("compact clamps upTo to the newest real batch") {
+    val dir = Files.createTempDirectory("tt_clamp").toString
+    val target = s"$dir/table"; val log = s"$dir/log"
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      StreamMergeSink.mergeBatch(target, 4, Some(log))(
+        b.toDF("docId", "ver", "op", "text"), i.toLong)
+    }
+    val at1 = asOfMap(log, 1L)
+    // a phantom upTo must not park the snapshot at a batch id that
+    // never existed (asOf at the true latest would read empty)
+    TimeTravel.compact(spark, log, 99L)
+    assert(asOfMap(log, 1L) == at1,
+      "as-of at the true latest batch must survive a phantom upTo")
+    val parts = new java.io.File(log).list().filter(_.startsWith("batch_id=")).toSet
+    assert(parts == Set("batch_id=1"), s"snapshot partition: $parts")
+  }
 }

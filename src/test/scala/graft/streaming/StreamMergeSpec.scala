@@ -29,8 +29,9 @@ class StreamMergeSpec extends SparkSpec {
     }
   }
 
-  /** final materialized row per key = the emission with max ver (per-key
-    * versions are distinct and only grow). */
+  /** final materialized row per key = the emission with max
+    * (ver, op, text) — the merge order itself, so equal-version
+    * emissions fold the same way the processor resolves them. */
   private def run(batches: Seq[Seq[Chg]], name: String)
     : Map[Long, (Long, String, String)] = withRocksDb {
     implicit val sqlCtx = spark.sqlContext
@@ -42,7 +43,7 @@ class StreamMergeSpec extends SparkSpec {
       batches.foreach { b => stream.addData(b); query.processAllAvailable() }
       spark.table(name).as[(Long, Long, String, String)].collect()
         .groupBy(_._1).view
-        .mapValues(rs => { val m = rs.maxBy(_._2); (m._2, m._3, m._4) })
+        .mapValues(rs => { val m = rs.maxBy(r => (r._2, r._3, r._4)); (m._2, m._3, m._4) })
         .toMap
     } finally query.stop()
   }
@@ -72,5 +73,22 @@ class StreamMergeSpec extends SparkSpec {
     val tombstones = inOrder.count(_._2._2 == "D")
     assert(tombstones > 0 && tombstones == changes.count(_._3 == "D"),
       "every delete must surface as a tombstone")
+  }
+
+  test("equal-version ties resolve by (op, text) — arrival-order-invariant, " +
+      "matching batch q122's max(struct)") {
+    // two same-version changes to one key: the (ver, op, text) max must
+    // win in either arrival order, same as max(struct(ver, op, text))
+    val x: Chg = (1L, 2L, "U", "alpha")
+    val y: Chg = (1L, 2L, "U", "zeta")
+    val ab = run(Seq(Seq(x, y)), "sm_tie_ab")
+    val ba = run(Seq(Seq(y, x)), "sm_tie_ba")
+    assert(ab == ba, "equal-version tie depends on arrival order")
+    assert(ab(1L) == ((2L, "U", "zeta")), s"tie winner: ${ab(1L)}")
+    // and across batch boundaries (state already holds the loser/winner)
+    val acrossLoserFirst = run(Seq(Seq(x), Seq(y)), "sm_tie_x_y")
+    val acrossWinnerFirst = run(Seq(Seq(y), Seq(x)), "sm_tie_y_x")
+    assert(acrossLoserFirst(1L) == ((2L, "U", "zeta")))
+    assert(acrossWinnerFirst(1L) == ((2L, "U", "zeta")))
   }
 }
