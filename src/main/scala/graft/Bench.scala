@@ -101,6 +101,18 @@ object Bench {
         }
         (dt, ok)
       }
+      // Cross-query cache hygiene: every query's persist()ed
+      // intermediates stay registered in the cache manager after its
+      // runs finish — nothing ever unpersists them — so over a
+      // 171-query suite the storage pool fills with dead blocks,
+      // execution memory shrinks (unified manager), and queries late
+      // in name order degrade at the MIN level on untouched plans
+      // (the r8 q142/q145/events-family cluster). Clearing BETWEEN
+      // queries keeps intra-query cache reuse (runs 2..N still hit
+      // run 1's blocks via plan-match) while each query now starts
+      // from the same clean-JVM state the per-query numbers claim to
+      // measure.
+      spark.catalog.clearCache()
       val okTimes = times.collect { case (t, true) => t }.sorted
       if (okTimes.isEmpty) (name, -1.0, -1.0, false, shuffleMb, spillMb)
       else (name, okTimes(okTimes.size / 2), okTimes.head, true, shuffleMb, spillMb)

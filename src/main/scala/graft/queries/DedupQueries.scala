@@ -176,7 +176,17 @@ object DedupQueries {
     graft.ArtifactStore.documentsArtifact(s, dir, "minhash_pairs_v1")(
       minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
 
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  /** The component labels as a persistent corpus artifact (r8 verdict
+    * item: q145/q129/q141/q156 re-ran Gate + union-find per query).
+    * The labels are derived state exactly like the edge list they come
+    * from — same documents fingerprint keys both — so every consumer
+    * reads a tiny (id, comp) parquet; the Gate count and the union-find
+    * / label-propagation fixpoint run once per CORPUS, not per query. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "cluster_labels_v1")(
+      buildClusterLabels(s, dir))
+
+  private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {
     // q27's pair join materialized once per CORPUS (ArtifactStore):
     // the edge list is parquet-backed, so the Gate count below and both
     // cluster branches read files instead of re-running the minhash

@@ -582,20 +582,56 @@ object TextStatsQueries {
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 64L
 
-  /** Row-j CMS bucket of a token column — graft_h60 over the
-    * row-salted key, mod [[CmsWidth]] (the md5 60-bit family every
-    * sketch here rides; independent rows via the salt). Shared with
+  // CMS hash family — ONE graft_h60 digest per token occurrence (the
+  // r2 MinHash discipline), reduced to x ∈ [0, P) over the Mersenne
+  // prime P = 2³¹−1; each sketch row j then derives its bucket by an
+  // affine remix ((a_j·x + b_j) mod P) mod w. The previous salted form
+  // computed d full digests per occurrence (×3 widths in q171 — 12
+  // md5-equivalents per token), and per-token hashing IS the 100 TB
+  // bill for a sketch build; the multiply-add family keeps pairwise-
+  // independent rows at one digest per token. a·x < 2⁶² never
+  // overflows signed 64-bit, and every step is exact BIGINT
+  // arithmetic both engines reproduce bit-for-bit.
+  private[graft] val CmsP = graft.llm.Dedup.MinHashP
+  private[graft] val CmsPerms: Array[(Long, Long)] = {
+    // seed-derived constants, distinct stream from Dedup.Perms; fixed
+    // so the oracle SQL embeds the identical family as literals
+    var state = 0xC0FFEE5EEDFACE42L
+    def next31(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    Array.fill(CmsDepth)((next31() % (CmsP - 1) + 1, next31() % CmsP))
+  }
+
+  /** The token's single digest reduced mod P — computed ONCE, shared
+    * by every (row, width) bucket derivation. Shared with
     * [[graft.streaming.StreamCms]] so the live and nightly sketches
     * bucket identically. */
-  private[graft] def cmsBucket(j: Column, t: Column): Column =
-    cmsBucketAt(j, t, lit(CmsWidth))
+  private[graft] def cmsX(t: Column): Column =
+    call_function("graft_h60", t) % CmsP
 
-  /** Width-parameterized form — q171's tuning ladder MUST hash with
-    * the same salt family it is tuning, so the salted key lives only
-    * here. */
-  private[graft] def cmsBucketAt(j: Column, t: Column, w: Column): Column =
-    call_function("graft_h60",
-      concat(lit("cms"), j.cast(StringType), lit("|"), t)) % w
+  /** Row-j bucket from the shared x; j and w are plan-time constants
+    * so the remix is two multiply-adds, no hash. */
+  private[graft] def cmsBucketFromX(j: Int, x: Column, w: Long): Column =
+    ((lit(CmsPerms(j)._1) * x + lit(CmsPerms(j)._2)) % CmsP) % lit(w)
+
+  /** SQL twin of [[cmsX]]. */
+  private[graft] def cmsXSql(t: String): String =
+    s"(('0x' || substr(md5($t), 1, 15))::BIGINT % $CmsP)"
+
+  /** SQL twin of the (j, a_j, b_j) row table. */
+  private[graft] def cmsJsSql: String =
+    CmsPerms.zipWithIndex
+      .map { case ((a, b), j) => s"($j::BIGINT, $a::BIGINT, $b::BIGINT)" }
+      .mkString("(SELECT * FROM (VALUES ", ", ", ") t(j, a, b))")
+
+  /** The (j, bucket) struct fan-out from one x — the map-side ×d
+    * expansion every CMS consumer explodes. */
+  private[graft] def cmsJbArray(x: Column, w: Long): Column =
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j.toLong).as("j"),
+        cmsBucketFromX(j, x, w).as("bucket"))): _*)
 
   /** q166 — Count-Min sketch build (Cormode & Muthukrishnan 2005): the
     * mergeable frequency summary a 100 TB pipeline keeps when the
@@ -621,9 +657,9 @@ object TextStatsQueries {
     * corpus halves through this to prove the merge law. */
   private[queries] def cmsSketchOver(tok: DataFrame): DataFrame =
     tok
-      .select(explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*))
-        .as("j"), col("t"))
-      .select(col("j"), cmsBucket(col("j"), col("t")).as("bucket"))
+      .select(cmsX(col("t")).as("x"))
+      .select(explode(cmsJbArray(col("x"), CmsWidth)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("j"), col("bucket"))
@@ -647,9 +683,11 @@ object TextStatsQueries {
       .select(explode(toks).as("t")).where(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
     exact
+      .select(col("t"), col("exact_cnt"), cmsX(col("t")).as("x"))
       .select(col("t"), col("exact_cnt"),
-        explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*)).as("j"))
-      .withColumn("bucket", cmsBucket(col("j"), col("t")))
+        explode(cmsJbArray(col("x"), CmsWidth)).as("jb"))
+      .select(col("t"), col("exact_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("t"), col("exact_cnt"))
       .agg(min(col("cnt")).as("cms_est"))
@@ -679,19 +717,24 @@ object TextStatsQueries {
   def cmsWidthCurve(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(explode(toks).as("t")).where(col("t") =!= "")
-    val wj = explode(array(
+    // one digest per occurrence; the ×(d·|widths|) fan-out is affine
+    // remixes of the shared x, not |widths| more hash families
+    def wjbArray(x: Column): Column = array(
       (for { w <- CmsWidths; j <- 0 until CmsDepth }
-        yield struct(lit(w).as("w"), lit(j.toLong).as("j"))): _*)).as("wj")
-    val grid = tok.select(wj, col("t"))
-      .select(col("wj.w").as("w"), col("wj.j").as("j"),
-        cmsBucketAt(col("wj.j"), col("t"), col("wj.w")).as("bucket"))
+        yield struct(lit(w).as("w"), lit(j.toLong).as("j"),
+          cmsBucketFromX(j, x, w).as("bucket"))): _*)
+    val grid = tok.select(cmsX(col("t")).as("x"))
+      .select(explode(wjbArray(col("x"))).as("wjb"))
+      .select(col("wjb.w").as("w"), col("wjb.j").as("j"),
+        col("wjb.bucket").as("bucket"))
       .groupBy(col("w"), col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
     val est = exact
-      .select(col("t"), col("exact_cnt"), wj)
-      .withColumn("w", col("wj.w")).withColumn("j", col("wj.j"))
-      .withColumn("bucket", cmsBucketAt(col("j"), col("t"), col("w")))
+      .select(col("t"), col("exact_cnt"), cmsX(col("t")).as("x"))
+      .select(col("t"), col("exact_cnt"), explode(wjbArray(col("x"))).as("wjb"))
+      .select(col("t"), col("exact_cnt"), col("wjb.w").as("w"),
+        col("wjb.j").as("j"), col("wjb.bucket").as("bucket"))
       .join(broadcast(grid), Seq("w", "j", "bucket"))
       .groupBy(col("w"), col("t"), col("exact_cnt"))
       .agg(min(col("cnt")).as("est"))
@@ -773,19 +816,17 @@ object TextStatsQueries {
        |  FROM gg LEFT JOIN bstat ON gg.doc_id = bstat.doc_id)""".stripMargin
   }
 
-  /** Oracle CTE chain shared by q166/q167: the token stream and the
-    * CMS grid built by the same salted-md5 bucket arithmetic. */
+  /** Oracle CTE chain shared by q166/q167: the token stream with its
+    * ONE digest x, the (j, a, b) remix table, and the CMS grid built
+    * by the same affine bucket arithmetic. */
   private lazy val cmsCtesSql: String =
     s"""tt AS (
-       |  SELECT t FROM (
+       |  SELECT t, ${cmsXSql("t")} AS x FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
        |    FROM documents) WHERE t <> ''),
-       |js AS (SELECT unnest(${(0 until CmsDepth).map(_.toString)
-            .mkString("[", ", ", "]")})::BIGINT AS j),
+       |js AS $cmsJsSql,
        |grid AS (
-       |  SELECT j,
-       |         ('0x' || substr(md5('cms' || j::VARCHAR || '|' || t),
-       |            1, 15))::BIGINT % $CmsWidth AS bucket,
+       |  SELECT j, ((a * x + b) % $CmsP) % $CmsWidth AS bucket,
        |         count(*)::BIGINT AS cnt
        |  FROM tt CROSS JOIN js
        |  GROUP BY j, bucket)""".stripMargin
@@ -793,27 +834,23 @@ object TextStatsQueries {
   val oracles: Map[String, String] = Map(
     "q171_cms_width_curve" ->
       s"""WITH tt AS (
-         |  SELECT t FROM (
+         |  SELECT t, ${cmsXSql("t")} AS x FROM (
          |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
          |    FROM documents) WHERE t <> ''),
          |ws AS (SELECT unnest(${CmsWidths.mkString("[", ", ", "]")})::BIGINT AS w),
-         |js AS (SELECT unnest(${(0 until CmsDepth).map(_.toString)
-            .mkString("[", ", ", "]")})::BIGINT AS j),
+         |js AS $cmsJsSql,
          |grid AS (
-         |  SELECT w, j,
-         |         ('0x' || substr(md5('cms' || j::VARCHAR || '|' || t),
-         |            1, 15))::BIGINT % w AS bucket,
+         |  SELECT w, j, ((a * x + b) % $CmsP) % w AS bucket,
          |         count(*)::BIGINT AS cnt
          |  FROM tt CROSS JOIN ws CROSS JOIN js
          |  GROUP BY w, j, bucket),
          |exact AS (
-         |  SELECT t, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t),
+         |  SELECT t, x, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t, x),
          |est AS (
          |  SELECT ws.w, e.t, e.exact_cnt, min(g.cnt) AS est
          |  FROM exact e CROSS JOIN ws CROSS JOIN js
          |  JOIN grid g ON g.w = ws.w AND g.j = js.j
-         |    AND g.bucket = ('0x' || substr(md5('cms' || js.j::VARCHAR
-         |          || '|' || e.t), 1, 15))::BIGINT % ws.w
+         |    AND g.bucket = ((js.a * e.x + js.b) % $CmsP) % ws.w
          |  GROUP BY ws.w, e.t, e.exact_cnt)
          |SELECT w, (w * $CmsDepth)::BIGINT AS cells,
          |       count(*)::BIGINT AS n_terms,
@@ -828,13 +865,12 @@ object TextStatsQueries {
     "q167_cms_estimate" ->
       s"""WITH $cmsCtesSql,
          |exact AS (
-         |  SELECT t, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t),
+         |  SELECT t, x, count(*)::BIGINT AS exact_cnt FROM tt GROUP BY t, x),
          |est AS (
          |  SELECT e.t, e.exact_cnt, min(g.cnt) AS cms_est
          |  FROM exact e CROSS JOIN js
          |  JOIN grid g ON g.j = js.j
-         |    AND g.bucket = ('0x' || substr(md5('cms' || js.j::VARCHAR
-         |          || '|' || e.t), 1, 15))::BIGINT % $CmsWidth
+         |    AND g.bucket = ((js.a * e.x + js.b) % $CmsP) % $CmsWidth
          |  GROUP BY e.t, e.exact_cnt)
          |SELECT t AS token, exact_cnt, cms_est,
          |       cms_est - exact_cnt AS overcount

@@ -8,10 +8,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
 /** Cross-batch Count-Min maintenance — batch q166's streaming twin:
   * the live frequency sketch a serving tier consults while the nightly
   * batch build reconciles. Arriving documents tokenize row-locally,
-  * each occurrence salts into its [[TextStatsQueries.CmsDepth]] row
-  * buckets (the SAME graft_h60 arithmetic as the batch build, shared
-  * helper — live and nightly sketches are cell-compatible by
-  * construction), and a per-(row, bucket) count monoid folds in state.
+  * each occurrence hashes ONCE and remixes into its
+  * [[TextStatsQueries.CmsDepth]] row buckets (the SAME affine family
+  * as the batch build, shared helper — live and nightly sketches are
+  * cell-compatible by construction), and a per-(row, bucket) count
+  * monoid folds in state.
   * Each batch emits the updated counts for touched cells; a consumer
   * holding the full d×w grid serves point queries with the usual
   * min-over-rows.
@@ -60,11 +61,10 @@ object StreamCms {
     docs
       .select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .where(col("t") =!= "")
-      .select(explode(array(
-        (0 until TextStatsQueries.CmsDepth).map(j => lit(j.toLong)): _*))
-        .as("j"), col("t"))
-      .select(col("j"),
-        TextStatsQueries.cmsBucket(col("j"), col("t")).as("bucket"),
+      .select(TextStatsQueries.cmsX(col("t")).as("x"))
+      .select(explode(TextStatsQueries.cmsJbArray(
+        col("x"), TextStatsQueries.CmsWidth)).as("jb"))
+      .select(col("jb.j").as("j"), col("jb.bucket").as("bucket"),
         lit(1L).as("unit"))
       .as[InRow]
       .groupByKey(r => CellKey(r.j, r.bucket))
