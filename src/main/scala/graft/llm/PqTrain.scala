@@ -58,7 +58,10 @@ object PqTrain {
             nSub: Int = M, subDim: Int = SubDim, nCent: Int = K)
     : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
     import s.implicits._
-    val sub: Dataset[(Long, Int, Array[Double])] = Tables.embeddings(s, dir)
+    // corpus minus vector tombstones: erased vectors must not shape
+    // the retrained book (graft.sources.VecTakedown's contract)
+    val sub: Dataset[(Long, Int, Array[Double])] =
+      graft.sources.VecTakedown.servedEmbeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
@@ -103,7 +106,8 @@ object PqTrain {
                     nSub: Int = M, subDim: Int = SubDim, nCent: Int = K)
     : (Array[Array[Array[Double]]], Array[Array[Long]]) = {
     import s.implicits._
-    val sub: Dataset[(Long, Int, Array[Double])] = Tables.embeddings(s, dir)
+    val sub: Dataset[(Long, Int, Array[Double])] =
+      graft.sources.VecTakedown.servedEmbeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>

@@ -60,6 +60,17 @@ object ServeBooks {
   private val pqResMemo =
     new ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
+  /** Drop the in-JVM book/scale memos for (dir, fp) — the vector-
+    * takedown path invalidates the on-disk artifacts WITHOUT changing
+    * the fingerprint (the corpus file is immutable), so memoized model
+    * state must be dropped explicitly or the next serve in this JVM
+    * would fold stale books into its plan. */
+  def invalidateMemos(dir: String, fp: Long): Unit = {
+    val k = s"$dir|$fp"
+    coarseMemo.remove(k); pqMemo.remove(k); pqResMemo.remove(k)
+    int8ScalesMemo.remove(k)
+  }
+
   /** The published coarse-book artifact ROWS (cid, dim, cval) —
     * trains+publishes on first touch per corpus; also the frame q159's
     * drift audit reads. */
@@ -160,7 +171,9 @@ object ServeBooks {
     ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
       val bookArr = array(coarseBook.map(c =>
         array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
-      val e = graft.Tables.embeddings(s, dir)
+      // corpus MINUS the vector tombstone set: a post-takedown rebuild
+      // must not re-encode deleted vectors (VecTakedown's contract)
+      val e = graft.sources.VecTakedown.servedEmbeddings(s, dir)
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       val assigned = e
         .select(col("vec_id"), col("v"),
@@ -183,7 +196,7 @@ object ServeBooks {
     val fp = ArtifactStore.embeddingsFp(s, dir)
     int8ScalesMemo.computeIfAbsent(s"$dir|$fp", _ => {
       val df = ArtifactStore.parquetOnce(s, Int8ScalesKey, fp) {
-        graft.Tables.embeddings(s, dir)
+        graft.sources.VecTakedown.servedEmbeddings(s, dir)
           .select(posexplode(col("embedding")).as(Seq("i", "xf")))
           .select(col("i"), col("xf").cast("double").as("x"))
           .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -208,7 +221,7 @@ object ServeBooks {
     val coarseBook = coarse(s, dir)
     val (mns, mxs) = int8Scales(s, dir)
     ArtifactStore.parquetOnce(s, Int8CodesKey, fp) {
-      val e = graft.Tables.embeddings(s, dir)
+      val e = graft.sources.VecTakedown.servedEmbeddings(s, dir)
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       val codesExpr = array((0 until VectorOps.Dim).map { i =>
         val mn = mns(i); val mx = mxs(i)

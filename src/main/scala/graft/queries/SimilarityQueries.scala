@@ -52,6 +52,19 @@ object SimilarityQueries {
         VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
 
+  /** [[vecs]] minus the vector tombstone set — the SERVE queries'
+    * corpus view (q55/q64/q113/q164): a taken-down vector must vanish
+    * from top-K immediately, before any retrain lands
+    * ([[graft.sources.VecTakedown]]). The tombstone side is bounded by
+    * deletion volume and broadcasts; the oracles mirror the exclusion
+    * with a NOT IN over the same published parquet. Audit/analysis
+    * queries deliberately stay on [[vecs]] — recall is measured
+    * against the full corpus until the index is rebuilt. */
+  private def vecsServed(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).join(
+      broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+      Seq("vec_id"), "left_anti")
+
   /** Above this row count the all-pairs brute join is a scale-killer;
     * q30 falls through to the bucketed LSH join instead (SURVEY §6's
     * "brute gated by row count"). 10⁴ rows ≈ 5·10⁷ pairs — the most a
@@ -187,7 +200,7 @@ object SimilarityQueries {
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val book = graft.llm.ServeBooks.coarse(s, dir)
-    val e = vecs(s, dir)
+    val e = vecsServed(s, dir)
     val cells = e.select(col("vec_id"), col("v"), col("nrm"),
       graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
     val probes = e.where(col("vec_id") < QuerySetSize)
@@ -256,7 +269,7 @@ object SimilarityQueries {
     import graft.llm.{Pq, ServeBooks}
     val book = ServeBooks.coarse(s, dir)
     val pqBooks = ServeBooks.pq(s, dir)
-    val e = vecs(s, dir)
+    val e = vecsServed(s, dir)
     val cells = e.select(col("vec_id"), col("v"),
       Pq.reconstructWith(pqBooks)(col("v")).as("xhat"),
       ServeBooks.cell(book, col("v")).as("cell"))
@@ -316,7 +329,7 @@ object SimilarityQueries {
     import graft.llm.{Pq, ServeBooks}
     val book = ServeBooks.coarse(s, dir)
     val resBooks = ServeBooks.pqRes(s, dir)
-    val e = vecs(s, dir)
+    val e = vecsServed(s, dir)
     // x̂ = c(v) + PQ(r) via ONE native expression carrying both books
     // as a plan-literal spec (graft_pq_decode — BpeEncodeTbl's
     // pattern): a composed element_at form would fold the 32×64-double
@@ -537,7 +550,7 @@ object SimilarityQueries {
     */
   def knnIvfInt8(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.ServeBooks
-    val e = vecs(s, dir)
+    val e = vecsServed(s, dir)
     val book = ServeBooks.coarse(s, dir)
     // q164's precomputed-index topology applied to the int8 arm: the
     // corpus's (cell, 64 int8 codes) rows are an artifact
@@ -1141,7 +1154,8 @@ object SimilarityQueries {
     import graft.llm.ServeBooks
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
        |${ServeBooks.coarseCentsCteSql},
        |${ServeBooks.assignRankCteSql},
        |cells AS (
@@ -1224,7 +1238,8 @@ object SimilarityQueries {
   private lazy val knnIvfPqSql: String = {
       import graft.llm.{Pq, PqTrain, ServeBooks}
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
          |${ServeBooks.coarseCentsCteSql},
          |${ServeBooks.pqBooksCteSql},
          |${ServeBooks.assignRankCteSql},
@@ -1283,7 +1298,8 @@ object SimilarityQueries {
       import graft.llm.{Pq, PqTrain, ServeBooks}
       val dim = VectorOps.Dim
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
          |${ServeBooks.coarseCentsCteSql},
          |${ServeBooks.pqResBooksCteSql},
          |${ServeBooks.assignRankCteSql},
@@ -1345,11 +1361,13 @@ object SimilarityQueries {
   /** q113's oracle body — also the int8-ADC arm of q163's audit. */
   private lazy val knnIvfInt8Sql: String =
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
          |ex AS (
          |  SELECT unnest(embedding)::DOUBLE AS x,
          |         generate_subscripts(embedding, 1) AS i
-         |  FROM embeddings),
+         |  FROM embeddings
+         |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
          |dims AS (
          |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
          |  FROM (SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i)),
