@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{IvfCodebook, VectorOps}
+import graft.llm.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -172,14 +172,16 @@ object SimilarityQueries {
   // codebook buys recall at the same candidate budget).
   private val IvfProbes = 8
 
-  /** Centroid relation from the frozen reference codebook
-    * (graft.llm.IvfCodebook) — the pinned-snapshot basis the CURATION
-    * queries (q77/q101/q102) cluster on, so their verdicts are stable
-    * across retrains. The SERVE queries (q55/q64/q113) read the
+  /** Centroid relation from the PINNED curation snapshot
+    * ([[graft.llm.CurationSnapshot]] — seeded from the historical
+    * IvfCodebook pin, re-frozen only by the coded drift policy) — the
+    * basis the CURATION queries (q77/q101/q102) cluster on, so their
+    * verdicts are stable across retrains yet the pin itself has a
+    * staleness contract. The SERVE queries (q55/q64/q113) read the
     * in-engine-trained [[graft.llm.ServeBooks]] artifact instead. */
-  private def centroids(s: SparkSession): DataFrame = {
+  private def centroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    IvfCodebook.centroids.toSeq.zipWithIndex
+    graft.llm.CurationSnapshot.centroids(s, dir).toSeq.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }
       .toDF("cid", "cv")
   }
@@ -228,7 +230,7 @@ object SimilarityQueries {
     * cost is rows × 32 centroids regardless of corpus size. */
   def semanticSample(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -432,7 +434,7 @@ object SimilarityQueries {
     val e = if (subBucketed)
       e0.withColumn("sub", VectorOps.signBucket(col("embedding"), LshBits))
     else e0.withColumn("sub", lit(0L))
-    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -493,7 +495,7 @@ object SimilarityQueries {
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val e = vecs(s, dir)
-    val cents = centroids(s).withColumn("cnrm", VectorOps.norm(col("cv")))
+    val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -906,8 +908,8 @@ object SimilarityQueries {
   }
 
   /** q159 — codebook-drift audit: per cell, the scaled L2² distance
-    * between the FROZEN reference snapshot (graft.llm.IvfCodebook —
-    * what the curation queries and stream-start state are pinned to)
+    * between the PINNED snapshot (graft.llm.CurationSnapshot — what
+    * the curation queries and stream-start state are pinned to)
     * and the freshly TRAINED serve book (the ServeBooks artifact) —
     * the "how far has the corpus moved since the deployed snapshot"
     * number that decides when the pinned consumers re-freeze. Integer
@@ -922,10 +924,8 @@ object SimilarityQueries {
     import s.implicits._
     import graft.llm.ServeBooks
     val trained = ServeBooks.coarseFrame(s, dir)
-    val ref = (for {
-      k <- IvfCodebook.centroids.indices; d <- 0 until VectorOps.Dim
-    } yield (k.toLong, (d + 1).toLong, IvfCodebook.centroids(k)(d)))
-      .toDF("cid", "dim", "rval")
+    val ref = graft.llm.CurationSnapshot.frame(s, dir)
+      .select(col("cid"), col("dim"), col("cval").as("rval"))
     trained.join(broadcast(ref), Seq("cid", "dim"))
       .select(col("cid"),
         floor((col("rval") - col("cval")) * (col("rval") - col("cval"))
@@ -1179,11 +1179,6 @@ object SimilarityQueries {
   }
 
 
-  private def ivfCentValuesSql: String =
-    IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
-    }.mkString(",\n    ")
-
   private val nrmSql =
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
   private val pairCosSql =
@@ -1196,11 +1191,10 @@ object SimilarityQueries {
   private def asgCteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+       |${graft.llm.CurationSnapshot.centsCteSql("snap")},
        |cents AS (
-       |  SELECT CAST(cid AS BIGINT) AS cid, cv,
-       |         sqrt(list_dot_product(cv, cv)) AS cnrm
-       |  FROM (VALUES
-       |    $ivfCentValuesSql) t(cid, cv)),
+       |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+       |  FROM snap),
        |ad AS (
        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
        |         e.nrm * e.nrm
@@ -1719,15 +1713,12 @@ object SimilarityQueries {
          |ORDER BY c.cid""".stripMargin
     },
 
-    // q159: frozen reference literals vs the trained artifact, squared
-    // component differences floored at the 1e-12 quantum (q116's
-    // integer convention) so no float sum crosses engines
+    // q159: the pinned snapshot artifact vs the trained artifact,
+    // squared component differences floored at the 1e-12 quantum
+    // (q116's integer convention) so no float sum crosses engines
     "q159_codebook_drift" -> {
       import graft.llm.ServeBooks
-      s"""WITH ref AS (
-         |  SELECT CAST(cid AS BIGINT) AS cid, cv
-         |  FROM (VALUES
-         |    $ivfCentValuesSql) t(cid, cv)),
+      s"""WITH ${graft.llm.CurationSnapshot.centsCteSql("ref")},
          |${ServeBooks.coarseCentsCteSql.replace("cents AS", "trained AS")}
          |SELECT ref.cid,
          |       list_sum(list_transform(range(1, ${VectorOps.Dim + 1}), i ->
@@ -1766,16 +1757,12 @@ object SimilarityQueries {
          |ORDER BY b.query_id""".stripMargin,
 
     "q77_semantic_sample" -> {
-      val centRows = IvfCodebook.centroids.zipWithIndex.map { case (c, i) =>
-        s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
-      }.mkString(",\n    ")
       s"""WITH e AS (
          |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
+         |${graft.llm.CurationSnapshot.centsCteSql("snap")},
          |cents AS (
-         |  SELECT CAST(cid AS BIGINT) AS cid, cv,
-         |         sqrt(list_dot_product(cv, cv)) AS cnrm
-         |  FROM (VALUES
-         |    $centRows) t(cid, cv)),
+         |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |  FROM snap),
          |a AS (
          |  SELECT e.vec_id, c.cid,
          |         e.nrm * e.nrm

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.llm.{IvfCodebook, VectorOps}
+import graft.llm.VectorOps
 
 /** Streaming centroid update: batch q102's cross-batch twin, and the
   * online half of what the reference's MiniBatchKMeans actually is —
@@ -35,16 +35,23 @@ object StreamCentroid {
   case class CellSums(n: Long, sums: Array[Long])
   case class CentroidRow(cell: Long, nMembers: Long, dim: Long, mean: Double)
 
-  private lazy val Cents: Array[Array[Double]] = IvfCodebook.centroids
-  private lazy val CentNrm2: Array[Double] = Cents.map(c => {
-    var s = 0.0; var i = 0
-    while (i < c.length) { s += c(i) * c(i); i += 1 }
-    val n = math.sqrt(s)
-    n * n
-  })
+  /** ||c||² per cell via the same sqrt-then-square chain as the batch
+    * expression (nrm² from sqrt keeps the doubles bit-identical). */
+  def nrm2Of(cents: Array[Array[Double]]): Array[Double] =
+    cents.map(c => {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      val n = math.sqrt(s)
+      n * n
+    })
 
-  /** Nearest frozen cell, q102's expanded-form arithmetic. */
-  def assign(v: Array[Double]): Int = {
+  /** Nearest cell of the given book, q102's expanded-form arithmetic.
+    * The book is a PARAMETER — stream-start state is the pinned
+    * curation snapshot ([[graft.llm.CurationSnapshot]]), passed by the
+    * caller when the stream starts (books-frozen-at-stream-start
+    * convention: a re-freeze means starting a new stream). */
+  def assign(cents: Array[Array[Double]], centNrm2: Array[Double],
+             v: Array[Double]): Int = {
     var nrm2 = 0.0
     var i = 0
     while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
@@ -52,12 +59,12 @@ object StreamCentroid {
     var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
-    while (c < Cents.length) {
+    while (c < cents.length) {
       var dot = 0.0
       var j = 0
-      val cv = Cents(c)
+      val cv = cents(c)
       while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
-      val d = nrm * nrm - 2.0 * dot + CentNrm2(c)
+      val d = nrm * nrm - 2.0 * dot + centNrm2(c)
       if (d < bestD) { bestD = d; best = c } // ties by cid: first wins
       c += 1
     }
@@ -109,15 +116,20 @@ object StreamCentroid {
 
   /** (vec_id, embedding array<float>) rows → per-batch updated
     * (cell, n_members, dim, mean) snapshots for every touched cell —
-    * batch q102's output shape. */
-  def apply(vectors: DataFrame): Dataset[CentroidRow] = {
+    * batch q102's output shape. `cents` is the pinned book frozen at
+    * stream start (pass [[graft.llm.CurationSnapshot]].centroids —
+    * the snapshot's staleness contract covers this consumer; after a
+    * re-freeze, restart the stream with the new pin). */
+  def apply(vectors: DataFrame,
+            cents: Array[Array[Double]]): Dataset[CentroidRow] = {
     import vectors.sparkSession.implicits._
+    val centNrm2 = nrm2Of(cents)
     vectors
       .select(col("vec_id").cast("long").as("vecId"),
         col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        VecMsg(assign(v).toLong, id, v.map(toScaled))
+        VecMsg(assign(cents, centNrm2, v).toLong, id, v.map(toScaled))
       }
       .groupByKey(_.cell)
       .transformWithState(new CellProcessor,

@@ -34,8 +34,11 @@ class StreamCentroidSpec extends SparkSpec {
     : Map[(Long, Long), (Long, Double)] = withRocksDb {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Seq[Float])]
+    // stream-start state = the pinned curation snapshot (the book a
+    // deployment freezes when the stream launches)
     val query = StreamCentroid(stream.toDF()
-        .toDF("vec_id", "embedding"))
+        .toDF("vec_id", "embedding"),
+        graft.llm.CurationSnapshot.centroids(spark, sfDir))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -68,9 +71,11 @@ class StreamCentroidSpec extends SparkSpec {
   test("assignment twin: every sf0.001 vector lands in q102's cell") {
     val batchCells = graft.SparkEntry.queries("q101_semdedup_prune")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = graft.llm.CurationSnapshot.centroids(spark, sfDir)
+    val nrm2 = StreamCentroid.nrm2Of(cents)
     vecs.foreach { case (id, emb) =>
       val v = emb.map(_.toDouble).toArray
-      assert(StreamCentroid.assign(v).toLong == batchCells(id),
+      assert(StreamCentroid.assign(cents, nrm2, v).toLong == batchCells(id),
         s"vec $id assigned differently")
     }
   }
