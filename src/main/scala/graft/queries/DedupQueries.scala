@@ -172,7 +172,7 @@ object DedupQueries {
     * (ArtifactStore, documents fingerprint): built once per corpus,
     * shared by q73's clustering, q139's leakage audit, q142's LSH
     * audit, q144's cascade, and q156's source matrix. */
-  private[queries] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsArtifact(s, dir, "minhash_pairs_v1")(
       minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
 
@@ -186,27 +186,32 @@ object DedupQueries {
     graft.ArtifactStore.documentsArtifact(s, dir, "cluster_labels_v1")(
       buildClusterLabels(s, dir))
 
-  private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private def buildClusterLabels(s: SparkSession, dir: String): DataFrame =
     // q27's pair join materialized once per CORPUS (ArtifactStore):
-    // the edge list is parquet-backed, so the Gate count below and both
+    // the edge list is parquet-backed, so the Gate count and both
     // cluster branches read files instead of re-running the minhash
     // pipeline — and any later run over the same corpus reuses it.
-    val pairs = minhashPairsArtifact(s, dir)
-    // The near-dup GRAPH is orders of magnitude smaller than the corpus
-    // (only docs with a >= 0.5-Jaccard partner). Below ~1M edges the
-    // distributed fixpoint is pure scheduling overhead — solve the
-    // whole graph in ONE task with union-find (mapPartitions, no
-    // driver collect); above the gate, run distributed min-label
-    // propagation. Same measured-gate pattern as q30's brute fallback
-    // (graft.Gate); the count is one cheap scan of the edge parquet.
-    val labeled = graft.Gate.byCount(pairs, 1000000L)(
+    clusterLabelsOver(minhashPairsArtifact(s, dir))
+
+  /** The label pipeline over ANY (doc_a, doc_b) edge frame — shared by
+    * the batch artifact build and the stream-maintained edge target
+    * ([[graft.streaming.StreamDupEdges]]), so both serve identical
+    * clusters by construction.
+    *
+    * The near-dup GRAPH is orders of magnitude smaller than the corpus
+    * (only docs with a >= 0.5-Jaccard partner). Below ~1M edges the
+    * distributed fixpoint is pure scheduling overhead — solve the
+    * whole graph in ONE task with union-find (mapPartitions, no
+    * driver collect); above the gate, run distributed min-label
+    * propagation. Same measured-gate pattern as q30's brute fallback
+    * (graft.Gate); the count is one cheap scan of the edge parquet. */
+  private[graft] def clusterLabelsOver(pairs: DataFrame): DataFrame =
+    graft.Gate.byCount(pairs, 1000000L)(
       unionFindOneTask(pairs))(
       labelPropagate(
         pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .toDF("src", "dst")))
-    labeled
-  }
 
   /** q141 — the dedup ROI report: the cluster-size histogram of the
     * near-dup components plus what removing non-canonical members buys

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The near-dup EDGE artifact's streaming maintainer (r8 verdict
+  * item 5) — the one serve artifact that had a batch builder
+  * (`minhash_pairs_v1`, q27's banded-MinHash + exact-Jaccard pair
+  * join) but no stream compactor. [[StreamNearDup]] finds cross-batch
+  * pairs as ESTIMATES (signature agreement) for live alerting; the
+  * queries that act on edges (q73's clustering, q141's ROI, q142's
+  * audit, q145's canonical pick) need the batch definition exactly:
+  * banded candidates VERIFIED by true shingle Jaccard ≥ 0.5. This
+  * foreachBatch compactor (StreamIndexCompact's idiom) maintains that
+  * edge set on disk from a document stream, bit-compatible with the
+  * batch artifact by construction — it applies the SAME
+  * [[Dedup]] hash-family plan fragments to each micro-batch.
+  *
+  * Per micro-batch:
+  *  1. the batch's docs shingle (distinct word-3-grams) and hash ONCE
+  *     per shingle — x (minhash 60-bit md5 prefix) for signatures, an
+  *     8-byte xxhash64 for verification joins;
+  *  2. the doc→shingle-hash store merges the touched doc_id buckets
+  *     (replay rewrites identical rows — idempotent);
+  *  3. banded bucket keys merge into the bands store, partitioned by
+  *     BAND-VALUE hash, so candidate probes read only colliding
+  *     partitions, never the full history;
+  *  4. candidates = the new docs' bands joined against the merged
+  *     store (new×new and new×old pairs; old×old edges already
+  *     exist), verified by exact shingle-set Jaccard via the store —
+  *     `3c ≥ na+nb` is the integer form of j ≥ 0.5;
+  *  5. verified pairs merge (min,max)-oriented and distinct into the
+  *     edges target.
+  *
+  * Union over batches = the batch artifact: for any qualifying pair,
+  * whichever doc arrived later probed its band buckets while the other
+  * was already stored. Replay of any batch re-derives identical rows
+  * into every store, so at-least-once delivery and checkpoint replay
+  * leave all three targets byte-equal (the spec proves it).
+  *
+  * Scale posture: per batch, work is (new docs' shingles) + (touched
+  * band partitions) + (candidate pairs × their two shingle buckets) —
+  * never the accumulated corpus; bucket counts bound file sizes and
+  * give the dynamic partition overwrite its granularity.
+  */
+object StreamDupEdges {
+
+  /** Merge one batch of (doc_id, text) docs into the edge target. */
+  def compactBatch(target: String, buckets: Int)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val b = lit(buckets.toLong)
+    // a batch of only sub-3-token docs contributes no shingles, no
+    // bands, no candidates — and must not trip the first-batch store
+    // reads below
+    if (Dedup.shingles(batch.select(col("doc_id"), col("text")), 3).isEmpty)
+      return
+
+    // 1. hash each distinct shingle once (q27's discipline)
+    val dt = Dedup.shingles(
+        batch.select(col("doc_id"), col("text")), 3)
+      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+        xxhash64(col("s")).as("h"))
+      .localCheckpoint()
+
+    def mergeDistinct(sub: String, incoming: DataFrame): Unit = {
+      val path = s"$target/$sub"
+      val touched = incoming.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      val tgtPath = new org.apache.hadoop.fs.Path(path)
+      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val existing =
+        if (!fs.exists(tgtPath)) incoming.limit(0)
+        else s.read.parquet(path).where(col("bucket").isin(touched: _*))
+          .select(incoming.columns.map(col): _*)
+      existing.localCheckpoint()
+        .unionByName(incoming)
+        .distinct()
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    }
+
+    // 2. doc → shingle-hash store (doc_id-bucketed)
+    mergeDistinct("shingles", dt
+      .select(col("doc_id"), col("h"),
+        pmod(col("doc_id"), b).as("bucket")))
+
+    // 3. banded bucket keys (band-value-bucketed: probes prune)
+    val bandsNew = Dedup.minhashBands(Dedup.minhashSigFromX(dt))
+      .localCheckpoint()
+    mergeDistinct("bands", bandsNew
+      .select(col("doc_id"), col("band"), col("bv"),
+        pmod(xxhash64(col("bv")), b).as("bucket")))
+
+    // 4. candidates: new docs' bands vs the merged store — read ONLY
+    // the band partitions the new docs collide into
+    val bandBuckets = bandsNew
+      .select(pmod(xxhash64(col("bv")), b).as("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val store = s.read.parquet(s"$target/bands")
+      .where(col("bucket").isin(bandBuckets: _*))
+    val cand = bandsNew.as("n")
+      .join(store.as("o"),
+        col("n.band") === col("o.band") && col("n.bv") === col("o.bv") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
+      .distinct()
+      .localCheckpoint()
+
+    // exact verification via the shingle store (touched doc buckets)
+    val docBuckets = cand.select(pmod(col("da"), b).as("bk"))
+      .unionByName(cand.select(pmod(col("db"), b).as("bk")))
+      .distinct().collect().map(_.getLong(0))
+    val ss = s.read.parquet(s"$target/shingles")
+      .where(col("bucket").isin(docBuckets: _*))
+      .select(col("doc_id"), col("h"))
+    val sz = ss.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(ss.as("sa"), col("sa.doc_id") === col("da"))
+      .join(ss.as("sb"), col("sb.doc_id") === col("db") &&
+        col("sb.h") === col("sa.h"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    val verified = common
+      .join(sz.as("na"), col("da") === col("na.doc_id"))
+      .join(sz.as("nb"), col("db") === col("nb.doc_id"))
+      .where(col("c") * 3 >= col("na.n") + col("nb.n"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+
+    // 5. merge verified edges (doc_a-bucketed)
+    mergeDistinct("edges", verified
+      .withColumn("bucket", pmod(col("doc_a"), b)))
+  }
+
+  /** (doc_id, text) document stream → continuously maintained edge
+    * target, checkpointed (restart-safe, replay-idempotent). */
+  def start(docs: DataFrame, target: String, checkpoint: String,
+            buckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(compactBatch(target, buckets) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The edge set as q73/q141/q142/q145's consumers read it — the
+    * same (doc_a, doc_b) shape as the `minhash_pairs_v1` artifact. */
+  def edges(s: SparkSession, target: String): DataFrame =
+    s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** The edge artifact's streaming maintainer: a document stream split
+  * across micro-batches compacts to EXACTLY the batch `minhash_pairs`
+  * artifact (row-for-row), the cluster labels served from either edge
+  * source are identical, and replaying a batch is a no-op.
+  */
+class StreamDupEdgesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Doc = (Long, String)
+
+  private lazy val docs: Seq[Doc] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+  private def edgeSet(target: String): Set[(Long, Long)] =
+    StreamDupEdges.edges(spark, target)
+      .as[(Long, Long)].collect().toSet
+
+  test("stream-compacted edges == batch artifact; labels serve " +
+      "identically from either; replay is a no-op") {
+    val dir = Files.createTempDirectory("dup_edges_stream").toString
+    val target = s"$dir/edges_target"
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[Doc]
+      val q = StreamDupEdges.start(
+        stream.toDF().toDF("doc_id", "text"),
+        target, s"$dir/ckpt", buckets = 4)
+      try {
+        // three batches, split mid-corpus so near-dup pairs straddle
+        // batch boundaries (the case a per-batch q27 re-run misses)
+        val (a, rest) = docs.splitAt(docs.size / 3)
+        val (b, c) = rest.splitAt(rest.size / 3)
+        Seq(a, b, c).foreach { bt => stream.addData(bt); q.processAllAvailable() }
+      } finally q.stop()
+    }
+
+    val batchPairs = graft.queries.DedupQueries
+      .minhashPairsArtifact(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty, "witness: the corpus must have near-dups")
+    assert(edgeSet(target) == batchPairs,
+      "stream-built edge set must equal the batch artifact row-for-row")
+
+    // q73's consumers serve identically from either edge source
+    val streamLabels = graft.queries.DedupQueries
+      .clusterLabelsOver(StreamDupEdges.edges(spark, target))
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    val batchLabels = graft.SparkEntry.queries("q73_dedup_clusters")(spark, sfDir)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toSet
+    assert(streamLabels == batchLabels,
+      "clusters from stream edges must equal the served batch clusters")
+
+    // replay: re-compacting an already-merged batch leaves every store
+    // byte-equal (at-least-once delivery / checkpoint replay safety)
+    def snapshot(): (Set[(Long, Long)], Long, Long) = (
+      edgeSet(target),
+      spark.read.parquet(s"$target/shingles").count(),
+      spark.read.parquet(s"$target/bands").count())
+    val before = snapshot()
+    val (_, rest) = docs.splitAt(docs.size / 3)
+    val (b, _) = rest.splitAt(rest.size / 3)
+    StreamDupEdges.compactBatch(target, 4)(
+      b.toDF("doc_id", "text"), 1L)
+    assert(snapshot() == before, "replay mutated a store")
+  }
+}
