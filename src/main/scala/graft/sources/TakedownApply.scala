@@ -57,35 +57,8 @@ object TakedownApply {
     * rewriting only the buckets that held them. */
   def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
     Seq("postings", "doclens").foreach { sub =>
-      val path = s"$target/$sub"
-      val tgtPath = new org.apache.hadoop.fs.Path(path)
-      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(tgtPath)) {
-        val all = s.read.parquet(path)
-        // partition-column inference reads `bucket` back as INT —
-        // normalize to long before collecting
-        val touched = all.where(col("doc_id").isin(flagged: _*))
-          .select(col("bucket").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        if (touched.nonEmpty) {
-          val remaining = all.where(col("bucket").isin(touched: _*) &&
-              !col("doc_id").isin(flagged: _*))
-            .localCheckpoint()
-          remaining.write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(path)
-          // dynamic overwrite only replaces partitions PRESENT in the
-          // written frame — a bucket whose every row was flagged writes
-          // no rows, so its old files must be dropped explicitly
-          val kept = remaining.select(col("bucket").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          touched.filterNot(kept).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=$b"), true)
-          }
-        }
-      }
+      PartitionScrub.dropRows(s, s"$target/$sub", "bucket",
+        col("doc_id").isin(flagged: _*))
     }
 
   /** Leg 4 (erasure beats time travel): the merge sink's change LOG
@@ -97,28 +70,19 @@ object TakedownApply {
     * as deleted at EVERY boundary, while version-suppression of late
     * upserts still works and unflagged history is byte-unchanged.
     * Idempotent: a second pass rewrites tombstones to themselves. */
-  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit = {
-    val tgtPath = new org.apache.hadoop.fs.Path(log)
-    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tgtPath)) return
-    val all = s.read.parquet(log)
-    val touched = all
-      .where(col("docId").isin(flagged: _*) &&
-        (col("op") =!= "D" || col("text") =!= ""))
-      .select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    if (touched.isEmpty) return
-    all.where(col("batch_id").isin(touched: _*))
-      .select(col("docId"), col("ver"),
+  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit =
+    // touch = a flagged doc's row not yet in tombstone form (so a
+    // second pass rewrites nothing — idempotent)
+    PartitionScrub.rewriteTouched(s, log, "batch_id",
+      col("docId").isin(flagged: _*) &&
+        (col("op") =!= "D" || col("text") =!= "")) { rows =>
+      rows.select(col("docId"), col("ver"),
         when(col("docId").isin(flagged: _*), lit("D"))
           .otherwise(col("op")).as("op"),
         when(col("docId").isin(flagged: _*), lit(""))
           .otherwise(col("text")).as("text"),
-        col("batch_id").cast("long").as("batch_id"))
-      .localCheckpoint()
-      .write.option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").mode("overwrite").parquet(log)
-  }
+        col("batch_id"))
+    }
 
   /** Leg 5: same retroactive erasure for the search index's
     * time-travel log ([[graft.streaming.StreamIndexCompact]]'s
@@ -127,30 +91,8 @@ object TakedownApply {
     * partition: retroactively the doc was never indexed. */
   def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
     Seq("log/postings", "log/doclens").foreach { sub =>
-      val path = s"$target/$sub"
-      val tgtPath = new org.apache.hadoop.fs.Path(path)
-      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(tgtPath)) {
-        val all = s.read.parquet(path)
-        val touched = all.where(col("doc_id").isin(flagged: _*))
-          .select(col("batch_id").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        if (touched.nonEmpty) {
-          val remaining = all.where(col("batch_id").isin(touched: _*) &&
-              !col("doc_id").isin(flagged: _*))
-            .select(all.columns.filterNot(_ == "batch_id").map(col) :+
-              col("batch_id").cast("long").as("batch_id"): _*)
-            .localCheckpoint()
-          remaining.write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").mode("overwrite").parquet(path)
-          val kept = remaining.select(col("batch_id")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          touched.filterNot(kept).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch_id=$b"), true)
-          }
-        }
-      }
+      PartitionScrub.dropRows(s, s"$target/$sub", "batch_id",
+        col("doc_id").isin(flagged: _*))
     }
 
   /** Leg 3: invalidate every documents-derived artifact family for the

@@ -72,14 +72,7 @@ object TimeTravel {
       .localCheckpoint() // materialize before overwriting files it reads
     snap.write.option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").mode("overwrite").parquet(log)
-    val root = new org.apache.hadoop.fs.Path(log)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("batch_id=") &&
-          name.stripPrefix("batch_id=").toLong < upTo)
-        fs.delete(st.getPath, true)
-    }
+    PartitionScrub.deletePartitions(s, log, "batch_id", _ < upTo)
   }
 
   /** DESCRIBE HISTORY: per batch, how many keys it touched and how —

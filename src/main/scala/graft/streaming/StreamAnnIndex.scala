@@ -103,30 +103,7 @@ object StreamAnnIndex {
     * transparently (ArtifactStore's staleness contract). Idempotent:
     * a second pass finds no flagged rows and rewrites nothing. */
   def scrub(s: org.apache.spark.sql.SparkSession, target: String,
-            flagged: Seq[Long]): Unit = {
-    val tgtPath = new org.apache.hadoop.fs.Path(target)
-    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tgtPath)) return
-    val all = s.read.parquet(target)
-    // partition-column inference reads `bucket` back as INT
-    val touched = all.where(col("vec_id").isin(flagged: _*))
-      .select(col("bucket").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    if (touched.isEmpty) return
-    val remaining = all.where(col("bucket").isin(touched: _*) &&
-        !col("vec_id").isin(flagged: _*))
-      .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
-        col("cell"), col("codes"))
-      .localCheckpoint()
-    remaining.write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .mode("overwrite")
-      .parquet(target)
-    val kept = remaining.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    touched.filterNot(kept).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$target/bucket=$b"), true)
-    }
-  }
+            flagged: Seq[Long]): Unit =
+    graft.sources.PartitionScrub.dropRows(s, target, "bucket",
+      col("vec_id").isin(flagged: _*))
 }
