@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Let AQE re-plan (coalesce) over cached/persisted frames: the
+      // default-false compatibility flag pins every stage over a
+      // persisted relation to the static shuffle-partition count, which
+      // turns iterative analytics over persisted graphs (q91/q125/
+      // q148/q154) into fleets of near-empty tasks — measured 6.8 s ->
+      // 4.2 s on q91 at sf0.1. Values are unaffected; only partition
+      // counts adapt to data size, which is the 100 TB posture anyway.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -338,6 +338,43 @@ object DedupQueries {
       .orderBy(col("comp"))
   }
 
+
+  /** q173 — cluster-aware split REPAIR (the ACTION on q139's leakage
+    * audit): every document's split becomes the split of its near-dup
+    * cluster REPRESENTATIVE (the min-id member — the comp label
+    * itself), so no near-dup cluster straddles train/val/test and the
+    * q139 leakage channel through near-duplicate documents closes by
+    * construction. Emits per doc the old hash split (q138's frozen
+    * rule), the repaired split, and the moved flag — the migration
+    * manifest a pipeline applies and the count it reports ("split
+    * repair moved N docs"). Singletons (docs outside the near-dup
+    * graph) keep their hash split: comp = doc_id, new == old.
+    *
+    * Scale shape: the labels are the cluster_labels_v1 artifact (tiny
+    * parquet, built once per corpus); the docs↔labels join shuffles
+    * 8-byte ids; both splits are row-local hash arithmetic (q138's
+    * md5 rule applied to doc_id and to comp); no windows, no corpus
+    * self-join.
+    */
+  def splitRepair(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val bk = pmod(call_function("graft_h60",
+        concat(lit("split|"), c.cast("string"))), lit(10L))
+      when(bk < 8, "train").when(bk === 8, "val").otherwise("test")
+    }
+    val labels = clusterLabels(s, dir)
+      .select(col("id").as("doc_id"), col("comp"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .select(col("doc_id"), col("comp"),
+        splitOf(col("doc_id")).as("old_split"),
+        splitOf(col("comp")).as("new_split"))
+      .withColumn("moved",
+        when(col("old_split") =!= col("new_split"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-graph path: the entire edge list flows to one task which
     * runs union-find with min-id roots — zero loop shuffles, output
     * identical to [[labelPropagate]]. */
@@ -615,6 +652,7 @@ object DedupQueries {
     "q141_dedup_stats"     -> dedupStats,
     "q145_canonical_pick"  -> canonicalPick,
     "q142_lsh_audit"       -> lshAudit,
+    "q173_split_repair"    -> splitRepair,
     "q76_decontaminate"    -> decontaminate,
     "q138_split_manifest"  -> splitManifest,
     "q160_split_vocab_drift" -> splitVocabDrift,
@@ -702,6 +740,29 @@ object DedupQueries {
       s"""WITH RECURSIVE $clusterReachCtesSql
          |SELECT id AS doc_id, min(r) AS comp
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q173_split_repair" ->
+      s"""WITH RECURSIVE $clusterReachCtesSql,
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |sp AS (
+         |  SELECT doc_id, comp,
+         |    ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT % 10 AS bk1,
+         |    ('0x' || substr(md5('split|' || comp), 1, 15))::BIGINT % 10 AS bk2
+         |  FROM alldocs)
+         |SELECT doc_id, comp,
+         |  CASE WHEN bk1 < 8 THEN 'train' WHEN bk1 = 8 THEN 'val'
+         |       ELSE 'test' END AS old_split,
+         |  CASE WHEN bk2 < 8 THEN 'train' WHEN bk2 = 8 THEN 'val'
+         |       ELSE 'test' END AS new_split,
+         |  (CASE WHEN (CASE WHEN bk1 < 8 THEN 'train' WHEN bk1 = 8 THEN 'val'
+         |                   ELSE 'test' END) <>
+         |             (CASE WHEN bk2 < 8 THEN 'train' WHEN bk2 = 8 THEN 'val'
+         |                   ELSE 'test' END)
+         |        THEN 1 ELSE 0 END)::BIGINT AS moved
+         |FROM sp ORDER BY doc_id""".stripMargin,
 
     "q142_lsh_audit" ->
       s"""WITH $minhashCtesSql,

@@ -747,8 +747,78 @@ object TextStatsQueries {
       .orderBy(col("w"))
   }
 
+
+  /** q172 — statistical LM quality scoring (the CCNet-style
+    * perplexity filter re-expressed engine-exactly): an add-1-smoothed
+    * BIGRAM language model trained on the corpus itself scores every
+    * document by its mean bigram probability, and the keep verdict
+    * compares that mean against the uniform-model baseline 1/V. This
+    * is the quality gate production pipelines run with a KenLM
+    * n-gram model: documents whose word sequences the corpus LM finds
+    * likely (coherent, template-consistent) score high; token salad
+    * and boundary-mangled text score near the uniform floor.
+    *
+    * Engine-exact discipline: perplexity proper is a GEOMETRIC mean —
+    * exp(mean ln p) — and ln() differs by 1 ULP between engines
+    * (q69/q86's lesson), so the score is the rational ARITHMETIC mean
+    * of per-bigram probabilities: p = (c12+1)/(c1+V) is one IEEE
+    * division of exact integers, each p rides DECIMAL(18,9) into an
+    * order-independent sum, and the verdict multiplies by V (exact
+    * product) against a literal bar — every double bit-identical in
+    * both engines, monotone in the same direction as the perplexity
+    * rank. KeepBar = 1.0 means "more likely than the uniform model":
+    * on this corpus's template-duplication structure, documents built
+    * from repeated templates clear it and salad does not.
+    *
+    * Scale shape: ONE typed-flatMap tokenize pass emits the bigram
+    * stream (the shingles lesson — no interpreted higher-order
+    * functions); c12 and c1 are partial-agg rollups of that stream;
+    * the vocabulary size joins back as a broadcast scalar; scoring is
+    * a bigram-keyed hash join against the (bounded-by-vocab²) count
+    * table; the per-doc fold is one partial aggregation. No windows,
+    * no corpus self-join, no sort before the presentation ORDER BY.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val bigrams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.trim.split("\\s+")
+        if (w.length >= 2) (0 until w.length - 1).iterator
+          .map(i => (id, w(i), w(i + 1)))
+        else Iterator.empty
+      }.toDF("doc_id", "t1", "t2")
+    val c12 = bigrams.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(toks).as("t")).agg(countDistinct(col("t")).as("v"))
+    val p = (col("c12").cast(DoubleType) + lit(1.0)) /
+      (col("c1").cast(DoubleType) + col("v").cast(DoubleType))
+    bigrams
+      .join(c12, Seq("t1", "t2"))
+      .join(c1, Seq("t1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), p.cast(DecimalType(18, 9)).as("pd"),
+        col("v"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pd")).as("psum"), first(col("v")).as("v"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum").cast(DoubleType) / col("n_bigrams")).as("score"),
+        when((col("psum").cast(DoubleType) / col("n_bigrams")) *
+            col("v").cast(DoubleType) >= lit(LmKeepBar), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q172's keep bar: mean bigram probability ≥ KeepBar × (1/V). */
+  private val LmKeepBar = 1.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_cms_sketch"   -> cmsSketch,
+    "q172_lm_score"     -> lmScore,
     "q167_cms_estimate" -> cmsEstimate,
     "q171_cms_width_curve" -> cmsWidthCurve,
     "q105_vocab_coverage" -> vocabCoverage,
@@ -832,6 +902,37 @@ object TextStatsQueries {
        |  GROUP BY j, bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q172_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w[i + 1] AS t1, w[i + 2] AS t2
+        |  FROM tok, unnest(range(0, greatest(len(w) - 1, 0))) AS u(i)),
+        |c12 AS (SELECT t1, t2, count(*)::BIGINT AS c12 FROM big GROUP BY t1, t2),
+        |c1 AS (SELECT t1, count(*)::BIGINT AS c1 FROM big GROUP BY t1),
+        |vocab AS (
+        |  SELECT count(DISTINCT t)::BIGINT AS v FROM (
+        |    SELECT unnest(w) AS t FROM tok)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST((c12.c12::DOUBLE + 1.0) / (c1.c1::DOUBLE + vocab.v::DOUBLE)
+        |           AS DECIMAL(18,9)) AS pd,
+        |         vocab.v AS v
+        |  FROM big b
+        |  JOIN c12 ON b.t1 = c12.t1 AND b.t2 = c12.t2
+        |  JOIN c1 ON b.t1 = c1.t1
+        |  CROSS JOIN vocab),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |         CAST(sum(pd) AS DOUBLE) AS psum, any_value(v) AS v
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |       psum / n_bigrams AS score,
+        |       CASE WHEN (psum / n_bigrams) * v::DOUBLE >= 1.0
+        |            THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     "q171_cms_width_curve" ->
       s"""WITH tt AS (
          |  SELECT t, ${cmsXSql("t")} AS x FROM (

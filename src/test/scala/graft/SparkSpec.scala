@@ -15,6 +15,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
+    // AQE over cached plans — mirror Verify/Bench (see Bench.scala)
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .getOrCreate()
 
   /** sf0.001 testdata — smallest scale, for specs that read real tables. */
