@@ -133,42 +133,72 @@ object PqTrain {
     sub.filter(r => idRank.contains(r._1)).collect()
       .foreach { case (id, m, x) => books(m)(idRank(id)) = x }
 
+    // Round loop over a PLAIN-OBJECT RDD, not the typed Dataset: the
+    // Dataset round paid UnsafeRow→tuple decoding plus the SQL agg
+    // machinery on every one of the `rounds` passes. The RDD persists
+    // (m, subvector) as JVM objects once, and each round is one
+    // mapPartitions producing a bounded (nSub × nCent) partial —
+    // counts + element sums in the EXACT DECIMAL(18,9) quantum as
+    // scaled longs (StreamCentroid.toScaled's proven idiom: the same
+    // HALF_UP quantization Spark's double→DECIMAL cast applies, summed
+    // as integers, so the result is bit-identical to the old
+    // sum(DECIMAL) aggregation under ANY partitioning or order). Only
+    // the ≤ nSub·nCent·(1 + subDim) longs per partition reach the
+    // driver. Sum headroom: |x_d| ≤ ~4 ⇒ ≤ 4·10⁹ per element; a
+    // corpus past ~2·10⁹ members per cell re-scales the quantum.
+    val subRdd = sub.rdd.map { case (_, m, x) => (m, x) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def toScaled(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
     val counts = Array.ofDim[Long](nSub, nCent)
-    val sums = (0 until subDim).map(d =>
-      sum(element_at(col("x"), d + 1).cast(DecimalType(18, 9))).as(s"s$d"))
     var r = 0
     while (r < rounds) {
       val bc = s.sparkContext.broadcast(books.map(_.map(_.clone())))
-      val cells = sub.map { case (_, m, x) =>
-        val bk = bc.value(m)
-        var best = 0
-        var bd = Double.MaxValue
-        var k = 0
-        while (k < nCent) {
-          var d2 = 0.0
+      val partials = subRdd.mapPartitions { it =>
+        val cnt = Array.ofDim[Long](nSub, nCent)
+        val sm = Array.ofDim[Long](nSub, nCent, subDim)
+        it.foreach { case (m, x) =>
+          val bk = bc.value(m)
+          var best = 0
+          var bd = Double.MaxValue
+          var k = 0
+          while (k < nCent) {
+            var d2 = 0.0
+            var d = 0
+            while (d < subDim) {
+              val t = x(d) - bk(k)(d); d2 += t * t; d += 1
+            }
+            if (d2 < bd) { bd = d2; best = k } // strict: ties keep min k
+            k += 1
+          }
+          cnt(m)(best) += 1
           var d = 0
           while (d < subDim) {
-            val t = x(d) - bk(k)(d); d2 += t * t; d += 1
+            sm(m)(best)(d) += toScaled(x(d)); d += 1
           }
-          if (d2 < bd) { bd = d2; best = k } // strict: ties keep min k
-          k += 1
         }
-        (m, best, x)
-      }.toDF("m", "k", "x")
-        .groupBy(col("m"), col("k"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+        Iterator.single((cnt, sm))
+      }.collect()
       for (m <- 0 until nSub; k <- 0 until nCent) counts(m)(k) = 0L
-      cells.foreach { row =>
-        val (m, k) = (row.getInt(0), row.getInt(1))
-        val n = row.getLong(2)
-        counts(m)(k) = n
+      val total = Array.ofDim[Long](nSub, nCent, subDim)
+      partials.foreach { case (cnt, sm) =>
+        for (m <- 0 until nSub; k <- 0 until nCent) {
+          counts(m)(k) += cnt(m)(k)
+          var d = 0
+          while (d < subDim) { total(m)(k)(d) += sm(m)(k)(d); d += 1 }
+        }
+      }
+      for (m <- 0 until nSub; k <- 0 until nCent; if counts(m)(k) > 0) {
         books(m)(k) = Array.tabulate(subDim)(d =>
-          mean(row.getDecimal(3 + d), n))
+          mean(new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(total(m)(k)(d)), 9), counts(m)(k)))
       }
       bc.destroy()
       r += 1
     }
+    subRdd.unpersist()
     sub.unpersist()
     (books, counts)
   }
