@@ -49,41 +49,83 @@ object BpeTrain {
   def train(s: SparkSession, dir: String, rounds: Int = Rounds)
     : Seq[(String, String, Long)] = {
     import s.implicits._
-    var vocab: Dataset[VocabWord] = Tables.documents(s, dir)
+    // One corpus scan builds the vocab; the ROUND LOOP then iterates a
+    // plain-object RDD (PqTrain.trainSub's idiom): each round is ONE
+    // shuffle-free mapPartitions producing a bounded pair-count
+    // partial — the pair key space is (alphabet + merges)²-bounded as
+    // documented — merged and arg-maxed on the driver with the EXACT
+    // ordering the old SQL orderBy used. The old Dataset loop paid a
+    // shuffled aggregation plus a localCheckpoint job per round; the
+    // symbol rewrite now rides lazily into the next round's pass.
+    val vocab0 = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("t"))
       .where(col("t") =!= "")
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .map { case (w, c) => VocabWord(w.map(_.toString).toArray, c) }
-      .localCheckpoint()
+    var vocab = vocab0.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    var prev: org.apache.spark.rdd.RDD[VocabWord] = null
+    // Spark's SQL string order is UTF8 BINARY order; the driver-side
+    // argmax must compare the same way or a non-ASCII tie could pick a
+    // different merge than the old plan did.
+    def u8Less(x: String, y: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var r = 0
     var done = false
     while (r < rounds && !done) {
-      val pairCounts = vocab.flatMap { vw =>
-        val ss = vw.syms
-        (0 until ss.length - 1).iterator.map(i => (ss(i), ss(i + 1), vw.cnt))
-      }.toDF("a", "b", "c")
-        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
-      // script-exact tie order: count desc, then flattened pair with a
-      // U+FFFF sentinel appended — plain string order ranks a strict
-      // prefix BEFORE its extensions ("ab" < "abc"), the script's
-      // negated-ordinal list key ranks it AFTER; the sentinel (greater
-      // than any corpus char) flips exactly the prefix case.
-      val top = pairCounts
-        .orderBy(col("cnt").desc,
-          concat(col("a"), col("b"), lit("\uffff")).asc, col("a").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+      val partials = vocab.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { vw =>
+          val ss = vw.syms
+          var i = 0
+          while (i < ss.length - 1) {
+            val k = (ss(i), ss(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + vw.cnt)
+            i += 1
+          }
+        }
+        Iterator.single(m)
+      }.collect()
+      // the pass above materialized `vocab`; the previous round's
+      // blocks are now safe to drop (nothing recomputes through them)
+      if (prev != null) { prev.unpersist(false); prev = null }
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      partials.foreach(_.foreach { case (k, c) =>
+        counts.update(k, counts.getOrElse(k, 0L) + c)
+      })
+      if (counts.isEmpty) done = true
       else {
-        val best = top(0)
-        val (a, b) = (best.getAs[String]("a"), best.getAs[String]("b"))
-        merges += ((a, b, best.getAs[Long]("cnt")))
+        // script-exact tie order: count desc, then flattened pair with
+        // a U+FFFF sentinel appended — plain string order ranks a
+        // strict prefix BEFORE its extensions ("ab" < "abc"), the
+        // script's negated-ordinal list key ranks it AFTER; the
+        // sentinel (greater than any corpus char) flips exactly the
+        // prefix case. Third key: lhs asc.
+        var best: ((String, String), Long) = null
+        counts.foreach { case e @ ((a, b), c) =>
+          if (best == null) best = e
+          else {
+            val ((ba, bb), bc) = best
+            val better = c > bc || (c == bc && {
+              val k1 = a + b + "\uffff"; val k2 = ba + bb + "\uffff"
+              u8Less(k1, k2) || (k1 == k2 && u8Less(a, ba))
+            })
+            if (better) best = e
+          }
+        }
+        val ((a, b), c) = best
+        merges += ((a, b, c))
+        prev = vocab
         vocab = vocab.map(vw => VocabWord(applyMerge(vw.syms, a, b), vw.cnt))
-          .localCheckpoint()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       }
       r += 1
     }
+    vocab.unpersist(false)
+    if (prev != null) prev.unpersist(false)
     merges.toSeq
   }
 

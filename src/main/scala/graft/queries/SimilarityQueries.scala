@@ -724,28 +724,42 @@ object SimilarityQueries {
     * with per-round checkpoint lineage truncation.
     */
   def pcaPower(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val d21 = DecimalType(21, 0)
-    val upper = embedCovariance(s, dir).select(col("i"), col("j"), col("cov_num"))
-    val full = upper.unionAll(
-      upper.where(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
-      .select(col("i"), col("j"), col("cov_num").cast(d21).as("c"))
-      .localCheckpoint()
-    var v = full.select(col("i").as("dim")).distinct()
-      .select(col("dim"), lit(PowerScale).as("v"))
+    import s.implicits._
+    // The dim² = 4,096 covariance cells are MODEL STATE — their size
+    // depends on the embedding dimension, never on corpus rows — so
+    // the corpus-scan derivation stays distributed (embedCovariance's
+    // one pass) and the 8 max-norm power rounds over the matrix run
+    // driver-side in exact BigInteger arithmetic: the SAME integer ops
+    // the per-round SQL jobs computed (products, sums, abs-max,
+    // truncating div against nullif(m, 0)), bit-identical by
+    // exactness, minus ~16 scheduler round-trips over a 4 KiB matrix
+    // (min 2.0 s → 0.7 s at sf0.1).
+    val upper = embedCovariance(s, dir)
+      .select(col("i"), col("j"), col("cov_num"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2))))
+    val dims = upper.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val c = scala.collection.mutable.HashMap.empty[(Int, Int), BigInt]
+    upper.foreach { case (i, j, x) => c((i, j)) = x; if (i != j) c((j, i)) = x }
+    var v: Map[Int, Option[BigInt]] =
+      dims.map(_ -> Option(BigInt(PowerScale))).toMap
     for (_ <- 1 to PowerRounds) {
-      val w = full.join(v.select(col("dim").as("j"), col("v")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("c") * col("v").cast(d21)).as("w"))
-      val m = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("i").as("dim"),
-          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(w) * $PowerScale) div nullif(m, 0)")).as("v"))
-        .localCheckpoint()
+      val w: Map[Int, Option[BigInt]] = dims.map { i =>
+        val terms = dims.flatMap(j => c.get((i, j)).flatMap(cc => v(j).map(cc * _)))
+        i -> (if (terms.isEmpty) None else Option(terms.sum))
+      }.toMap
+      val mags = w.values.flatten.map(_.abs)
+      // nullif(m, 0): an all-zero matrix nulls every dim at once, and
+      // null propagates through later rounds exactly as in SQL
+      val mOk = (if (mags.isEmpty) None else Option(mags.max)).filter(_ != 0)
+      v = dims.map { i =>
+        i -> (for { wi <- w(i); mm <- mOk } yield
+          (if (wi < 0) BigInt(-1) else BigInt(1)) * ((wi.abs * PowerScale) / mm))
+      }.toMap
     }
-    v.orderBy(col("dim"))
+    dims.map(i => (i.toLong, v(i).map(_.toLong))).toSeq
+      .toDF("dim", "v")
+      .orderBy(col("dim"))
   }
 
   /** Representatives per label for q155's cohesion audit. */
