@@ -51,7 +51,7 @@ object ArtifactStore {
     * contributes through q116's exact quantization — Σ_d ⌊x_d·10³⌋ is
     * an integer both engines compute bit-identically, value-sensitive
     * to the milli quantum. */
-  private def embeddingsRowDigest: Column = {
+  private[graft] def embeddingsRowDigest: Column = {
     val qs = aggregate(
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * lit(1000.0)).cast(LongType)),

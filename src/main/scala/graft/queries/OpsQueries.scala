@@ -71,6 +71,27 @@ object OpsQueries {
       .orderBy(col("tbl"))
   }
 
+  /** q174 — the EMBEDDINGS-table anti-entropy checksum: q110 extended
+    * to the vector table. q110 excludes doubles by design (float→text
+    * rendering is engine-specific); here the embedding contributes
+    * through q116's exact milli quantization (Σ_d ⌊x_d·10³⌋ — an
+    * integer both engines compute bit-identically), so the sum digest
+    * is portable — and it IS the [[graft.ArtifactStore]] fingerprint
+    * every book/code/tombstone family is keyed by. The audit row
+    * therefore does double duty: replica comparison for the vector
+    * table, and "which fp-directory should the current corpus be
+    * serving" for an operator staring at the artifact store.
+    *
+    * Scale shape: q110's — one partial-aggregated scan, commutative
+    * monoid accumulators, one row out. */
+  def embeddingsChecksum(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(graft.ArtifactStore.embeddingsRowDigest.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast(DecimalType(38, 0))) % lit(CkMod))
+          .cast(LongType).as("sum_digest"))
+      .select(lit("embeddings").as("tbl"), col("n_rows"), col("sum_digest"))
+
   /** KMV size for q111's distinct estimates — q89's sketch, applied
     * per column instead of per group. */
   private val ProfK = 64
@@ -524,6 +545,7 @@ object OpsQueries {
     "q130_constraint_audit" -> constraintAudit,
     "q127_skipping_report" -> skippingReport,
     "q110_table_checksum" -> tableChecksum,
+    "q174_embeddings_checksum" -> embeddingsChecksum,
     "q111_column_profile" -> columnProfile,
     "q117_zorder_cells"   -> zorderCells,
     "q118_outlier_audit"  -> outlierAudit,
@@ -597,7 +619,12 @@ object OpsQueries {
          |ORDER BY live.v""".stripMargin,
     // NULL cells ride the explicit chr(0)||'NULL' marker (Spark side:
     // the "\u0000NULL" literal) so concat_ws cannot collapse distinct null layouts
-    "q110_table_checksum" ->
+        "q174_embeddings_checksum" ->
+      s"""SELECT 'embeddings' AS tbl, count(*)::BIGINT AS n_rows,
+         |       ${graft.ArtifactStore.embeddingsFpSql} AS sum_digest
+         |FROM embeddings""".stripMargin,
+
+"q110_table_checksum" ->
       """WITH ck AS (
         |  SELECT 'documents' AS tbl,
         |    ('0x' || substr(md5('ck|documents|' ||

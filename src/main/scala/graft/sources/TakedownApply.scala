@@ -34,9 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object TakedownApply {
 
-  /** The documents-derived artifact families a takedown invalidates. */
+  /** The documents-derived artifact families a takedown invalidates.
+    * cluster_labels_v1 derives FROM minhash_pairs_v1 (same
+    * fingerprint): both must die together or the labels would keep
+    * serving severed-edge clusters. */
   val DocArtifactKeys: Seq[String] =
-    Seq("minhash_pairs_v1", "dup_edges_v1", "postings_v1", "doclens_v1")
+    Seq("minhash_pairs_v1", "cluster_labels_v1", "dup_edges_v1",
+      "postings_v1", "doclens_v1")
 
   /** Leg 1: tombstone flagged docs in the merge target. Returns the
     * number of newly tombstoned docs (0 on a re-run — idempotent). */
