@@ -113,13 +113,16 @@ object TakedownApply {
               mergeTarget: Option[String] = None, mergeBuckets: Int = 16,
               indexTarget: Option[String] = None,
               corpusDir: Option[String] = None,
-              mergeLog: Option[String] = None): Unit = {
+              mergeLog: Option[String] = None,
+              dupEdgesTarget: Option[String] = None): Unit = {
     mergeTarget.foreach(tombstoneMerged(s, _, mergeBuckets, flagged))
     indexTarget.foreach { t =>
       scrubIndex(s, t, flagged)
       scrubIndexLog(s, t, flagged)
     }
     mergeLog.foreach(scrubMergeLog(s, _, flagged))
+    dupEdgesTarget.foreach(
+      graft.streaming.StreamDupEdges.scrub(s, _, flagged))
     corpusDir.foreach(invalidateArtifacts(s, _))
   }
 }

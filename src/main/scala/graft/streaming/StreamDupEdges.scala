@@ -151,4 +151,19 @@ object StreamDupEdges {
     * same (doc_a, doc_b) shape as the `minhash_pairs_v1` artifact. */
   def edges(s: SparkSession, target: String): DataFrame =
     s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
+
+  /** Takedown leg for the edge target: every store holds
+    * content-derived rows of the flagged docs — shingle hashes, band
+    * keys, and the edges that cite them — so erasure must reach all
+    * three ([[graft.sources.TakedownApply]]'s cascade shape, one
+    * [[graft.sources.PartitionScrub]] call per store). Idempotent:
+    * a second pass touches no partition. */
+  def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
+    graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
+      col("doc_id").isin(flagged: _*))
+    graft.sources.PartitionScrub.dropRows(s, s"$target/bands", "bucket",
+      col("doc_id").isin(flagged: _*))
+    graft.sources.PartitionScrub.dropRows(s, s"$target/edges", "bucket",
+      col("doc_a").isin(flagged: _*) || col("doc_b").isin(flagged: _*))
+  }
 }

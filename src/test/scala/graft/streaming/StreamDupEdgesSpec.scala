@@ -70,5 +70,20 @@ class StreamDupEdgesSpec extends SparkSpec {
     StreamDupEdges.compactBatch(target, 4)(
       b.toDF("doc_id", "text"), 1L)
     assert(snapshot() == before, "replay mutated a store")
+
+    // takedown leg: a flagged doc vanishes from every store — its
+    // shingle hashes, its band keys, and any edge citing it — and a
+    // second pass is a no-op
+    val victim = batchPairs.head._1
+    StreamDupEdges.scrub(spark, target, Seq(victim))
+    assert(!edgeSet(target).exists(e => e._1 == victim || e._2 == victim),
+      "scrubbed doc still cited by an edge")
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === victim).count() == 0L)
+    assert(spark.read.parquet(s"$target/bands")
+      .where($"doc_id" === victim).count() == 0L)
+    val afterScrub = snapshot()
+    StreamDupEdges.scrub(spark, target, Seq(victim))
+    assert(snapshot() == afterScrub, "second scrub pass mutated a store")
   }
 }
