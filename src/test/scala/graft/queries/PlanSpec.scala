@@ -190,6 +190,31 @@ class PlanSpec extends SparkSpec {
       "the sketch lookup must not shuffle:\n" + p.take(1000))
   }
 
+  test("q172 LM scoring: partial per-doc fold before the shuffle, vocab " +
+      "scalar broadcast, pruned corpus scan") {
+    val p = plan("q172_lm_score")
+    assert(p.contains("partial_sum"),
+      "per-doc probability fold must combine map-side:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the count-table lookups must not sort-merge at this scale:\n" + p.take(1200))
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("source") && !r.contains("n_chars")),
+      s"corpus scans must read only (doc_id, text): $reads")
+  }
+
+  test("q173 split repair: the label artifact broadcasts against a " +
+      "doc_id-only scan") {
+    val p = plan("q173_split_repair")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny label frame must broadcast:\n" + p.take(1000))
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    val corpus = reads.find(_.contains("doc_id:bigint"))
+    assert(corpus.isDefined && !corpus.get.contains("text"),
+      s"the corpus side must scan doc_id only: $reads")
+  }
+
   test("q169 time travel: per-version compaction is the argmax partial agg, " +
       "no window") {
     val df = graft.SparkEntry.queries("q169_time_travel")(spark, sfDir)
