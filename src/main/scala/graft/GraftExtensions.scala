@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, Kmv, MisraGries, PqDecode, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, IvfCell, IvfProbes, Kmv, MisraGries, PqDecode, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -106,6 +106,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_int8_decode spec must be a STRING literal, got $other")
         }
         Int8Decode(children.head, spec)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_cell"),
+      new ExpressionInfo(classOf[IvfCell].getName, "graft_ivf_cell"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_ivf_cell takes (v ARRAY<DOUBLE>, spec STRING literal), " +
+            s"got ${children.length} args")
+        val spec = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_cell spec must be a STRING literal, got $other")
+        }
+        IvfCell(children.head, spec)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_probes"),
+      new ExpressionInfo(classOf[IvfProbes].getName, "graft_ivf_probes"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3) throw new IllegalArgumentException(
+          s"graft_ivf_probes takes (v ARRAY<DOUBLE>, spec STRING literal, " +
+            s"n INT literal), got ${children.length} args")
+        val spec = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_probes spec must be a STRING literal, got $other")
+        }
+        val n = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_probes n must be an INT literal, got $other")
+        }
+        IvfProbes(children.head, spec, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

@@ -259,22 +259,22 @@ object ServeBooks {
   def minScore(cents: Array[Array[Double]], v: Column): Column =
     array_min(array(scores(cents, v): _*))
 
-  /** Nearest-cell id as a row-local expression — argmin over the
-    * broadcast-as-literals book, first index on ties (= ORDER BY score,
-    * cid). No join, no window, no shuffle. */
-  def cell(cents: Array[Array[Double]], v: Column): Column = {
-    val arr = array(scores(cents, v): _*)
-    (array_position(arr, array_min(arr)) - 1).cast(LongType)
-  }
+  /** Nearest-cell id as a row-local expression — argmin with first
+    * index on ties (= ORDER BY score, cid). No join, no window, no
+    * shuffle. ONE native expression node with the book as a plan-
+    * literal spec (graft.functions.IvfAssign): the composed literal
+    * form cost ~0.5–0.9 s of driver planning/codegen per execution
+    * over its 2×32×64-literal tree (q129's diagnosis — the q164
+    * pathology on the assignment side); arithmetic is bit-identical. */
+  def cell(cents: Array[Array[Double]], v: Column): Column =
+    call_function("graft_ivf_cell", v,
+      lit(graft.functions.IvfAssignTable.toSpec(cents)))
 
   /** The `n` nearest cell ids, ascending by (score, cid), as an
     * array<bigint> — the query-side probe list, row-local like [[cell]]. */
-  def probeCells(cents: Array[Array[Double]], n: Int, v: Column): Column = {
-    val pairs = scores(cents, v).zipWithIndex.map { case (sc, i) =>
-      struct(sc.as("s"), lit(i.toLong).as("cid"))
-    }
-    transform(slice(array_sort(array(pairs: _*)), 1, n), _.getField("cid"))
-  }
+  def probeCells(cents: Array[Array[Double]], n: Int, v: Column): Column =
+    call_function("graft_ivf_probes", v,
+      lit(graft.functions.IvfAssignTable.toSpec(cents)), lit(n))
 
   // ------------------------------------------------ SQL twins (oracle side)
 
