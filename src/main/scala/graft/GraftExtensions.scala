@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, IvfCell, IvfProbes, Kmv, MisraGries, PqDecode, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, IvfCell, IvfProbes, PqXhat, Kmv, MisraGries, PqDecode, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -139,6 +139,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_ivf_probes n must be an INT literal, got $other")
         }
         IvfProbes(children.head, spec, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_xhat"),
+      new ExpressionInfo(classOf[PqXhat].getName, "graft_pq_xhat"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_pq_xhat takes (v ARRAY<DOUBLE>, spec STRING literal), " +
+            s"got ${children.length} args")
+        val spec = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_xhat spec must be a STRING literal, got $other")
+        }
+        PqXhat(children.head, spec)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

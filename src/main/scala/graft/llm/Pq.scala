@@ -35,21 +35,15 @@ object Pq {
     * arbitrary books geometry (the ServeBooks-trained path): per
     * subspace argmin_k (||c||² − 2·v_m·c) — the ||v_m||² term is common
     * to all k and dropped — then the chosen centroid, concatenated. */
-  def reconstructWith(bks: Array[Array[Array[Double]]])(v: Column): Column = {
-    val nSub = bks.length
-    val subDim = bks(0)(0).length
-    val parts = (0 until nSub).map { m =>
-      val vm = slice(v, m * subDim + 1, subDim)
-      val dists = bks(m).map { c =>
-        lit(csq(c)) - lit(2.0) * VectorOps.dot(vm, array(c.map(lit(_)): _*))
-      }
-      val arr = array(dists.toSeq: _*)
-      val idx = array_position(arr, array_min(arr)).cast("int")
-      val bookArr = array(bks(m).map(c => array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
-      element_at(bookArr, idx)
-    }
-    concat(parts: _*)
-  }
+  def reconstructWith(bks: Array[Array[Array[Double]]])(v: Column): Column =
+    // ONE native node carrying the books as a plan-literal spec
+    // (graft.functions.PqXhat): the composed per-subspace argmin trees
+    // cost ~0.5 s of driver planning/codegen per execution (q64's
+    // PlanCost reading — the q164/q129 pathology); arithmetic is
+    // bit-identical to the old form, and reconstructSql stays its
+    // DuckDB twin.
+    call_function("graft_pq_xhat", v,
+      lit(graft.functions.PqXhatTable.toSpec(bks)))
 
   /** [[reconstructWith]] over the frozen [[PqCodebook]] — the
     * stream-start snapshot path (StreamEmbedDedupPq). */
