@@ -51,4 +51,32 @@ class StreamLmSpec extends SparkSpec {
     assert(one == batch, "stream state must equal the batch count table")
     assert(batch.nonEmpty)
   }
+
+  test("checkpointed restart resumes the count state (RocksDB provider)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files.createTempDirectory("lm_restart").toString
+      val stream = MemoryStream[(Long, String)]
+      val out = s"$dir/out"
+      def start() =
+        StreamLm(stream.toDF().toDF("doc_id", "text")).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", s"$dir/ckpt")
+          .outputMode("append").start()
+      val (a, b) = docs.splitAt(docs.size / 2)
+      val q1 = start()
+      try { stream.addData(a); q1.processAllAvailable() } finally q1.stop()
+      // restart from the checkpoint; the second half's emissions must
+      // build on the restored counts — the max per pair across all
+      // emissions then equals the whole-corpus table iff state survived
+      val q2 = start()
+      try { stream.addData(b); q2.processAllAvailable() } finally q2.stop()
+      val merged = spark.read.parquet(out)
+        .selectExpr("t1", "t2", "cnt").as[(String, String, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).max).toMap
+      val whole = run(Seq(docs), "lm_whole")
+      assert(merged == whole, "restart lost or double-counted LM state")
+    }
+  }
 }
