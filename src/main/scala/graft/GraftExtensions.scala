@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, IvfCell, IvfProbes, PqXhat, Kmv, MisraGries, PqDecode, StemWord, TopK}
+import graft.functions.{BloomProbe, BpeEncode, BpeEncodeTbl, DotProduct, Hash60Expr, Int8Decode, IvfCell, IvfProbes, PqXhat, StopLen, Kmv, MisraGries, PqDecode, StemWord, TopK}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
@@ -153,6 +153,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_pq_xhat spec must be a STRING literal, got $other")
         }
         PqXhat(children.head, spec)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_stop_len"),
+      new ExpressionInfo(classOf[StopLen].getName, "graft_stop_len"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_stop_len takes (w ARRAY<STRING>), got ${children.length} args")
+        StopLen(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),

@@ -20,14 +20,17 @@ object Quality {
   def uniqRatio(w: Column): Column =
     size(array_distinct(w)).cast(DoubleType) / size(w)
 
-  /** Stop-word fraction of all tokens. */
-  def stopRatio(w: Column): Column = {
-    val stopArr = array(Tokenize.stopWords.map(lit): _*)
-    size(filter(w, t => array_contains(stopArr, t))).cast(DoubleType) / size(w)
-  }
+  /** Stop-word fraction of all tokens. ONE native O(tokens) pass
+    * (graft_stop_len) instead of an interpreted higher-order filter
+    * scanning the 180-word literal array per token — same counts,
+    * same division, bit-identical ratios (the expression's doc). */
+  def stopRatio(w: Column): Column =
+    element_at(call_function("graft_stop_len", w), 1)
+      .cast(DoubleType) / size(w)
 
   def meanTokenLen(w: Column): Column =
-    aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(w)
+    element_at(call_function("graft_stop_len", w), 2)
+      .cast(DoubleType) / size(w)
 
   /** Bounded composite: rewards vocabulary diversity, penalizes
     * stop-word soup, saturates the length reward at 100 tokens. */
