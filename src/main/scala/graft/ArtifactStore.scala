@@ -108,6 +108,19 @@ object ArtifactStore {
 
   private val memo = new ConcurrentHashMap[String, String]()
 
+  /** Per-artifact build locks. Builds must NOT run inside
+    * `memo.computeIfAbsent`: several builders are themselves artifact
+    * consumers (the vec-codebook family materializes the
+    * `vec_tombstones_v1` artifact from inside its build thunk), and
+    * CHM's contract forbids a mapping function from touching the map —
+    * a nested parquetOnce whose key hashes into the same bin can throw
+    * "Recursive update" or deadlock, dependent on the artifact-root
+    * string hashes. Double-checked per-key monitors make nested
+    * different-key builds safe (the dependency graph is acyclic), and
+    * `synchronized` is thread-reentrant so even a same-key cycle would
+    * fail loudly in the build rather than deadlock. */
+  private val buildLocks = new ConcurrentHashMap[String, Object]()
+
   /** Drop the in-process memo — simulates a fresh JVM for specs; the
     * on-disk artifacts are the state under test. */
   private[graft] def resetMemoForTest(): Unit = memo.clear()
@@ -131,31 +144,38 @@ object ArtifactStore {
   def parquetOnce(s: SparkSession, key: String, fp: Long)
                  (build: => DataFrame): DataFrame = {
     val dir = Paths.get(root, key, s"fp-$fp")
-    val path = memo.computeIfAbsent(dir.toString, _ => {
-      if (!Files.exists(dir.resolve("manifest.json"))) {
-        buildCount.merge(key, Int.box(1), (a, b) => Int.box(a + b))
-        val tmp = Paths.get(root, key,
-          s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-        Files.createDirectories(tmp)
-        build.withColumn("fp", lit(fp))
-          .write.mode("overwrite").parquet(tmp.resolve("data").toString)
-        Files.writeString(tmp.resolve("manifest.json"),
-          s"""{"key":"$key","fp":$fp,""" +
-            s""""created":"${java.time.Instant.now}"}\n""")
-        try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // lost a publish race to a concurrent process: its artifact
-          // is complete (rename is atomic) — discard ours, read theirs
-          case _: java.nio.file.FileAlreadyExistsException =>
-            deleteRecursively(tmp)
-          case _: java.nio.file.FileSystemException
-            if Files.exists(dir.resolve("manifest.json")) =>
-            deleteRecursively(tmp)
+    val dirKey = dir.toString
+    if (memo.get(dirKey) == null) {
+      val lock = buildLocks.computeIfAbsent(dirKey, _ => new Object)
+      lock.synchronized {
+        if (memo.get(dirKey) == null) {
+          if (!Files.exists(dir.resolve("manifest.json"))) {
+            buildCount.merge(key, Int.box(1), (a, b) => Int.box(a + b))
+            val tmp = Paths.get(root, key,
+              s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+            Files.createDirectories(tmp)
+            build.withColumn("fp", lit(fp))
+              .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+            Files.writeString(tmp.resolve("manifest.json"),
+              s"""{"key":"$key","fp":$fp,""" +
+                s""""created":"${java.time.Instant.now}"}\n""")
+            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // lost a publish race to a concurrent process: its
+              // artifact is complete (rename is atomic) — discard
+              // ours, read theirs
+              case _: java.nio.file.FileAlreadyExistsException =>
+                deleteRecursively(tmp)
+              case _: java.nio.file.FileSystemException
+                if Files.exists(dir.resolve("manifest.json")) =>
+                deleteRecursively(tmp)
+            }
+          }
+          memo.put(dirKey, dirKey)
         }
       }
-      dir.toString
-    })
-    s.read.parquet(s"$path/data")
+    }
+    s.read.parquet(s"$dirKey/data")
   }
 
   /** [[parquetOnce]] keyed by the documents-corpus fingerprint, with

@@ -36,14 +36,23 @@ object IvfAssignTable {
 
     private def score(k: Int, v: ArrayData): Double = {
       val c = cents(k)
-      val n = math.min(v.numElements(), c.length)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+      while (i < c.length) { acc += v.getDouble(i) * c(i); i += 1 }
       c2s(k) - 2.0 * acc
     }
 
+    // typed-error-over-silent-garbage (Int8Decode's convention): a
+    // vector shorter/longer than the book's dim would otherwise
+    // compute a truncated dot and return a plausible-but-wrong cell
+    private def checkDim(v: ArrayData): Unit =
+      if (v.numElements() != cents(0).length)
+        throw new IllegalArgumentException(
+          s"graft_ivf: vector of ${v.numElements()} elements against a " +
+            s"dim-${cents(0).length} codebook")
+
     def cell(v: ArrayData): Long = {
+      checkDim(v)
       var best = 0
       var bs = score(0, v)
       var k = 1
@@ -56,6 +65,7 @@ object IvfAssignTable {
     }
 
     def probes(v: ArrayData, n: Int): ArrayData = {
+      checkDim(v)
       val sc = Array.tabulate(cents.length)(k => score(k, v))
       val idx = Array.tabulate(cents.length)(_.toLong)
       // full sort of ≤ cells elements by (score, cid) — the array_sort

@@ -32,6 +32,13 @@ object PqXhatTable {
     })
 
     def xhat(v: ArrayData): ArrayData = {
+      // typed-error-over-silent-garbage (Int8Decode's convention): a
+      // short vector would read past its end, a long one silently
+      // drop trailing dims — both are geometry bugs, fail loudly
+      if (v.numElements() != nSub * subDim)
+        throw new IllegalArgumentException(
+          s"graft_pq_xhat: vector of ${v.numElements()} elements against " +
+            s"$nSub x $subDim codebook geometry")
       val out = new Array[Double](nSub * subDim)
       var m = 0
       while (m < nSub) {

@@ -70,6 +70,12 @@ object StreamDupEdges {
       val path = s"$target/$sub"
       val touched = incoming.select(col("bucket")).distinct()
         .collect().map(_.getLong(0))
+      // the common no-near-dup batch verifies ZERO edges: writing the
+      // empty frame would seed the target as a parquet-less
+      // _SUCCESS-only dir that poisons every later schema-inferring
+      // read (and checkpoint replay would re-crash on it) — an empty
+      // merge is a no-op whether or not the target exists yet
+      if (touched.isEmpty) return
       val tgtPath = new org.apache.hadoop.fs.Path(path)
       val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val existing =
@@ -148,9 +154,21 @@ object StreamDupEdges {
       .start()
 
   /** The edge set as q73/q141/q142/q145's consumers read it — the
-    * same (doc_a, doc_b) shape as the `minhash_pairs_v1` artifact. */
-  def edges(s: SparkSession, target: String): DataFrame =
-    s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
+    * same (doc_a, doc_b) shape as the `minhash_pairs_v1` artifact.
+    * A stream whose every batch verified zero edges has no edges dir
+    * (empty merges are skipped, see mergeDistinct) — consumers read
+    * that as the empty edge set, not an AnalysisException. */
+  def edges(s: SparkSession, target: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$target/edges")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_a", LongType),
+          StructField("doc_b", LongType))))
+    } else
+      s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
+  }
 
   /** Takedown leg for the edge target: every store holds
     * content-derived rows of the flagged docs — shingle hashes, band

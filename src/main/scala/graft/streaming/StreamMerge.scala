@@ -41,10 +41,19 @@ object StreamMerge {
     // equal versions break ties by (op, text) — the same lexicographic
     // order as batch q122's max(struct(ver, op, text)) — so the merged
     // state (and thus the TimeTravel log) is arrival-order-invariant
-    // even when a key sees two same-version changes in one batch
+    // even when a key sees two same-version changes in one batch.
+    // String comparison must be UTF8String's binary order, NOT Scala's
+    // UTF-16 code-unit '>': for supplementary-plane text (U+10000+,
+    // whose surrogates sort below U+E000 in UTF-16 but above in UTF-8)
+    // the two orders diverge and a same-version tie would materialize
+    // a different winner than the batch path (BpeTrain's guard).
+    private def utf8Gt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
     private def wins(c: Change, cur: Current): Boolean =
       c.ver > cur.ver || (c.ver == cur.ver &&
-        (c.op > cur.op || (c.op == cur.op && c.text > cur.text)))
+        (utf8Gt(c.op, cur.op) ||
+          (c.op == cur.op && utf8Gt(c.text, cur.text))))
 
     override def handleInputRows(key: Long, rows: Iterator[Change],
                                  timerValues: TimerValues): Iterator[MergedRow] = {

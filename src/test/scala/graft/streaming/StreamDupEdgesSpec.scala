@@ -86,4 +86,34 @@ class StreamDupEdgesSpec extends SparkSpec {
     StreamDupEdges.scrub(spark, target, Seq(victim))
     assert(snapshot() == afterScrub, "second scrub pass mutated a store")
   }
+
+  test("an edge-free stream prefix does not poison the edges store") {
+    val dir = Files.createTempDirectory("dup_edges_empty").toString
+    val target = s"$dir/edges_target"
+    // batch 1: docs with shingles but zero near-dup pairs — the common
+    // case. Before the fix this wrote a parquet-less _SUCCESS-only
+    // edges dir that wedged every later read (incl. checkpoint replay).
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo violet"))
+    StreamDupEdges.compactBatch(target, 4)(
+      distinctDocs.toDF("doc_id", "text"), 0L)
+    // consumers see the empty edge set, not an AnalysisException
+    assert(StreamDupEdges.edges(spark, target).count() == 0L)
+    // replaying the edge-free batch (checkpoint restart) must not crash
+    StreamDupEdges.compactBatch(target, 4)(
+      distinctDocs.toDF("doc_id", "text"), 0L)
+    // scrub against the never-written edges store is a no-op, not a crash
+    StreamDupEdges.scrub(spark, target, Seq(1L))
+    // batch 2: a genuine near-dup pair — the store recovers into a
+    // normal readable edges target
+    val dupDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"))
+    StreamDupEdges.compactBatch(target, 4)(
+      dupDocs.toDF("doc_id", "text"), 1L)
+    assert(edgeSet(target) == Set((10L, 11L)),
+      "edges written after an edge-free prefix must serve normally")
+  }
 }
