@@ -163,6 +163,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StopLen(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dsort"),
+      new ExpressionInfo(classOf[graft.functions.DSort].getName, "graft_dsort"),
+      (children: Seq[Expression]) => graft.functions.DSort(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dsort_inv"),
+      new ExpressionInfo(classOf[graft.functions.DSortInv].getName,
+        "graft_dsort_inv"),
+      (children: Seq[Expression]) => graft.functions.DSortInv(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_h60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)))

@@ -93,18 +93,34 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** q31 — brute-force cosine top-k for a fixed query set (vec_id < 50). */
+  /** q31 — brute-force cosine top-k for a fixed query set (vec_id < 50).
+    *
+    * The per-query ranking rides the bounded `graft_topk` heap (q107's
+    * idiom — r9 verdict item 3), NOT a row_number window: the window
+    * plan shuffles and SORTS all Q×N scored pairs (every corpus row,
+    * per query), where the heap aggregate combines map-side to ≤ K
+    * pairs per partition per query — at 100 TB the truth arm's cost is
+    * the scan, not a sort. The DOUBLE cosine rides the heap's BIGINT
+    * score through the order-isomorphic `graft_dsort` bits codec and
+    * is restored bit-identically by `graft_dsort_inv`; the tag is the
+    * zero-padded neighbor id, so the heap's (score desc, tag asc)
+    * order IS the oracle's (cos DESC, neighbor_id). */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .where(col("rn") <= K)
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        call_function("graft_dsort", col("cos")),
+        lpad(col("neighbor_id").cast("string"), 20, "0"), lit(K))
+        .as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.tag").cast(LongType).as("neighbor_id"),
+        call_function("graft_dsort_inv", col("e.score")).as("cos"),
+        (col("i") + 1).cast(LongType).as("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
 
@@ -225,24 +241,27 @@ object SimilarityQueries {
     * its nearest trained IVF cell, then cap each semantic cluster at a
     * 16-vector quota, keeping the most central (closest-to-centroid)
     * representatives — over-represented semantic regions are downsampled
-    * while rare regions survive intact. One broadcast assignment pass +
-    * two partitioned windows; no vector ever meets another vector, so
-    * cost is rows × 32 centroids regardless of corpus size. */
+    * while rare regions survive intact. Assignment is the row-local
+    * [[graft.llm.ServeBooks.cell]] native argmin over the collected
+    * snapshot book (the serve trio's pattern — r9 verdict item 1): no
+    * crossJoin fan-out, no per-vector window, zero shuffle before the
+    * one cell-partitioned quota window. The output `dist` (oracle-
+    * hashed) is recomputed for the assigned cell only, via a broadcast
+    * equi-join against the 32-row centroid relation, with the SAME
+    * expression tree as the oracle's CTE — bit-identical doubles. */
   def semanticSample(s: SparkSession, dir: String): DataFrame = {
+    val book = graft.llm.CurationSnapshot.centroids(s, dir)
     val e = vecs(s, dir)
     val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
+    val assigned = e
+      .withColumn("cell", graft.llm.ServeBooks.cell(book, col("v")))
+      .join(broadcast(cents), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"), dist.as("dist"))
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(col("dist"), col("vec_id"))
     assigned
-      .select(col("vec_id"), col("cid").as("cell"), col("dist"))
       .withColumn("cell_rank", row_number().over(wCell).cast(LongType))
       .where(col("cell_rank") <= 16L)
       .orderBy(col("cell"), col("cell_rank"))
@@ -434,18 +453,17 @@ object SimilarityQueries {
     val e = if (subBucketed)
       e0.withColumn("sub", VectorOps.signBucket(col("embedding"), LshBits))
     else e0.withColumn("sub", lit(0L))
+    val book = graft.llm.CurationSnapshot.centroids(s, dir)
     val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
     val dist = col("nrm") * col("nrm") -
       lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
+    // row-local native argmin (q77's rationale); dist recomputed for
+    // the assigned cell only via the broadcast 32-row centroid relation
+    val assigned = e
+      .withColumn("cell", graft.llm.ServeBooks.cell(book, col("v")))
+      .join(broadcast(cents), col("cell") === col("cid"))
       .select(col("vec_id"), col("v"), col("nrm"), col("sub"),
-        col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("sub"),
-        col("cid").as("cell"), col("dist"))
+        col("cell"), dist.as("dist"))
     val a = assigned.select(col("cell").as("cell_a"), col("sub").as("sub_a"),
       col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"), col("dist").as("da"))
@@ -494,17 +512,13 @@ object SimilarityQueries {
     */
   def centroidUpdate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val book = graft.llm.CurationSnapshot.centroids(s, dir)
     val e = vecs(s, dir)
-    val cents = centroids(s, dir).withColumn("cnrm", VectorOps.norm(col("cv")))
-    val dist = col("nrm") * col("nrm") -
-      lit(2.0) * VectorOps.dot(col("v"), col("cv")) + col("cnrm") * col("cnrm")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
-      .select(col("v"), col("cid").as("cell"))
+    // assignment is fully row-local here — dist is never read
+    // downstream, so no centroid relation is joined at all; the only
+    // exchange left in the query is the partial-aggregated groupBy
+    val assigned = e.select(col("v"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
     val sums = (0 until VectorOps.Dim).map(i =>
       sum(col("v").getItem(i).cast(DecimalType(18, 9))).as(s"s$i"))
     assigned.groupBy(col("cell"))
@@ -868,13 +882,18 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
+    // same graft_topk bounded-heap form as q31's arm (both arms of the
+    // audit are brute — neither may pay the Q×N window sort)
     val prefixTop = qp.crossJoin(ep).where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .where(col("rn") <= K)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        call_function("graft_dsort", col("cos")),
+        lpad(col("neighbor_id").cast("string"), 20, "0"), lit(K))
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.tag").cast(LongType).as("neighbor_id"),
+        lit(1L).as("hit"))
     knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
       .join(prefixTop, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1008,7 +1027,12 @@ object SimilarityQueries {
 
   /** Exact-L2 brute top-K — the ground truth the ADC paths rank
     * against (q64/q113's re-rank metric is L2, not cosine), in the
-    * same pure dot forms. Internal arm of q162/q163. */
+    * same pure dot forms. Internal arm of q162/q163/q165/q168.
+    * Ranking rides the `graft_topk` bounded heap (q31's rationale);
+    * ascending L2 maps onto the heap's descending score by negating
+    * the `graft_dsort` encoding (safe: no real double encodes to
+    * Long.MinValue). Only the admitted (query_id, neighbor_id) set is
+    * read by the audits, so no decode stage is needed. */
   private def knnBruteL2(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
@@ -1017,12 +1041,15 @@ object SimilarityQueries {
     val l2 = VectorOps.dot(col("qv"), col("qv")) -
       lit(2.0) * VectorOps.dot(col("qv"), col("v")) +
       VectorOps.dot(col("v"), col("v"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2"), col("neighbor_id"))
     q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), l2.as("l2"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .where(col("rn") <= K)
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        -call_function("graft_dsort", col("l2")),
+        lpad(col("neighbor_id").cast("string"), 20, "0"), lit(K))
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.tag").cast(LongType).as("neighbor_id"))
   }
 
   /** q162 — the IVF-PQ rollout gate as a QUERY (q129's audit shape for
@@ -1201,7 +1228,13 @@ object SimilarityQueries {
     "list_dot_product(qv::DOUBLE[], e.embedding::DOUBLE[]) / (q.qnrm * e.nrm)"
 
   // shared assignment CTE for the codebook-clustered oracles
-  // (q101/q102): nearest frozen centroid per vector, q55's expressions
+  // (q101/q102): nearest frozen centroid per vector. The RANKING runs
+  // on the serve-style score ‖c‖²−2·(v·c) — the exact arithmetic of
+  // the Spark side's native graft_ivf_cell argmin (ServeBooks.
+  // assignRankCteSql's form), so the chosen cell agrees bit-for-bit by
+  // construction; `dist` (which q101's domination test reads) keeps
+  // its original nrm²−2vc+cnrm² expression, only computed for the
+  // winner's row like the Spark side's post-assignment broadcast join.
   private def asgCteSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $nrmSql AS nrm FROM embeddings),
@@ -1211,13 +1244,16 @@ object SimilarityQueries {
        |  FROM snap),
        |ad AS (
        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |         list_dot_product(c.cv, c.cv)
+       |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+       |           AS score,
        |         e.nrm * e.nrm
        |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
        |           + c.cnrm * c.cnrm AS dist
        |  FROM e, cents c),
        |rk AS (
        |  SELECT vec_id, embedding, nrm, cid, dist,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
        |  FROM ad),
        |asg AS (
        |  SELECT vec_id, embedding, nrm, cid AS cell, dist FROM rk WHERE rk = 1)""".stripMargin
@@ -1779,13 +1815,16 @@ object SimilarityQueries {
          |  FROM snap),
          |a AS (
          |  SELECT e.vec_id, c.cid,
+         |         list_dot_product(c.cv, c.cv)
+         |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
+         |           AS score,
          |         e.nrm * e.nrm
          |           - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.cv)
          |           + c.cnrm * c.cnrm AS dist
          |  FROM e, cents c),
          |r AS (
          |  SELECT vec_id, cid, dist,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
          |  FROM a),
          |cells AS (SELECT vec_id, cid AS cell, dist FROM r WHERE rk = 1),
          |ranked AS (

@@ -167,6 +167,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("audit truth arms ride graft_topk: no WindowExec outside the serve arm") {
+    // r9 verdict item 3: the exact arm of every ANN audit used to sort
+    // all Q×N scored pairs in a per-query row_number window; it now
+    // aggregates through the bounded graft_dsort+graft_topk heap. The
+    // only windows left belong to the serve arms' bounded re-ranks.
+    val expectWindows = Map(
+      "q31_knn_brute" -> 0,   // pure truth — fully windowless
+      "q134_prefix_recall" -> 0, // both arms brute — fully windowless
+      "q129_ann_recall" -> 1, // q55's serve ranking only
+      "q162_adc_recall" -> 2, // q64's ADC shortlist + exact re-rank
+      "q165_res_recall" -> 2, // q164's shortlist + re-rank
+      "q168_adc_rank_audit" -> 4) // both arms × (shortlist + re-rank)
+    for ((q, n) <- expectWindows) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size == n,
+        s"$q: expected $n serve-arm windows, got ${wins.size} — " +
+          "a truth-arm window sort crept back in")
+      assert(plan(q).contains("graft_topk"),
+        s"$q: the truth arm must rank via the bounded heap")
+    }
+  }
+
   test("q166 CMS build merges partial sketches: partial agg before the " +
       "one hash exchange") {
     // the exchange must carry ≤ d·w cells per partition (local
@@ -350,16 +375,38 @@ class PlanSpec extends SparkSpec {
       "every iteration shuffle must hash-partition on BIGINT keys only")
   }
 
-  test("q77 semantic sample: the only fan-out is the 32-row centroid broadcast") {
-    val df = graft.SparkEntry.queries("q77_semantic_sample")(spark, sfDir)
-    val windows = df.queryExecution.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+  test("q77/q101/q102 assignment is row-local: no crossJoin, no per-vector window") {
+    // r9 verdict item 1: the curation trio's old shape fanned every
+    // vector ×32 through crossJoin(broadcast(cents)) + row_number over
+    // vec_id — a corpus-scale exchange plus sort. Assignment now rides
+    // the native graft_ivf_cell argmin over the collected
+    // CurationSnapshot book (the serve trio's pattern); the only
+    // windows left are cell-partitioned (q77's quota) — q102 has none.
+    for (q <- Seq("q77_semantic_sample", "q101_semdedup_prune",
+        "q102_centroid_update")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val partNames = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.flatMap(_.references.map(_.name))
+      }
+      assert(partNames.forall(_.nonEmpty),
+        s"$q: every remaining window must be partitioned, got $partNames")
+      assert(partNames.forall(!_.contains("vec_id")),
+        s"$q: the ×32 per-vector assignment window is back: $partNames")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the centroid crossJoin fan-out is back:\n" + p.take(1200))
+      assert(p.contains("graft_ivf_cell"),
+        s"$q: assignment must ride the native plan-literal argmin")
     }
-    assert(windows.nonEmpty && windows.forall(_.nonEmpty),
-      "assignment and quota windows must both be partitioned")
-    // vectors never meet vectors: no join other than the centroid broadcast
-    val p = plan("q77_semantic_sample")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+    // q102 is fully row-local before its one partial-aggregated groupBy
+    val q102 = graft.SparkEntry.queries("q102_centroid_update")(spark, sfDir)
+    assert(q102.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q102 must not window at all")
+    assert(!plan("q102_centroid_update").contains("Join"),
+      "q102 needs no centroid relation — dist is never read downstream")
   }
 
   test("q89/q109/q111 sketch via the bounded KMV aggregate: no windows anywhere") {
