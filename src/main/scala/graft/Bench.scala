@@ -121,6 +121,14 @@ object Bench {
       // from the same clean-JVM state the per-query numbers claim to
       // measure.
       spark.catalog.clearCache()
+      // ...and RDD-level persists: clearCache() only drops the SQL cache
+      // manager's blocks — a library path that persists RDDs internally
+      // (the MLlib comparison query q54 is the suspect in the driver's
+      // r9 q55 anomaly, which runs bench-adjacent to it) would otherwise
+      // leak storage-pool blocks across the remaining suite exactly like
+      // the r8 dead-block cluster.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val okTimes = times.collect { case (t, true) => t }.sorted
       if (okTimes.isEmpty) (name, -1.0, -1.0, false, shuffleMb, spillMb)
       else (name, okTimes(okTimes.size / 2), okTimes.head, true, shuffleMb, spillMb)
@@ -143,6 +151,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = timed.collect { case (k, _, _, false, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
+    // Min-median gap outliers (r9 verdict item 6): a spiked median over
+    // a flat min is ambient contention or one-time init (q56's JSON
+    // parser), not a plan regression — emit the ratio so the artifact
+    // classifies its own noise instead of relying on the reader knowing
+    // the pattern. Only ratios on queries big enough to matter.
+    val gaps = timed.collect {
+      case (k, med, mn, true, _, _) if med >= 0.5 && mn > 0.0 && med / mn >= 3.0 =>
+        f""""$k":${med / mn}%.1f"""
+    }.mkString("{", ",", "}")
     val total = timed.collect { case (_, med, _, true, _, _) => med }.sum
     val totalMin = timed.collect { case (_, _, mn, true, _, _) => mn }.sum
     val cal = f""""calibration":{"cpu_pre_sec":$calCpuPre%.3f,"cpu_post_sec":$calCpuPost%.3f,"shuffle_pre_sec":$calShufPre%.3f,"shuffle_post_sec":$calShufPost%.3f}"""
@@ -155,6 +172,7 @@ object Bench {
       s"""{"metric":"per_query_min_sec","queries_min":$mins}""",
       s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""",
       s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""",
+      s"""{"metric":"per_query_gap_outliers","note":"median/min >= 3x with median >= 0.5s: ambient load or one-time init, not a plan regression","gap_ratio":$gaps}""",
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median",$cal,"sf":"$sfDir"}""")
     lines.foreach(println)
     // The stdout tail was truncated by the driver two rounds running,

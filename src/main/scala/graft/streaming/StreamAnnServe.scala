@@ -60,7 +60,19 @@ object StreamAnnServe {
   }
 
   /** queries(query_id, qv array<double>) stream → answers appended as
-    * parquet under `out` (query_id, neighbor_id, cos, rn). */
+    * parquet under `out` (query_id, neighbor_id, cos, rn).
+    *
+    * The tombstone set is re-read EVERY micro-batch (r9 verdict
+    * item 4): the batch serve queries anti-join `vec_tombstones_v1` at
+    * plan time, and a long-lived serve stream that froze the set at
+    * start would keep answering from pre-takedown vectors — the
+    * compliance hole the batch side closed in r9. The per-batch read
+    * is the bounded-by-deletion-volume artifact (broadcast side);
+    * [[graft.sources.VecTakedown.flag]] republishes it at the same
+    * path, so the next batch's read picks the flags up without a
+    * stream restart. The BOOKS stay frozen at stream start by design —
+    * exclusion is the compliance property; geometry refresh happens at
+    * the next index rebuild. */
   def start(queries: DataFrame, dir: String, out: String,
             checkpoint: String): StreamingQuery = {
     val s = queries.sparkSession
@@ -68,9 +80,13 @@ object StreamAnnServe {
     val book = ServeBooks.coarse(s, dir)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          answerBatch(cells, book)(batch.localCheckpoint())
+        if (!batch.isEmpty) {
+          val served = cells.join(
+            broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+            Seq("vec_id"), "left_anti")
+          answerBatch(served, book)(batch.localCheckpoint())
             .write.mode("append").parquet(out)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -170,6 +170,56 @@ object StreamDupEdges {
       s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
   }
 
+  /** Retention janitor for the three stores (r9 verdict item 5): a
+    * long-lived ingest stream accretes two kinds of waste the per-batch
+    * merges never reclaim —
+    *
+    *  1. **Upstream-removed docs.** A doc deleted from the source after
+    *     ingestion keeps its shingle hashes, band keys, and edges in
+    *     the stores forever; no later batch rewrites them away. The
+    *     janitor diffs the store's doc set against the caller's `live`
+    *     doc list and routes the difference through the [[scrub]] leg —
+    *     the driver sees only the REMOVED ids (bounded by deletion
+    *     volume, never corpus size).
+    *  2. **Small files.** Every merge rewrites a touched bucket from
+    *     whatever partitioning `distinct()` left, so a bucket can hold
+    *     up to a shuffle's worth of files per rewrite; buckets touched
+    *     often fragment. Partitions above `maxFilesPerBucket` are
+    *     rewritten one-file-per-bucket through the shared
+    *     [[graft.sources.PartitionScrub.rewriteTouched]] (TimeTravel's
+    *     rewrite-first, delete-after discipline).
+    *
+    * Both passes preserve the served relation exactly: eviction drops
+    * only rows of docs the upstream already removed, and compaction
+    * rewrites identical rows. Idempotent — a second pass touches
+    * nothing (the spec snapshots byte counts to prove it). */
+  def janitor(s: SparkSession, target: String, live: DataFrame,
+              maxFilesPerBucket: Int = 4): Unit = {
+    val shPath = new org.apache.hadoop.fs.Path(s"$target/shingles")
+    val fs = shPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(shPath)) return
+    import s.implicits._
+    val removed = s.read.parquet(s"$target/shingles")
+      .select(col("doc_id")).distinct()
+      .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    if (removed.nonEmpty) scrub(s, target, removed)
+    Seq("shingles", "bands", "edges").foreach { sub =>
+      val path = s"$target/$sub"
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(root)) {
+        val frag = fs.listStatus(root).toSeq
+          .filter(_.getPath.getName.startsWith("bucket="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+          .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+        if (frag.nonEmpty)
+          graft.sources.PartitionScrub.rewriteTouched(s, path, "bucket",
+            col("bucket").isin(frag: _*))(_.repartition(col("bucket")))
+      }
+    }
+  }
+
   /** Takedown leg for the edge target: every store holds
     * content-derived rows of the flagged docs — shingle hashes, band
     * keys, and the edges that cite them — so erasure must reach all

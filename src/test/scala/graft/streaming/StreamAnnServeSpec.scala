@@ -48,4 +48,73 @@ class StreamAnnServeSpec extends SparkSpec {
     assert(served == batch,
       "live ANN answers must equal batch q55 bit-for-bit")
   }
+
+  test("a mid-stream takedown stops serving the victim at the next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ann_serve_td").toString
+    val out = s"$dir/answers"; val ckpt = s"$dir/ckpt"
+
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (early, late) = queries.partition(_._1 < 25)
+
+    // freeze the pre-takedown book/cells exactly as the server does
+    val book = graft.llm.ServeBooks.coarse(spark, sfDir)
+    val cells = StreamAnnServe.prepareCells(spark, sfDir)
+
+    try {
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val query = StreamAnnServe.start(
+        stream.toDS().toDF("query_id", "qv"), sfDir, out, ckpt)
+      val victim =
+        try {
+          stream.addData(early); query.processAllAvailable()
+          // victim: a non-query vector the early answers actually served
+          val v = spark.read.parquet(out)
+            .where(col("neighbor_id") >= 50)
+            .orderBy(col("neighbor_id")).limit(1)
+            .select("neighbor_id").as[Long].head()
+          assert(graft.sources.VecTakedown.flag(spark, sfDir, Seq(v)) == 1L)
+          stream.addData(late); query.processAllAvailable()
+          v
+        } finally query.stop()
+
+      val lateIds = late.map(_._1).toSet
+      val lateAnswers = spark.read.parquet(out)
+        .where(col("query_id").isin(lateIds.toSeq: _*))
+      assert(lateAnswers.where(col("neighbor_id") === victim).count() == 0L,
+        "post-takedown batches must not serve the flagged vector")
+      // ...while the already-served early answers are untouched history
+      assert(spark.read.parquet(out)
+        .where(!col("query_id").isin(lateIds.toSeq: _*))
+        .where(col("neighbor_id") === victim).count() > 0L,
+        "witness: the victim was actually being served before the flag")
+      // exclusion, not truncation: every late query still gets a full
+      // top-K (a new 5th neighbor replaces the victim where it ranked)
+      val depths = lateAnswers.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"))
+        .where(col("n") =!= StreamAnnServe.K.toLong ||
+          col("mx") =!= StreamAnnServe.K.toLong)
+      assert(depths.isEmpty, "late answers must stay exactly K deep")
+      // and the late batch equals the frozen-book pipeline over the
+      // tombstone-filtered corpus — the refresh changed ONLY the
+      // exclusion set, not the serve math
+      val expected = StreamAnnServe.answerBatch(
+        cells.where(col("vec_id") =!= victim), book)(
+          late.toDF("query_id", "qv"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+          r.getAs[Long]("neighbor_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))
+      }.toSet
+      assert(rows(lateAnswers) == rows(expected),
+        "late answers must equal the frozen-book serve minus the victim")
+    } finally {
+      cells.unpersist()
+      graft.sources.VecTakedown.reset(spark, sfDir)
+    }
+  }
 }

@@ -87,6 +87,67 @@ class StreamDupEdgesSpec extends SparkSpec {
     assert(snapshot() == afterScrub, "second scrub pass mutated a store")
   }
 
+  test("janitor: evicts upstream-removed docs, bounds files, serves identically") {
+    val dir = Files.createTempDirectory("dup_edges_janitor").toString
+    val target = s"$dir/edges_target"
+    // build the stores over several merges so buckets fragment
+    val thirds = {
+      val (a, rest) = docs.splitAt(docs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 3)
+      Seq(a, b, c)
+    }
+    thirds.zipWithIndex.foreach { case (bt, i) =>
+      StreamDupEdges.compactBatch(target, 4)(bt.toDF("doc_id", "text"), i.toLong)
+    }
+    val before = edgeSet(target)
+    assert(before.nonEmpty, "witness: the corpus must have near-dups")
+
+    def bucketFiles(sub: String): Map[String, Int] = {
+      val root = new org.apache.hadoop.fs.Path(s"$target/$sub")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("bucket="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))).toMap
+    }
+
+    // 1. all docs live: nothing evicted, fragmentation compacted to 1
+    StreamDupEdges.janitor(spark, target,
+      docs.toDF("doc_id", "text"), maxFilesPerBucket = 1)
+    assert(edgeSet(target) == before, "compaction changed the served edges")
+    Seq("shingles", "bands", "edges").foreach { sub =>
+      assert(bucketFiles(sub).values.forall(_ <= 1),
+        s"$sub still fragmented after the janitor: ${bucketFiles(sub)}")
+    }
+
+    // 2. a doc removed upstream vanishes from every store
+    val victim = before.head._1
+    val live = docs.filterNot(_._1 == victim)
+    StreamDupEdges.janitor(spark, target, live.toDF("doc_id", "text"))
+    assert(!edgeSet(target).exists(e => e._1 == victim || e._2 == victim),
+      "evicted doc still cited by an edge")
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === victim).count() == 0L)
+    assert(spark.read.parquet(s"$target/bands")
+      .where($"doc_id" === victim).count() == 0L)
+
+    // 3. second pass is a no-op (file-level snapshot equality)
+    def snapshot(): Seq[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("shingles", "bands", "edges").flatMap { sub =>
+        val root = new org.apache.hadoop.fs.Path(s"$target/$sub")
+        fs.listStatus(root).flatMap(d => fs.listStatus(d.getPath))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+          .toSeq
+      }
+    }
+    val snap = snapshot()
+    StreamDupEdges.janitor(spark, target, live.toDF("doc_id", "text"),
+      maxFilesPerBucket = 1)
+    assert(snapshot() == snap, "idle janitor pass rewrote files")
+  }
+
   test("an edge-free stream prefix does not poison the edges store") {
     val dir = Files.createTempDirectory("dup_edges_empty").toString
     val target = s"$dir/edges_target"
