@@ -89,6 +89,42 @@ object CurationQueries {
         expr(s"(cum - n_tok) div $PackBudget").as("pack_id"))
   }
 
+  /** q176 — packing-efficiency audit over q79's greedy packer: per
+    * source, the bin count, exact milli-utilization against the token
+    * budget, the worst bin, bins a straddling doc overfilled, and docs
+    * that can never fit a budget alone — the numbers that decide
+    * whether the pack budget (context length) matches the corpus's
+    * document-length distribution before a training run burns padding.
+    * All-integer output (div, not float division — q69's rule).
+    *
+    * Scale shape: q79's source-partitioned running sum, then two
+    * group-cardinality aggregations (packs, then sources) and one
+    * broadcast-sized join of per-source rows. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val packs = packAssign(s, dir)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(sum(col("n_tok")).as("pack_tokens"), count(lit(1)).as("nd"))
+    val perSource = packs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("nd")).as("n_docs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        max(col("pack_tokens")).as("max_pack_tokens"),
+        sum(when(col("pack_tokens") > PackBudget, 1L).otherwise(0L))
+          .as("n_overfull"))
+    val oversize = Tables.documents(s, dir)
+      .select(col("source"), size(toks).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("n_tok") > PackBudget, 1L).otherwise(0L))
+        .as("n_oversize_docs"))
+    perSource.join(oversize, Seq("source"))
+      .select(col("source"), col("n_packs"), col("n_docs"),
+        col("total_tokens"),
+        expr(s"(total_tokens * 1000) div (n_packs * $PackBudget)")
+          .as("util_milli"),
+        col("max_pack_tokens"), col("n_overfull"), col("n_oversize_docs"))
+      .orderBy(col("source"))
+  }
+
   /** q80 — token-weighted mixture capping (the UniMax/DoReMi-style mix
     * step): each source gets a token budget and contributes documents
     * in deterministic doc_id order until the budget is exhausted;
@@ -764,6 +800,7 @@ object CurationQueries {
     "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
     "q79_sequence_pack"     -> sequencePack,
+    "q176_pack_efficiency"  -> packEfficiency,
     "q80_mixture_cap"       -> mixtureCap,
     "q81_boilerplate_grams" -> boilerplateGrams,
     "q82_zipf_curve"        -> zipfCurve,
@@ -1054,6 +1091,41 @@ object CurationQueries {
         |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_digest
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q176_pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |packs AS (
+         |  SELECT source, CAST((cum - n_tok) // $PackBudget AS BIGINT) AS pack_id,
+         |         CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+         |         count(*) AS nd
+         |  FROM c GROUP BY source, pack_id),
+         |per_source AS (
+         |  SELECT source, count(*)::BIGINT AS n_packs,
+         |         CAST(sum(nd) AS BIGINT) AS n_docs,
+         |         CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens,
+         |         CAST(sum(CASE WHEN pack_tokens > $PackBudget THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_overfull
+         |  FROM packs GROUP BY source),
+         |oversize AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN n_tok > $PackBudget THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_oversize_docs
+         |  FROM t GROUP BY source)
+         |SELECT p.source, p.n_packs, p.n_docs, p.total_tokens,
+         |       CAST((p.total_tokens * 1000) // (p.n_packs * $PackBudget)
+         |            AS BIGINT) AS util_milli,
+         |       p.max_pack_tokens, p.n_overfull, o.n_oversize_docs
+         |FROM per_source p JOIN oversize o USING (source)
+         |ORDER BY p.source""".stripMargin,
 
     "q79_sequence_pack" ->
       s"""WITH t AS (

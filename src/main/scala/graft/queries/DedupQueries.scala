@@ -94,6 +94,87 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q175 — MinHash estimator CALIBRATION: for every banded candidate
+    * pair, the signature-agreement estimate (matching components / 16)
+    * beside the exact shingle Jaccard it estimates. This is the audit
+    * that justifies the dedup family's banding dial: q27 verifies
+    * candidates at true Jaccard and q142 measures bucket recall, but
+    * neither answers "how biased is the 16-component estimator on the
+    * pairs the bands actually surface" — the number that decides
+    * whether a pipeline can skip verification at some threshold
+    * (Broder's classic resemblance-estimation trade).
+    *
+    * Scale shape: q27's candidate stage verbatim (banded bucket
+    * equi-join, hash-once shingles); the estimate is a 16-term
+    * row-local comparison on the already-joined signature rows; the
+    * exact arm reuses the verification join. Pairs sharing bands but
+    * zero shingles (possible only through 60-bit minhash collisions)
+    * coalesce to Jaccard 0 rather than dropping out. */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+        xxhash64(col("s")).as("h")).persist()
+    val sig = Dedup.minhashSigFromX(dt).persist()
+    val bands = Dedup.minhashBands(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val matches = (0 until Dedup.MinHashK).map(i =>
+      when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), matches.as("n_match"))
+    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dth = dt.select(col("doc_id"), col("h"))
+    val common = cand
+      .join(dth.as("x"), col("x.doc_id") === col("da"))
+      .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val c0 = coalesce(col("c"), lit(0L))
+    est
+      .join(common, Seq("da", "db"), "left")
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_match"),
+        (col("n_match").cast(DoubleType) / lit(16.0)).as("est_sim"),
+        c0.as("n_common"),
+        (c0.cast(DoubleType) / (col("sa.n") + col("sb.n") - c0)).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q177 — per-document n-gram NOVELTY: the share of a document's
+    * distinct 3-gram shingles that appear in no other document. The
+    * cross-document complement of q74 (intra-doc repetition) and q81
+    * (the global boilerplate list): a doc scoring low here is ASSEMBLED
+    * from text that exists elsewhere in the corpus — template farms,
+    * mirrored spans, licence blocks — even when no single near-dup
+    * partner (q27) exists. Curation pipelines weight such docs down
+    * before training. All-integer milli score (q69's rule).
+    *
+    * Scale shape: shingles hash to 8 bytes once; the document-frequency
+    * table partial-aggregates map-side; the join back is equi on the
+    * hash with exactly ONE df row per shingle — no fan-out, no window,
+    * no strings past the map side. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dfreq = dt.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    dt.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("((n_shingles - n_shared) * 1000) div n_shingles")
+          .as("novelty_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q28 — 48-bit frequency-weighted SimHash fingerprint per document. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -648,6 +729,8 @@ object DedupQueries {
     "q28_simhash"          -> simhash,
     "q29_simhash_neardup"  -> simhashNearDup,
     "q54_minhash_mllib"    -> minhashMllib,
+    "q175_minhash_calibration" -> minhashCalibration,
+    "q177_ngram_novelty"   -> ngramNovelty,
     "q73_dedup_clusters"   -> dedupClusters,
     "q141_dedup_stats"     -> dedupStats,
     "q145_canonical_pick"  -> canonicalPick,
@@ -702,9 +785,42 @@ object DedupQueries {
        |  GROUP BY da, db)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q175_minhash_calibration" ->
+      s"""WITH $minhashCtesSql,
+         |m AS (
+         |  SELECT cand.da, cand.db,
+         |         (${(0 until Dedup.MinHashK).map(i =>
+                      s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+                      .mkString(" + ")})::BIGINT AS n_match
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.da
+         |  JOIN sig sb ON sb.doc_id = cand.db)
+         |SELECT m.da AS doc_a, m.db AS doc_b, m.n_match,
+         |       (m.n_match::DOUBLE / CAST(16.0 AS DOUBLE)) AS est_sim,
+         |       coalesce(c.c, 0)::BIGINT AS n_common,
+         |       (coalesce(c.c, 0)::DOUBLE
+         |          / (sa.n + sb.n - coalesce(c.c, 0))) AS jaccard
+         |FROM m
+         |LEFT JOIN common c ON c.da = m.da AND c.db = m.db
+         |JOIN sz sa ON m.da = sa.doc_id
+         |JOIN sz sb ON m.db = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q177_ngram_novelty" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(3)}),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         |SELECT sh.doc_id,
+         |       count(*)::BIGINT AS n_shingles,
+         |       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shared,
+         |       CAST(((count(*) - sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END))
+         |             * 1000) // count(*) AS BIGINT) AS novelty_milli
+         |FROM sh JOIN dfreq d ON d.s = sh.s
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     "q25_dedup_ngram_jacc" ->
       s"""WITH sh AS (${Dedup.shinglesSql(3)}),

@@ -11,7 +11,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * answered by [[StreamAnnServe]] — q55's exact pipeline over the
   * in-engine-trained ServeBooks codebook — with answers appended as
   * parquet. The full closed loop, live: train → publish → serve,
-  * against a socket.
+  * against a socket. The tombstone artifact is re-read every
+  * micro-batch (StreamAnnServe.start), so a takedown flagged while
+  * the server runs stops being served at the next batch.
   *
   * Usage: AnnServeMain <sfDir> <outDir> [host] [port]
   * Feed it with e.g.
