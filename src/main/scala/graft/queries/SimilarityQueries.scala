@@ -519,13 +519,18 @@ object SimilarityQueries {
     // exchange left in the query is the partial-aggregated groupBy
     val assigned = e.select(col("v"),
       graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    // element sums ride floor(x·10⁹) longs, NOT a double→DECIMAL cast:
+    // raw float32 components are dyadic rationals that land on EXACT
+    // decimal midpoints (0.1494140625 at sf0.1), where Spark's decimal
+    // cast rounds HALF_UP and DuckDB's half-to-even — q116's floor
+    // quantization is unambiguous on both engines (r10 sf0.1 triage)
     val sums = (0 until VectorOps.Dim).map(i =>
-      sum(col("v").getItem(i).cast(DecimalType(18, 9))).as(s"s$i"))
+      sum(floor(col("v").getItem(i) * lit(1e9)).cast(LongType)).as(s"s$i"))
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), sums: _*)
       .select(col("cell"), col("n_members"),
         posexplode(array((0 until VectorOps.Dim).map(i =>
-          col(s"s$i").cast(DoubleType) / col("n_members")): _*))
+          col(s"s$i").cast(DoubleType) / lit(1e9) / col("n_members")): _*))
           .as(Seq("d0", "mean")))
       .select(col("cell"), col("n_members"),
         (col("d0") + 1).cast(LongType).as("dim"), col("mean"))
@@ -1562,14 +1567,14 @@ object SimilarityQueries {
       s"""$asgCteSql,
          |sums AS (
          |  SELECT cell, i,
-         |         CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)))
-         |              AS DOUBLE) AS s
+         |         CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |                  * 1000000000) AS BIGINT)) AS BIGINT) AS s
          |  FROM asg, unnest(range(1, 65)) AS u(i)
          |  GROUP BY cell, i),
          |members AS (
          |  SELECT cell, count(*)::BIGINT AS n_members FROM asg GROUP BY cell)
          |SELECT m.cell, m.n_members, i::BIGINT AS dim,
-         |       s / m.n_members AS mean
+         |       ((s::DOUBLE / 1000000000) / m.n_members) AS mean
          |FROM sums JOIN members m USING (cell)
          |ORDER BY m.cell, dim""".stripMargin,
 

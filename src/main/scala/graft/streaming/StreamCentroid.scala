@@ -41,50 +41,49 @@ object StreamCentroid {
     cents.map(c => {
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
-      val n = math.sqrt(s)
-      n * n
+      s
     })
 
-  /** Nearest cell of the given book, q102's expanded-form arithmetic.
+  /** Nearest cell of the given book — the SAME score arithmetic as
+    * batch q102's native graft_ivf_cell argmin (‖c‖²−2·v·c, strict
+    * ascending fold, ties to the smallest cid), so stream and batch
+    * assign identically by construction, not by measure-zero luck.
     * The book is a PARAMETER — stream-start state is the pinned
     * curation snapshot ([[graft.llm.CurationSnapshot]]), passed by the
     * caller when the stream starts (books-frozen-at-stream-start
     * convention: a re-freeze means starting a new stream). */
   def assign(cents: Array[Array[Double]], centNrm2: Array[Double],
              v: Array[Double]): Int = {
-    var nrm2 = 0.0
-    var i = 0
-    while (i < v.length) { nrm2 += v(i) * v(i); i += 1 }
-    val nrm = math.sqrt(nrm2)
-    var best = -1
-    var bestD = Double.PositiveInfinity
+    var best = 0
+    var bestS = Double.NaN
     var c = 0
     while (c < cents.length) {
       var dot = 0.0
       var j = 0
       val cv = cents(c)
       while (j < cv.length) { dot += v(j) * cv(j); j += 1 }
-      val d = nrm * nrm - 2.0 * dot + centNrm2(c)
-      if (d < bestD) { bestD = d; best = c } // ties by cid: first wins
+      val s = centNrm2(c) - 2.0 * dot
+      if (c == 0 || java.lang.Double.compare(s, bestS) < 0) {
+        bestS = s; best = c
+      }
       c += 1
     }
     best
   }
 
-  /** The DECIMAL(18,9) quantum as a long: Spark's double→decimal cast
-    * rounds HALF_UP, replicated via BigDecimal so stream and batch sum
-    * identical integers. */
-  def toScaled(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(9, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  /** Batch q102's quantum as a long: floor(x·10⁹) — the exact IEEE
+    * product then floor, identical to Spark's floor(col * 1e9) (and
+    * DuckDB's floor), so stream and batch sum identical integers.
+    * (Replaced the DECIMAL(18,9) HALF_UP cast in lock-step with q102:
+    * raw float32 components land on exact decimal midpoints where the
+    * engines' decimal rounding modes diverge — r10 sf0.1 triage.) */
+  def toScaled(x: Double): Long = math.floor(x * 1e9).toLong
 
-  /** Decimal-sum → double exactly as Spark renders DECIMAL→DOUBLE
-    * (one correctly-rounded conversion, not scaled.toDouble/1e9's two
-    * roundings), then the same double division by the count. */
+  /** Scaled-sum → mean exactly as batch q102 renders it: one exact
+    * long→double conversion (|sum| ≪ 2⁵³), then the same two IEEE
+    * divisions in the same order. */
   def meanOf(sumScaled: Long, n: Long): Double =
-    new java.math.BigDecimal(
-      java.math.BigInteger.valueOf(sumScaled), 9).doubleValue() / n
+    sumScaled.toDouble / 1e9 / n
 
   class CellProcessor
     extends StatefulProcessor[Long, VecMsg, CentroidRow] {

@@ -170,6 +170,29 @@ object StreamDupEdges {
       s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
   }
 
+  /** q177's novelty audit served from the stream-maintained shingle
+    * store instead of a corpus scan: the store holds exactly the
+    * distinct (doc_id, shingle-hash) rows batch q177 derives — its
+    * merges are idempotent-distinct and the batch pipeline hashes the
+    * same xxhash64 — so the df table and the per-doc rollup are the
+    * same aggregation over the same rows, row-for-row equal by
+    * construction (the spec asserts it). This is what a live curation
+    * dashboard reads: novelty over everything ingested SO FAR, without
+    * re-shingling the corpus. */
+  def noveltyFromStore(s: SparkSession, target: String): DataFrame = {
+    val dt = s.read.parquet(s"$target/shingles")
+      .select(col("doc_id"), col("h"))
+    val dfreq = dt.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    dt.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        expr("((n_shingles - n_shared) * 1000) div n_shingles")
+          .as("novelty_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Retention janitor for the three stores (r9 verdict item 5): a
     * long-lived ingest stream accretes two kinds of waste the per-batch
     * merges never reclaim —

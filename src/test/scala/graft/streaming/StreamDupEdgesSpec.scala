@@ -49,6 +49,16 @@ class StreamDupEdgesSpec extends SparkSpec {
     assert(edgeSet(target) == batchPairs,
       "stream-built edge set must equal the batch artifact row-for-row")
 
+    // q177's novelty audit serves identically from the stream store
+    // (same distinct (doc_id, hash) rows, same rollup) — the live
+    // dashboard path never re-shingles the corpus
+    val streamNov = StreamDupEdges.noveltyFromStore(spark, target)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val batchNov = graft.SparkEntry.queries("q177_ngram_novelty")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamNov == batchNov,
+      "novelty from the stream store must equal batch q177 row-for-row")
+
     // q73's consumers serve identically from either edge source
     val streamLabels = graft.queries.DedupQueries
       .clusterLabelsOver(StreamDupEdges.edges(spark, target))
