@@ -51,6 +51,29 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(second.forall(r => r.getLong(r.fieldIndex("fp")) == 42L))
   }
 
+  test("a build that consumes another artifact nests safely (no CHM re-entrancy)") {
+    // the vec-codebook builders materialize the tombstone artifact from
+    // INSIDE their own build thunk; under computeIfAbsent that violated
+    // CHM's no-reentrant-mapping contract (hash-bin-dependent
+    // "Recursive update"/deadlock). Builds now run under per-key locks.
+    val inner = freshKey("nested_inner")
+    val outer = freshKey("nested_outer")
+    val out = ArtifactStore.parquetOnce(spark, outer, 7L) {
+      val dep = ArtifactStore.parquetOnce(spark, inner, 7L) {
+        Seq(1L, 2L).toDF("id")
+      }
+      dep.select((col("id") * 10).as("id"))
+    }
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    // the nested dependency published normally: a fresh JVM reuses it
+    ArtifactStore.resetMemoForTest()
+    var rebuilt = 0
+    ArtifactStore.parquetOnce(spark, inner, 7L) {
+      rebuilt += 1; Seq(9L).toDF("id")
+    }
+    assert(rebuilt == 0, "nested artifact must have been published")
+  }
+
   test("stale fingerprint: a changed corpus rebuilds under a new path") {
     val key = freshKey("stale")
     var builds = 0

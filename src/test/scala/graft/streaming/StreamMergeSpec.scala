@@ -91,4 +91,24 @@ class StreamMergeSpec extends SparkSpec {
     assert(acrossLoserFirst(1L) == ((2L, "U", "zeta")))
     assert(acrossWinnerFirst(1L) == ((2L, "U", "zeta")))
   }
+
+  test("supplementary-plane tie matches Spark's UTF8 binary order, not UTF-16") {
+    // U+10000 ("𐀀") sorts BELOW U+E000 in UTF-16 code units
+    // (surrogates < U+E000) but ABOVE it in UTF-8 bytes (F0.. > EE..) —
+    // the one divergence between Scala String '>' and batch q122's
+    // max(struct) comparison. wins() must follow the batch order.
+    val lo: Chg = (1L, 2L, "U", "\uE000")
+    val hi: Chg = (1L, 2L, "U", "\uD800\uDC00") // U+10000
+    val batchWinner = Seq(lo, hi).toDF("doc_id", "ver", "op", "text")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"ver", $"op", $"text")).as("m"))
+      .select($"m.text").as[String].head()
+    assert(batchWinner == "\uD800\uDC00",
+      "precondition: Spark's UTF8 order must pick U+10000")
+    val ab = run(Seq(Seq(lo, hi)), "sm_supp_ab")
+    val ba = run(Seq(Seq(hi, lo)), "sm_supp_ba")
+    assert(ab(1L)._3 == batchWinner && ba(1L)._3 == batchWinner,
+      s"stream tie winner diverges from batch: ${ab(1L)} / ${ba(1L)}")
+  }
 }
