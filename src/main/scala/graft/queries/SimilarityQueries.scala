@@ -1112,24 +1112,24 @@ object SimilarityQueries {
     * Scale shape: two bounded Q×K joins over the arms' documented
     * plans. */
   def adcRankAudit(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // ONE truth-arm pass for both arms: the old per-arm join re-ran the
-    // brute Q×N heap scan once per arm; fanning truth ×2 against a
-    // 2-row broadcast arm-tag frame and left-joining the unioned arms
-    // scans the corpus once and joins once.
+    // Per-arm joins against the (cheap, heap-ranked) truth arm. An
+    // attempted one-pass variant — truth ×2 via a 2-row broadcast
+    // crossJoin, one left join against the unioned arms — measured
+    // SLOWER in isolation (1.61 s vs 1.36 s min; the union barrier
+    // serializes the two serve pipelines, and the re-run heap scan
+    // costs less than what the barrier loses), so the straightforward
+    // shape stays.
     val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
-    val arms = knnIvfPq(s, dir)
-      .select(lit("pq").as("arm"), col("query_id"), col("neighbor_id"), col("rn"))
-      .unionByName(knnIvfPqRes(s, dir)
-        .select(lit("res").as("arm"), col("query_id"), col("neighbor_id"),
-          col("rn")))
-    b.crossJoin(broadcast(Seq("pq", "res").toDF("arm")))
-      .join(arms, Seq("arm", "query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"), col("arm"))
-      .agg(sum(coalesce(expr("CAST(60 div rn AS BIGINT)"), lit(0L)))
-        .as("rw60"),
-        sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("query_id"), col("arm"), col("rw60"), col("hits"))
+    def armOf(df: DataFrame, name: String): DataFrame =
+      b.join(df.select(col("query_id"), col("neighbor_id"), col("rn")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(expr("CAST(60 div rn AS BIGINT)"), lit(0L)))
+          .as("rw60"),
+          sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .select(col("query_id"), lit(name).as("arm"), col("rw60"), col("hits"))
+    armOf(knnIvfPq(s, dir), "pq")
+      .unionByName(armOf(knnIvfPqRes(s, dir), "res"))
       .orderBy(col("arm"), col("query_id"))
   }
 
