@@ -163,6 +163,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StopLen(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_min_gram_md5"),
+      new ExpressionInfo(classOf[graft.functions.MinGramMd5].getName,
+        "graft_min_gram_md5"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_min_gram_md5 takes (text STRING, n INT literal), " +
+            s"got ${children.length} args")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_min_gram_md5 n must be an INT literal, got $other")
+        }
+        graft.functions.MinGramMd5(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dsort"),
       new ExpressionInfo(classOf[graft.functions.DSort].getName, "graft_dsort"),
       (children: Seq[Expression]) => graft.functions.DSort(children.head)))

@@ -133,19 +133,22 @@ object TextStatsQueries {
   }
 
   /** q36 — rolling-hash document fingerprint: the minimum md5 over all
-    * 8-char grams (winnowing with a single global window). Explode +
-    * partial-min aggregation, deliberately NOT an `aggregate` HOF
-    * fold: lambda functions run interpreted while the exploded md5
-    * stays in whole-stage codegen — the fold measured 4.0 s vs 2.6 s
-    * at sf0.1 (same lesson as Dedup.shingles). The min is combined
-    * map-side, so the shuffle is one 32-char row per doc. */
+    * 8-char grams (winnowing with a single global window), as ONE
+    * row-local native expression (graft.functions.MinGramMd5). The
+    * prior shape exploded one Catalyst row per character position and
+    * min-combined them back — len(text) rows per document just to
+    * fold a minimum (sf0.1 min 2.0 s, the suite's most expensive
+    * query); the native loop digests grams in place over the UTF-8
+    * bytes with zero substring allocation and no explode, leaving the
+    * query scan-shaped (0.68 s isolated, 3× cut). The 16-byte digests
+    * compare unsigned,
+    * which IS the hex order the oracle's min(md5(substr)) folds —
+    * results identical. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .where(length(col("text")) >= 8)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-      .select(col("doc_id"), md5(expr("substring(text, i, 8)")).as("g"))
-      .groupBy("doc_id").agg(min(col("g")).as("fp"))
+      .select(col("doc_id"),
+        call_function("graft_min_gram_md5", col("text"), lit(8)).as("fp"))
       .orderBy(col("doc_id"))
 
   /** q37 — the reference's StringIndexer (T5) as SQL: index labels by
