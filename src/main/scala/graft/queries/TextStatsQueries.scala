@@ -348,8 +348,22 @@ object TextStatsQueries {
 
   /** q75's per-document gate flags with the accounting columns (source,
     * token count) riding along — shared by the per-doc verdict and
-    * q140's stage funnel, so both report the SAME decisions. */
-  private def verdictFlags(s: SparkSession, dir: String): DataFrame = {
+    * q140's stage funnel, so both report the SAME decisions.
+    *
+    * Persistent corpus artifact (`verdict_flags_v1`, documents
+    * fingerprint — cluster_labels_v1's pattern): the flag pipeline
+    * costs a digest window + the bigram cascade per evaluation, and
+    * BOTH consumers re-ran it per query; a curation pipeline reads the
+    * decisions many times per corpus and must recompute them zero
+    * times. Invalidated by the takedown cascade
+    * ([[graft.sources.TakedownApply.DocArtifactKeys]]) like every
+    * documents-derived family. Oracles recompute from the corpus in
+    * SQL, unchanged. */
+  private def verdictFlags(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "verdict_flags_v1")(
+      buildVerdictFlags(s, dir))
+
+  private[queries] def buildVerdictFlags(s: SparkSession, dir: String): DataFrame = {
     import graft.text.Quality
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"), toks.as("w"))

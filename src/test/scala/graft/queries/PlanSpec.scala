@@ -322,14 +322,23 @@ class PlanSpec extends SparkSpec {
       "the 100 TB training shingle set must meet the benchmark suite via broadcast, not a shuffle")
   }
 
-  test("q75 curation verdict: partitioned windows only, row-local flags fused into one pass") {
+  test("q75 serves from the flags artifact; the builder's windows stay partitioned") {
+    // the flag pipeline is the verdict_flags_v1 documents artifact
+    // (cluster_labels_v1's pattern): the SERVED plan is scan-shaped —
+    // no windows, no joins — while the one-time builder keeps the
+    // digest window partitioned and join-free beyond the bigram leg
     val df = graft.SparkEntry.queries("q75_curation_verdict")(spark, sfDir)
-    val windows = df.queryExecution.sparkPlan.collect {
+    assert(df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q75 must read the flags artifact, not recompute the windows")
+    val build = TextStatsQueries.buildVerdictFlags(spark, sfDir)
+    val windows = build.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
     }
     assert(windows.nonEmpty && windows.forall(_.nonEmpty),
-      "the canonical-digest window must partition by digest, never run globally")
-    val p = plan("q75_curation_verdict")
+      "the builder's canonical-digest window must partition by digest")
+    val p = build.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
   }
