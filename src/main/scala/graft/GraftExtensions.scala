@@ -163,6 +163,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         StopLen(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHash48].getName,
+        "graft_simhash"),
+      (children: Seq[Expression]) => graft.functions.SimHash48(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_min_gram_md5"),
       new ExpressionInfo(classOf[graft.functions.MinGramMd5].getName,
         "graft_min_gram_md5"),

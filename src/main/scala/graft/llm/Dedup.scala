@@ -152,30 +152,19 @@ object Dedup {
 
   /** (doc_id, simhash) from documents; token-frequency weighted.
     *
-    * The token's md5 is computed ONCE and its first 12 hex digits
-    * projected as columns before the 48-way aggregation — 48 aggregate
-    * expressions each embedding `md5(t)` would re-hash every row 48×
-    * (no common-subexpression elimination across aggregates). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokCnt = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-      .where(col("t") =!= "")
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-    val nDigits = SimHashBits / 4
-    val withDigits = tokCnt.withColumn("m", md5(col("t")))
-      .select(col("doc_id") +: col("cnt") +:
-        (1 to nDigits).map(p => substring(col("m"), p, 1).as(s"d$p")): _*)
-    val sums = (0 until SimHashBits).map { b =>
-      val hit = col(s"d${bitPos(b)}")
-        .isin(HexWithBit(bitWeight(b)).map(_.toString): _*)
-      sum(when(hit, col("cnt")).otherwise(-col("cnt"))).as(s"s$b")
-    }
-    val fp = (0 until SimHashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    withDigits.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+    * Rides the native row-local `graft_simhash` expression
+    * ([[graft.functions.SimHash48]]): the composed aggregation form
+    * exploded every token and shuffled TWO corpus-scale exchanges
+    * (per-(doc,token) counts, then the 48-sum fold) to compute a
+    * per-document value; the native loop computes the identical
+    * integer sums in place, so the fingerprint pass is scan-shaped.
+    * Sub-1-token docs (null fingerprint) are filtered, matching the
+    * aggregation form's absent rows. SimHash48Spec proves bit-parity
+    * with the old aggregation plan on real documents. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        call_function("graft_simhash", col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** SQL twin of the digit projection: tc must expose (doc_id, t, cnt). */
   def simhashDigitsSql: String =
