@@ -32,14 +32,22 @@ object TextQueries {
     * so this query is declared without an oracle — the driver records a
     * rows-only check; algorithm correctness is covered by Porter2Spec's
     * golden vectors.
-    */
+    *
+    * The stem runs AFTER the token count, not per occurrence:
+    * cnt(stem) = Σ over the stem's token preimage of cnt(token), so
+    * counting raw tokens first (q01's partial-agg word-count shape,
+    * shuffle bounded at |vocab|×partitions) and stemming only the
+    * |vocab| distinct survivors is exactly equivalent — and turns a
+    * corpus-sized stemmer scan (1.31 s min at sf0.1) into a
+    * vocab-sized one. */
   def stemTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(
-        Tokenize.stemTokens(
-          Tokenize.removeStopWords(
-            Tokenize.tokenize(Clean.clean(col("text")))))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
+        Tokenize.removeStopWords(
+          Tokenize.tokenize(Clean.clean(col("text"))))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(call_function("graft_stem", col("tok")).as("token"), col("c"))
+      .groupBy("token").agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
