@@ -175,6 +175,63 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Thresholds for q180's sweep, in exact milli-Jaccard. */
+  private val SweepTaus = Seq(300L, 400L, 500L, 600L, 700L, 800L)
+
+  /** q180 — dedup THRESHOLD SWEEP: for each candidate Jaccard
+    * threshold, how many near-dup pairs exist and how many documents
+    * they touch — the tuning artifact behind q27's ≥ 0.5 dial (q161 is
+    * the same artifact for the IVF probe budget, q142 for the bands).
+    * Computed over the banded candidate set, deliberately: the sweep
+    * answers "what would THIS pipeline merge at threshold τ", and its
+    * low-τ rows read alongside q142's bucket-recall audit. The
+    * predicate is exact integer arithmetic — c·1000 ≥ τ·(na+nb−c) ⟺
+    * j ≥ τ/1000 — so both engines count identical pairs.
+    *
+    * Scale shape: q27's hash-once candidate stage and verification
+    * joins, ONE pass; the 6-row threshold frame broadcasts; both
+    * rollups are group-cardinality aggregations. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+        xxhash64(col("s")).as("h")).persist()
+    val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dth = dt.select(col("doc_id"), col("h"))
+    val pairs = cand
+      .join(dth.as("x"), col("x.doc_id") === col("da"))
+      .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+    val admitted = pairs
+      .crossJoin(broadcast(SweepTaus.toDF("tau_milli")))
+      .where(col("c") * 1000L >= col("tau_milli") * (col("na") + col("nb") - col("c")))
+      .persist()
+    val nPairs = admitted.groupBy(col("tau_milli"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = admitted
+      .select(col("tau_milli"), explode(array(col("da"), col("db"))).as("d"))
+      .distinct()
+      .groupBy(col("tau_milli")).agg(count(lit(1)).as("n_docs"))
+    broadcast(SweepTaus.toDF("tau_milli"))
+      .join(nPairs, Seq("tau_milli"), "left")
+      .join(nDocs, Seq("tau_milli"), "left")
+      .select(col("tau_milli"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("tau_milli"))
+  }
+
   /** q28 — 48-bit frequency-weighted SimHash fingerprint per document. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -731,6 +788,7 @@ object DedupQueries {
     "q54_minhash_mllib"    -> minhashMllib,
     "q175_minhash_calibration" -> minhashCalibration,
     "q177_ngram_novelty"   -> ngramNovelty,
+    "q180_dedup_threshold_sweep" -> dedupThresholdSweep,
     "q73_dedup_clusters"   -> dedupClusters,
     "q141_dedup_stats"     -> dedupStats,
     "q145_canonical_pick"  -> canonicalPick,
@@ -809,6 +867,34 @@ object DedupQueries {
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q180_dedup_threshold_sweep" ->
+      s"""WITH $minhashCtesSql,
+         |pairs AS (
+         |  SELECT common.da, common.db, common.c, sa.n AS na, sb.n AS nb
+         |  FROM common
+         |  JOIN sz sa ON common.da = sa.doc_id
+         |  JOIN sz sb ON common.db = sb.doc_id),
+         |taus AS (SELECT unnest([300, 400, 500, 600, 700, 800]) AS tau_milli),
+         |adm AS (
+         |  SELECT t.tau_milli, p.da, p.db
+         |  FROM pairs p, taus t
+         |  WHERE p.c * 1000 >= t.tau_milli * (p.na + p.nb - p.c)),
+         |np AS (SELECT tau_milli, count(*) AS n_pairs FROM adm GROUP BY tau_milli),
+         |nd AS (
+         |  SELECT tau_milli, count(*) AS n_docs FROM (
+         |    SELECT DISTINCT tau_milli, d FROM (
+         |      SELECT tau_milli, da AS d FROM adm
+         |      UNION ALL
+         |      SELECT tau_milli, db AS d FROM adm))
+         |  GROUP BY tau_milli)
+         |SELECT t.tau_milli::BIGINT AS tau_milli,
+         |       coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+         |       coalesce(nd.n_docs, 0)::BIGINT AS n_docs
+         |FROM taus t
+         |LEFT JOIN np ON np.tau_milli = t.tau_milli
+         |LEFT JOIN nd ON nd.tau_milli = t.tau_milli
+         |ORDER BY tau_milli""".stripMargin,
 
     "q177_ngram_novelty" ->
       s"""WITH sh AS (${Dedup.shinglesSql(3)}),

@@ -132,6 +132,74 @@ object TextStatsQueries {
       .orderBy(col("source"))
   }
 
+  /** q178 — per-document LEXICAL DIVERSITY: token count, type count,
+    * type-token ratio, and hapax legomena (types occurring once) — the
+    * classic lexical-richness signals a curation pipeline reads
+    * alongside q34's surface quality score (a low-TTR doc is listy or
+    * repetitive even when its stopword/length profile looks fine; a
+    * near-zero hapax share marks template text). All-integer milli
+    * ratios (q69's rule).
+    *
+    * Scale shape: one explode into a (doc, token) partial-aggregated
+    * count (word-count bound: |doc-vocab|×partitions), then one
+    * per-doc rollup; no windows, no joins. */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .where(col("t") =!= "")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000) div n_tokens").as("ttr_milli"),
+        col("n_hapax"),
+        expr("(n_hapax * 1000) div n_types").as("hapax_milli"))
+      .orderBy(col("doc_id"))
+
+  /** q179 — robust LENGTH OUTLIERS per source: median and MAD (median
+    * absolute deviation) of token counts, exact, then every document
+    * beyond 3·MAD flagged — the robust cousin of a z-score length
+    * filter (q118's shape), immune to the heavy tail that drags a
+    * mean/σ filter's threshold. Lower-median rank r = (n+1) div 2 on
+    * both engines; MAD floored at 1 so a half-constant length
+    * distribution cannot degenerate into flagging every non-modal doc.
+    *
+    * Scale shape: token-count histograms per source — the value domain
+    * (distinct lengths) is bounded regardless of corpus size, so both
+    * medians are windows over tiny aggregated relations, and the
+    * per-source (med, mad) table broadcasts back to the doc scan.
+    * Raw rows never sort; the only corpus-scale work is two scans. */
+  def lengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("len"))
+    def medianOf(vals: DataFrame, valCol: String): DataFrame = {
+      val hist = vals.groupBy(col("source"), col(valCol))
+        .agg(count(lit(1)).as("c"))
+      val wN = Window.partitionBy(col("source"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wN))
+        .where(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          col("cum") >= expr("(n + 1) div 2"))
+        .select(col("source"), col(valCol).as("m"))
+    }
+    val med = medianOf(d, "len").withColumnRenamed("m", "med")
+    val devs = d.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("len") - col("med")).as("dev"))
+    val mad = medianOf(devs, "dev").withColumnRenamed("m", "mad")
+    d.join(broadcast(med), Seq("source"))
+      .join(broadcast(mad), Seq("source"))
+      .where(abs(col("len") - col("med")) > lit(3L) * greatest(col("mad"), lit(1L)))
+      .select(col("doc_id"), col("source"), col("len").as("n_tok"),
+        col("med"), col("mad"),
+        abs(col("len") - col("med")).as("abs_dev"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** q36 — rolling-hash document fingerprint: the minimum md5 over all
     * 8-char grams (winnowing with a single global window), as ONE
     * row-local native expression (graft.functions.MinGramMd5). The
@@ -848,6 +916,8 @@ object TextStatsQueries {
     "q157_quality_budget" -> qualityBudget,
     "q35_token_stats"    -> tokenStats,
     "q36_fingerprint"    -> fingerprint,
+    "q178_lexical_diversity" -> lexicalDiversity,
+    "q179_length_outliers" -> lengthOutliers,
     "q37_string_indexer" -> stringIndexerSql,
     "q62_stratified_sample" -> stratifiedSample,
     "q69_tfidf"          -> tfidf,
@@ -1151,6 +1221,56 @@ object TextStatsQueries {
          |       sum(n_tokens) OVER (ORDER BY tier DESC
          |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
          |FROM g ORDER BY tier DESC""".stripMargin,
+
+    "q179_length_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS len
+        |  FROM documents),
+        |lh AS (SELECT source, len, count(*) AS c FROM d GROUP BY source, len),
+        |lc AS (
+        |  SELECT source, len, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY len
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |  FROM lh),
+        |med AS (
+        |  SELECT source, len AS med FROM lc
+        |  WHERE cum - c < (n + 1) // 2 AND cum >= (n + 1) // 2),
+        |dv AS (
+        |  SELECT d.source, abs(d.len - m.med) AS dev
+        |  FROM d JOIN med m ON d.source = m.source),
+        |dh AS (SELECT source, dev, count(*) AS c FROM dv GROUP BY source, dev),
+        |dc AS (
+        |  SELECT source, dev, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY dev
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |  FROM dh),
+        |mad AS (
+        |  SELECT source, dev AS mad FROM dc
+        |  WHERE cum - c < (n + 1) // 2 AND cum >= (n + 1) // 2)
+        |SELECT d.doc_id, d.source, d.len AS n_tok, m.med, a.mad,
+        |       abs(d.len - m.med) AS abs_dev
+        |FROM d JOIN med m ON d.source = m.source
+        |JOIN mad a ON d.source = a.source
+        |WHERE abs(d.len - m.med) > 3 * greatest(a.mad, 1)
+        |ORDER BY d.source, d.doc_id""".stripMargin,
+
+    "q178_lexical_diversity" ->
+      """WITH tc AS (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*)::BIGINT AS n_types,
+        |       CAST((count(*) * 1000) // sum(c) AS BIGINT) AS ttr_milli,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000) // count(*)
+        |            AS BIGINT) AS hapax_milli
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q35_token_stats" ->
       """WITH d AS (
