@@ -137,12 +137,53 @@ object ArtifactStore {
     Files.deleteIfExists(p)
   }
 
+  /** Data directory of the (key, fp) artifact — the path
+    * [[parquetOnce]] reads; exposed for consumers that must pin the
+    * path at a point in time (a serve stream freezing its corpus view
+    * at start) or scrub partitions in place. */
+  def dataPath(key: String, fp: Long): String =
+    Paths.get(root, key, s"fp-$fp", "data").toString
+
+  /** Every published fingerprint of `key` (manifest present) — the
+    * enumeration surface for cross-generation maintenance (takedown
+    * scrubs, [[invalidateAllFps]]). */
+  def publishedFps(key: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(root, key)
+    if (!Files.isDirectory(base)) return Seq.empty
+    val kids = Files.list(base)
+    try kids.iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("fp-") &&
+        Files.exists(p.resolve("manifest.json")))
+      .map(_.getFileName.toString.stripPrefix("fp-").toLong)
+    finally kids.close()
+  }
+
+  /** [[invalidate]] across every published fingerprint of `key`. */
+  def invalidateAllFps(key: String): Unit =
+    publishedFps(key).foreach(invalidate(key, _))
+
   /** The artifact for (key, fp): read if published, else build once and
     * publish atomically. The returned frame READS the parquet (lineage
     * truncated at a file source, never pinned executor memory), and carries the
     * fingerprint as column `fp`. */
   def parquetOnce(s: SparkSession, key: String, fp: Long)
-                 (build: => DataFrame): DataFrame = {
+                 (build: => DataFrame): DataFrame =
+    parquetOnceImpl(s, key, fp, Seq.empty)(build)
+
+  /** [[parquetOnce]] with the data laid out hive-partitioned by
+    * `partitionCols` — for artifacts whose consumers prune by a key
+    * column per read (the ANN serve cells: each micro-batch reads only
+    * its probed cells' directories). Partition columns come back
+    * integer-typed from directory-name inference; consumers re-cast. */
+  def parquetOncePartitioned(s: SparkSession, key: String, fp: Long,
+                             partitionCols: Seq[String])
+                            (build: => DataFrame): DataFrame =
+    parquetOnceImpl(s, key, fp, partitionCols)(build)
+
+  private def parquetOnceImpl(s: SparkSession, key: String, fp: Long,
+                              partitionCols: Seq[String])
+                             (build: => DataFrame): DataFrame = {
     val dir = Paths.get(root, key, s"fp-$fp")
     val dirKey = dir.toString
     if (memo.get(dirKey) == null) {
@@ -154,8 +195,10 @@ object ArtifactStore {
             val tmp = Paths.get(root, key,
               s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
             Files.createDirectories(tmp)
-            build.withColumn("fp", lit(fp))
-              .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+            val w = build.withColumn("fp", lit(fp)).write
+            (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+             else w)
+              .mode("overwrite").parquet(tmp.resolve("data").toString)
             Files.writeString(tmp.resolve("manifest.json"),
               s"""{"key":"$key","fp":$fp,""" +
                 s""""created":"${java.time.Instant.now}"}\n""")
@@ -217,10 +260,17 @@ object ArtifactStore {
 
   /** Drop a published artifact (the takedown-cascade invalidation
     * path): removes the fp dir and the in-process memo entry so the
-    * next consumer rebuilds from the live corpus. */
+    * next consumer rebuilds from the live corpus. Serialized through
+    * the same per-key build lock as [[parquetOnce]]: an unlocked
+    * remove+delete interleaved with an in-flight build could land
+    * between the builder's manifest check and its `memo.put`, leaving
+    * the memo claiming a just-deleted artifact is published. */
   def invalidate(key: String, fp: Long): Unit = {
     val dir = Paths.get(root, key, s"fp-$fp")
-    memo.remove(dir.toString)
-    if (Files.exists(dir)) deleteRecursively(dir)
+    val dirKey = dir.toString
+    buildLocks.computeIfAbsent(dirKey, _ => new Object).synchronized {
+      memo.remove(dirKey)
+      if (Files.exists(dir)) deleteRecursively(dir)
+    }
   }
 }

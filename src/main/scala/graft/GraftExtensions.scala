@@ -166,7 +166,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHash48].getName,
         "graft_simhash"),
-      (children: Seq[Expression]) => graft.functions.SimHash48(children.head)))
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_simhash takes (w ARRAY<STRING>), got ${children.length} args")
+        graft.functions.SimHash48(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_min_gram_md5"),
       new ExpressionInfo(classOf[graft.functions.MinGramMd5].getName,
@@ -185,12 +189,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dsort"),
       new ExpressionInfo(classOf[graft.functions.DSort].getName, "graft_dsort"),
-      (children: Seq[Expression]) => graft.functions.DSort(children.head)))
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_dsort takes (x DOUBLE), got ${children.length} args")
+        graft.functions.DSort(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dsort_inv"),
       new ExpressionInfo(classOf[graft.functions.DSortInv].getName,
         "graft_dsort_inv"),
-      (children: Seq[Expression]) => graft.functions.DSortInv(children.head)))
+      (children: Seq[Expression]) => {
+        if (children.length != 1) throw new IllegalArgumentException(
+          s"graft_dsort_inv takes (bits BIGINT), got ${children.length} args")
+        graft.functions.DSortInv(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "graft_h60"),

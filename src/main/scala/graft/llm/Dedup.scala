@@ -128,6 +128,20 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
   }
 
+  /** The LSH candidate stage shared by q27/q175/q180: self-join the
+    * band table on (band, bv) equality, `<`-ordered so each unordered
+    * pair appears once, distinct because a pair agreeing on several
+    * bands would otherwise surface once per agreeing band. Returns
+    * (da, db) with da < db. One definition holds the ordering and
+    * distinct discipline for every consumer of the candidate set. */
+  def bandedCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
   /** SQL twin of [[minhashBands]] as a UNION ALL over `sig`. */
   def minhashBandsSql: String =
     (0 until Bands).map { j =>

@@ -187,6 +187,76 @@ object ServeBooks {
     }.select(col("vec_id"), col("cell"), col("codes"))
   }
 
+  /** The serve-cells artifact (r10 verdict item 1): one row per corpus
+    * vector — (vec_id, v, nrm) hive-partitioned by its coarse `cell` —
+    * the on-disk structure [[graft.streaming.StreamAnnServe]] reads
+    * UNDER A CELL PARTITION FILTER each micro-batch, so a serve batch
+    * costs Σ probed-cell directories instead of a full-corpus scan (a
+    * serve node at 100 TB cannot scan, or even cache, the corpus per
+    * 5 s batch). Key carries the coarse geometry like every book key. */
+  val AnnCellsKey = s"ann_cells_c${CoarseCells}_r${Rounds}_v1"
+
+  /** Deterministic digest of a coarse book's exact bytes. The cells
+    * artifact's identity must include the BOOK, not just the corpus:
+    * a takedown invalidates and retrains the book WITHOUT changing the
+    * corpus fingerprint, and a post-takedown serve stream probing with
+    * the new book against cells assigned by the old one would read
+    * incommensurable cells. Folding the book bytes into the artifact id
+    * makes a retrained book rebuild its own cells transparently while
+    * a live stream keeps its frozen generation on disk. */
+  private[graft] def bookDigest(book: Array[Array[Double]]): Long = {
+    var h = 1125899906842597L
+    var k = 0
+    while (k < book.length) {
+      val c = book(k); var d = 0
+      while (d < c.length) {
+        h = h * 31L + java.lang.Double.doubleToLongBits(c(d)); d += 1
+      }
+      k += 1
+    }
+    h
+  }
+
+  /** Artifact id for the serve-cells generation: corpus fingerprint ⊗
+    * book digest (non-negative for the `fp-` dir name). */
+  def annCellsFp(s: SparkSession, dir: String): Long =
+    ((ArtifactStore.embeddingsFp(s, dir) * 1000003L) ^
+      bookDigest(coarse(s, dir))) & Long.MaxValue
+
+  /** Publish-if-absent and return the DATA PATH of the current
+    * generation's serve-cells artifact — the path a serve stream pins
+    * at start (freezing both book and cells; a retrain is a NEW stream,
+    * the StreamAnnIndex convention). Built from [[graft.sources
+    * .VecTakedown.servedEmbeddings]] like every index build, with the
+    * row-local `graft_ivf_cell` assignment — zero shuffle before the
+    * partitioned write. */
+  def annCellsPath(s: SparkSession, dir: String): String = {
+    val book = coarse(s, dir)
+    val fp = annCellsFp(s, dir)
+    ArtifactStore.parquetOncePartitioned(s, AnnCellsKey, fp, Seq("cell")) {
+      graft.sources.VecTakedown.servedEmbeddings(s, dir)
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+        .withColumn("cell", cell(book, col("v")))
+    }
+    ArtifactStore.dataPath(AnnCellsKey, fp)
+  }
+
+  /** Erasure leg for the serve-cells family: the artifact stores RAW
+    * vector values, so a vector takedown must remove the rows from
+    * EVERY published generation (a live stream's frozen generation
+    * included — its next batch reads the scrubbed files), rewriting
+    * only the cell partitions that held them. Invalidation would be
+    * wrong here: deleting the directory under a live serve stream
+    * kills it, and a mid-stream rebuild would assign cells with a
+    * RETRAINED book while the stream probes with its frozen one. */
+  def scrubAnnCells(s: SparkSession, vecIds: Seq[Long]): Unit =
+    ArtifactStore.publishedFps(AnnCellsKey).foreach { fp =>
+      graft.sources.PartitionScrub.dropRows(s,
+        ArtifactStore.dataPath(AnnCellsKey, fp), "cell",
+        col("vec_id").isin(vecIds: _*))
+    }
+
   private val int8ScalesMemo =
     new ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 

@@ -72,12 +72,7 @@ object DedupQueries {
     // both candidate-join sides read the bands; persist to run the
     // signature aggregation once
     val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt)).persist()
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val cand = Dedup.bandedCandidates(bands)
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // verification joins on the hashed shingle keys (internal; output unaffected)
     val dth = dt.select(col("doc_id"), col("h"))
@@ -109,19 +104,21 @@ object DedupQueries {
     * row-local comparison on the already-joined signature rows; the
     * exact arm reuses the verification join. Pairs sharing bands but
     * zero shingles (possible only through 60-bit minhash collisions)
-    * coalesce to Jaccard 0 rather than dropping out. */
+    * coalesce to Jaccard 0 rather than dropping out.
+    *
+    * The `dt`/`sig` persists are lazy plan-branch sharing, not owned
+    * state: the query returns before any action runs, so lifecycle
+    * belongs to the caller — Bench sweeps persistent RDDs between
+    * queries; any other long-lived session should
+    * `spark.catalog.clearCache()` (the convention for every persist in
+    * this file, q27 included). */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
       .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
         xxhash64(col("s")).as("h")).persist()
     val sig = Dedup.minhashSigFromX(dt).persist()
     val bands = Dedup.minhashBands(sig)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val cand = Dedup.bandedCandidates(bands)
     val matches = (0 until Dedup.MinHashK).map(i =>
       when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -142,7 +139,8 @@ object DedupQueries {
       .join(sz.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_match"),
-        (col("n_match").cast(DoubleType) / lit(16.0)).as("est_sim"),
+        (col("n_match").cast(DoubleType) / lit(Dedup.MinHashK.toDouble))
+          .as("est_sim"),
         c0.as("n_common"),
         (c0.cast(DoubleType) / (col("sa.n") + col("sb.n") - c0)).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -160,7 +158,15 @@ object DedupQueries {
     * Scale shape: shingles hash to 8 bytes once; the document-frequency
     * table partial-aggregates map-side; the join back is equi on the
     * hash with exactly ONE df row per shingle — no fan-out, no window,
-    * no strings past the map side. */
+    * no strings past the map side.
+    *
+    * Parity caveat: the Spark arm computes df over xxhash64(shingle)
+    * while the oracle groups raw shingle strings (q25's convention), so
+    * row-for-row equality is probabilistic, not by construction — a
+    * cross-document 64-bit collision between two distinct shingles
+    * would inflate a df on the Spark side only (~n²/2⁶⁵; negligible at
+    * any corpus this engine will see, and collision-free at every
+    * tested SF). */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -197,12 +203,7 @@ object DedupQueries {
       .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
         xxhash64(col("s")).as("h")).persist()
     val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    val cand = Dedup.bandedCandidates(bands)
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dth = dt.select(col("doc_id"), col("h"))
     val pairs = cand
@@ -854,7 +855,7 @@ object DedupQueries {
          |  JOIN sig sa ON sa.doc_id = cand.da
          |  JOIN sig sb ON sb.doc_id = cand.db)
          |SELECT m.da AS doc_a, m.db AS doc_b, m.n_match,
-         |       (m.n_match::DOUBLE / CAST(16.0 AS DOUBLE)) AS est_sim,
+         |       (m.n_match::DOUBLE / CAST(${Dedup.MinHashK} AS DOUBLE)) AS est_sim,
          |       coalesce(c.c, 0)::BIGINT AS n_common,
          |       (coalesce(c.c, 0)::DOUBLE
          |          / (sa.n + sb.n - coalesce(c.c, 0))) AS jaccard

@@ -104,6 +104,11 @@ object VecTakedown {
     ArtifactStore.parquetOnce(s, Key, fp)(merged)
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
     ServeBooks.invalidateMemos(dir, fp)
+    // serve-cells generations hold RAW vector values and may be pinned
+    // by a live serve stream: scrub the rows in place (every published
+    // generation) instead of invalidating — ServeBooks.scrubAnnCells
+    // explains why deletion would be wrong here.
+    ServeBooks.scrubAnnCells(s, add)
     add.size.toLong
   }
 
@@ -117,5 +122,10 @@ object VecTakedown {
     ArtifactStore.parquetOnce(s, Key, fp)(sentinelFrame(s))
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
     ServeBooks.invalidateMemos(dir, fp)
+    // scrubbed serve-cells rows cannot be restored by another scrub:
+    // retraction drops every generation so the next serve rebuilds
+    // from the full corpus with the retrained book (no stream should
+    // outlive a full retraction — it is the spec-cleanup path).
+    ArtifactStore.invalidateAllFps(ServeBooks.AnnCellsKey)
   }
 }

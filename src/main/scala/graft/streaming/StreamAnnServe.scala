@@ -10,27 +10,32 @@ import org.apache.spark.sql.types.LongType
 /** The ANN serve loop LIVE: query vectors arrive on a stream and each
   * micro-batch is answered with q55's exact IVF pipeline — row-local
   * probe-list expressions over the in-engine-trained ServeBooks
-  * codebook, a candidate join against the pre-assigned corpus cells,
+  * codebook, a candidate join against the CELL-PARTITIONED serve-cells
+  * artifact read under a partition filter on the batch's probed cells,
   * exact-cosine rank, top-K out. The batch index and the live server
   * are the SAME code path (the probe/rank tail runs inside
   * foreachBatch), so StreamAnnServeSpec can assert the streamed
   * answers equal batch q55 row-for-row — the production property that
   * an online ANN service returns what the offline evaluation measured.
   *
-  * Scale posture: the corpus side is assigned ONCE at server start
-  * (row-local argmin, no shuffle) and persisted; each micro-batch then
-  * costs Σ_cell |batch queries probing cell|·|cell| — the q55 join
-  * bound — plus a per-query top-K window over candidate rows only.
-  * The 20 KiB codebook rides the closure; queries never see the corpus
-  * outside their probed cells.
+  * Scale posture (r10 verdict item 1): the corpus side is the
+  * [[ServeBooks.annCellsPath]] artifact — assigned once per (corpus,
+  * book) generation with the row-local argmin, hive-partitioned by
+  * cell on disk. Each micro-batch collects its distinct probed cells
+  * (≤ CoarseCells values, a bounded id-list) and reads ONLY those
+  * cells' directories — per-batch I/O is Σ_probed-cell |cell|, never
+  * the corpus; nothing corpus-sized is persisted in executor memory.
+  * A serve node at 100 TB reads a few cells per batch from the
+  * artifact exactly like a production IVF deployment reads its
+  * inverted lists. The 20 KiB codebook rides the closure.
   */
 object StreamAnnServe {
 
   val K = 5
   val Probes = 8
 
-  /** Answer one micro-batch of (query_id, qv DOUBLE[]) against the
-    * prepared corpus cells — q55's tail, verbatim. */
+  /** Answer one micro-batch of (query_id, qv DOUBLE[]) against a
+    * candidate cells frame — q55's tail, verbatim. */
   def answerBatch(cells: DataFrame, book: Array[Array[Double]])
                  (batch: DataFrame): DataFrame = {
     val probes = batch
@@ -47,44 +52,55 @@ object StreamAnnServe {
       .where(col("rn") <= K)
   }
 
-  /** The corpus side, prepared once at server start: every vector with
-    * its norm and assigned cell (row-local), persisted so micro-batches
-    * pay the candidate join only. */
-  def prepareCells(s: SparkSession, dir: String): DataFrame = {
-    val book = ServeBooks.coarse(s, dir)
-    graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
-      .withColumn("cell", ServeBooks.cell(book, col("v")))
-      .persist()
-  }
+  /** The distinct cells any query in the batch probes — bounded by
+    * CoarseCells (32) values, the per-batch partition-filter list. */
+  def probedCells(book: Array[Array[Double]], batch: DataFrame): Seq[Int] =
+    batch.select(explode(
+        ServeBooks.probeCells(book, Probes, col("qv"))).as("p"))
+      .distinct().collect().map(_.getLong(0).toInt).toSeq
+
+  /** The per-batch candidate read: the serve-cells artifact at
+    * `dataPath` filtered to the probed cells. The filter lands on the
+    * raw integer partition column (matching the directory-inference
+    * type, so no cast sits on the pruning predicate) — the scan lists
+    * and reads only the probed cells' directories
+    * (StreamAnnServeSpec pins partitionFilters + selected partition
+    * count). */
+  def candidates(s: SparkSession, dataPath: String,
+                 probed: Seq[Int]): DataFrame =
+    s.read.parquet(dataPath)
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast(LongType).as("cell"))
 
   /** queries(query_id, qv array<double>) stream → answers appended as
     * parquet under `out` (query_id, neighbor_id, cos, rn).
     *
-    * The tombstone set is re-read EVERY micro-batch (r9 verdict
-    * item 4): the batch serve queries anti-join `vec_tombstones_v1` at
-    * plan time, and a long-lived serve stream that froze the set at
-    * start would keep answering from pre-takedown vectors — the
-    * compliance hole the batch side closed in r9. The per-batch read
-    * is the bounded-by-deletion-volume artifact (broadcast side);
-    * [[graft.sources.VecTakedown.flag]] republishes it at the same
-    * path, so the next batch's read picks the flags up without a
-    * stream restart. The BOOKS stay frozen at stream start by design —
-    * exclusion is the compliance property; geometry refresh happens at
-    * the next index rebuild. */
+    * Frozen at stream start: the coarse BOOK and the serve-cells
+    * generation's data path (a retrain is a new stream — the
+    * StreamAnnIndex convention; a mid-stream book swap would probe
+    * cells assigned by a different geometry).
+    *
+    * Re-read every micro-batch: the tombstone set (r9 verdict item 4 —
+    * a takedown flagged while the server runs stops being served at
+    * the next batch; bounded by deletion volume, broadcast side) AND
+    * the pinned artifact's files — [[graft.sources.VecTakedown.flag]]
+    * scrubs flagged rows out of the artifact in place, so the erasure
+    * reaches the frozen generation too, belt to the anti-join's
+    * suspenders. */
   def start(queries: DataFrame, dir: String, out: String,
             checkpoint: String): StreamingQuery = {
     val s = queries.sparkSession
-    val cells = prepareCells(s, dir)
     val book = ServeBooks.coarse(s, dir)
+    val dataPath = ServeBooks.annCellsPath(s, dir)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val served = cells.join(
+          val b = batch.localCheckpoint()
+          val served = candidates(s, dataPath, probedCells(book, b)).join(
             broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
             Seq("vec_id"), "left_anti")
-          answerBatch(served, book)(batch.localCheckpoint())
+          answerBatch(served, book)(b)
             .write.mode("append").parquet(out)
         }
       }

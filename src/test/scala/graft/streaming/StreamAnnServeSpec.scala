@@ -5,11 +5,14 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.llm.{ServeBooks, VectorOps}
 
 /** The live ANN server answers exactly like the batch index: streaming
   * q55's query set through StreamAnnServe (in two micro-batches, out of
   * order) yields row-for-row the q55 result — online serving and
   * offline evaluation agree on every neighbor and every cosine bit.
+  * The serve path reads the cell-partitioned artifact under a
+  * partition filter (pinned below) and persists nothing corpus-sized.
   */
 class StreamAnnServeSpec extends SparkSpec {
   import spark.implicits._
@@ -49,6 +52,32 @@ class StreamAnnServeSpec extends SparkSpec {
       "live ANN answers must equal batch q55 bit-for-bit")
   }
 
+  test("the per-batch candidate read prunes to the probed cells") {
+    val dataPath = ServeBooks.annCellsPath(spark, sfDir)
+    // two cells that actually exist on disk (any would do — the pin is
+    // about the SCAN shape, not which cells a given query probes)
+    val present = spark.read.parquet(dataPath)
+      .select(col("cell")).distinct().orderBy(col("cell"))
+      .limit(2).collect().map(_.getInt(0)).toSeq
+    assert(present.size == 2, "witness: the artifact must span ≥2 cells")
+    val df = StreamAnnServe.candidates(spark, dataPath, present)
+    val scans = df.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty, "the candidate read must be a file scan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "the probed-cells predicate must reach the scan as a partition filter")
+    assert(scans.head.selectedPartitions.partitionCount == present.size,
+      s"expected exactly the ${present.size} probed cell directories, got " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    // r10 verdict item 1's other half: the corpus side is a pruned file
+    // read, never a full-corpus cache (the pre-r11 serve persisted the
+    // whole corpus and streamed every partition per batch)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }.isEmpty, "the serve corpus side must not be a persisted relation")
+  }
+
   test("a mid-stream takedown stops serving the victim at the next batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("ann_serve_td").toString
@@ -61,9 +90,15 @@ class StreamAnnServeSpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toSeq
     val (early, late) = queries.partition(_._1 < 25)
 
-    // freeze the pre-takedown book/cells exactly as the server does
-    val book = graft.llm.ServeBooks.coarse(spark, sfDir)
-    val cells = StreamAnnServe.prepareCells(spark, sfDir)
+    // freeze the pre-takedown book, and an expected-arm cells frame
+    // built INDEPENDENTLY from the corpus parquet (the artifact gets
+    // scrubbed mid-test; the oracle side must not read it)
+    val book = ServeBooks.coarse(spark, sfDir)
+    val cells = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .withColumn("cell", ServeBooks.cell(book, col("v")))
+      .localCheckpoint()
 
     try {
       val stream = MemoryStream[(Long, Seq[Double])]
@@ -112,8 +147,17 @@ class StreamAnnServeSpec extends SparkSpec {
       }.toSet
       assert(rows(lateAnswers) == rows(expected),
         "late answers must equal the frozen-book serve minus the victim")
+      // erasure reached the pinned artifact too: the takedown scrubbed
+      // the victim's row out of the frozen serve-cells generation in
+      // place (not just the anti-join) — no published generation holds
+      // the deleted vector's bytes
+      graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).foreach { fp =>
+        assert(spark.read.parquet(
+            graft.ArtifactStore.dataPath(ServeBooks.AnnCellsKey, fp))
+          .where(col("vec_id") === victim).count() == 0L,
+          s"serve-cells generation fp-$fp must not retain the victim's row")
+      }
     } finally {
-      cells.unpersist()
       graft.sources.VecTakedown.reset(spark, sfDir)
     }
   }
