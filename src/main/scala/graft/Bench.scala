@@ -156,8 +156,10 @@ object Bench {
     // parser), not a plan regression — emit the ratio so the artifact
     // classifies its own noise instead of relying on the reader knowing
     // the pattern. Only ratios on queries big enough to matter.
+    // Threshold 2.5 (r10 verdict item 3): the r10 driver run's q89
+    // spike sat at gap 2.48 and slipped under the original 3x.
     val gaps = timed.collect {
-      case (k, med, mn, true, _, _) if med >= 0.5 && mn > 0.0 && med / mn >= 3.0 =>
+      case (k, med, mn, true, _, _) if med >= 0.5 && mn > 0.0 && med / mn >= 2.5 =>
         f""""$k":${med / mn}%.1f"""
     }.mkString("{", ",", "}")
     val total = timed.collect { case (_, med, _, true, _, _) => med }.sum
@@ -172,7 +174,7 @@ object Bench {
       s"""{"metric":"per_query_min_sec","queries_min":$mins}""",
       s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""",
       s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""",
-      s"""{"metric":"per_query_gap_outliers","note":"median/min >= 3x with median >= 0.5s: ambient load or one-time init, not a plan regression","gap_ratio":$gaps}""",
+      s"""{"metric":"per_query_gap_outliers","note":"median/min >= 2.5x with median >= 0.5s: ambient load or one-time init, not a plan regression","gap_ratio":$gaps}""",
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median",$cal,"sf":"$sfDir"}""")
     lines.foreach(println)
     // The stdout tail was truncated by the driver two rounds running,

@@ -119,9 +119,17 @@ object Dedup {
     * Band values join with '|' separators before hashing — BIGINTs render
     * identically in both engines, and the separator keeps the
     * concatenation unambiguous. */
-  def minhashBands(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { j =>
-      val hs = (0 until RowsPerBand).map(r => col(s"h${RowsPerBand * j + r}"))
+  def minhashBands(sig: DataFrame): DataFrame =
+    minhashBandsCfg(sig, RowsPerBand)
+
+  /** [[minhashBands]] at an arbitrary rows-per-band r (r | MinHashK,
+    * MinHashK/r bands) — the banding dial itself, so q182's recall
+    * curve can sweep configurations over the SAME hash-once
+    * signatures. The served config is [[RowsPerBand]]. */
+  def minhashBandsCfg(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nb = MinHashK / rowsPerBand
+    val bandCols = (0 until nb).map { j =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * j + r}"))
       struct(lit(j).as("band"), md5(concat_ws("|", hs: _*)).as("bv"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
@@ -143,9 +151,13 @@ object Dedup {
       .distinct()
 
   /** SQL twin of [[minhashBands]] as a UNION ALL over `sig`. */
-  def minhashBandsSql: String =
-    (0 until Bands).map { j =>
-      val hs = (0 until RowsPerBand).map(r => s"h${RowsPerBand * j + r}").mkString(", ")
+  def minhashBandsSql: String = minhashBandsCfgSql(RowsPerBand)
+
+  /** SQL twin of [[minhashBandsCfg]]. */
+  def minhashBandsCfgSql(rowsPerBand: Int): String =
+    (0 until MinHashK / rowsPerBand).map { j =>
+      val hs = (0 until rowsPerBand).map(r => s"h${rowsPerBand * j + r}")
+        .mkString(", ")
       s"SELECT doc_id, $j AS band, md5(concat_ws('|', $hs)) AS bv FROM sig"
     }.mkString("\nUNION ALL\n")
 

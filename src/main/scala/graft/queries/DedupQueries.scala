@@ -214,6 +214,17 @@ object DedupQueries {
       .join(sz.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), col("c"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
+    sweepOver(s, pairs)
+  }
+
+  /** q180's sweep tail over an exact-pair frame (da, db, c, na, nb) —
+    * shared with [[graft.streaming.StreamDupEdges.sweepFromStore]],
+    * which feeds it the stream-maintained pair store instead of the
+    * corpus-derived candidate stage (same rows by construction, so the
+    * dashboard sweep equals the batch sweep). The 6-row threshold
+    * frame broadcasts; both rollups are group-cardinality-sized. */
+  private[graft] def sweepOver(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
     val admitted = pairs
       .crossJoin(broadcast(SweepTaus.toDF("tau_milli")))
       .where(col("c") * 1000L >= col("tau_milli") * (col("na") + col("nb") - col("c")))
@@ -231,6 +242,68 @@ object DedupQueries {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy(col("tau_milli"))
+  }
+
+  /** Rows-per-band configurations for q182's sweep (divisors of
+    * MinHashK; served config is Dedup.RowsPerBand = 4). */
+  private val BandConfigs = Seq(1, 2, 4, 8, 16)
+
+  /** q182 — LSH BAND-CONFIGURATION recall curve: for every
+    * rows-per-band r (16/r bands over the same 16-component
+    * signatures), the candidate-pair count and the recall against the
+    * exact-Jaccard ≥ 0.5 truth set. This is the S-curve every LSH
+    * deployment tunes on (Leskovec/Rajaraman/Ullman's banding
+    * analysis, measured on THIS corpus and THIS hash family): r=1 is
+    * the high-recall/low-precision end (any shared component makes a
+    * candidate), r=16 demands full signature agreement; the served
+    * r=4 sits where q142's audit reads. q142 audits the one deployed
+    * point; q161 is the same artifact for the IVF probe dial; q180
+    * sweeps the verify threshold — this sweeps the band geometry.
+    *
+    * Scale shape: signatures hash once (q27's discipline) and feed all
+    * five band plans; each config is a banded bucket equi-join on
+    * md5 keys; truth is the q25-shaped inverted shingle join (bounded
+    * by Σ_shingle count², the audit's intrinsic cost, same as q142);
+    * rollups are 5-row aggregations. All-integer milli recall. */
+  def bandRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
+      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+        xxhash64(col("s")).as("h")).persist()
+    val sig = Dedup.minhashSigFromX(dt).persist()
+    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact truth: 3c >= na+nb ⟺ jaccard >= 0.5, all-integer
+    val truth = dt.as("a")
+      .join(dt.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
+      .select(col("da"), col("db"))
+      .persist()
+    val tagged = BandConfigs.map { r =>
+      Dedup.bandedCandidates(Dedup.minhashBandsCfg(sig, r))
+        .withColumn("rows_per_band", lit(r.toLong))
+    }.reduce(_ unionByName _)
+    val nCand = tagged.groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nCap = tagged.join(truth, Seq("da", "db"))
+      .groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_captured"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    broadcast(BandConfigs.map(_.toLong).toDF("rows_per_band"))
+      .join(nCand, Seq("rows_per_band"), "left")
+      .join(nCap, Seq("rows_per_band"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("rows_per_band"),
+        expr(s"${Dedup.MinHashK} div rows_per_band").as("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_truth"),
+        coalesce(col("n_captured"), lit(0L)).as("n_captured"))
+      .withColumn("recall_milli", expr("(n_captured * 1000) div n_truth"))
+      .orderBy(col("rows_per_band"))
   }
 
   /** q28 — 48-bit frequency-weighted SimHash fingerprint per document. */
@@ -790,6 +863,7 @@ object DedupQueries {
     "q175_minhash_calibration" -> minhashCalibration,
     "q177_ngram_novelty"   -> ngramNovelty,
     "q180_dedup_threshold_sweep" -> dedupThresholdSweep,
+    "q182_band_recall_curve" -> bandRecallCurve,
     "q73_dedup_clusters"   -> dedupClusters,
     "q141_dedup_stats"     -> dedupStats,
     "q145_canonical_pick"  -> canonicalPick,
@@ -868,6 +942,46 @@ object DedupQueries {
     "q24_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q182_band_recall_curve" -> {
+      val bandCtes = BandConfigs.map { r =>
+        s"""bands$r AS (${Dedup.minhashBandsCfgSql(r)}),
+           |cand$r AS (
+           |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |  FROM bands$r a JOIN bands$r b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+          .stripMargin
+      }
+      val cfgRows = BandConfigs.map { r =>
+        s"""SELECT $r AS rows_per_band,
+           |       (SELECT count(*) FROM cand$r) AS n_candidates,
+           |       (SELECT count(*) FROM cand$r c JOIN truth t
+           |          ON c.da = t.da AND c.db = t.db) AS n_captured"""
+          .stripMargin
+      }
+      s"""WITH dt AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
+         |dtx AS (SELECT doc_id, ${Dedup.minhashTokenXSql("t")} AS x FROM dt),
+         |sig AS (SELECT doc_id, ${Dedup.minhashSigAggSql} FROM dtx GROUP BY doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+         |truth AS (
+         |  SELECT p.da, p.db FROM (
+         |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |    FROM dt a JOIN dt b ON a.t = b.t AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz sa ON p.da = sa.doc_id
+         |  JOIN sz sb ON p.db = sb.doc_id
+         |  WHERE 3 * p.c >= sa.n + sb.n),
+         |${bandCtes.mkString(",\n")}
+         |SELECT rows_per_band::BIGINT AS rows_per_band,
+         |       (${Dedup.MinHashK} // rows_per_band)::BIGINT AS n_bands,
+         |       n_candidates::BIGINT AS n_candidates,
+         |       (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+         |       n_captured::BIGINT AS n_captured,
+         |       ((n_captured * 1000) // (SELECT count(*) FROM truth))::BIGINT
+         |         AS recall_milli
+         |FROM (${cfgRows.mkString("\nUNION ALL\n")})
+         |ORDER BY rows_per_band""".stripMargin
+    },
 
     "q180_dedup_threshold_sweep" ->
       s"""WITH $minhashCtesSql,

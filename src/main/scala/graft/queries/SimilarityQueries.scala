@@ -236,6 +236,55 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** q181 — label-FILTERED IVF ANN: q55's exact pipeline with a
+    * metadata predicate fused into the candidate join — each query
+    * retrieves its top-K among corpus vectors sharing ITS OWN label
+    * (the production constraint behind per-tenant / per-language /
+    * per-shard vector search: filter and rank in ONE pass, not
+    * post-filtering an unfiltered top-K, which silently returns fewer
+    * than K when the filter is selective). The label rides the cells
+    * relation as a join predicate, so filtering happens BEFORE the
+    * rank window touches a row — candidate volume shrinks by the label
+    * selectivity (~10× here) relative to q55, and a query can still
+    * fill its K from any probed cell.
+    *
+    * Queries whose probed cells hold fewer than K same-label vectors
+    * return fewer rows — the IVF recall trade under filtering, which
+    * is exactly what the audit consumer wants to see (a production
+    * deployment reads short result lists as "raise the probe count for
+    * filtered search").
+    *
+    * Scale shape: identical to q55 — row-local probe-list expressions
+    * over the collected book, one equi-join on (cell, label-equality),
+    * per-query top-K window over candidates only. */
+  def knnIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val book = graft.llm.ServeBooks.coarse(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .join(broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+        Seq("vec_id"), "left_anti")
+    val cells = e.select(col("vec_id"), col("label"), col("v"), col("nrm"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
+          .as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells,
+        col("probe") === col("cell") && col("vec_id") =!= col("query_id") &&
+          col("label") === col("qlabel"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .where(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** q77 — semantic-diversity sampling (the SemDeDup-family curation
     * step simplified to its scale skeleton): assign every embedding to
     * its nearest trained IVF cell, then cap each semantic cluster at a
@@ -1150,6 +1199,7 @@ object SimilarityQueries {
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
+    "q181_knn_filtered" -> knnIvfFiltered,
     "q77_semantic_sample" -> semanticSample,
     "q59_array_ops"     -> arrayOps,
     "q64_knn_ivfpq"     -> knnIvfPq,
@@ -1231,6 +1281,40 @@ object SimilarityQueries {
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
   }
 
+
+  /** q181's oracle — q55's body with the label predicate fused into
+    * the candidate join, over the same published book. */
+  private lazy val knnIvfFilteredSql: String = {
+    import graft.llm.ServeBooks
+    s"""WITH e AS (
+       |  SELECT vec_id, label::BIGINT AS label,
+       |         embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings
+       |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
+       |${ServeBooks.coarseCentsCteSql},
+       |${ServeBooks.assignRankCteSql},
+       |cells AS (
+       |  SELECT e.vec_id, e.label, e.v, e.nrm, r.cid AS cell
+       |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, e.label AS qlabel, e.v AS qv,
+       |         e.nrm AS qnrm, r.cid AS probe
+       |  FROM e JOIN r ON e.vec_id = r.vec_id
+       |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+       |c2 AS (
+       |  SELECT query_id, qlabel AS label, cells.vec_id AS neighbor_id,
+       |         list_dot_product(qv, cells.v) / (qnrm * cells.nrm) AS cos
+       |  FROM probes JOIN cells
+       |    ON probe = cell AND cells.vec_id <> query_id
+       |   AND cells.label = qlabel),
+       |rr AS (
+       |  SELECT query_id, label, neighbor_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM c2)
+       |SELECT query_id, label, neighbor_id, cos, rn FROM rr
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+  }
 
   private val nrmSql =
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
@@ -1701,6 +1785,7 @@ object SimilarityQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q55_knn_ivf" -> knnIvfSql,
+    "q181_knn_filtered" -> knnIvfFilteredSql,
 
     // q161: probe ranks come straight from the assignment CTE's rk
     // (the probe order IS the assignment order); six budgets re-rank

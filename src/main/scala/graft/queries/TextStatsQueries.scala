@@ -407,7 +407,13 @@ object TextStatsQueries {
     * the scan projection; the only shuffles are the digest window and
     * the bigram cascade. */
   def curationVerdict(s: SparkSession, dir: String): DataFrame =
-    verdictFlags(s, dir)
+    verdictOver(verdictFlags(s, dir))
+
+  /** q75's verdict tail over any flag frame — shared with the
+    * streaming maintainer's dashboard serve
+    * ([[graft.streaming.StreamVerdictFlags.verdictFromStore]]). */
+  private[graft] def verdictOver(flags: DataFrame): DataFrame =
+    flags
       .select(col("doc_id"), col("is_canonical"), col("lang_ok"),
         col("quality_ok"), col("rep_keep"), col("sample_keep"),
         (col("is_canonical") && col("lang_ok") && col("quality_ok") &&
@@ -431,11 +437,34 @@ object TextStatsQueries {
     graft.ArtifactStore.documentsArtifact(s, dir, "verdict_flags_v1")(
       buildVerdictFlags(s, dir))
 
-  private[queries] def buildVerdictFlags(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def buildVerdictFlags(s: SparkSession, dir: String): DataFrame =
+    verdictFlagsOver(Tables.documents(s, dir))
+
+  /** The full flag frame over an arbitrary documents-shaped frame
+    * (doc_id, lang, source, text) — [[verdictRowFlags]] plus the one
+    * cross-document column (the exact-dup canonical window). Factored
+    * so the batch artifact build and its spec oracles run the same
+    * plan over any corpus slice. */
+  private[graft] def verdictFlagsOver(docsRaw: DataFrame): DataFrame = {
+    val canon = min(col("doc_id")).over(Window.partitionBy(col("digest")))
+    verdictRowFlags(docsRaw)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("doc_id") === canon).as("is_canonical"),
+        col("lang_ok"), col("quality_ok"), col("rep_keep"),
+        col("sample_keep"))
+  }
+
+  /** The ROW-LOCAL verdict flags (everything except the canonical
+    * decision) plus the md5 digest that decision keys on — the
+    * fragment a streaming maintainer can evaluate per micro-batch with
+    * no cross-batch state ([[graft.streaming.StreamVerdictFlags]]):
+    * each column depends only on the document's own row. Shared by the
+    * batch build so batch and stream flags are the same expressions by
+    * construction. */
+  private[graft] def verdictRowFlags(docsRaw: DataFrame): DataFrame = {
     import graft.text.Quality
-    val docs = Tables.documents(s, dir)
+    val docs = docsRaw
       .select(col("doc_id"), col("lang"), col("source"), col("text"), toks.as("w"))
-    val canon = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
     val nTok = size(col("w"))
     val dupTok = when(nTok === 0, lit(0.0))
       .otherwise((nTok - size(array_distinct(col("w")))).cast(DoubleType) / nTok)
@@ -450,7 +479,7 @@ object TextStatsQueries {
     docs
       .join(bigramStats(docs.select(col("doc_id"), col("w"))), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), nTok.cast(LongType).as("n_tok"),
-        (col("doc_id") === canon).as("is_canonical"),
+        md5(col("text")).as("digest"),
         (predLang(col("w")) === col("lang")).as("lang_ok"),
         (Quality.score(col("w")) >= 0.5).as("quality_ok"),
         (topBi <= 0.18 && dupTok <= 0.60).as("rep_keep"),
@@ -477,14 +506,20 @@ object TextStatsQueries {
     * partial-aggregates map-side into a (6 × sources)-key space — the
     * report shuffle is group-cardinality-sized regardless of corpus
     * size. */
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelOver(verdictFlags(s, dir))
+
+  /** q140's funnel tail over any flag frame — shared with the
+    * streaming maintainer's dashboard serve
+    * ([[graft.streaming.StreamVerdictFlags.funnelFromStore]]). */
+  private[graft] def funnelOver(flags: DataFrame): DataFrame = {
     val depth = when(!col("is_canonical"), lit(0L))
       .when(!col("lang_ok"), lit(1L))
       .when(!col("quality_ok"), lit(2L))
       .when(!col("rep_keep"), lit(3L))
       .when(!col("sample_keep"), lit(4L))
       .otherwise(lit(5L))
-    verdictFlags(s, dir)
+    flags
       .select(col("source"), col("n_tok"), depth.as("depth"))
       .select(col("source"), col("n_tok"),
         explode(sequence(lit(0L), col("depth"))).as("stage"))

@@ -133,13 +133,23 @@ object StreamDupEdges {
       .join(ss.as("sb"), col("sb.doc_id") === col("db") &&
         col("sb.h") === col("sa.h"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
-    val verified = common
+    // the exact-Jaccard ingredients (c, |A|, |B|) per candidate pair —
+    // deterministic facts of the pair (shingle sets are fixed per doc),
+    // stored so threshold analytics (q180's sweep) serve from the
+    // store without re-deriving candidates or re-counting overlaps
+    val exact = common
       .join(sz.as("na"), col("da") === col("na.doc_id"))
       .join(sz.as("nb"), col("db") === col("nb.doc_id"))
-      .where(col("c") * 3 >= col("na.n") + col("nb.n"))
+      .select(col("da"), col("db"), col("c"),
+        col("na.n").as("na"), col("nb.n").as("nb"))
+      .localCheckpoint()
+    val verified = exact
+      .where(col("c") * 3 >= col("na") + col("nb"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
 
-    // 5. merge verified edges (doc_a-bucketed)
+    // 5. merge the exact-pair facts and the verified edges
+    mergeDistinct("cand", exact
+      .withColumn("bucket", pmod(col("da"), b)))
     mergeDistinct("edges", verified
       .withColumn("bucket", pmod(col("doc_a"), b)))
   }
@@ -193,7 +203,21 @@ object StreamDupEdges {
       .orderBy(col("doc_id"))
   }
 
-  /** Retention janitor for the three stores (r9 verdict item 5): a
+  /** q180's threshold sweep served from the stream-maintained
+    * exact-pair store (r10 verdict item 5): the stored (da, db, c, na,
+    * nb) rows are exactly the pair facts batch q180 derives from its
+    * candidate stage — same hash family, same distinct discipline, and
+    * the values are deterministic per pair — so the shared sweep tail
+    * ([[graft.queries.DedupQueries.sweepOver]]) over the store equals
+    * the batch sweep row-for-row (the spec asserts it). A live
+    * curation dashboard re-dials its merge threshold over everything
+    * ingested so far without recomputing a single signature. */
+  def sweepFromStore(s: SparkSession, target: String): DataFrame =
+    graft.queries.DedupQueries.sweepOver(s,
+      s.read.parquet(s"$target/cand")
+        .select(col("da"), col("db"), col("c"), col("na"), col("nb")))
+
+  /** Retention janitor for the four stores (r9 verdict item 5): a
     * long-lived ingest stream accretes two kinds of waste the per-batch
     * merges never reclaim —
     *
@@ -227,7 +251,7 @@ object StreamDupEdges {
       .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
     if (removed.nonEmpty) scrub(s, target, removed)
-    Seq("shingles", "bands", "edges").foreach { sub =>
+    Seq("shingles", "bands", "cand", "edges").foreach { sub =>
       val path = s"$target/$sub"
       val root = new org.apache.hadoop.fs.Path(path)
       if (fs.exists(root)) {
@@ -254,6 +278,8 @@ object StreamDupEdges {
       col("doc_id").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/bands", "bucket",
       col("doc_id").isin(flagged: _*))
+    graft.sources.PartitionScrub.dropRows(s, s"$target/cand", "bucket",
+      col("da").isin(flagged: _*) || col("db").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/edges", "bucket",
       col("doc_a").isin(flagged: _*) || col("doc_b").isin(flagged: _*))
   }

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintainer for the curation VERDICT FLAGS (r10 verdict
+  * item 2) — the batch-artifact + streaming-maintainer + takedown
+  * pattern ([[StreamDupEdges]], [[StreamAnnIndex]]) closed for the
+  * `verdict_flags_v1` family: the batch artifact is fingerprint-keyed
+  * to the corpus, so in a pipeline that appends documents continuously
+  * every append forces a FULL recompute of every flag; this maintainer
+  * updates per-document flags incrementally from a document stream,
+  * and [[flagsFromStore]] serves rows equal to the batch
+  * `buildVerdictFlags` over the same corpus (the spec proves it
+  * row-for-row, out-of-order arrival included).
+  *
+  * The split that makes incremental maintenance correct: every flag
+  * except `is_canonical` is ROW-LOCAL
+  * ([[graft.queries.TextStatsQueries.verdictRowFlags]] — the same
+  * expressions the batch build evaluates, shared by construction), so
+  * a document's flags row is computed once, in the batch that carries
+  * it, and never rewritten. The one cross-document decision — exact-dup
+  * canonical = "am I the min doc_id of my md5 digest" — reduces to a
+  * digest → min(doc_id) store, merged per batch with an associative
+  * min (idempotent under replay, order-independent across batches:
+  * min is min whatever the arrival order). Serving joins the two
+  * stores, so a later-arriving smaller doc_id DEMOTES an
+  * earlier-arrived canonical without touching its stored row.
+  *
+  * Scale posture: per batch the work is (batch rows) + (touched
+  * buckets); the canonical state is one row per distinct digest —
+  * bounded by corpus content, 8+32 bytes each, and only the buckets
+  * the batch's digests hash into are read or rewritten. Nothing
+  * corpus-sized is scanned after ingest.
+  */
+object StreamVerdictFlags {
+
+  /** Merge one batch of (doc_id, lang, source, text) docs. */
+  def compactBatch(target: String, buckets: Int)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val b = lit(buckets.toLong)
+    val rf = graft.queries.TextStatsQueries.verdictRowFlags(batch)
+      .localCheckpoint()
+
+    def merge(sub: String, incoming: DataFrame)
+             (combine: DataFrame => DataFrame): Unit = {
+      val path = s"$target/$sub"
+      val touched = incoming.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.isEmpty) return
+      val tgtPath = new org.apache.hadoop.fs.Path(path)
+      val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val existing =
+        if (!fs.exists(tgtPath)) incoming.limit(0)
+        else s.read.parquet(path).where(col("bucket").isin(touched: _*))
+          .select(incoming.columns.map(col): _*)
+      combine(existing.localCheckpoint().unionByName(incoming))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    }
+
+    // per-doc row-local flags: replay rewrites identical rows
+    merge("flags", rf.withColumn("bucket", pmod(col("doc_id"), b)))(_.distinct())
+    // digest → min(doc_id): the associative canonical state
+    merge("canon", rf
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
+      .withColumn("bucket", pmod(xxhash64(col("digest")), b)))(
+      _.groupBy(col("bucket"), col("digest"))
+        .agg(min(col("min_doc_id")).as("min_doc_id"))
+        .select(col("digest"), col("min_doc_id"), col("bucket")))
+  }
+
+  /** (doc_id, lang, source, text) stream → continuously maintained
+    * flag stores, checkpointed (restart-safe, replay-idempotent). */
+  def start(docs: DataFrame, target: String, checkpoint: String,
+            buckets: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(compactBatch(target, buckets) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The verdict flags over everything ingested so far — the exact
+    * frame `buildVerdictFlags` computes over the same corpus:
+    * row-local columns from the flags store, `is_canonical` decided
+    * against the canon store at READ time (a digest's min may have
+    * arrived after any given member). */
+  def flagsFromStore(s: SparkSession, target: String): DataFrame =
+    s.read.parquet(s"$target/flags")
+      .join(s.read.parquet(s"$target/canon")
+        .select(col("digest"), col("min_doc_id")), Seq("digest"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("doc_id") === col("min_doc_id")).as("is_canonical"),
+        col("lang_ok"), col("quality_ok"), col("rep_keep"),
+        col("sample_keep"))
+
+  /** q75's per-document verdict served live from the stores — the
+    * exact tail batch q75 runs over the artifact, over [[flagsFromStore]]
+    * (whose parity with the batch flags the spec proves). */
+  def verdictFromStore(s: SparkSession, target: String): DataFrame =
+    graft.queries.TextStatsQueries.verdictOver(flagsFromStore(s, target))
+
+  /** q140's funnel report served live from the stores — same sharing. */
+  def funnelFromStore(s: SparkSession, target: String): DataFrame =
+    graft.queries.TextStatsQueries.funnelOver(flagsFromStore(s, target))
+
+  /** Takedown leg: erase the flagged docs' rows and REASSIGN any
+    * canonical slot they held — a digest whose min doc is erased must
+    * fall to its smallest surviving member (or vanish with its last
+    * member), exactly what a batch rebuild over the post-takedown
+    * corpus would decide. Touched work: the flagged docs' buckets plus
+    * the canon buckets of their digests. Idempotent — a second pass
+    * finds no flagged rows and rewrites nothing. */
+  def scrub(s: SparkSession, target: String, flagged: Seq[Long],
+            buckets: Int = 16): Unit = {
+    val flagsPath = s"$target/flags"
+    val p = new org.apache.hadoop.fs.Path(flagsPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val doomed = col("doc_id").isin(flagged: _*)
+    // digests the flagged docs carried — read BEFORE dropping the rows
+    val dg = s.read.parquet(flagsPath).where(doomed)
+      .select(col("digest")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    graft.sources.PartitionScrub.dropRows(s, flagsPath, "bucket", doomed)
+    if (dg.isEmpty) return
+    // recompute the touched digests' minima from the survivors
+    val survivors = s.read.parquet(flagsPath)
+      .where(col("digest").isin(dg: _*))
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
+      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets.toLong)))
+    graft.sources.PartitionScrub.rewriteTouched(s, s"$target/canon",
+      "bucket", col("digest").isin(dg: _*)) { part =>
+      part.where(!col("digest").isin(dg: _*))
+        .unionByName(survivors.select(part.columns.map(col): _*))
+    }
+  }
+}

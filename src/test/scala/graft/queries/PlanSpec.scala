@@ -151,7 +151,7 @@ class PlanSpec extends SparkSpec {
     // ServeBooks book folded into literal argmin/probe expressions, the
     // only windows left are the bounded per-QUERY ranking ones.
     for (q <- Seq("q55_knn_ivf", "q64_knn_ivfpq", "q113_knn_ivf_int8",
-        "q164_knn_ivfpq_res")) {
+        "q164_knn_ivfpq_res", "q181_knn_filtered")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val partNames = df.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec =>

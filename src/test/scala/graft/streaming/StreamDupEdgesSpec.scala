@@ -59,6 +59,17 @@ class StreamDupEdgesSpec extends SparkSpec {
     assert(streamNov == batchNov,
       "novelty from the stream store must equal batch q177 row-for-row")
 
+    // q180's threshold sweep serves identically from the stream-
+    // maintained exact-pair store (r10 verdict item 5) — re-dialing
+    // the merge threshold never recomputes a signature
+    val streamSweep = StreamDupEdges.sweepFromStore(spark, target)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batchSweep = graft.SparkEntry
+      .queries("q180_dedup_threshold_sweep")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamSweep == batchSweep,
+      "sweep from the stream store must equal batch q180 row-for-row")
+
     // q73's consumers serve identically from either edge source
     val streamLabels = graft.queries.DedupQueries
       .clusterLabelsOver(StreamDupEdges.edges(spark, target))
@@ -92,6 +103,9 @@ class StreamDupEdgesSpec extends SparkSpec {
       .where($"doc_id" === victim).count() == 0L)
     assert(spark.read.parquet(s"$target/bands")
       .where($"doc_id" === victim).count() == 0L)
+    assert(spark.read.parquet(s"$target/cand")
+      .where($"da" === victim || $"db" === victim).count() == 0L,
+      "scrubbed doc still cited by a stored pair fact")
     val afterScrub = snapshot()
     StreamDupEdges.scrub(spark, target, Seq(victim))
     assert(snapshot() == afterScrub, "second scrub pass mutated a store")
