@@ -272,9 +272,11 @@ object DedupQueries {
         xxhash64(col("s")).as("h")).persist()
     val sig = Dedup.minhashSigFromX(dt).persist()
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // exact truth: 3c >= na+nb ⟺ jaccard >= 0.5, all-integer
-    val truth = dt.as("a")
-      .join(dt.as("b"),
+    // exact truth: 3c >= na+nb ⟺ jaccard >= 0.5, all-integer; only
+    // the 8-byte hash crosses the inverted join
+    val dth = dt.select(col("doc_id"), col("h"))
+    val truth = dth.as("a")
+      .join(dth.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
@@ -283,19 +285,32 @@ object DedupQueries {
       .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
       .select(col("da"), col("db"))
       .persist()
-    val tagged = BandConfigs.map { r =>
-      Dedup.bandedCandidates(Dedup.minhashBandsCfg(sig, r))
-        .withColumn("rows_per_band", lit(r.toLong))
+    // all five configs' band keys in ONE relation tagged by config —
+    // one self-join and one distinct instead of five of each (the
+    // config tag rides the join key, so cross-config pairs never form);
+    // candidates and captured-truth then roll up in a single pass over
+    // a left join against the (persisted) truth set
+    val bandsAll = BandConfigs.map { r =>
+      Dedup.minhashBandsCfg(sig, r)
+        .select(lit(r.toLong).as("rows_per_band"), col("doc_id"),
+          col("band"), col("bv"))
     }.reduce(_ unionByName _)
-    val nCand = tagged.groupBy(col("rows_per_band"))
-      .agg(count(lit(1)).as("n_candidates"))
-    val nCap = tagged.join(truth, Seq("da", "db"))
+    val tagged = bandsAll.as("a")
+      .join(bandsAll.as("b"),
+        col("a.rows_per_band") === col("b.rows_per_band") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.rows_per_band").as("rows_per_band"),
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val rollup = tagged
+      .join(truth.withColumn("t", lit(1L)), Seq("da", "db"), "left")
       .groupBy(col("rows_per_band"))
-      .agg(count(lit(1)).as("n_captured"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("t"), lit(0L))).as("n_captured"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     broadcast(BandConfigs.map(_.toLong).toDF("rows_per_band"))
-      .join(nCand, Seq("rows_per_band"), "left")
-      .join(nCap, Seq("rows_per_band"), "left")
+      .join(rollup, Seq("rows_per_band"), "left")
       .crossJoin(broadcast(nTruth))
       .select(col("rows_per_band"),
         expr(s"${Dedup.MinHashK} div rows_per_band").as("n_bands"),
