@@ -193,8 +193,12 @@ object ServeBooks {
     * UNDER A CELL PARTITION FILTER each micro-batch, so a serve batch
     * costs Σ probed-cell directories instead of a full-corpus scan (a
     * serve node at 100 TB cannot scan, or even cache, the corpus per
-    * 5 s batch). Key carries the coarse geometry like every book key. */
-  val AnnCellsKey = s"ann_cells_c${CoarseCells}_r${Rounds}_v1"
+    * 5 s batch). Key carries the coarse geometry like every book key.
+    * v2: rows carry `corpus_fp` so cross-generation maintenance
+    * (takedown scrub, retraction) touches ONLY this corpus's
+    * generations — vec_ids are corpus-scoped, and an id-keyed scrub
+    * across corpora would erase another corpus's legitimate rows. */
+  val AnnCellsKey = s"ann_cells_c${CoarseCells}_r${Rounds}_v2"
 
   /** Deterministic digest of a coarse book's exact bytes. The cells
     * artifact's identity must include the BOOK, not just the corpus:
@@ -237,21 +241,36 @@ object ServeBooks {
       graft.sources.VecTakedown.servedEmbeddings(s, dir)
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))
+        .withColumn("corpus_fp", lit(ArtifactStore.embeddingsFp(s, dir)))
         .withColumn("cell", cell(book, col("v")))
     }
     ArtifactStore.dataPath(AnnCellsKey, fp)
   }
 
+  /** The published serve-cells generations BELONGING TO `dir`'s corpus
+    * — each generation's rows carry their corpus fingerprint, read
+    * from one footer-cheap row per generation. Book generations of
+    * OTHER corpora (same numeric vec_id space, different vectors) are
+    * excluded on purpose. */
+  def annCellsFpsFor(s: SparkSession, dir: String): Seq[Long] = {
+    val want = ArtifactStore.embeddingsFp(s, dir)
+    ArtifactStore.publishedFps(AnnCellsKey).filter { fp =>
+      s.read.parquet(ArtifactStore.dataPath(AnnCellsKey, fp))
+        .select(col("corpus_fp")).limit(1)
+        .collect().headOption.exists(_.getLong(0) == want)
+    }
+  }
+
   /** Erasure leg for the serve-cells family: the artifact stores RAW
     * vector values, so a vector takedown must remove the rows from
-    * EVERY published generation (a live stream's frozen generation
-    * included — its next batch reads the scrubbed files), rewriting
-    * only the cell partitions that held them. Invalidation would be
-    * wrong here: deleting the directory under a live serve stream
-    * kills it, and a mid-stream rebuild would assign cells with a
-    * RETRAINED book while the stream probes with its frozen one. */
-  def scrubAnnCells(s: SparkSession, vecIds: Seq[Long]): Unit =
-    ArtifactStore.publishedFps(AnnCellsKey).foreach { fp =>
+    * every published generation OF THIS CORPUS (a live stream's frozen
+    * generation included — its next batch reads the scrubbed files),
+    * rewriting only the cell partitions that held them. Invalidation
+    * would be wrong here: deleting the directory under a live serve
+    * stream kills it, and a mid-stream rebuild would assign cells with
+    * a RETRAINED book while the stream probes with its frozen one. */
+  def scrubAnnCells(s: SparkSession, dir: String, vecIds: Seq[Long]): Unit =
+    annCellsFpsFor(s, dir).foreach { fp =>
       graft.sources.PartitionScrub.dropRows(s,
         ArtifactStore.dataPath(AnnCellsKey, fp), "cell",
         col("vec_id").isin(vecIds: _*))

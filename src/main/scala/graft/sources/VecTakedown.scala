@@ -106,9 +106,9 @@ object VecTakedown {
     ServeBooks.invalidateMemos(dir, fp)
     // serve-cells generations hold RAW vector values and may be pinned
     // by a live serve stream: scrub the rows in place (every published
-    // generation) instead of invalidating — ServeBooks.scrubAnnCells
-    // explains why deletion would be wrong here.
-    ServeBooks.scrubAnnCells(s, add)
+    // generation of THIS corpus) instead of invalidating —
+    // ServeBooks.scrubAnnCells explains why deletion would be wrong.
+    ServeBooks.scrubAnnCells(s, dir, add)
     add.size.toLong
   }
 
@@ -123,9 +123,10 @@ object VecTakedown {
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
     ServeBooks.invalidateMemos(dir, fp)
     // scrubbed serve-cells rows cannot be restored by another scrub:
-    // retraction drops every generation so the next serve rebuilds
-    // from the full corpus with the retrained book (no stream should
-    // outlive a full retraction — it is the spec-cleanup path).
-    ArtifactStore.invalidateAllFps(ServeBooks.AnnCellsKey)
+    // retraction drops this corpus's generations so the next serve
+    // rebuilds from the full corpus with the retrained book (no stream
+    // should outlive a full retraction — it is the spec-cleanup path).
+    ServeBooks.annCellsFpsFor(s, dir)
+      .foreach(ArtifactStore.invalidate(ServeBooks.AnnCellsKey, _))
   }
 }

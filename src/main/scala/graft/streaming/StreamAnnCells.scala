@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.llm.{ServeBooks, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
+
+/** Streaming ingest maintainer for the serve-cells artifact — the
+  * vector-side twin of [[StreamVerdictFlags]] (and the raw-vector
+  * sibling of [[StreamAnnIndex]]'s code index): vectors arriving on a
+  * stream are assigned to their coarse cell ROW-LOCALLY with the book
+  * FROZEN AT STREAM START (a retrain is a new stream — the
+  * StreamEmbedDedupPq snapshot convention) and merged into the same
+  * cell-partitioned artifact [[StreamAnnServe]] pins, so a live serve
+  * stream answers over a corpus that GROWS while it runs: ingest
+  * writes a cell's directory, the next serve batch that probes the
+  * cell reads the new vectors. Together the two streams are the full
+  * production ANN loop — train → publish → ingest → serve — with
+  * takedown reaching both (scrubAnnCells rewrites the same files).
+  *
+  * Semantics are APPEND-ONLY, the standard embedding-store contract:
+  * a vector is immutable once ingested (re-embedding is a new vec_id,
+  * removal is a takedown); redelivery of a batch re-derives
+  * byte-identical rows (deterministic row-local assignment), so the
+  * per-cell distinct merge makes checkpoint replay a no-op.
+  *
+  * Scale posture: per batch the work is (batch rows) + (touched cell
+  * directories read back for the distinct merge) — the touched-cell
+  * read is itself partition-pruned, so a batch touching 3 of 32 cells
+  * reads 3 directories, never the corpus. Cell sizes bound the merge
+  * granularity exactly as bucket counts do for [[StreamDupEdges]].
+  */
+object StreamAnnCells {
+
+  /** Merge one batch of (vec_id, embedding float[]) vectors into the
+    * pinned cells artifact at `dataPath`. `fp` is the generation id
+    * (the artifact's `fp` data column), `corpusFp` the corpus
+    * fingerprint the generation's rows carry for corpus-scoped
+    * maintenance (ServeBooks.annCellsFpsFor). */
+  def compactBatch(dataPath: String, book: Array[Array[Double]],
+                   fp: Long, corpusFp: Long)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val assigned = batch
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .withColumn("corpus_fp", lit(corpusFp))
+      .withColumn("fp", lit(fp))
+      .withColumn("cell", ServeBooks.cell(book, col("v")))
+      .localCheckpoint()
+    val touched = assigned.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val existing = s.read.parquet(dataPath)
+      .where(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("v"), col("nrm"), col("corpus_fp"),
+        col("fp"), col("cell").cast(LongType).as("cell"))
+    existing.localCheckpoint()
+      .unionByName(assigned.select(existing.columns.map(col): _*))
+      .distinct()
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(dataPath)
+  }
+
+  /** (vec_id, embedding) stream → the current generation's serve-cells
+    * artifact, continuously grown, checkpointed. Book, artifact id,
+    * and data path freeze at stream start (the same triple
+    * [[StreamAnnServe.start]] freezes, so a paired ingest+serve deploy
+    * agrees on the generation). */
+  def start(vectors: DataFrame, dir: String,
+            checkpoint: String): StreamingQuery = {
+    val s = vectors.sparkSession
+    val book = ServeBooks.coarse(s, dir)
+    val fp = ServeBooks.annCellsFp(s, dir)
+    val corpusFp = graft.ArtifactStore.embeddingsFp(s, dir)
+    val dataPath = ServeBooks.annCellsPath(s, dir)
+    vectors.writeStream
+      .foreachBatch(compactBatch(dataPath, book, fp, corpusFp) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}
