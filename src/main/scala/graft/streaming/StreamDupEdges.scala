@@ -212,10 +212,23 @@ object StreamDupEdges {
     * the batch sweep row-for-row (the spec asserts it). A live
     * curation dashboard re-dials its merge threshold over everything
     * ingested so far without recomputing a single signature. */
-  def sweepFromStore(s: SparkSession, target: String): DataFrame =
-    graft.queries.DedupQueries.sweepOver(s,
-      s.read.parquet(s"$target/cand")
-        .select(col("da"), col("db"), col("c"), col("na"), col("nb")))
+  def sweepFromStore(s: SparkSession, target: String): DataFrame = {
+    // a stream that never surfaced a candidate has no cand dir (empty
+    // merges are skipped) — that is the empty pair set, and the sweep
+    // must answer its 6 zero rows exactly like batch q180 would
+    val p = new org.apache.hadoop.fs.Path(s"$target/cand")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pairs =
+      if (!fs.exists(p)) {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq("da", "db", "c", "na", "nb")
+            .map(StructField(_, LongType))))
+      } else
+        s.read.parquet(s"$target/cand")
+          .select(col("da"), col("db"), col("c"), col("na"), col("nb"))
+    graft.queries.DedupQueries.sweepOver(s, pairs)
+  }
 
   /** Retention janitor for the four stores (r9 verdict item 5): a
     * long-lived ingest stream accretes two kinds of waste the per-batch

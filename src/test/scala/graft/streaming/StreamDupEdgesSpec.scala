@@ -186,6 +186,14 @@ class StreamDupEdgesSpec extends SparkSpec {
       distinctDocs.toDF("doc_id", "text"), 0L)
     // consumers see the empty edge set, not an AnalysisException
     assert(StreamDupEdges.edges(spark, target).count() == 0L)
+    // ...and the threshold sweep answers its 6 zero rows over the
+    // never-written pair store, exactly like batch q180 on a
+    // pair-free corpus
+    assert(StreamDupEdges.sweepFromStore(spark, target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.map(t => (t._2, t._3)).forall(_ == (0L, 0L)) &&
+      StreamDupEdges.sweepFromStore(spark, target).count() == 6L,
+      "sweep over an empty pair store must be the 6 zero rows")
     // replaying the edge-free batch (checkpoint restart) must not crash
     StreamDupEdges.compactBatch(target, 4)(
       distinctDocs.toDF("doc_id", "text"), 0L)
