@@ -22,25 +22,58 @@ object DedupQueries {
       .select(col("doc_id"), col("dup_cnt"))
       .orderBy(col("doc_id"))
 
-  /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5 via an inverted
-    * shingle join (bounded by Σ_shingle count², never a crossJoin). */
+  /** The brute TRUTH FACTS every dedup audit re-derived per query:
+    * for EVERY co-shingled document pair, the exact overlap count and
+    * both shingle-set sizes — (doc_a, doc_b, c, na, nb), everything
+    * any Jaccard-threshold decision needs, stored once per corpus
+    * (`brute_pair_stats_v1`, documents fingerprint — the
+    * verdict_flags_v1 pattern applied to the audits' shared arm).
+    * q25 serves the ≥ 0.5 pairs from it, q142's exact leg and q182's
+    * truth set filter it, q175's overlap lookup left-joins it; the
+    * inverted shingle join (bounded by Σ_shingle count², the audits'
+    * intrinsic cost) runs once per corpus instead of once per audit.
+    * Invalidated by the takedown cascade like every documents-derived
+    * family; DuckDB oracles recompute from the corpus, unchanged. */
+  private[queries] def brutePairStats(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "brute_pair_stats_v1") {
+      // hash-once discipline: 8-byte xxhash64 keys through the
+      // inverted join, never the ~20-char shingle strings
+      val sh = Dedup.shingles(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("c"),
+          col("sa.n").as("na"), col("sb.n").as("nb"))
+    }
+
+  /** The per-document 16-component MinHash signatures over 3-gram
+    * shingles (`minhash_sig3_v1`, documents fingerprint) — the
+    * corpus-LINEAR state every production MinHash pipeline persists:
+    * one md5 + 16 affine permutations per shingle happen once per
+    * corpus, and every banding consumer (q27's LSH path, the
+    * q175/q180/q182 audits) reads 17 longs per document instead of
+    * re-hashing the corpus. Unlike [[brutePairStats]] (audit-only —
+    * pair-quadratic), this artifact is the SERVE path's own state. */
+  private[queries] def minhashSig3(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "minhash_sig3_v1")(
+      Dedup.minhashSigFromX(
+        Dedup.shingles(Tables.documents(s, dir), 3)
+          .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"))))
+
+  /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5, served from
+    * the [[brutePairStats]] facts (the inverted shingle join runs at
+    * artifact build, once per corpus). The jaccard expression is the
+    * identical double division over the identical longs, so the
+    * served values are bit-equal to the inline form's. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // The shingle set feeds three plan branches (sizes + both join sides):
-    // persist it so the explode+distinct shuffle happens once, and carry
-    // 8-byte xxhash64 keys instead of ~20-char shingle strings through
-    // the inverted-index join (engine-internal only — the declared output
-    // is doc pairs + jaccard, so oracle parity is unaffected).
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
-    pairs
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val j = col("c").cast(DoubleType) / (col("na") + col("nb") - col("c"))
+    brutePairStats(s, dir)
       .where(j >= 0.5)
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -61,17 +94,15 @@ object DedupQueries {
     * identical token set, so every band collides and the candidate set
     * goes quadratic — 3-gram shingles keep buckets small.) */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // Hash each shingle ONCE — x (the minhash 60-bit md5 prefix) for the
-    // signature branch, an 8-byte xxhash64 key for the verification
-    // joins — and persist only the hashes, never the shingle strings.
-    // The persisted relation feeds four branches (signature agg, size
-    // agg, both verification sides) without re-hashing.
+    // Signatures come from the minhash_sig3_v1 artifact (built once
+    // per corpus — no md5 in this plan); verification stays
+    // CANDIDATE-LOCAL on 8-byte xxhash64 shingle keys, the production
+    // scale shape: at 100 TB the banded candidate set is the only
+    // pair set a dedup run may materialize, never the brute facts
+    // (those are the AUDITS' artifact — q25/q142/q175/q180/q182).
     val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
-        xxhash64(col("s")).as("h")).persist()
-    // both candidate-join sides read the bands; persist to run the
-    // signature aggregation once
-    val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt)).persist()
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+    val bands = Dedup.minhashBands(minhashSig3(s, dir)).persist()
     val cand = Dedup.bandedCandidates(bands)
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // verification joins on the hashed shingle keys (internal; output unaffected)
@@ -106,19 +137,16 @@ object DedupQueries {
     * zero shingles (possible only through 60-bit minhash collisions)
     * coalesce to Jaccard 0 rather than dropping out.
     *
-    * The `dt`/`sig` persists are lazy plan-branch sharing, not owned
-    * state: the query returns before any action runs, so lifecycle
-    * belongs to the caller — Bench sweeps persistent RDDs between
-    * queries; any other long-lived session should
-    * `spark.catalog.clearCache()` (the convention for every persist in
-    * this file, q27 included). */
+    * Any persisted intermediate in this file is lazy plan-branch
+    * sharing, not owned state: queries return before any action runs,
+    * so lifecycle belongs to the caller — Bench sweeps persistent
+    * RDDs between queries; any other long-lived session should
+    * `spark.catalog.clearCache()` (q27's standing convention). */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
-        xxhash64(col("s")).as("h")).persist()
-    val sig = Dedup.minhashSigFromX(dt).persist()
-    val bands = Dedup.minhashBands(sig)
-    val cand = Dedup.bandedCandidates(bands)
+    // signatures and pair facts both come from their build-once
+    // artifacts — this audit re-hashes nothing
+    val sig = minhashSig3(s, dir)
+    val cand = Dedup.bandedCandidates(Dedup.minhashBands(sig))
     val matches = (0 until Dedup.MinHashK).map(i =>
       when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -126,23 +154,23 @@ object DedupQueries {
       .join(sig.as("sa"), col("da") === col("sa.doc_id"))
       .join(sig.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), matches.as("n_match"))
-    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dth = dt.select(col("doc_id"), col("h"))
-    val common = cand
-      .join(dth.as("x"), col("x.doc_id") === col("da"))
-      .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    val c0 = coalesce(col("c"), lit(0L))
+    // exact arm from the brute_pair_stats_v1 facts: a candidate pair
+    // missing there shares bands but ZERO shingles (60-bit minhash
+    // collision) — exactly the coalesce-to-0 case, and 0/(na+nb) is
+    // IEEE +0.0 like the literal, so served values stay bit-equal
+    val facts = brutePairStats(s, dir)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"),
+        col("c"), col("na"), col("nb"))
     est
-      .join(common, Seq("da", "db"), "left")
-      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .join(facts, Seq("da", "db"), "left")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_match"),
         (col("n_match").cast(DoubleType) / lit(Dedup.MinHashK.toDouble))
           .as("est_sim"),
-        c0.as("n_common"),
-        (c0.cast(DoubleType) / (col("sa.n") + col("sb.n") - c0)).as("jaccard"))
+        coalesce(col("c"), lit(0L)).as("n_common"),
+        when(col("c").isNull, lit(0.0))
+          .otherwise(col("c").cast(DoubleType) /
+            (col("na") + col("nb") - col("c"))).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -198,22 +226,18 @@ object DedupQueries {
     * joins, ONE pass; the 6-row threshold frame broadcasts; both
     * rollups are group-cardinality aggregations. */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
-        xxhash64(col("s")).as("h")).persist()
-    val bands = Dedup.minhashBands(Dedup.minhashSigFromX(dt))
-    val cand = Dedup.bandedCandidates(bands)
-    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dth = dt.select(col("doc_id"), col("h"))
-    val pairs = cand
-      .join(dth.as("x"), col("x.doc_id") === col("da"))
-      .join(dth.as("y"), col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), col("c"),
-        col("sa.n").as("na"), col("sb.n").as("nb"))
+    // candidates from the signature artifact, exact overlap facts from
+    // the pair-stats artifact — the sweep re-hashes nothing (a
+    // candidate pair missing from the facts shares zero shingles and
+    // can never be admitted at any τ > 0, so the inner join loses no
+    // admissible pair — the inline form dropped those pairs the same
+    // way through its inner verification join)
+    val cand = Dedup.bandedCandidates(Dedup.minhashBands(minhashSig3(s, dir)))
+    val pairs = cand.join(
+      brutePairStats(s, dir)
+        .select(col("doc_a").as("da"), col("doc_b").as("db"),
+          col("c"), col("na"), col("nb")),
+      Seq("da", "db"))
     sweepOver(s, pairs)
   }
 
@@ -267,23 +291,12 @@ object DedupQueries {
     * rollups are 5-row aggregations. All-integer milli recall. */
   def bandRecallCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
-        xxhash64(col("s")).as("h")).persist()
-    val sig = Dedup.minhashSigFromX(dt).persist()
-    val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // exact truth: 3c >= na+nb ⟺ jaccard >= 0.5, all-integer; only
-    // the 8-byte hash crosses the inverted join
-    val dth = dt.select(col("doc_id"), col("h"))
-    val truth = dth.as("a")
-      .join(dth.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
-      .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
-      .select(col("da"), col("db"))
+    val sig = minhashSig3(s, dir)
+    // exact truth from the brute_pair_stats_v1 facts (build-once):
+    // 3c >= na+nb ⟺ jaccard >= 0.5, all-integer
+    val truth = brutePairStats(s, dir)
+      .where(col("c") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
       .persist()
     // all five configs' band keys in ONE relation tagged by config —
     // one self-join and one distinct instead of five of each (the
@@ -504,19 +517,12 @@ object DedupQueries {
     * shingle scan feeding an inverted-index join bounded by
     * Σ_shingle count², never a crossJoin. */
   def lshAudit(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val ex = pairs
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .where(col("c") * 3 >= col("sa.n") + col("sb.n"))
+    // exact leg from the brute_pair_stats_v1 facts (build-once); the
+    // bucket expression is the identical integer arithmetic
+    val ex = brutePairStats(s, dir)
+      .where(col("c") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"),
-        expr("(20 * c) div (sa.n + sb.n - c)").as("j_bucket"))
+        expr("(20 * c) div (na + nb - c)").as("j_bucket"))
     val found = minhashPairsArtifact(s, dir).withColumn("f", lit(1L))
     ex.join(found, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("j_bucket"))
