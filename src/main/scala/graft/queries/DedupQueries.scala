@@ -60,7 +60,7 @@ object DedupQueries {
     * q175/q180/q182 audits) reads 17 longs per document instead of
     * re-hashing the corpus. Unlike [[brutePairStats]] (audit-only —
     * pair-quadratic), this artifact is the SERVE path's own state. */
-  private[queries] def minhashSig3(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSig3(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsArtifact(s, dir, "minhash_sig3_v1")(
       Dedup.minhashSigFromX(
         Dedup.shingles(Tables.documents(s, dir), 3)

@@ -39,10 +39,36 @@ object PartitionScrub {
     val all = s.read.parquet(path)
     val touched = all.where(touch)
       .select(col(partitionCol).cast("long")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toSeq
+    rewriteParts(s, path, partitionCol, touched)(rewrite)
+  }
+
+  /** [[rewriteTouched]] when the caller already KNOWS the touched
+    * partition values — the partition function is computable from the
+    * touch set driver-side (e.g. `bucket = pmod(key, b)` over an
+    * explicit key list), so the store-wide scan that discovers touched
+    * partitions is skipped entirely and the rewrite reads only the
+    * named partitions. Values naming absent partitions are harmless:
+    * they select no rows and their delete is a no-op. */
+  def rewriteKnown(s: SparkSession, path: String, partitionCol: String,
+                   touched: Seq[Long])
+                  (rewrite: DataFrame => DataFrame): Unit = {
+    val tgtPath = new org.apache.hadoop.fs.Path(path)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tgtPath)) return
+    rewriteParts(s, path, partitionCol, touched.distinct)(rewrite)
+  }
+
+  private def rewriteParts(s: SparkSession, path: String,
+                           partitionCol: String, touched: Seq[Long])
+                          (rewrite: DataFrame => DataFrame): Unit = {
     if (touched.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = s.read.parquet(path)
     val remaining0 = rewrite(all.where(col(partitionCol).isin(touched: _*)))
     // normalize: partition column re-cast to long, original position
+    // (partition-column inference reads hive dirs back as INT)
     val remaining = remaining0.select(remaining0.columns.map { c =>
       if (c == partitionCol) col(c).cast("long").as(c) else col(c)
     }: _*).localCheckpoint()

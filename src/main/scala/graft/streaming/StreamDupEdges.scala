@@ -24,14 +24,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     8-byte xxhash64 for verification joins;
   *  2. the doc→shingle-hash store merges the touched doc_id buckets
   *     (replay rewrites identical rows — idempotent);
-  *  3. banded bucket keys merge into the bands store, partitioned by
+  *  3. per-doc 16-component signatures merge into the sigs store —
+  *     the corpus-LINEAR serve state (`minhash_sig3_v1`'s live twin;
+  *     signatures are row-local per doc, so batch splits can't change
+  *     them);
+  *  4. banded bucket keys merge into the bands store, partitioned by
   *     BAND-VALUE hash, so candidate probes read only colliding
   *     partitions, never the full history;
-  *  4. candidates = the new docs' bands joined against the merged
+  *  5. candidates = the new docs' bands joined against the merged
   *     store (new×new and new×old pairs; old×old edges already
   *     exist), verified by exact shingle-set Jaccard via the store —
   *     `3c ≥ na+nb` is the integer form of j ≥ 0.5;
-  *  5. verified pairs merge (min,max)-oriented and distinct into the
+  *  6. verified pairs merge (min,max)-oriented and distinct into the
   *     edges target.
   *
   * Union over batches = the batch artifact: for any qualifying pair,
@@ -97,14 +101,22 @@ object StreamDupEdges {
       .select(col("doc_id"), col("h"),
         pmod(col("doc_id"), b).as("bucket")))
 
-    // 3. banded bucket keys (band-value-bucketed: probes prune)
-    val bandsNew = Dedup.minhashBands(Dedup.minhashSigFromX(dt))
+    // 3. per-doc signatures (doc_id-bucketed) — the corpus-LINEAR
+    // serve state (`minhash_sig3_v1`'s live twin): signatures are
+    // row-local per doc, so the stream-merged store equals the batch
+    // artifact regardless of how ingestion split into batches
+    val sigsNew = Dedup.minhashSigFromX(dt).localCheckpoint()
+    mergeDistinct("sigs", sigsNew
+      .withColumn("bucket", pmod(col("doc_id"), b)))
+
+    // 4. banded bucket keys (band-value-bucketed: probes prune)
+    val bandsNew = Dedup.minhashBands(sigsNew)
       .localCheckpoint()
     mergeDistinct("bands", bandsNew
       .select(col("doc_id"), col("band"), col("bv"),
         pmod(xxhash64(col("bv")), b).as("bucket")))
 
-    // 4. candidates: new docs' bands vs the merged store — read ONLY
+    // 5. candidates: new docs' bands vs the merged store — read ONLY
     // the band partitions the new docs collide into
     val bandBuckets = bandsNew
       .select(pmod(xxhash64(col("bv")), b).as("bucket")).distinct()
@@ -147,7 +159,7 @@ object StreamDupEdges {
       .where(col("c") * 3 >= col("na") + col("nb"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
 
-    // 5. merge the exact-pair facts and the verified edges
+    // 6. merge the exact-pair facts and the verified edges
     mergeDistinct("cand", exact
       .withColumn("bucket", pmod(col("da"), b)))
     mergeDistinct("edges", verified
@@ -179,6 +191,19 @@ object StreamDupEdges {
     } else
       s.read.parquet(s"$target/edges").select(col("doc_a"), col("doc_b"))
   }
+
+  /** The per-doc MinHash signatures as the batch `minhash_sig3_v1`
+    * artifact serves them — (doc_id, h0..h15), the corpus-linear state
+    * every banding consumer reads. Signatures are row-local per doc
+    * and the merges idempotent-distinct, so the stream-maintained
+    * store equals the batch artifact row-for-row however ingestion
+    * batched (the spec asserts it); a live pipeline re-dials its LSH
+    * banding (q182's sweep) over everything ingested so far without
+    * re-hashing a single shingle. */
+  def sigsFromStore(s: SparkSession, target: String): DataFrame =
+    s.read.parquet(s"$target/sigs")
+      .select(col("doc_id") +: (0 until Dedup.MinHashK)
+        .map(i => col(s"h$i")): _*)
 
   /** q177's novelty audit served from the stream-maintained shingle
     * store instead of a corpus scan: the store holds exactly the
@@ -230,7 +255,7 @@ object StreamDupEdges {
     graft.queries.DedupQueries.sweepOver(s, pairs)
   }
 
-  /** Retention janitor for the four stores (r9 verdict item 5): a
+  /** Retention janitor for the five stores (r9 verdict item 5): a
     * long-lived ingest stream accretes two kinds of waste the per-batch
     * merges never reclaim —
     *
@@ -264,7 +289,7 @@ object StreamDupEdges {
       .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
     if (removed.nonEmpty) scrub(s, target, removed)
-    Seq("shingles", "bands", "cand", "edges").foreach { sub =>
+    Seq("shingles", "sigs", "bands", "cand", "edges").foreach { sub =>
       val path = s"$target/$sub"
       val root = new org.apache.hadoop.fs.Path(path)
       if (fs.exists(root)) {
@@ -281,13 +306,16 @@ object StreamDupEdges {
   }
 
   /** Takedown leg for the edge target: every store holds
-    * content-derived rows of the flagged docs — shingle hashes, band
-    * keys, and the edges that cite them — so erasure must reach all
-    * three ([[graft.sources.TakedownApply]]'s cascade shape, one
+    * content-derived rows of the flagged docs — shingle hashes,
+    * signatures, band keys, and the pair facts and edges that cite
+    * them — so erasure must reach all five
+    * ([[graft.sources.TakedownApply]]'s cascade shape, one
     * [[graft.sources.PartitionScrub]] call per store). Idempotent:
     * a second pass touches no partition. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
     graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
+      col("doc_id").isin(flagged: _*))
+    graft.sources.PartitionScrub.dropRows(s, s"$target/sigs", "bucket",
       col("doc_id").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/bands", "bucket",
       col("doc_id").isin(flagged: _*))

@@ -31,8 +31,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale posture: per batch the work is (batch rows) + (touched
   * buckets); the canonical state is one row per distinct digest —
   * bounded by corpus content, 8+32 bytes each, and only the buckets
-  * the batch's digests hash into are read or rewritten. Nothing
-  * corpus-sized is scanned after ingest.
+  * the batch's digests hash into are read or rewritten. A third store,
+  * `members` (digest → doc_id, digest-hash-bucketed), exists solely so
+  * the takedown leg can find an erased canonical's surviving members
+  * by reading its digest's bucket. Nothing corpus-sized is scanned
+  * after ingest — the scrub leg included (see [[scrub]]).
   */
 object StreamVerdictFlags {
 
@@ -67,6 +70,11 @@ object StreamVerdictFlags {
 
     // per-doc row-local flags: replay rewrites identical rows
     merge("flags", rf.withColumn("bucket", pmod(col("doc_id"), b)))(_.distinct())
+    // digest → member doc ids (digest-hash-bucketed): the scrub leg's
+    // locality index — an erased canonical's surviving members are
+    // found in its digest's bucket, never by scanning the flags store
+    merge("members", rf.select(col("digest"), col("doc_id"))
+      .withColumn("bucket", pmod(xxhash64(col("digest")), b)))(_.distinct())
     // digest → min(doc_id): the associative canonical state
     merge("canon", rf
       .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
@@ -113,30 +121,55 @@ object StreamVerdictFlags {
     * canonical slot they held — a digest whose min doc is erased must
     * fall to its smallest surviving member (or vanish with its last
     * member), exactly what a batch rebuild over the post-takedown
-    * corpus would decide. Touched work: the flagged docs' buckets plus
-    * the canon buckets of their digests. Idempotent — a second pass
-    * finds no flagged rows and rewrites nothing. */
+    * corpus would decide. Every partition this touches is NAMED
+    * driver-side before any read — flags buckets from the flagged ids
+    * (`pmod(doc_id, b)`), members/canon buckets from the carried
+    * digests (`pmod(xxhash64(digest), b)`, a local job over the digest
+    * list) — so scrub work is O(touched buckets), never a store scan
+    * (r11 ROADMAP item 5: the survivor recompute previously read the
+    * whole flags store because digest → members didn't map to its
+    * doc_id bucketing; the members sidecar gives the lookup its own
+    * digest-oriented partitioning). Idempotent — a second pass finds
+    * no flagged rows and rewrites nothing. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long],
             buckets: Int = 16): Unit = {
     val flagsPath = s"$target/flags"
     val p = new org.apache.hadoop.fs.Path(flagsPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
+    if (!fs.exists(p) || flagged.isEmpty) return
+    val b = buckets.toLong
     val doomed = col("doc_id").isin(flagged: _*)
-    // digests the flagged docs carried — read BEFORE dropping the rows
-    val dg = s.read.parquet(flagsPath).where(doomed)
+    // the flags store is doc_id-bucketed: its touched partitions come
+    // straight off the flagged list, no discovery scan
+    val fBuckets = flagged.map(java.lang.Math.floorMod(_, b)).distinct
+    // digests the flagged docs carried — read only their buckets,
+    // BEFORE dropping the rows
+    val dg = s.read.parquet(flagsPath)
+      .where(col("bucket").isin(fBuckets: _*) && doomed)
       .select(col("digest")).distinct()
       .collect().map(_.getString(0)).toSeq
-    graft.sources.PartitionScrub.dropRows(s, flagsPath, "bucket", doomed)
+    graft.sources.PartitionScrub.rewriteKnown(s, flagsPath, "bucket",
+      fBuckets)(_.where(!doomed))
     if (dg.isEmpty) return
-    // recompute the touched digests' minima from the survivors
-    val survivors = s.read.parquet(flagsPath)
-      .where(col("digest").isin(dg: _*))
+    val inDg = col("digest").isin(dg: _*)
+    // members/canon share the digest-hash bucketing: name the touched
+    // buckets with a local job over the digest list (never a scan)
+    val dgBuckets = {
+      import s.implicits._
+      dg.toDF("digest")
+        .select(pmod(xxhash64(col("digest")), lit(b)).as("bk"))
+        .distinct().as[Long].collect().toSeq
+    }
+    graft.sources.PartitionScrub.rewriteKnown(s, s"$target/members",
+      "bucket", dgBuckets)(_.where(!doomed))
+    // recompute the touched digests' minima from the surviving members
+    val survivors = s.read.parquet(s"$target/members")
+      .where(col("bucket").isin(dgBuckets: _*) && inDg && !doomed)
       .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
-      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(buckets.toLong)))
-    graft.sources.PartitionScrub.rewriteTouched(s, s"$target/canon",
-      "bucket", col("digest").isin(dg: _*)) { part =>
-      part.where(!col("digest").isin(dg: _*))
+      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(b)))
+    graft.sources.PartitionScrub.rewriteKnown(s, s"$target/canon",
+      "bucket", dgBuckets) { part =>
+      part.where(!inDg)
         .unionByName(survivors.select(part.columns.map(col): _*))
     }
   }

@@ -49,6 +49,16 @@ class StreamDupEdgesSpec extends SparkSpec {
     assert(edgeSet(target) == batchPairs,
       "stream-built edge set must equal the batch artifact row-for-row")
 
+    // the sigs store serves the batch minhash_sig3_v1 artifact's rows
+    // exactly — signatures are row-local per doc, so the three-way
+    // batch split cannot change them, and a live pipeline re-dials
+    // its banding without re-hashing a shingle
+    def sigRows(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      df.collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSet
+    assert(sigRows(StreamDupEdges.sigsFromStore(spark, target)) ==
+      sigRows(graft.queries.DedupQueries.minhashSig3(spark, sfDir)),
+      "stream-built sigs store must equal the batch sig artifact")
+
     // q177's novelty audit serves identically from the stream store
     // (same distinct (doc_id, hash) rows, same rollup) — the live
     // dashboard path never re-shingles the corpus
@@ -103,6 +113,9 @@ class StreamDupEdgesSpec extends SparkSpec {
       .where($"doc_id" === victim).count() == 0L)
     assert(spark.read.parquet(s"$target/bands")
       .where($"doc_id" === victim).count() == 0L)
+    assert(spark.read.parquet(s"$target/sigs")
+      .where($"doc_id" === victim).count() == 0L,
+      "scrubbed doc still has a stored signature")
     assert(spark.read.parquet(s"$target/cand")
       .where($"da" === victim || $"db" === victim).count() == 0L,
       "scrubbed doc still cited by a stored pair fact")
@@ -138,7 +151,7 @@ class StreamDupEdgesSpec extends SparkSpec {
     StreamDupEdges.janitor(spark, target,
       docs.toDF("doc_id", "text"), maxFilesPerBucket = 1)
     assert(edgeSet(target) == before, "compaction changed the served edges")
-    Seq("shingles", "bands", "edges").foreach { sub =>
+    Seq("shingles", "sigs", "bands", "edges").foreach { sub =>
       assert(bucketFiles(sub).values.forall(_ <= 1),
         s"$sub still fragmented after the janitor: ${bucketFiles(sub)}")
     }
@@ -151,6 +164,8 @@ class StreamDupEdgesSpec extends SparkSpec {
       "evicted doc still cited by an edge")
     assert(spark.read.parquet(s"$target/shingles")
       .where($"doc_id" === victim).count() == 0L)
+    assert(spark.read.parquet(s"$target/sigs")
+      .where($"doc_id" === victim).count() == 0L)
     assert(spark.read.parquet(s"$target/bands")
       .where($"doc_id" === victim).count() == 0L)
 
@@ -158,7 +173,7 @@ class StreamDupEdgesSpec extends SparkSpec {
     def snapshot(): Seq[(String, Long, Long)] = {
       val fs = new org.apache.hadoop.fs.Path(target)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("shingles", "bands", "edges").flatMap { sub =>
+      Seq("shingles", "sigs", "bands", "edges").flatMap { sub =>
         val root = new org.apache.hadoop.fs.Path(s"$target/$sub")
         fs.listStatus(root).flatMap(d => fs.listStatus(d.getPath))
           .filter(_.getPath.getName.endsWith(".parquet"))

@@ -106,6 +106,12 @@ class StreamVerdictFlagsSpec extends SparkSpec {
       .where(col("doc_id") === late._1).select("is_canonical")
       .as[Boolean].head(),
       "the erased canonical's slot must fall to the surviving dup")
+    // the members sidecar (the scrub leg's locality index — scrub
+    // names every touched bucket driver-side instead of scanning the
+    // flags store for survivors) erased the victim's row too
+    assert(spark.read.parquet(s"$target/members")
+      .where(col("doc_id") === 1L).count() == 0L,
+      "scrubbed doc still has a members row")
     // idempotent second pass
     StreamVerdictFlags.scrub(spark, target, Seq(1L))
     assert(rows(StreamVerdictFlags.flagsFromStore(spark, target)) ==
