@@ -22,6 +22,24 @@ object DedupQueries {
       .select(col("doc_id"), col("dup_cnt"))
       .orderBy(col("doc_id"))
 
+  /** The corpus's hashed word-3-gram shingle sets
+    * (`shingle_hashes3_v1`, documents fingerprint): one row per
+    * distinct (doc, shingle), carrying the only two hashes the engine
+    * ever derives from a shingle — x (the minhash 60-bit md5 prefix)
+    * and the 8-byte xxhash64 join key — computed once per CORPUS. The
+    * endpoint of the hash-once discipline: the sig artifact aggregates
+    * x from it, the pair-facts artifact joins h from it, q27's
+    * verification and q177's df table read h from it; no registered
+    * query md5s or xxhashes a 3-gram shingle anymore. Its h-projection
+    * is exactly the shingle store [[graft.streaming.StreamDupEdges]]
+    * maintains live. In the takedown cascade like every
+    * documents-derived key. */
+  private[graft] def shingleHashes3(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "shingle_hashes3_v1")(
+      Dedup.shingles(Tables.documents(s, dir), 3)
+        .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
+          xxhash64(col("s")).as("h")))
+
   /** The brute TRUTH FACTS every dedup audit re-derived per query:
     * for EVERY co-shingled document pair, the exact overlap count and
     * both shingle-set sizes — (doc_a, doc_b, c, na, nb), everything
@@ -36,10 +54,9 @@ object DedupQueries {
     * family; DuckDB oracles recompute from the corpus, unchanged. */
   private[queries] def brutePairStats(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsArtifact(s, dir, "brute_pair_stats_v1") {
-      // hash-once discipline: 8-byte xxhash64 keys through the
-      // inverted join, never the ~20-char shingle strings
-      val sh = Dedup.shingles(Tables.documents(s, dir), 3)
-        .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+      // 8-byte keys off the shingle-hash artifact — the build
+      // re-hashes nothing (nested artifact builds are supported)
+      val sh = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.as("a")
         .join(sh.as("b"),
@@ -62,9 +79,7 @@ object DedupQueries {
     * pair-quadratic), this artifact is the SERVE path's own state. */
   private[graft] def minhashSig3(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsArtifact(s, dir, "minhash_sig3_v1")(
-      Dedup.minhashSigFromX(
-        Dedup.shingles(Tables.documents(s, dir), 3)
-          .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"))))
+      Dedup.minhashSigFromX(shingleHashes3(s, dir)))
 
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5, served from
     * the [[brutePairStats]] facts (the inverted shingle join runs at
@@ -94,14 +109,13 @@ object DedupQueries {
     * identical token set, so every band collides and the candidate set
     * goes quadratic — 3-gram shingles keep buckets small.) */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // Signatures come from the minhash_sig3_v1 artifact (built once
-    // per corpus — no md5 in this plan); verification stays
-    // CANDIDATE-LOCAL on 8-byte xxhash64 shingle keys, the production
-    // scale shape: at 100 TB the banded candidate set is the only
-    // pair set a dedup run may materialize, never the brute facts
-    // (those are the AUDITS' artifact — q25/q142/q175/q180/q182).
-    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+    // Signatures and shingle hashes both come from their build-once
+    // artifacts (no md5/xxhash64 of a shingle in this plan);
+    // verification stays CANDIDATE-LOCAL on the 8-byte keys, the
+    // production scale shape: at 100 TB the banded candidate set is
+    // the only pair set a dedup run may materialize, never the brute
+    // facts (those are the AUDITS' artifact — q25/q142/q175/q180/q182).
+    val dt = shingleHashes3(s, dir).select(col("doc_id"), col("h")).persist()
     val bands = Dedup.minhashBands(minhashSig3(s, dir)).persist()
     val cand = Dedup.bandedCandidates(bands)
     val sz = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -196,8 +210,7 @@ object DedupQueries {
     * any corpus this engine will see, and collision-free at every
     * tested SF). */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val dt = Dedup.shingles(Tables.documents(s, dir), 3)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val dt = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
     val dfreq = dt.groupBy(col("h")).agg(count(lit(1)).as("df"))
     dt.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
