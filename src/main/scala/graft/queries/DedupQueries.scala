@@ -885,7 +885,42 @@ object DedupQueries {
       .orderBy(col("term"))
   }
 
+  /** q183 — the corpus DUPLICATION-MASS curve: 3-gram shingle
+    * occurrences grouped by the log2 bucket of their document
+    * frequency — "what share of the corpus's shingle mass sits in
+    * text repeated in 2^k..2^(k+1)-1 documents". The dashboard number
+    * large-scale curation reports alongside dedup rates: a heavy tail
+    * (high-df buckets holding a visible share) means boilerplate
+    * chrome, not organic text, and tells an operator whether to dial
+    * df-based boilerplate caps (q81/q96's rule) before pairwise dedup.
+    * df_bucket = floor(log2(df)) computed as length(bin(df)) - 1 —
+    * pure integer arithmetic both engines reproduce exactly (no float
+    * log at power-of-two boundaries).
+    *
+    * Scale shape: one aggregation over the shingle-hash artifact into
+    * |distinct shingles| df rows, a ≤ 64-row rollup, and the corpus
+    * total joins back as a broadcast scalar — no windows, no text
+    * re-hash (the artifact's build already paid it), nothing
+    * pair-shaped anywhere. q177's parity caveat applies: df is
+    * counted over the 64-bit hash, the oracle over raw strings —
+    * equal unless two distinct shingles collide (~n²/2⁶⁵). */
+  def dupMassCurve(s: SparkSession, dir: String): DataFrame = {
+    val dfreq = shingleHashes3(s, dir)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val b = dfreq
+      .select((length(bin(col("df"))) - 1).cast(LongType).as("df_bucket"),
+        col("df"))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_occ"))
+    val tot = b.agg(sum(col("n_occ")).as("tot"))
+    b.crossJoin(broadcast(tot))
+      .select(col("df_bucket"), col("n_shingles"), col("n_occ"),
+        expr("(n_occ * 1000) div tot").as("share_milli"))
+      .orderBy(col("df_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_dup_mass_curve"  -> dupMassCurve,
     "q96_containment"      -> containment,
     "q24_dedup_exact"      -> dedupExact,
     "q25_dedup_ngram_jacc" -> ngramJaccard,
@@ -1056,6 +1091,18 @@ object DedupQueries {
          |             * 1000) // count(*) AS BIGINT) AS novelty_milli
          |FROM sh JOIN dfreq d ON d.s = sh.s
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q183_dup_mass_curve" ->
+      s"""WITH sh AS (${Dedup.shinglesSql(3)}),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_bucket,
+         |             count(*)::BIGINT AS n_shingles,
+         |             CAST(sum(df) AS BIGINT) AS n_occ
+         |      FROM dfreq GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot FROM b)
+         |SELECT df_bucket, n_shingles, n_occ,
+         |       CAST((n_occ * 1000) // tot AS BIGINT) AS share_milli
+         |FROM b, t ORDER BY df_bucket""".stripMargin,
 
     "q25_dedup_ngram_jacc" ->
       s"""WITH sh AS (${Dedup.shinglesSql(3)}),
