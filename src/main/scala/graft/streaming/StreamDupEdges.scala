@@ -96,6 +96,20 @@ object StreamDupEdges {
         .parquet(path)
     }
 
+    // the bucket count is a property of the TARGET (fixed at stream
+    // start, every store keys its partitioning on it) — persist it
+    // once so maintenance passes can NAME the doc_id-bucketed
+    // partitions driver-side (scrub's shingles/sigs legs) instead of
+    // scanning the store to discover them; self-describing beats a
+    // caller-passed count, which would silently miss flagged rows if
+    // it ever disagreed with the stream's
+    val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
+    val metaFs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!metaFs.exists(metaPath)) {
+      val out = metaFs.create(metaPath, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+
     // 2. doc → shingle-hash store (doc_id-bucketed)
     mergeDistinct("shingles", dt
       .select(col("doc_id"), col("h"),
@@ -311,12 +325,49 @@ object StreamDupEdges {
     * them — so erasure must reach all five
     * ([[graft.sources.TakedownApply]]'s cascade shape, one
     * [[graft.sources.PartitionScrub]] call per store). Idempotent:
-    * a second pass touches no partition. */
+    * a second pass touches no partition.
+    *
+    * The two corpus-LINEAR stores (shingles, sigs) bucket on
+    * `pmod(doc_id, b)`, so their touched partitions come straight off
+    * the flagged list once `b` is known — the `_buckets` meta file the
+    * stream wrote at start supplies it, and those legs then ride
+    * [[graft.sources.PartitionScrub.rewriteKnown]] reading ONLY the
+    * named buckets (r11 ROADMAP item 6: takedown cost on the big
+    * stores is O(flagged buckets), never a store scan). A target
+    * predating the meta file falls back to the discovery scan. The
+    * bands/cand/edges legs keep discovery: their buckets key on the
+    * band-value hash / the pair's smaller id, neither computable from
+    * the flagged list alone. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
-    graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
-      col("doc_id").isin(flagged: _*))
-    graft.sources.PartitionScrub.dropRows(s, s"$target/sigs", "bucket",
-      col("doc_id").isin(flagged: _*))
+    val doomed = col("doc_id").isin(flagged: _*)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
+    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val b = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+              finally in.close()
+      val named = flagged.map(java.lang.Math.floorMod(_, b)).distinct
+      // confirm which named buckets actually hold flagged rows — the
+      // partition filter prunes this read to the named dirs, and it
+      // keeps strict idempotence (a second pass confirms nothing and
+      // rewrites no partition)
+      def knownScrub(path: String): Unit = {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+        val touched = s.read.parquet(path)
+          .where(col("bucket").isin(named: _*) && doomed)
+          .select(col("bucket").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        graft.sources.PartitionScrub.rewriteKnown(s, path, "bucket",
+          touched)(_.where(!doomed))
+      }
+      knownScrub(s"$target/shingles")
+      knownScrub(s"$target/sigs")
+    } else {
+      graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
+        doomed)
+      graft.sources.PartitionScrub.dropRows(s, s"$target/sigs", "bucket",
+        doomed)
+    }
     graft.sources.PartitionScrub.dropRows(s, s"$target/bands", "bucket",
       col("doc_id").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/cand", "bucket",

@@ -187,6 +187,88 @@ class StreamDupEdgesSpec extends SparkSpec {
     assert(snapshot() == snap, "idle janitor pass rewrote files")
   }
 
+  test("scrub names the shingles/sigs buckets driver-side: row parity " +
+      "with the discovery-scan fallback, strictly fewer records read") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = Files.createTempDirectory("dup_edges_known").toString
+    val target = s"$dir/known"
+    val thirds = {
+      val (a, rest) = docs.splitAt(docs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 3)
+      Seq(a, b, c)
+    }
+    thirds.zipWithIndex.foreach { case (bt, i) =>
+      StreamDupEdges.compactBatch(target, 4)(bt.toDF("doc_id", "text"), i.toLong)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(target).getFileSystem(conf)
+    assert(fs.exists(new Path(s"$target/_buckets")),
+      "the stream must self-describe its bucket count")
+
+    // legacy twin: identical stores minus the meta file — scrub must
+    // fall back to the discovery scan and land on the SAME rows
+    val legacy = s"$dir/legacy"
+    FileUtil.copy(fs, new Path(target), fs, new Path(legacy), false, conf)
+    fs.delete(new Path(s"$legacy/_buckets"), false)
+
+    // records-read instrument (ZorderRewriteSpec's settle idiom — the
+    // listener bus is async)
+    class InputRecords extends org.apache.spark.scheduler.SparkListener {
+      val records = new java.util.concurrent.atomic.LongAdder
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.add(e.taskMetrics.inputMetrics.recordsRead)
+      def settle(): Long = {
+        var prev = -1L; var cur = records.sum(); var i = 0
+        while (cur != prev && i < 50) {
+          prev = cur; Thread.sleep(50); cur = records.sum(); i += 1
+        }
+        cur
+      }
+    }
+    def readsDuring(body: => Unit): Long = {
+      val l = new InputRecords
+      spark.sparkContext.addSparkListener(l)
+      try { body; l.settle() }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    // a MID-RANGE victim: the fallback's discovery scan must not get
+    // rescued by parquet min/max page stats (an extreme id — the
+    // corpus min — is excluded by every other bucket's page ranges,
+    // which would make the full scan accidentally as cheap as the
+    // named read and void the comparison)
+    val victim = {
+      val ids = spark.read.parquet(s"$target/shingles")
+        .select("doc_id").distinct().as[Long].collect().sorted
+      ids(ids.length / 2)
+    }
+    val knownReads = readsDuring(
+      StreamDupEdges.scrub(spark, target, Seq(victim)))
+    val legacyReads = readsDuring(
+      StreamDupEdges.scrub(spark, legacy, Seq(victim)))
+
+    // parity: both paths leave every store row-identical
+    Seq("shingles", "sigs", "bands", "cand", "edges").foreach { sub =>
+      assert(fs.exists(new Path(s"$target/$sub")) ==
+        fs.exists(new Path(s"$legacy/$sub")), s"$sub existence diverged")
+      if (fs.exists(new Path(s"$target/$sub"))) {
+        def rows(t: String): Set[String] =
+          spark.read.parquet(s"$t/$sub").collect().map(_.toString).toSet
+        assert(rows(target) == rows(legacy),
+          s"$sub diverged between the named-bucket and fallback scrubs")
+      }
+    }
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === victim).count() == 0L, "victim survived")
+    // the point of the meta file: the named-bucket path reads strictly
+    // less than the store-wide discovery scan
+    assert(knownReads < legacyReads,
+      s"named-bucket scrub read $knownReads records, " +
+        s"fallback $legacyReads — pruning is not happening")
+  }
+
   test("an edge-free stream prefix does not poison the edges store") {
     val dir = Files.createTempDirectory("dup_edges_empty").toString
     val target = s"$dir/edges_target"
