@@ -81,6 +81,31 @@ object DedupQueries {
     graft.ArtifactStore.documentsArtifact(s, dir, "minhash_sig3_v1")(
       Dedup.minhashSigFromX(shingleHashes3(s, dir)))
 
+  /** The banded CANDIDATE pairs with their signature agreement
+    * (`banded_cand_nmatch_v1`, documents fingerprint): every (da, db)
+    * the served r=4 banding surfaces, carrying the 16-component match
+    * count. This is the candidate list a production LSH pipeline
+    * materializes anyway — bounded by the banding, corpus-scale-safe —
+    * and the last per-query repeat in the dedup family: q175's
+    * calibration and q180's sweep each re-ran the band self-join and
+    * two signature joins per query; both now read three longs per
+    * candidate. q27 deliberately keeps its inline candidate stage: it
+    * IS the production path whose plan shape (bands → candidates →
+    * verify) the artifact's build runs, and its plan pin documents
+    * that shape. Invalidated by the takedown cascade; oracles
+    * recompute from the corpus in SQL, unchanged. */
+  private[queries] def bandedCandNMatch(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "banded_cand_nmatch_v1") {
+      val sig = minhashSig3(s, dir)
+      val matches = (0 until Dedup.MinHashK).map(i =>
+        when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Dedup.bandedCandidates(Dedup.minhashBands(sig))
+        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"), matches.as("n_match"))
+    }
+
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5, served from
     * the [[brutePairStats]] facts (the inverted shingle join runs at
     * artifact build, once per corpus). The jaccard expression is the
@@ -144,11 +169,12 @@ object DedupQueries {
     * whether a pipeline can skip verification at some threshold
     * (Broder's classic resemblance-estimation trade).
     *
-    * Scale shape: q27's candidate stage verbatim (banded bucket
-    * equi-join, hash-once shingles); the estimate is a 16-term
-    * row-local comparison on the already-joined signature rows; the
-    * exact arm reuses the verification join. Pairs sharing bands but
-    * zero shingles (possible only through 60-bit minhash collisions)
+    * Scale shape: both arms are build-once artifacts —
+    * [[bandedCandNMatch]] carries the candidate pairs with their
+    * 16-component agreement (q27's candidate stage, run at artifact
+    * build), [[brutePairStats]] the exact facts — so the query is one
+    * equi-join and a projection. Pairs sharing bands but zero
+    * shingles (possible only through 60-bit minhash collisions)
     * coalesce to Jaccard 0 rather than dropping out.
     *
     * Any persisted intermediate in this file is lazy plan-branch
@@ -157,26 +183,27 @@ object DedupQueries {
     * RDDs between queries; any other long-lived session should
     * `spark.catalog.clearCache()` (q27's standing convention). */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    // signatures and pair facts both come from their build-once
-    // artifacts — this audit re-hashes nothing
-    val sig = minhashSig3(s, dir)
-    val cand = Dedup.bandedCandidates(Dedup.minhashBands(sig))
-    val matches = (0 until Dedup.MinHashK).map(i =>
-      when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val est = cand
-      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), matches.as("n_match"))
+    // candidates-with-agreement and pair facts both come from their
+    // build-once artifacts — this audit re-hashes nothing and re-joins
+    // nothing but the one fact lookup
+    val est = bandedCandNMatch(s, dir)
     // exact arm from the brute_pair_stats_v1 facts: a candidate pair
     // missing there shares bands but ZERO shingles (60-bit minhash
     // collision) — exactly the coalesce-to-0 case, and 0/(na+nb) is
-    // IEEE +0.0 like the literal, so served values stay bit-equal
+    // IEEE +0.0 like the literal, so served values stay bit-equal.
+    // The left join's preserved side (candidates) is the SMALL one,
+    // so a direct left join cannot broadcast (Spark builds the
+    // non-preserved side) and would shuffle+sort every fact row;
+    // broadcast-semi-filter the facts to the candidate pairs first —
+    // one shuffle-free scan of the facts artifact — and the residual
+    // lookup side broadcasts into the outer join
     val facts = brutePairStats(s, dir)
       .select(col("doc_a").as("da"), col("doc_b").as("db"),
         col("c"), col("na"), col("nb"))
+      .join(broadcast(est.select(col("da"), col("db"))),
+        Seq("da", "db"), "left_semi")
     est
-      .join(facts, Seq("da", "db"), "left")
+      .join(broadcast(facts), Seq("da", "db"), "left")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_match"),
         (col("n_match").cast(DoubleType) / lit(Dedup.MinHashK.toDouble))
@@ -235,22 +262,25 @@ object DedupQueries {
     * predicate is exact integer arithmetic — c·1000 ≥ τ·(na+nb−c) ⟺
     * j ≥ τ/1000 — so both engines count identical pairs.
     *
-    * Scale shape: q27's hash-once candidate stage and verification
-    * joins, ONE pass; the 6-row threshold frame broadcasts; both
-    * rollups are group-cardinality aggregations. */
+    * Scale shape: candidates and exact facts are build-once artifacts
+    * ([[bandedCandNMatch]] / [[brutePairStats]]), so the sweep is one
+    * equi-join; the 6-row threshold frame broadcasts; both rollups
+    * are group-cardinality aggregations. */
   def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    // candidates from the signature artifact, exact overlap facts from
-    // the pair-stats artifact — the sweep re-hashes nothing (a
-    // candidate pair missing from the facts shares zero shingles and
-    // can never be admitted at any τ > 0, so the inner join loses no
-    // admissible pair — the inline form dropped those pairs the same
-    // way through its inner verification join)
-    val cand = Dedup.bandedCandidates(Dedup.minhashBands(minhashSig3(s, dir)))
-    val pairs = cand.join(
-      brutePairStats(s, dir)
-        .select(col("doc_a").as("da"), col("doc_b").as("db"),
-          col("c"), col("na"), col("nb")),
-      Seq("da", "db"))
+    // candidates from their build-once artifact, exact overlap facts
+    // from the pair-stats artifact — the sweep re-hashes nothing and
+    // re-derives no candidate (a candidate pair missing from the facts
+    // shares zero shingles and can never be admitted at any τ > 0, so
+    // the inner join loses no admissible pair — the inline form
+    // dropped those pairs the same way through its inner verification
+    // join)
+    val cand = bandedCandNMatch(s, dir).select(col("da"), col("db"))
+    // inner join with the small side explicitly broadcast: one
+    // shuffle-free scan of the facts artifact (q175's shape)
+    val pairs = brutePairStats(s, dir)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"),
+        col("c"), col("na"), col("nb"))
+      .join(broadcast(cand), Seq("da", "db"))
     sweepOver(s, pairs)
   }
 
