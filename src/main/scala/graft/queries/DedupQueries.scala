@@ -40,6 +40,19 @@ object DedupQueries {
         .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
           xxhash64(col("s")).as("h")))
 
+  /** The 8-GRAM twin (`shingle_hashes8_v1`): distinct (doc_id, h)
+    * over word-8-gram shingles — the span-sized gram family's
+    * hash-once state. q96's containment and q139's split-leakage
+    * audit both read it instead of re-exploding the corpus per query
+    * (q76 keeps its inline shingling by necessity: it shingles an
+    * AUGMENTED corpus with planted contamination, not the raw table).
+    * No minhash x column — this family never signs, it only joins on
+    * the 8-byte key. In the takedown cascade. */
+  private[graft] def shingleHashes8(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "shingle_hashes8_v1")(
+      Dedup.shingles(Tables.documents(s, dir), 8)
+        .select(col("doc_id"), xxhash64(col("s")).as("h")))
+
   /** The brute TRUTH FACTS every dedup audit re-derived per query:
     * for EVERY co-shingled document pair, the exact overlap count and
     * both shingle-set sizes — (doc_a, doc_b, c, na, nb), everything
@@ -797,9 +810,9 @@ object DedupQueries {
     val nDocs = docs.count() // metadata-only parquet count (q81 precedent)
     val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
     // four plan branches read the shingle set (sizes, hot list, both
-    // join sides): persist so the explode+distinct shuffle runs once
-    val sh = Dedup.shingles(docs, 8)
-      .select(col("doc_id"), xxhash64(col("s")).as("h")).persist()
+    // join sides) — served from the build-once 8-gram artifact;
+    // persist so the artifact scan feeds all four from memory
+    val sh = shingleHashes8(s, dir).persist()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > dfCap).select(col("h"))
@@ -869,8 +882,10 @@ object DedupQueries {
     // split → one-hot bit: train 1, val 2, test 4
     val bit = when(splitBucket < 8, 1L).when(splitBucket === 8, 2L)
       .otherwise(4L)
-    val sh = Dedup.shingles(Tables.documents(s, dir), 8)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"), bit.as("bit"))
+    // grams from the build-once 8-gram artifact; the split bit is
+    // row-local over doc_id, so it re-derives on the artifact rows
+    val sh = shingleHashes8(s, dir)
+      .select(col("doc_id"), col("h"), bit.as("bit"))
     val masks = sh.groupBy(col("h")).agg(bit_or(col("bit")).as("mask"))
     val pairCounts = masks.agg(count(lit(1)).as("n_grams"),
       sum(when((col("mask").bitwiseAND(lit(3))) === 3, 1L).otherwise(0L))
