@@ -49,7 +49,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "containment must never enumerate all document pairs")
-    assert(p.contains("xxhash64"), "join key must be the 8-byte shingle hash")
+    // the 8-byte join key is PRE-hashed: the plan must read the
+    // hash-once artifact, not xxhash64 the corpus per query
+    assert(p.contains("shingle_hashes8_v1"),
+      "join key must be the 8-byte shingle hash from the hash-once artifact")
+    assert(!p.contains("xxhash64"),
+      "q96 must not re-hash a shingle at serve time")
   }
 
   test("q96 drops hot shingles (broadcast anti-join on df cap) before the self-join") {
