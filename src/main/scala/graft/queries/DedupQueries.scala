@@ -207,16 +207,20 @@ object DedupQueries {
     // The left join's preserved side (candidates) is the SMALL one,
     // so a direct left join cannot broadcast (Spark builds the
     // non-preserved side) and would shuffle+sort every fact row;
-    // broadcast-semi-filter the facts to the candidate pairs first —
-    // one shuffle-free scan of the facts artifact — and the residual
-    // lookup side broadcasts into the outer join
+    // semi-filter the facts to the candidate pairs first — one
+    // shuffle-free scan of the facts artifact — and the residual
+    // lookup side broadcasts into the outer join. No broadcast HINTS:
+    // the candidate volume is banding-bounded but not constant-bounded
+    // (a forced broadcast would be the 100 TB failure mode), and the
+    // artifact scans carry size stats, so Catalyst picks the broadcast
+    // at any scale where it is safe and AQE degrades to a shuffle
+    // join from runtime sizes where it is not.
     val facts = brutePairStats(s, dir)
       .select(col("doc_a").as("da"), col("doc_b").as("db"),
         col("c"), col("na"), col("nb"))
-      .join(broadcast(est.select(col("da"), col("db"))),
-        Seq("da", "db"), "left_semi")
+      .join(est.select(col("da"), col("db")), Seq("da", "db"), "left_semi")
     est
-      .join(broadcast(facts), Seq("da", "db"), "left")
+      .join(facts, Seq("da", "db"), "left")
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_match"),
         (col("n_match").cast(DoubleType) / lit(Dedup.MinHashK.toDouble))
@@ -288,12 +292,14 @@ object DedupQueries {
     // dropped those pairs the same way through its inner verification
     // join)
     val cand = bandedCandNMatch(s, dir).select(col("da"), col("db"))
-    // inner join with the small side explicitly broadcast: one
-    // shuffle-free scan of the facts artifact (q175's shape)
+    // inner join with the facts streaming against the (statistically
+    // small) candidate side: one shuffle-free scan of the facts
+    // artifact at tested scale (q175's shape; no broadcast hint for
+    // the same unboundedness reason documented there)
     val pairs = brutePairStats(s, dir)
       .select(col("doc_a").as("da"), col("doc_b").as("db"),
         col("c"), col("na"), col("nb"))
-      .join(broadcast(cand), Seq("da", "db"))
+      .join(cand, Seq("da", "db"))
     sweepOver(s, pairs)
   }
 
