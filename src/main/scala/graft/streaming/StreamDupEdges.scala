@@ -51,6 +51,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamDupEdges {
 
+  /** The target's persisted bucket count, or None when the meta file
+    * is absent (pre-meta target) or unparseable (a torn write —
+    * consumers must treat it as absent, never as authoritative). */
+  private def readBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                          metaPath: org.apache.hadoop.fs.Path): Option[Long] = {
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+      txt.toLongOption
+    }
+  }
+
   /** Merge one batch of (doc_id, text) docs into the edge target. */
   def compactBatch(target: String, buckets: Int)
                   (batch: DataFrame, batchId: Long): Unit = {
@@ -102,12 +116,27 @@ object StreamDupEdges {
     // partitions driver-side (scrub's shingles/sigs legs) instead of
     // scanning the store to discover them; self-describing beats a
     // caller-passed count, which would silently miss flagged rows if
-    // it ever disagreed with the stream's
+    // it ever disagreed with the stream's. A restart that DOES pass a
+    // different count must fail loud here: rows it merged under the
+    // new modulus would sit in partitions the named scrub never
+    // visits, silently surviving takedown erasure.
     val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
     val metaFs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!metaFs.exists(metaPath)) {
-      val out = metaFs.create(metaPath, true)
-      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    readBuckets(metaFs, metaPath) match {
+      case Some(stored) =>
+        require(stored == buckets.toLong,
+          s"edge target $target is partitioned pmod(doc_id, $stored); " +
+            s"restart the stream with buckets=$stored, not $buckets")
+      case None =>
+        // write-temp-then-rename (ArtifactStore's publish discipline):
+        // a crash mid-write must not leave a half-file later reads
+        // treat as authoritative. An unparseable leftover (the torn
+        // write this guards against) reads as None and is replaced.
+        val tmp = new org.apache.hadoop.fs.Path(s"$target/_buckets.tmp")
+        val out = metaFs.create(tmp, true)
+        try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+        if (metaFs.exists(metaPath)) metaFs.delete(metaPath, false)
+        metaFs.rename(tmp, metaPath)
     }
 
     // 2. doc → shingle-hash store (doc_id-bucketed)
@@ -330,44 +359,36 @@ object StreamDupEdges {
     * The two corpus-LINEAR stores (shingles, sigs) bucket on
     * `pmod(doc_id, b)`, so their touched partitions come straight off
     * the flagged list once `b` is known — the `_buckets` meta file the
-    * stream wrote at start supplies it, and those legs then ride
-    * [[graft.sources.PartitionScrub.rewriteKnown]] reading ONLY the
-    * named buckets (r11 ROADMAP item 6: takedown cost on the big
-    * stores is O(flagged buckets), never a store scan). A target
-    * predating the meta file falls back to the discovery scan. The
-    * bands/cand/edges legs keep discovery: their buckets key on the
-    * band-value hash / the pair's smaller id, neither computable from
-    * the flagged list alone. */
+    * stream wrote at start supplies it, and those legs' doomed
+    * predicate gains a bucket IN-list conjunct that partition-prunes
+    * the discovery scan to the named buckets (r11 ROADMAP item 6:
+    * takedown cost on the big stores is O(flagged buckets), never a
+    * store scan). A target predating the meta file — or one whose
+    * meta is unreadable — falls back to the unpruned predicate. The
+    * bands/cand/edges legs keep full discovery: their buckets key on
+    * the band-value hash / the pair's smaller id, neither computable
+    * from the flagged list alone. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
     val doomed = col("doc_id").isin(flagged: _*)
     val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
     val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val b = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-              finally in.close()
-      val named = flagged.map(java.lang.Math.floorMod(_, b)).distinct
-      // confirm which named buckets actually hold flagged rows — the
-      // partition filter prunes this read to the named dirs, and it
-      // keeps strict idempotence (a second pass confirms nothing and
-      // rewrites no partition)
-      def knownScrub(path: String): Unit = {
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
-        val touched = s.read.parquet(path)
-          .where(col("bucket").isin(named: _*) && doomed)
-          .select(col("bucket").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        graft.sources.PartitionScrub.rewriteKnown(s, path, "bucket",
-          touched)(_.where(!doomed))
-      }
-      knownScrub(s"$target/shingles")
-      knownScrub(s"$target/sigs")
-    } else {
-      graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
-        doomed)
-      graft.sources.PartitionScrub.dropRows(s, s"$target/sigs", "bucket",
-        doomed)
+    // with the meta file, the doomed predicate gains a bucket IN-list
+    // conjunct: it is a partition-filter, so dropRows' discovery scan
+    // reads ONLY the named directories (inside a named partition the
+    // conjunct reduces to `doomed`, so the rewritten rows are
+    // identical to the plain form's). A missing meta (legacy target)
+    // or an unparseable one (torn write) falls back to the plain
+    // store-wide predicate — always correct, just unpruned.
+    val shinglesDoomed = readBuckets(fs, metaPath) match {
+      case Some(b) =>
+        val named = flagged.map(java.lang.Math.floorMod(_, b)).distinct
+        col("bucket").isin(named: _*) && doomed
+      case None => doomed
     }
+    graft.sources.PartitionScrub.dropRows(s, s"$target/shingles", "bucket",
+      shinglesDoomed)
+    graft.sources.PartitionScrub.dropRows(s, s"$target/sigs", "bucket",
+      shinglesDoomed)
     graft.sources.PartitionScrub.dropRows(s, s"$target/bands", "bucket",
       col("doc_id").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/cand", "bucket",

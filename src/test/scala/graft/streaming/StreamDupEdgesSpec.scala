@@ -269,6 +269,46 @@ class StreamDupEdgesSpec extends SparkSpec {
         s"fallback $legacyReads — pruning is not happening")
   }
 
+  test("_buckets contract: mismatched restart fails loud; torn meta " +
+      "falls back to discovery and is repaired by the next batch") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("dup_edges_meta").toString
+    val target = s"$dir/t"
+    val dupDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"))
+    StreamDupEdges.compactBatch(target, 4)(dupDocs.toDF("doc_id", "text"), 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(target).getFileSystem(conf)
+    def metaText: String = {
+      val in = fs.open(new Path(s"$target/_buckets"))
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }
+    assert(metaText == "4")
+
+    // 1. a restart with a DIFFERENT bucket count must fail loud:
+    //    rows merged under the new modulus would sit in partitions the
+    //    named takedown scrub never visits and silently survive erasure
+    val e = intercept[IllegalArgumentException](
+      StreamDupEdges.compactBatch(target, 8)(
+        dupDocs.toDF("doc_id", "text"), 1L))
+    assert(e.getMessage.contains("4"), e.getMessage)
+
+    // 2. a torn meta write (zero-byte file — crash between create and
+    //    write) must not wedge scrub: the unparseable file reads as
+    //    absent and the takedown falls back to the discovery scan
+    fs.create(new Path(s"$target/_buckets"), true).close()
+    StreamDupEdges.scrub(spark, target, Seq(10L))
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === 10L).count() == 0L,
+      "scrub under a torn meta file must still erase via discovery")
+    // ...and the next merged batch repairs the meta file in place
+    StreamDupEdges.compactBatch(target, 4)(
+      Seq((12L, "some entirely fresh text about nothing in particular at all"))
+        .toDF("doc_id", "text"), 2L)
+    assert(metaText == "4", "the torn meta file must be rewritten")
+  }
+
   test("an edge-free stream prefix does not poison the edges store") {
     val dir = Files.createTempDirectory("dup_edges_empty").toString
     val target = s"$dir/edges_target"
