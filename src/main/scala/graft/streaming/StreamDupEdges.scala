@@ -51,20 +51,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamDupEdges {
 
-  /** The target's persisted bucket count, or None when the meta file
-    * is absent (pre-meta target) or unparseable (a torn write —
-    * consumers must treat it as absent, never as authoritative). */
-  private def readBuckets(fs: org.apache.hadoop.fs.FileSystem,
-                          metaPath: org.apache.hadoop.fs.Path): Option[Long] = {
-    if (!fs.exists(metaPath)) None
-    else {
-      val in = fs.open(metaPath)
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-                finally in.close()
-      txt.toLongOption
-    }
-  }
-
   /** Merge one batch of (doc_id, text) docs into the edge target. */
   def compactBatch(target: String, buckets: Int)
                   (batch: DataFrame, batchId: Long): Unit = {
@@ -112,32 +98,11 @@ object StreamDupEdges {
 
     // the bucket count is a property of the TARGET (fixed at stream
     // start, every store keys its partitioning on it) — persist it
-    // once so maintenance passes can NAME the doc_id-bucketed
-    // partitions driver-side (scrub's shingles/sigs legs) instead of
-    // scanning the store to discover them; self-describing beats a
-    // caller-passed count, which would silently miss flagged rows if
-    // it ever disagreed with the stream's. A restart that DOES pass a
-    // different count must fail loud here: rows it merged under the
-    // new modulus would sit in partitions the named scrub never
-    // visits, silently surviving takedown erasure.
-    val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
-    val metaFs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    readBuckets(metaFs, metaPath) match {
-      case Some(stored) =>
-        require(stored == buckets.toLong,
-          s"edge target $target is partitioned pmod(doc_id, $stored); " +
-            s"restart the stream with buckets=$stored, not $buckets")
-      case None =>
-        // write-temp-then-rename (ArtifactStore's publish discipline):
-        // a crash mid-write must not leave a half-file later reads
-        // treat as authoritative. An unparseable leftover (the torn
-        // write this guards against) reads as None and is replaced.
-        val tmp = new org.apache.hadoop.fs.Path(s"$target/_buckets.tmp")
-        val out = metaFs.create(tmp, true)
-        try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
-        if (metaFs.exists(metaPath)) metaFs.delete(metaPath, false)
-        metaFs.rename(tmp, metaPath)
-    }
+    // once ([[BucketMeta]]: validate-or-publish, loud on a mismatched
+    // restart, torn writes never authoritative) so maintenance passes
+    // can NAME the doc_id-bucketed partitions driver-side (scrub's
+    // shingles/sigs legs) instead of scanning the store
+    BucketMeta.ensure(s, target, buckets)
 
     // 2. doc → shingle-hash store (doc_id-bucketed)
     mergeDistinct("shingles", dt
@@ -370,8 +335,6 @@ object StreamDupEdges {
     * from the flagged list alone. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
     val doomed = col("doc_id").isin(flagged: _*)
-    val metaPath = new org.apache.hadoop.fs.Path(s"$target/_buckets")
-    val fs = metaPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     // with the meta file, the doomed predicate gains a bucket IN-list
     // conjunct: it is a partition-filter, so dropRows' discovery scan
     // reads ONLY the named directories (inside a named partition the
@@ -379,7 +342,7 @@ object StreamDupEdges {
     // identical to the plain form's). A missing meta (legacy target)
     // or an unparseable one (torn write) falls back to the plain
     // store-wide predicate — always correct, just unpruned.
-    val shinglesDoomed = readBuckets(fs, metaPath) match {
+    val shinglesDoomed = BucketMeta.read(s, target) match {
       case Some(b) =>
         val named = flagged.map(java.lang.Math.floorMod(_, b)).distinct
         col("bucket").isin(named: _*) && doomed

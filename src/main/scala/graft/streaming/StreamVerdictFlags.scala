@@ -44,6 +44,10 @@ object StreamVerdictFlags {
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    // validate-or-publish the target's bucket count ([[BucketMeta]]:
+    // loud on a mismatched restart — rows merged under a new modulus
+    // would sit in buckets the named scrub never visits)
+    BucketMeta.ensure(s, target, buckets)
     val b = lit(buckets.toLong)
     val rf = graft.queries.TextStatsQueries.verdictRowFlags(batch)
       .localCheckpoint()
@@ -130,14 +134,20 @@ object StreamVerdictFlags {
     * whole flags store because digest → members didn't map to its
     * doc_id bucketing; the members sidecar gives the lookup its own
     * digest-oriented partitioning). Idempotent — a second pass finds
-    * no flagged rows and rewrites nothing. */
+    * no flagged rows and rewrites nothing.
+    *
+    * The bucket count comes from the target's `_buckets` meta file
+    * when present ([[BucketMeta]] — authoritative: a caller-passed
+    * count that disagreed with the stream's would name the wrong
+    * partitions and silently miss flagged rows); `buckets` is the
+    * fallback for targets predating the file. */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long],
             buckets: Int = 16): Unit = {
     val flagsPath = s"$target/flags"
     val p = new org.apache.hadoop.fs.Path(flagsPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || flagged.isEmpty) return
-    val b = buckets.toLong
+    val b = BucketMeta.read(s, target).getOrElse(buckets.toLong)
     val doomed = col("doc_id").isin(flagged: _*)
     // the flags store is doc_id-bucketed: its touched partitions come
     // straight off the flagged list, no discovery scan

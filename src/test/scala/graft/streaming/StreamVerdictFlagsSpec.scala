@@ -132,4 +132,39 @@ class StreamVerdictFlagsSpec extends SparkSpec {
     assert(rows(art) == rows(rebuilt),
       "q75 must equal the refactored flag plan over the corpus")
   }
+
+  test("_buckets contract: scrub honors the stored count over the " +
+      "caller's; a mismatched restart fails loud") {
+    val dir = Files.createTempDirectory("verdict_meta").toString
+    val target = s"$dir/t"
+    // victim doc_id 6: floorMod(6, 4) = 2 but floorMod(6, 16) = 6, so
+    // a scrub trusting the caller's default count would name a bucket
+    // that does not even exist and the victim would silently survive —
+    // the exact failure mode the stored meta prevents
+    val docs = Seq(
+      (5L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (6L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (7L, "en", "web", "an entirely different text about something else"))
+    // NON-default bucket count: the stores partition pmod(key, 4)
+    StreamVerdictFlags.compactBatch(target, 4)(
+      docs.toDF("doc_id", "lang", "source", "text"), 0L)
+    // a restart with a different count must fail loud, not mix moduli
+    val e = intercept[IllegalArgumentException](
+      StreamVerdictFlags.compactBatch(target, 16)(
+        docs.toDF("doc_id", "lang", "source", "text"), 1L))
+    assert(e.getMessage.contains("4"), e.getMessage)
+    // scrub called with the (wrong) DEFAULT buckets=16: the stored
+    // meta must win
+    StreamVerdictFlags.scrub(spark, target, Seq(6L))
+    assert(spark.read.parquet(s"$target/flags")
+      .where(col("doc_id") === 6L).count() == 0L,
+      "scrub must name buckets from the stored count, not the caller's")
+    assert(spark.read.parquet(s"$target/members")
+      .where(col("doc_id") === 6L).count() == 0L)
+    // the erased doc was the digest's non-min member; doc 5 keeps the
+    // canonical slot and the store still serves the survivor set
+    assert(StreamVerdictFlags.flagsFromStore(spark, target)
+      .where(col("doc_id") === 5L).select("is_canonical")
+      .as[Boolean].head(), "the surviving min keeps the canonical slot")
+  }
 }
