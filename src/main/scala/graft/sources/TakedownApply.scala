@@ -60,12 +60,22 @@ object TakedownApply {
   }
 
   /** Leg 2: drop flagged docs from the compacted index target,
-    * rewriting only the buckets that held them. */
-  def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
-    Seq("postings", "doclens").foreach { sub =>
-      PartitionScrub.dropRows(s, s"$target/$sub", "bucket",
-        col("doc_id").isin(flagged: _*))
+    * rewriting only the buckets that held them. With the target's
+    * `_buckets` meta ([[graft.streaming.BucketMeta]]) the predicate
+    * gains a bucket IN-list conjunct that partition-prunes the
+    * discovery scan to the flagged ids' buckets; absent/torn meta
+    * falls back to the unpruned predicate. */
+  def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
+    val doomed = col("doc_id").isin(flagged: _*)
+    val pred = graft.streaming.BucketMeta.read(s, target) match {
+      case Some(b) => col("bucket").isin(
+        flagged.map(java.lang.Math.floorMod(_, b)).distinct: _*) && doomed
+      case None => doomed
     }
+    Seq("postings", "doclens").foreach { sub =>
+      PartitionScrub.dropRows(s, s"$target/$sub", "bucket", pred)
+    }
+  }
 
   /** Leg 4 (erasure beats time travel): the merge sink's change LOG
     * keeps every historical row, so [[TimeTravel.asOf]] would

@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *    fall back to their unpruned/discovery path, and the next
   *    [[ensure]] replaces it.
   */
-private[streaming] object BucketMeta {
+private[graft] object BucketMeta {
 
   private def metaPath(target: String) =
     new org.apache.hadoop.fs.Path(s"$target/_buckets")

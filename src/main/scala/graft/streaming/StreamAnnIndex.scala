@@ -41,6 +41,9 @@ object StreamAnnIndex {
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    // validate-or-publish the target's bucket count ([[BucketMeta]]):
+    // the takedown scrub names vec_id partitions from it
+    BucketMeta.ensure(s, target, buckets)
     val bookArr = array(coarse.map(c =>
       array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
     val assigned = batch
@@ -58,9 +61,12 @@ object StreamAnnIndex {
       .collect().map(_.getLong(0))
     val tgtPath = new org.apache.hadoop.fs.Path(target)
     val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // existence check, not a catch — StreamMergeSink's r7 discipline
+    // data check, not bare existence (StreamMergeSink's r7 discipline,
+    // sharpened): this target co-locates the _buckets meta with the
+    // data, so the dir exists before the first parquet lands — reading
+    // it then would die on schema inference
     val existing =
-      if (!fs.exists(tgtPath)) incoming.limit(0)
+      if (!hasData(fs, tgtPath)) incoming.limit(0)
       else s.read.parquet(target).where(col("bucket").isin(touched: _*))
         .select(incoming.columns.map(col): _*)
     existing.localCheckpoint()
@@ -102,8 +108,28 @@ object StreamAnnIndex {
     * the corpus without the flagged vectors retrains and re-encodes
     * transparently (ArtifactStore's staleness contract). Idempotent:
     * a second pass finds no flagged rows and rewrites nothing. */
+  /** True when `p` holds at least one bucket partition — the target
+    * may exist holding only the `_buckets` meta before any data. */
+  private def hasData(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+
   def scrub(s: org.apache.spark.sql.SparkSession, target: String,
-            flagged: Seq[Long]): Unit =
-    graft.sources.PartitionScrub.dropRows(s, target, "bucket",
-      col("vec_id").isin(flagged: _*))
+            flagged: Seq[Long]): Unit = {
+    val tgtPath = new org.apache.hadoop.fs.Path(target)
+    val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hasData(fs, tgtPath)) return
+    val doomed = col("vec_id").isin(flagged: _*)
+    // the target's _buckets meta names the vec_id partitions, so the
+    // conjunct partition-prunes the discovery scan to them (identical
+    // rewritten rows — inside a named partition it reduces to
+    // `doomed`); absent/torn meta falls back to the unpruned predicate
+    val pred = BucketMeta.read(s, target) match {
+      case Some(b) => col("bucket").isin(
+        flagged.map(java.lang.Math.floorMod(_, b)).distinct: _*) && doomed
+      case None => doomed
+    }
+    graft.sources.PartitionScrub.dropRows(s, target, "bucket", pred)
+  }
 }

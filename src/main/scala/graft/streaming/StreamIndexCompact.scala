@@ -36,6 +36,9 @@ object StreamIndexCompact {
   def compactBatch(target: String, buckets: Int)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    // validate-or-publish the target's bucket count ([[BucketMeta]]):
+    // the takedown leg names postings/doclens partitions from it
+    BucketMeta.ensure(s, target, buckets)
     val docs = batch
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
