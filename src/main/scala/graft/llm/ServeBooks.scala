@@ -261,6 +261,23 @@ object ServeBooks {
     }
   }
 
+  /** Per-dataPath monitors serializing the TWO read-modify-write
+    * writers of a serve-cells generation — the streaming ingest merge
+    * ([[graft.streaming.StreamAnnCells.compactBatch]]) and the flag-time
+    * scrub ([[scrubAnnCells]]). Unserialized, a scrub interleaved with
+    * an in-flight merge that already read pre-scrub files can resurrect
+    * scrubbed rows (lost update), and the converse can drop
+    * just-ingested rows. The monitor is the in-process enforcement
+    * (ArtifactStore.buildLocks' pattern); across processes the
+    * invariant is SINGLE WRITER PER GENERATION — one ingest stream owns
+    * a generation, and flag-time scrubs run in that process (VecTakedown
+    * .flag), exactly how the paired deploy is wired. */
+  private val annCellsLocks = new ConcurrentHashMap[String, Object]()
+
+  private[graft] def withCellsLock[T](dataPath: String)(body: => T): T =
+    annCellsLocks.computeIfAbsent(dataPath, _ => new Object)
+      .synchronized(body)
+
   /** Erasure leg for the serve-cells family: the artifact stores RAW
     * vector values, so a vector takedown must remove the rows from
     * every published generation OF THIS CORPUS (a live stream's frozen
@@ -268,12 +285,16 @@ object ServeBooks {
     * rewriting only the cell partitions that held them. Invalidation
     * would be wrong here: deleting the directory under a live serve
     * stream kills it, and a mid-stream rebuild would assign cells with
-    * a RETRAINED book while the stream probes with its frozen one. */
+    * a RETRAINED book while the stream probes with its frozen one.
+    * Serialized per generation against the ingest merge
+    * ([[withCellsLock]]). */
   def scrubAnnCells(s: SparkSession, dir: String, vecIds: Seq[Long]): Unit =
     annCellsFpsFor(s, dir).foreach { fp =>
-      graft.sources.PartitionScrub.dropRows(s,
-        ArtifactStore.dataPath(AnnCellsKey, fp), "cell",
-        col("vec_id").isin(vecIds: _*))
+      val path = ArtifactStore.dataPath(AnnCellsKey, fp)
+      withCellsLock(path) {
+        graft.sources.PartitionScrub.dropRows(s, path, "cell",
+          col("vec_id").isin(vecIds: _*))
+      }
     }
 
   private val int8ScalesMemo =

@@ -392,7 +392,12 @@ object DedupQueries {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("n_truth"),
         coalesce(col("n_captured"), lit(0L)).as("n_captured"))
-      .withColumn("recall_milli", expr("(n_captured * 1000) div n_truth"))
+      // n_truth = 0 (a dup-free corpus) must yield a DEFINED zero curve
+      // on both engines: unguarded, Spark's `div` nulls the column while
+      // DuckDB's `//` raises division-by-zero — a cross-engine divergence
+      .withColumn("recall_milli",
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(expr("(n_captured * 1000) div n_truth")))
       .orderBy(col("rows_per_band"))
   }
 
@@ -1097,8 +1102,9 @@ object DedupQueries {
          |       n_candidates::BIGINT AS n_candidates,
          |       (SELECT count(*) FROM truth)::BIGINT AS n_truth,
          |       n_captured::BIGINT AS n_captured,
-         |       ((n_captured * 1000) // (SELECT count(*) FROM truth))::BIGINT
-         |         AS recall_milli
+         |       (CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+         |             ELSE (n_captured * 1000) // (SELECT count(*) FROM truth)
+         |        END)::BIGINT AS recall_milli
          |FROM (${cfgRows.mkString("\nUNION ALL\n")})
          |ORDER BY rows_per_band""".stripMargin
     },

@@ -37,13 +37,28 @@ object StreamAnnCells {
     * pinned cells artifact at `dataPath`. `fp` is the generation id
     * (the artifact's `fp` data column), `corpusFp` the corpus
     * fingerprint the generation's rows carry for corpus-scoped
-    * maintenance (ServeBooks.annCellsFpsFor). */
+    * maintenance (ServeBooks.annCellsFpsFor). `dir` names the corpus
+    * whose tombstone set gates the merge: a checkpoint REPLAY of an
+    * in-flight batch after a takedown (or redelivery of a taken-down
+    * vector) would otherwise re-insert the erased vector's raw bytes
+    * into the published generation — the serve path's anti-join hides
+    * it from answers, but the erasure contract ("no published
+    * generation holds the deleted vector's bytes") would be violated
+    * with nothing left to re-scrub it, since scrubAnnCells ran at flag
+    * time. The tombstone set is re-read per batch (StreamAnnServe's
+    * discipline — bounded by deletion volume, broadcasts) and the whole
+    * read-merge-write is serialized per generation against flag-time
+    * scrubs (ServeBooks.withCellsLock). */
   def compactBatch(dataPath: String, book: Array[Array[Double]],
-                   fp: Long, corpusFp: Long)
+                   fp: Long, corpusFp: Long, dir: String)
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
-    val assigned = batch
+    val live = batch.join(
+      broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+      Seq("vec_id"), "left_anti")
+    if (live.isEmpty) return
+    val assigned = live
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .withColumn("corpus_fp", lit(corpusFp))
@@ -52,18 +67,20 @@ object StreamAnnCells {
       .localCheckpoint()
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val existing = s.read.parquet(dataPath)
-      .where(col("cell").isin(touched: _*))
-      .select(col("vec_id"), col("v"), col("nrm"), col("corpus_fp"),
-        col("fp"), col("cell").cast(LongType).as("cell"))
-    existing.localCheckpoint()
-      .unionByName(assigned.select(existing.columns.map(col): _*))
-      .distinct()
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell")
-      .mode("overwrite")
-      .parquet(dataPath)
+    ServeBooks.withCellsLock(dataPath) {
+      val existing = s.read.parquet(dataPath)
+        .where(col("cell").isin(touched: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), col("corpus_fp"),
+          col("fp"), col("cell").cast(LongType).as("cell"))
+      existing.localCheckpoint()
+        .unionByName(assigned.select(existing.columns.map(col): _*))
+        .distinct()
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .mode("overwrite")
+        .parquet(dataPath)
+    }
   }
 
   /** (vec_id, embedding) stream → the current generation's serve-cells
@@ -79,7 +96,7 @@ object StreamAnnCells {
     val corpusFp = graft.ArtifactStore.embeddingsFp(s, dir)
     val dataPath = ServeBooks.annCellsPath(s, dir)
     vectors.writeStream
-      .foreachBatch(compactBatch(dataPath, book, fp, corpusFp) _)
+      .foreachBatch(compactBatch(dataPath, book, fp, corpusFp, dir) _)
       .option("checkpointLocation", checkpoint)
       .start()
   }

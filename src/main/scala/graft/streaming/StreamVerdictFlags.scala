@@ -136,51 +136,101 @@ object StreamVerdictFlags {
     * digest-oriented partitioning). Idempotent — a second pass finds
     * no flagged rows and rewrites nothing.
     *
+    * CRASH-SAFE ORDERING (r11 ADVICE): the flags store is scrubbed
+    * LAST. The flagged docs' digests — the only state the members/canon
+    * legs need — are derivable only while the flags rows still exist,
+    * so a crash after any leg leaves a rerun able to re-derive them and
+    * complete idempotently (members rewrite: doomed rows already gone,
+    * no-op; canon rewrite: replaces the touched digests with the same
+    * survivor minima). Scrubbing flags first would make a crash before
+    * the other legs PERMANENTLY unrecoverable: the rerun would find no
+    * flagged rows, derive no digests, and return with the victim's
+    * members rows live and its canon slot still pointing at the erased
+    * doc. The spec proves rerun-completes from every intermediate crash
+    * point via [[scrubSteps]]' abort seam.
+    *
     * The bucket count comes from the target's `_buckets` meta file
-    * when present ([[BucketMeta]] — authoritative: a caller-passed
-    * count that disagreed with the stream's would name the wrong
-    * partitions and silently miss flagged rows); `buckets` is the
-    * fallback for targets predating the file. */
-  def scrub(s: SparkSession, target: String, flagged: Seq[Long],
-            buckets: Int = 16): Unit = {
+    * ([[BucketMeta]] — authoritative). When the meta is ABSENT or TORN
+    * the scrub falls back to DISCOVERY (predicate-touched partitions,
+    * store-scan pricing) rather than trusting the caller-passed
+    * `buckets` default: a wrong count would name the wrong partitions
+    * and flagged rows would silently survive erasure — the exact
+    * failure the meta exists to prevent (StreamDupEdges.scrub and
+    * TakedownApply's legs make the same absent-meta choice). */
+  def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    scrubSteps(s, target, flagged, abortAfter = Int.MaxValue)
+
+  /** [[scrub]] with a crash-injection seam: stop after `abortAfter`
+    * store rewrites (1 = members, 2 = canon, 3 = flags) — the spec's
+    * handle for proving a rerun completes from every crash point. */
+  private[graft] def scrubSteps(s: SparkSession, target: String,
+                                flagged: Seq[Long], abortAfter: Int): Unit = {
     val flagsPath = s"$target/flags"
     val p = new org.apache.hadoop.fs.Path(flagsPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || flagged.isEmpty) return
-    val b = BucketMeta.read(s, target).getOrElse(buckets.toLong)
     val doomed = col("doc_id").isin(flagged: _*)
-    // the flags store is doc_id-bucketed: its touched partitions come
-    // straight off the flagged list, no discovery scan
-    val fBuckets = flagged.map(java.lang.Math.floorMod(_, b)).distinct
-    // digests the flagged docs carried — read only their buckets,
-    // BEFORE dropping the rows
-    val dg = s.read.parquet(flagsPath)
-      .where(col("bucket").isin(fBuckets: _*) && doomed)
-      .select(col("digest")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    graft.sources.PartitionScrub.rewriteKnown(s, flagsPath, "bucket",
-      fBuckets)(_.where(!doomed))
-    if (dg.isEmpty) return
-    val inDg = col("digest").isin(dg: _*)
-    // members/canon share the digest-hash bucketing: name the touched
-    // buckets with a local job over the digest list (never a scan)
-    val dgBuckets = {
-      import s.implicits._
-      dg.toDF("digest")
-        .select(pmod(xxhash64(col("digest")), lit(b)).as("bk"))
-        .distinct().as[Long].collect().toSeq
-    }
-    graft.sources.PartitionScrub.rewriteKnown(s, s"$target/members",
-      "bucket", dgBuckets)(_.where(!doomed))
-    // recompute the touched digests' minima from the surviving members
-    val survivors = s.read.parquet(s"$target/members")
-      .where(col("bucket").isin(dgBuckets: _*) && inDg && !doomed)
-      .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
-      .withColumn("bucket", pmod(xxhash64(col("digest")), lit(b)))
-    graft.sources.PartitionScrub.rewriteKnown(s, s"$target/canon",
-      "bucket", dgBuckets) { part =>
-      part.where(!inDg)
-        .unionByName(survivors.select(part.columns.map(col): _*))
+    BucketMeta.read(s, target) match {
+      case Some(b) =>
+        // the flags store is doc_id-bucketed: its touched partitions
+        // come straight off the flagged list, no discovery scan
+        val fBuckets = flagged.map(java.lang.Math.floorMod(_, b)).distinct
+        // digests the flagged docs carried — read only their buckets,
+        // while the rows still exist (flags is scrubbed last)
+        val dg = s.read.parquet(flagsPath)
+          .where(col("bucket").isin(fBuckets: _*) && doomed)
+          .select(col("digest")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (dg.isEmpty) return
+        val inDg = col("digest").isin(dg: _*)
+        // members/canon share the digest-hash bucketing: name the
+        // touched buckets with a local job over the digest list
+        val dgBuckets = {
+          import s.implicits._
+          dg.toDF("digest")
+            .select(pmod(xxhash64(col("digest")), lit(b)).as("bk"))
+            .distinct().as[Long].collect().toSeq
+        }
+        graft.sources.PartitionScrub.rewriteKnown(s, s"$target/members",
+          "bucket", dgBuckets)(_.where(!doomed))
+        if (abortAfter <= 1) return
+        // recompute the touched digests' minima from surviving members
+        val survivors = s.read.parquet(s"$target/members")
+          .where(col("bucket").isin(dgBuckets: _*) && inDg && !doomed)
+          .groupBy(col("digest")).agg(min(col("doc_id")).as("min_doc_id"))
+          .withColumn("bucket", pmod(xxhash64(col("digest")), lit(b)))
+        graft.sources.PartitionScrub.rewriteKnown(s, s"$target/canon",
+          "bucket", dgBuckets) { part =>
+          part.where(!inDg)
+            .unionByName(survivors.select(part.columns.map(col): _*))
+        }
+        if (abortAfter <= 2) return
+        graft.sources.PartitionScrub.rewriteKnown(s, flagsPath, "bucket",
+          fBuckets)(_.where(!doomed))
+      case None =>
+        // meta absent/torn: the true modulus is unknowable — discovery
+        // scrub (touched partitions found by predicate scan; survivor
+        // buckets carried from the members rows' own partition column)
+        val dg = s.read.parquet(flagsPath).where(doomed)
+          .select(col("digest")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (dg.isEmpty) return
+        val inDg = col("digest").isin(dg: _*)
+        graft.sources.PartitionScrub.rewriteTouched(s, s"$target/members",
+          "bucket", doomed)(_.where(!doomed))
+        if (abortAfter <= 1) return
+        val survivors = s.read.parquet(s"$target/members")
+          .where(inDg && !doomed)
+          .groupBy(col("bucket").cast("long").as("bucket"), col("digest"))
+          .agg(min(col("doc_id")).as("min_doc_id"))
+        graft.sources.PartitionScrub.rewriteTouched(s, s"$target/canon",
+          "bucket", inDg) { part =>
+          part.where(!inDg)
+            .unionByName(survivors.select(part.columns.map(col): _*))
+        }
+        if (abortAfter <= 2) return
+        graft.sources.PartitionScrub.rewriteTouched(s, flagsPath, "bucket",
+          doomed)(_.where(!doomed))
     }
   }
 }

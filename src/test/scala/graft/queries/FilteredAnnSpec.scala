@@ -85,4 +85,29 @@ class FilteredAnnSpec extends SparkSpec {
       "served-config candidates must cover the verified q27 pairs")
     assert(served._5 <= served._4)
   }
+
+  test("q182 on a dup-free corpus: the curve is a DEFINED zero, not " +
+    "null/divide-by-zero (r11 ADVICE — n_truth = 0 guard)") {
+    // three documents with disjoint vocabularies: no pair reaches
+    // exact Jaccard >= 0.5, so the truth set is empty — unguarded,
+    // Spark's `div` nulls recall_milli while the DuckDB oracle's `//`
+    // raises division-by-zero
+    val tmp = java.nio.file.Files.createTempDirectory("q182_nodup").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L),
+      (1L, "one two three four five six seven eight nine", "en", "web", 45L),
+      (2L, "red orange yellow green blue indigo violet hue", "en", "web", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val curve = DedupQueries.bandRecallCurve(spark, tmp)
+      .orderBy(col("rows_per_band")).collect()
+    assert(curve.length == 5)
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 0L, "witness: truth must be empty")
+      assert(!r.isNullAt(r.fieldIndex("recall_milli")),
+        "recall_milli must be defined on a dup-free corpus")
+      assert(r.getAs[Long]("recall_milli") == 0L)
+      assert(r.getAs[Long]("n_captured") == 0L)
+    }
+  }
 }

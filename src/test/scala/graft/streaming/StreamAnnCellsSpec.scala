@@ -65,7 +65,7 @@ class StreamAnnCellsSpec extends SparkSpec {
     // replay an already-merged batch: byte-identical rows, no growth
     val before = rowSet(spark.read.parquet(dataPath))
     StreamAnnCells.compactBatch(dataPath, book, fp,
-      graft.ArtifactStore.embeddingsFp(spark, tmp))(
+      graft.ArtifactStore.embeddingsFp(spark, tmp), tmp)(
       holdout.filter(_._1 % 2 == 1).toDF("vec_id", "embedding"), 99L)
     assert(rowSet(spark.read.parquet(dataPath)) == before,
       "replay must be a no-op")
@@ -105,6 +105,22 @@ class StreamAnnCellsSpec extends SparkSpec {
     assert(spark.read.parquet(mainPath)
       .where(col("vec_id") === victim).count() == 1L,
       "a takedown for one corpus must not touch another corpus's rows")
+
+    // erasure survives REPLAY (r11 ADVICE): a checkpoint replay of an
+    // in-flight batch after the flag — or redelivery of the taken-down
+    // vector itself — must not re-insert the erased vector's raw bytes
+    // into the published generation (the flag-time scrub already ran
+    // and nothing would ever re-scrub them); the merge's per-batch
+    // tombstone anti-join is what enforces it
+    val preReplay = rowSet(spark.read.parquet(dataPath))
+    StreamAnnCells.compactBatch(dataPath, book, fp,
+      graft.ArtifactStore.embeddingsFp(spark, tmp), tmp)(
+      holdout.toDF("vec_id", "embedding"), 100L)
+    assert(spark.read.parquet(dataPath)
+      .where(col("vec_id") === victim).count() == 0L,
+      "replay after takedown must not resurrect the erased vector")
+    assert(rowSet(spark.read.parquet(dataPath)) == preReplay,
+      "the post-takedown replay must be a no-op for surviving rows too")
     graft.sources.VecTakedown.reset(spark, tmp)
   }
 }

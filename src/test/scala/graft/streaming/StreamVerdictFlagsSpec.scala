@@ -167,4 +167,67 @@ class StreamVerdictFlagsSpec extends SparkSpec {
       .where(col("doc_id") === 5L).select("is_canonical")
       .as[Boolean].head(), "the surviving min keeps the canonical slot")
   }
+
+  /** A tiny 3-doc store (5 and 6 share a digest, 7 is unique) built at
+    * a NON-default bucket count — the fixture both failure-mode tests
+    * below share. */
+  private def buildSmallStore(tag: String): String = {
+    val dir = Files.createTempDirectory(tag).toString
+    val target = s"$dir/t"
+    val docs = Seq(
+      (5L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (6L, "en", "web", "the quick brown fox jumps over the lazy dog"),
+      (7L, "en", "web", "an entirely different text about something else"))
+    StreamVerdictFlags.compactBatch(target, 4)(
+      docs.toDF("doc_id", "lang", "source", "text"), 0L)
+    target
+  }
+
+  test("absent/torn _buckets meta: scrub falls back to discovery, " +
+      "never trusting the caller-default count (r11 ADVICE)") {
+    val target = buildSmallStore("verdict_nometa")
+    // simulate a legacy target / torn meta: the file is gone, so the
+    // true modulus (4) is unknowable — a scrub trusting the default 16
+    // would name bucket floorMod(5,16)=5, which does not exist, and the
+    // victim would silently survive erasure
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$target/_buckets"), false))
+    StreamVerdictFlags.scrub(spark, target, Seq(5L))
+    assert(spark.read.parquet(s"$target/flags")
+      .where(col("doc_id") === 5L).count() == 0L,
+      "discovery fallback must erase the flagged row")
+    assert(spark.read.parquet(s"$target/members")
+      .where(col("doc_id") === 5L).count() == 0L,
+      "members must not keep the victim")
+    // 5 was the digest's min: the slot must fall to the survivor 6
+    val canon = StreamVerdictFlags.flagsFromStore(spark, target)
+      .select(col("doc_id"), col("is_canonical"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(canon == Map(6L -> true, 7L -> true),
+      s"post-scrub canon wrong: $canon")
+  }
+
+  test("crash mid-scrub: a rerun completes from every intermediate " +
+      "crash point (flags scrubbed last, r11 ADVICE)") {
+    // abortAfter 1 = crashed after the members rewrite, 2 = after the
+    // canon rewrite; in both states the flags rows still exist, so the
+    // rerun re-derives the victim's digest and finishes idempotently
+    for (crashPoint <- Seq(1, 2)) {
+      val target = buildSmallStore(s"verdict_crash$crashPoint")
+      StreamVerdictFlags.scrubSteps(spark, target, Seq(5L), crashPoint)
+      StreamVerdictFlags.scrub(spark, target, Seq(5L)) // the rerun
+      assert(spark.read.parquet(s"$target/flags")
+        .where(col("doc_id") === 5L).count() == 0L,
+        s"crash@$crashPoint: rerun must erase the flags row")
+      assert(spark.read.parquet(s"$target/members")
+        .where(col("doc_id") === 5L).count() == 0L,
+        s"crash@$crashPoint: rerun must erase the members row")
+      val canon = StreamVerdictFlags.flagsFromStore(spark, target)
+        .select(col("doc_id"), col("is_canonical"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(canon == Map(6L -> true, 7L -> true),
+        s"crash@$crashPoint: post-rerun canon wrong: $canon")
+    }
+  }
 }
