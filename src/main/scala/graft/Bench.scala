@@ -83,6 +83,25 @@ object Bench {
     // is ambient load, not a plan regression). Run count via
     // SPARK_GRAFT_BENCH_RUNS.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // BURST-ROBUST INTERLEAVING (r11 verdict item 1): the N runs no
+    // longer execute consecutively — they are split across suite-wide
+    // PASSES ([2,2,1] for the default 5), each pass running every query
+    // once or twice in name order. A query's sample groups are thus
+    // separated by ~a full pass (minutes at sf0.1), so a sustained
+    // ambient burst — which in r9/r10/r11 corrupted ALL of one query's
+    // consecutive runs and manufactured phantom MINs (q55 4.6×, q89
+    // 3.1×, q178 19×, each needing manual same-machine refutation) —
+    // can no longer cover every sample of any query: the MIN survives
+    // in the passes the burst missed. Within a pass the per-query cache
+    // hygiene below is unchanged, and each multi-run pass still
+    // contains a warm (cache-reusing) run, so the MIN keeps measuring
+    // the same warm-plan statistic as before.
+    val passSizes = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var left = runs
+      while (left > 0) { val take = math.min(2, left); b += take; left -= take }
+      b.toSeq
+    }
     // per-query shuffle/spill attribution (queries run sequentially, so
     // the listener's window cleanly brackets each run)
     val metrics = new BenchMetrics
@@ -90,48 +109,73 @@ object Bench {
     // Optional comma-separated subset for local iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q73_dedup_clusters,q27_minhash_neardup
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var shuffleMb = 0.0
-      var spillMb = 0.0
-      val times = (1 to runs).map { r =>
-        if (r == runs) { metrics.settle(); metrics.reset() }
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (r == runs) {
-          val (sh, sp) = metrics.settle()
-          shuffleMb = sh / 1e6
-          spillMb = sp / 1e6
+    val suiteT0 = System.nanoTime()
+    // (duration, ok, wall-clock start offset) per run, in execution
+    // order — offsets go into the artifact so a reader can bracket any
+    // suspect number against the probe timeline without a repro
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer
+          .empty[(Double, Boolean, Double)]
+      }: _*)
+    val shuffleMb = scala.collection.mutable.Map.empty[String, Double]
+    val spillMb = scala.collection.mutable.Map.empty[String, Double]
+    // fixed-work probes BETWEEN passes: with the pre/post pair they
+    // fence every pass, so a burst is localizable to one pass from the
+    // artifact alone (r11 verdict item 1's self-classification ask)
+    val calMid = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    passSizes.zipWithIndex.foreach { case (sz, pi) =>
+      if (pi > 0)
+        calMid += (((System.nanoTime() - suiteT0) / 1e9,
+          cpuProbeSec(), shuffleProbeSec(spark)))
+      val lastPass = pi == passSizes.length - 1
+      names.foreach { case (name, fn) =>
+        (1 to sz).foreach { r =>
+          val lastRun = lastPass && r == sz
+          if (lastRun) { metrics.settle(); metrics.reset() }
+          val at = (System.nanoTime() - suiteT0) / 1e9
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (lastRun) {
+            val (sh, sp) = metrics.settle()
+            shuffleMb(name) = sh / 1e6
+            spillMb(name) = sp / 1e6
+          }
+          samples(name) += ((dt, ok, at))
         }
-        (dt, ok)
+        // Cross-query cache hygiene: every query's persist()ed
+        // intermediates stay registered in the cache manager after its
+        // runs finish — nothing ever unpersists them — so over a
+        // 183-query suite the storage pool fills with dead blocks,
+        // execution memory shrinks (unified manager), and queries late
+        // in name order degrade at the MIN level on untouched plans
+        // (the r8 q142/q145/events-family cluster). Clearing BETWEEN
+        // queries keeps intra-query cache reuse (a pass's second run
+        // still hits the first's blocks via plan-match) while each
+        // query starts each pass from the same clean-JVM state the
+        // per-query numbers claim to measure.
+        spark.catalog.clearCache()
+        // ...and RDD-level persists: clearCache() only drops the SQL
+        // cache manager's blocks — a library path that persists RDDs
+        // internally (the MLlib comparison query q54) would otherwise
+        // leak storage-pool blocks across the remaining suite exactly
+        // like the r8 dead-block cluster.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      // Cross-query cache hygiene: every query's persist()ed
-      // intermediates stay registered in the cache manager after its
-      // runs finish — nothing ever unpersists them — so over a
-      // 171-query suite the storage pool fills with dead blocks,
-      // execution memory shrinks (unified manager), and queries late
-      // in name order degrade at the MIN level on untouched plans
-      // (the r8 q142/q145/events-family cluster). Clearing BETWEEN
-      // queries keeps intra-query cache reuse (runs 2..N still hit
-      // run 1's blocks via plan-match) while each query now starts
-      // from the same clean-JVM state the per-query numbers claim to
-      // measure.
-      spark.catalog.clearCache()
-      // ...and RDD-level persists: clearCache() only drops the SQL cache
-      // manager's blocks — a library path that persists RDDs internally
-      // (the MLlib comparison query q54 is the suspect in the driver's
-      // r9 q55 anomaly, which runs bench-adjacent to it) would otherwise
-      // leak storage-pool blocks across the remaining suite exactly like
-      // the r8 dead-block cluster.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val okTimes = times.collect { case (t, true) => t }.sorted
-      if (okTimes.isEmpty) (name, -1.0, -1.0, false, shuffleMb, spillMb)
-      else (name, okTimes(okTimes.size / 2), okTimes.head, true, shuffleMb, spillMb)
+    }
+    val timed = names.map { case (name, _) =>
+      val ss = samples(name)
+      val okTimes = ss.collect { case (t, true, _) => t }.sorted
+      val sh = shuffleMb.getOrElse(name, 0.0)
+      val sp = spillMb.getOrElse(name, 0.0)
+      if (okTimes.isEmpty) (name, -1.0, -1.0, false, sh, sp)
+      else (name, okTimes(okTimes.size / 2), okTimes.head, true, sh, sp)
     }
     // Calibration AFTER the suite: pre/post disagreement localizes a
     // contention burst to the run itself.
@@ -165,6 +209,27 @@ object Bench {
     val total = timed.collect { case (_, med, _, true, _, _) => med }.sum
     val totalMin = timed.collect { case (_, _, mn, true, _, _) => mn }.sum
     val cal = f""""calibration":{"cpu_pre_sec":$calCpuPre%.3f,"cpu_post_sec":$calCpuPost%.3f,"shuffle_pre_sec":$calShufPre%.3f,"shuffle_post_sec":$calShufPost%.3f}"""
+    // Between-pass probes: (suite offset, cpu probe, shuffle probe) —
+    // with pre/post these fence every pass, so any suspect number is
+    // attributable from the artifact (burst in pass k ⟹ the probes
+    // around pass k read high, and the query's other passes carry its
+    // honest samples).
+    val calMidJson = calMid.map { case (at, c, shf) =>
+      f"""{"at_sec":$at%.1f,"cpu_sec":$c%.3f,"shuffle_sec":$shf%.3f}"""
+    }.mkString("[", ",", "]")
+    // Full run detail: every sample's duration and wall-clock start
+    // offset in execution order (pass-major) — the raw material for
+    // localizing a burst to specific runs after the fact.
+    val detail = names.map { case (k, _) =>
+      val ss = samples(k)
+      val ts = ss.map { case (t, ok, _) =>
+        f"${if (ok) t else -1.0}%.3f" }.mkString("[", ",", "]")
+      val ats = ss.map { case (_, _, at) => f"$at%.1f" }.mkString("[", ",", "]")
+      s""""$k":{"t":$ts,"at":$ats}"""
+    }.mkString("{", ",", "}")
+    val passesJson = passSizes.mkString("[", ",", "]")
+    val onlyJson = only.map(_.toSeq.sorted.map(q => s"\"$q\"")
+      .mkString("[", ",", "]"))
     // The driver tail-captures stdout and parses the LAST JSON line; r3's
     // single giant line overflowed the capture window and orphaned the
     // headline number ("parsed": null). Detail maps therefore go on their
@@ -175,16 +240,25 @@ object Bench {
       s"""{"metric":"per_query_shuffle_mb","shuffle_mb":$sh}""",
       s"""{"metric":"per_query_spill_mb","spill_mb":$sp}""",
       s"""{"metric":"per_query_gap_outliers","note":"median/min >= 2.5x with median >= 0.5s: ambient load or one-time init, not a plan regression","gap_ratio":$gaps}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${timed.size},"failed":$failed,"runs":$runs,"agg":"median",$cal,"sf":"$sfDir"}""")
+      s"""{"metric":"per_query_run_detail","note":"per-run (sec, suite-offset sec), pass-major order; passes=$passesJson","runs":$detail}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${timed.size},"failed":$failed,"runs":$runs,"passes":$passesJson,"agg":"median",$cal,"calibration_mid":$calMidJson${onlyJson.fold("")(o => s""","only":$o""")},"sf":"$sfDir"}""")
     lines.foreach(println)
     // The stdout tail was truncated by the driver two rounds running,
     // losing the per-query map both times; a file in the repo root makes
     // that loss impossible (r4 verdict item 2). Best-effort: a read-only
     // CWD must not fail the bench itself.
+    //
+    // A SUBSET run (SPARK_GRAFT_BENCH_ONLY) writes its own file: its
+    // partial per-query map is indistinguishable in shape from a full
+    // run's, and an unconditional write silently replaced the committed
+    // full-run artifact (r11 verdict item 4 — the judge's targeted repro
+    // clobbered the driver's working-tree copy).
+    val outName =
+      if (only.isDefined) "bench_out.partial.json" else "bench_out.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), lines.mkString("", "\n", "\n"))
+      java.nio.file.Paths.get(outName), lines.mkString("", "\n", "\n"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json not written: $e") }
+      System.err.println(s"[bench] $outName not written: $e") }
     spark.stop()
   }
 }
