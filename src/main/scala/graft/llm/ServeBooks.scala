@@ -233,7 +233,13 @@ object ServeBooks {
     * the StreamAnnIndex convention). Built from [[graft.sources
     * .VecTakedown.servedEmbeddings]] like every index build, with the
     * row-local `graft_ivf_cell` assignment — zero shuffle before the
-    * partitioned write. */
+    * partitioned write. The generation is SELF-DESCRIBING: a `book`
+    * sidecar next to `data` carries the exact coarse-book doubles that
+    * assigned its cells, so maintenance jobs ([[refreshIfDrifted]],
+    * audits) can recover the frozen geometry from the path alone
+    * instead of sharing a live stream's memory. The sidecar is ensured
+    * write-if-absent AFTER the atomic publish (a crash in between
+    * self-heals on the next touch). */
   def annCellsPath(s: SparkSession, dir: String): String = {
     val book = coarse(s, dir)
     val fp = annCellsFp(s, dir)
@@ -244,8 +250,110 @@ object ServeBooks {
         .withColumn("corpus_fp", lit(ArtifactStore.embeddingsFp(s, dir)))
         .withColumn("cell", cell(book, col("v")))
     }
-    ArtifactStore.dataPath(AnnCellsKey, fp)
+    val dataPath = ArtifactStore.dataPath(AnnCellsKey, fp)
+    ensureBookSidecar(s, dataPath, book)
+    dataPath
   }
+
+  private def sidecarPath(dataPath: String): org.apache.hadoop.fs.Path = {
+    val data = new org.apache.hadoop.fs.Path(dataPath)
+    new org.apache.hadoop.fs.Path(data.getParent, "book")
+  }
+
+  /** Write the generation's frozen book next to its data (if absent):
+    * (cid, dim, cval) rows, temp-then-rename so a torn write can never
+    * read as a book. */
+  private def ensureBookSidecar(s: SparkSession, dataPath: String,
+                                book: Array[Array[Double]]): Unit = {
+    val p = sidecarPath(dataPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    import s.implicits._
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".book-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    (for { k <- book.indices; d <- book(k).indices }
+      yield (k.toLong, (d + 1).toLong, book(k)(d)))
+      .toDF("cid", "dim", "cval")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost a race: theirs won
+  }
+
+  /** The frozen coarse book that assigned a generation's cells, read
+    * back from the `book` sidecar next to `dataPath`. Fails loud when
+    * the sidecar is missing (a pre-sidecar generation): silently
+    * substituting the CURRENT corpus's book would compare a generation
+    * against itself and read zero drift forever. */
+  def generationBook(s: SparkSession, dataPath: String): Array[Array[Double]] = {
+    val p = sidecarPath(dataPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no book sidecar at $p — republish the generation (annCellsPath) " +
+        "before running maintenance against it")
+    val cents = Array.ofDim[Double](CoarseCells, VectorOps.Dim)
+    s.read.parquet(p.toString).select(col("cid"), col("dim"), col("cval"))
+      .collect().foreach { r =>
+        cents(r.getLong(0).toInt)(r.getLong(1).toInt - 1) = r.getDouble(2)
+      }
+    cents
+  }
+
+  /** Refresh when sqrt(mean over all (cell, dim) of (frozen−trained)²)
+    * exceeds this — the same displacement scale as [[graft.llm
+    * .CurationSnapshot.RefreezeRms]] and the same rationale: against
+    * this corpus family's ~0.1-magnitude components, 0.02 RMS means
+    * cells have moved a fifth of their scale and the frozen book's
+    * probe geometry no longer describes the corpus (recall decays,
+    * cells unbalance — q158/q159's readings). Below it, generation
+    * stability wins: every republish doubles the family's disk until
+    * GC, invalidates warm caches, and makes ops restart streams to
+    * adopt it, so refreshes must be rarer than corpus versions. */
+  val RefreshRms = 0.02
+
+  private def rmsDisplacement(a: Array[Array[Double]],
+                              b: Array[Array[Double]]): Double = {
+    var ss = 0.0; var n = 0
+    for (k <- a.indices; d <- a(k).indices) {
+      val dd = a(k)(d) - b(k)(d); ss += dd * dd; n += 1
+    }
+    math.sqrt(ss / n)
+  }
+
+  /** The serve-stack drift reading: RMS per-dim displacement between a
+    * RUNNING generation's frozen book (its sidecar) and the book
+    * trained for the corpus as it stands now (artifact-cached — the
+    * "fresh train" costs one build per corpus version, the
+    * refreezeIfDrifted economics). */
+  def serveDriftRms(s: SparkSession, dir: String,
+                    servingDataPath: String): Double =
+    rmsDisplacement(generationBook(s, servingDataPath), coarse(s, dir))
+
+  /** THE REFRESH POLICY (r11 verdict item 2) — the code path that
+    * turns q158/q159's drift readings into a retrain/republish
+    * decision, honoring the generation contract:
+    *
+    *  - **stable corpus → no-op** (returns None): the serving
+    *    generation remains the deployment; nothing trains, publishes,
+    *    or is deleted.
+    *  - **drifted corpus → retrain + republish** (returns
+    *    Some(newDataPath)): the current corpus's book (retrained
+    *    transparently by the fingerprint key) gets its OWN serve-cells
+    *    generation built and published — the path NEW streams should
+    *    pin.
+    *  - **live streams keep their frozen generation**: the serving
+    *    generation's files are never touched — a republish is purely
+    *    additive, so a stream pinned to `servingDataPath` answers
+    *    byte-identically across a background refresh (the spec proves
+    *    it); adopting the new generation is an operator's stream
+    *    restart, and the old generation is reclaimed later by
+    *    [[graft.ArtifactStore.gcKeepLatest]] (the janitor posture of
+    *    compaction/GC — nothing swaps under a live pipeline
+    *    implicitly). */
+  def refreshIfDrifted(s: SparkSession, dir: String,
+                       servingDataPath: String,
+                       threshold: Double = RefreshRms): Option[String] =
+    if (serveDriftRms(s, dir, servingDataPath) > threshold)
+      Some(annCellsPath(s, dir))
+    else None
 
   /** The published serve-cells generations BELONGING TO `dir`'s corpus
     * — each generation's rows carry their corpus fingerprint, read

@@ -1,0 +1,116 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.StreamAnnServe
+
+/** The drift-triggered serve-book refresh policy (r11 verdict item 2):
+  * a stable corpus is a no-op, a drifted corpus retrains and publishes
+  * a NEW generation, and a live serve stream pinned to the old
+  * generation answers byte-identically across the background refresh —
+  * the generation contract in action.
+  */
+class ServeBookRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bits(b: Array[Array[Double]]): Seq[Long] =
+    b.flatten.toSeq.map(java.lang.Double.doubleToLongBits)
+
+  test("stable corpus: no-op; drifted corpus: retrain + republish; " +
+    "live stream byte-unchanged across the background refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("serve_refresh").toString
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dirA = s"$tmp/a"; val dirB = s"$tmp/b"
+    try {
+      runScenario(full, dirA, dirB, s"$tmp/answers", s"$tmp/ckpt")
+    } finally {
+      // drop this spec's serve-cells generations: the fixture corpora
+      // share the main corpus's vec_id space, so a leaked generation
+      // would trip StreamAnnServeSpec's "no published generation holds
+      // the victim's bytes" sweep (same-id, DIFFERENT corpus — exactly
+      // the cross-corpus scoping that sweep is not about)
+      Seq(dirA, dirB).foreach { d =>
+        ServeBooks.annCellsFpsFor(spark, d).foreach(
+          graft.ArtifactStore.invalidate(ServeBooks.AnnCellsKey, _))
+      }
+    }
+  }
+
+  private def runScenario(full: org.apache.spark.sql.DataFrame,
+                          dirA: String, dirB: String,
+                          out: String, ckpt: String): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus A: the first 300 vectors, a deployment of its own
+    full.where(col("vec_id") < 300)
+      .write.parquet(s"$dirA/embeddings.parquet")
+    val pathA = ServeBooks.annCellsPath(spark, dirA)
+
+    // the generation is self-describing: its book sidecar carries the
+    // exact doubles that assigned its cells
+    assert(bits(ServeBooks.generationBook(spark, pathA)) ==
+      bits(ServeBooks.coarse(spark, dirA)),
+      "the sidecar must round-trip the frozen book bit-for-bit")
+
+    // STABLE corpus: drift is exactly zero, the policy is a no-op, and
+    // nothing new is published
+    val fpsBefore = graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).toSet
+    assert(ServeBooks.serveDriftRms(spark, dirA, pathA) == 0.0)
+    assert(ServeBooks.refreshIfDrifted(spark, dirA, pathA).isEmpty,
+      "a stable corpus must not trigger a refresh")
+    assert(graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).toSet ==
+      fpsBefore, "a no-op refresh must publish nothing")
+
+    // a live stream pins generation A and answers a batch
+    val queries = full.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamAnnServe.start(
+      stream.toDS().toDF("query_id", "qv"), dirA, out, ckpt)
+    val refreshed = try {
+      stream.addData(queries); q.processAllAvailable()
+
+      // DRIFTED corpus: same deployment, new corpus version whose
+      // geometry moved (every component negated — centroids flip sign,
+      // RMS displacement far above the threshold)
+      full.where(col("vec_id") < 300)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"),
+          col("label"))
+        .write.parquet(s"$dirB/embeddings.parquet")
+      assert(ServeBooks.serveDriftRms(spark, dirB, pathA) > ServeBooks.RefreshRms,
+        "witness: the negated corpus must read as drifted")
+      val r = ServeBooks.refreshIfDrifted(spark, dirB, pathA)
+      assert(r.isDefined, "a drifted corpus must retrain + republish")
+      val pathB = r.get
+      assert(pathB != pathA, "the refresh must be a NEW generation")
+      assert(bits(ServeBooks.generationBook(spark, pathB)) ==
+        bits(ServeBooks.coarse(spark, dirB)),
+        "the new generation must carry the retrained book")
+      // and the new generation is itself now stable
+      assert(ServeBooks.refreshIfDrifted(spark, dirB, pathB).isEmpty)
+
+      // the LIVE stream keeps its frozen generation: the same queries
+      // answered after the background refresh are byte-identical
+      stream.addData(queries); q.processAllAvailable()
+      pathB
+    } finally q.stop()
+
+    val answers = spark.read.parquet(out).collect().map { r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("neighbor_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")))
+    }
+    assert(answers.nonEmpty && answers.length % 2 == 0)
+    assert(answers.distinct.length == answers.length / 2,
+      "every (query, rank) must repeat with identical neighbor and " +
+        "cosine bits across the refresh")
+    assert(refreshed != pathA)
+    ()
+  }
+}
