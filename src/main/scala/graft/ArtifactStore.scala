@@ -230,6 +230,113 @@ object ArtifactStore {
                        (build: => DataFrame): DataFrame =
     parquetOnce(s, key, documentsFp(s, dir))(build).drop("fp")
 
+  // ------------------------------------------------------ delta generations
+
+  /** (carried docs, delta-built docs) of the last delta-path build per
+    * key — spec observability for "generation N+1 derived only the
+    * appended docs" (ArtifactDeltaSpec). Full builds record (-1, -1). */
+  private[graft] val deltaStats = new ConcurrentHashMap[String, (Long, Long)]()
+
+  /** The (doc_id, digest) sidecar recording WHICH corpus a generation
+    * was built from — the delta path's carry certificate. The digest is
+    * [[documentsRowDigest]], the SAME per-row hash the corpus
+    * fingerprint sums, so it certifies every fingerprinted column
+    * (doc_id, text, lang, source, n_chars) — a doc whose text survived
+    * a re-crawl but whose source moved is rebuilt, keeping the carry
+    * safe for any doc-local family, not just text-derived ones. */
+  private def docsSidecarPath(key: String, fp: Long): Path =
+    Paths.get(root, key, s"fp-$fp", "docs")
+
+  private def docKeysFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), documentsRowDigest.as("digest"))
+
+  private def ensureDocsSidecar(s: SparkSession, key: String, fp: Long,
+                                docKeys: DataFrame): Unit = {
+    val p = docsSidecarPath(key, fp)
+    if (Files.exists(p)) return
+    val tmp = Paths.get(root, key, s"fp-$fp",
+      s".docs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    docKeys.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      deleteRecursively(tmp) } // lost a race: theirs won
+  }
+
+  /** The newest OTHER published generation of `key` that carries a
+    * docs sidecar — the delta build's base. Sidecar-less generations
+    * (crash before the ensure, pre-delta era) are skipped: without the
+    * certificate nothing can be carried. */
+  private def priorGeneration(key: String, fp: Long): Option[Long] =
+    publishedFps(key)
+      .filter(p => p != fp && Files.exists(docsSidecarPath(key, p)))
+      .sortBy(p => Files.getLastModifiedTime(
+        Paths.get(root, key, s"fp-$p", "manifest.json")).toMillis)
+      .lastOption
+
+  /** [[documentsArtifact]] for CORPUS-LINEAR, DOC-LOCAL families
+    * (every output row is a pure function of its own document's
+    * content — shingle hashes, minhash signatures): generation N+1 is
+    * built from generation N plus the document delta instead of
+    * re-deriving the whole corpus (r11 verdict item 3 — at 100 TB you
+    * cannot re-shingle the corpus because 1 GB arrived). q87's digest
+    * anti-join idiom, applied to the store itself:
+    *
+    *  - each generation publishes a (doc_id, digest) sidecar naming
+    *    the exact corpus it was built from;
+    *  - the next corpus version CARRIES the prior generation's rows
+    *    for every doc whose (doc_id, digest) is unchanged — doc-local
+    *    derivation makes those rows byte-identical to a fresh build by
+    *    construction — and runs `buildFor` ONLY over the changed/new
+    *    docs (removed docs drop out of the carry semi-join);
+    *  - no prior generation (first touch, or every prior invalidated
+    *    by the takedown cascade) → full build, same as
+    *    [[documentsArtifact]].
+    *
+    * Scale shape: the derive cost (shingle explode + md5 + 16
+    * permutations per shingle — the dominant term) becomes O(delta);
+    * what stays corpus-linear is one digest SCAN of the new corpus
+    * (the unavoidable certificate — md5 of each text, computed once
+    * via localCheckpoint and reused by both joins) and the carried
+    * rows' REWRITE into the new generation (sequential parquet I/O; a
+    * partition-level carry could remove even that, documented as the
+    * next step if append cadence ever makes the copy the bottleneck).
+    * The quadratic audit families (brute_pair_stats_v1,
+    * banded_cand_nmatch_v1) deliberately keep full rebuild: their rows
+    * are PAIR-local, so an appended doc invalidates rows it never
+    * appears in. */
+  def documentsDeltaArtifact(s: SparkSession, dir: String, key: String)
+                            (buildFor: DataFrame => DataFrame): DataFrame = {
+    val fp = documentsFp(s, dir)
+    val docs = Tables.documents(s, dir)
+    val out = parquetOnce(s, key, fp) {
+      priorGeneration(key, fp) match {
+        case Some(pfp) =>
+          val priorKeys = s.read.parquet(docsSidecarPath(key, pfp).toString)
+          val curKeys = docKeysFrame(docs).localCheckpoint()
+          val unchangedIds = curKeys
+            .join(priorKeys, Seq("doc_id", "digest"), "left_semi")
+            .select(col("doc_id"))
+          val changedIds = curKeys
+            .join(priorKeys, Seq("doc_id", "digest"), "left_anti")
+            .select(col("doc_id"))
+          deltaStats.put(key, (unchangedIds.count(), changedIds.count()))
+          val fresh = buildFor(
+            docs.join(changedIds, Seq("doc_id"), "left_semi"))
+          val carried = s.read.parquet(s"${dataPath(key, pfp)}").drop("fp")
+            .join(unchangedIds, Seq("doc_id"), "left_semi")
+          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
+        case None =>
+          deltaStats.put(key, (-1L, -1L))
+          buildFor(docs)
+      }
+    }
+    // write-if-absent AFTER the atomic publish (a crash in between
+    // self-heals on the next touch; a sidecar-less generation is simply
+    // never used as a delta base)
+    ensureDocsSidecar(s, key, fp, docKeysFrame(docs))
+    out.drop("fp")
+  }
+
   /** Janitor: keep the `keep` most recently PUBLISHED fingerprints of
     * `key`, delete the rest (manifest write time orders publications).
     * Corpus versions accumulate one fp dir per regeneration; a

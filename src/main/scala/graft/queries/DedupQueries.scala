@@ -33,10 +33,13 @@ object DedupQueries {
     * query md5s or xxhashes a 3-gram shingle anymore. Its h-projection
     * is exactly the shingle store [[graft.streaming.StreamDupEdges]]
     * maintains live. In the takedown cascade like every
-    * documents-derived key. */
+    * documents-derived key. DELTA-GENERATIONAL (r11 verdict item 3):
+    * the per-doc shingle rows are doc-local, so a corpus append
+    * re-shingles only the appended docs and carries the rest from the
+    * prior generation ([[graft.ArtifactStore.documentsDeltaArtifact]]). */
   private[graft] def shingleHashes3(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "shingle_hashes3_v1")(
-      Dedup.shingles(Tables.documents(s, dir), 3)
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "shingle_hashes3_v1")(
+      docs => Dedup.shingles(docs, 3)
         .select(col("doc_id"), Dedup.minhashTokenX(col("s")).as("x"),
           xxhash64(col("s")).as("h")))
 
@@ -47,10 +50,11 @@ object DedupQueries {
     * (q76 keeps its inline shingling by necessity: it shingles an
     * AUGMENTED corpus with planted contamination, not the raw table).
     * No minhash x column — this family never signs, it only joins on
-    * the 8-byte key. In the takedown cascade. */
+    * the 8-byte key. In the takedown cascade. Delta-generational like
+    * its 3-gram twin. */
   private[graft] def shingleHashes8(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "shingle_hashes8_v1")(
-      Dedup.shingles(Tables.documents(s, dir), 8)
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "shingle_hashes8_v1")(
+      docs => Dedup.shingles(docs, 8)
         .select(col("doc_id"), xxhash64(col("s")).as("h")))
 
   /** The brute TRUTH FACTS every dedup audit re-derived per query:
@@ -89,10 +93,14 @@ object DedupQueries {
     * corpus, and every banding consumer (q27's LSH path, the
     * q175/q180/q182 audits) reads 17 longs per document instead of
     * re-hashing the corpus. Unlike [[brutePairStats]] (audit-only —
-    * pair-quadratic), this artifact is the SERVE path's own state. */
+    * pair-quadratic), this artifact is the SERVE path's own state.
+    * Delta-generational: a doc's signature is a pure aggregate of its
+    * own shingle x-values, so an append signs only the appended docs —
+    * read from the (delta-built) shingle artifact, hash-once intact. */
   private[graft] def minhashSig3(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "minhash_sig3_v1")(
-      Dedup.minhashSigFromX(shingleHashes3(s, dir)))
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "minhash_sig3_v1")(
+      docs => Dedup.minhashSigFromX(shingleHashes3(s, dir)
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")))
 
   /** The banded CANDIDATE pairs with their signature agreement
     * (`banded_cand_nmatch_v1`, documents fingerprint): every (da, db)
