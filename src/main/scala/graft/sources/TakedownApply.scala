@@ -85,12 +85,19 @@ object TakedownApply {
     * version and op='D' kept) — erasure is retroactive: the doc reads
     * as deleted at EVERY boundary, while version-suppression of late
     * upserts still works and unflagged history is byte-unchanged.
-    * Idempotent: a second pass rewrites tombstones to themselves. */
-  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit =
+    * Idempotent: a second pass rewrites tombstones to themselves.
+    * Discovery is pruned to the [[LogBloom]] candidate batches (the
+    * batch_id conjunct partition-prunes the scan), so deep-history
+    * logs pay per-candidate-partition, not per-log; batches without a
+    * readable bloom stay candidates — legacy logs scrub exactly as
+    * before. */
+  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit = {
+    val cands = LogBloom.candidateBatches(s, log, flagged)
+    if (cands.isEmpty) return
     // touch = a flagged doc's row not yet in tombstone form (so a
     // second pass rewrites nothing — idempotent)
     PartitionScrub.rewriteTouched(s, log, "batch_id",
-      col("docId").isin(flagged: _*) &&
+      col("batch_id").isin(cands: _*) && col("docId").isin(flagged: _*) &&
         (col("op") =!= "D" || col("text") =!= "")) { rows =>
       rows.select(col("docId"), col("ver"),
         when(col("docId").isin(flagged: _*), lit("D"))
@@ -99,16 +106,21 @@ object TakedownApply {
           .otherwise(col("text")).as("text"),
         col("batch_id"))
     }
+  }
 
   /** Leg 5: same retroactive erasure for the search index's
     * time-travel log ([[graft.streaming.StreamIndexCompact]]'s
     * `log/` layout) — index rows ARE content-derived (the terms), so
     * flagged docs' rows are DROPPED from every touched batch
-    * partition: retroactively the doc was never indexed. */
+    * partition: retroactively the doc was never indexed. Discovery is
+    * [[LogBloom]]-pruned like [[scrubMergeLog]]. */
   def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
     Seq("log/postings", "log/doclens").foreach { sub =>
-      PartitionScrub.dropRows(s, s"$target/$sub", "batch_id",
-        col("doc_id").isin(flagged: _*))
+      val log = s"$target/$sub"
+      val cands = LogBloom.candidateBatches(s, log, flagged)
+      if (cands.nonEmpty)
+        PartitionScrub.dropRows(s, log, "batch_id",
+          col("batch_id").isin(cands: _*) && col("doc_id").isin(flagged: _*))
     }
 
   /** Leg 3: invalidate every documents-derived artifact family for the

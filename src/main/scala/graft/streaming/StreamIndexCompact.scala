@@ -90,6 +90,10 @@ object StreamIndexCompact {
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").mode("overwrite")
         .parquet(s"$target/$sub")
+      // per-batch doc-id bloom for the scrub's partition pruning
+      // (graft.sources.LogBloom)
+      graft.sources.LogBloom.record(s, s"$target/$sub", batchId,
+        df.select(col("doc_id")))
     }
   }
 

@@ -51,6 +51,11 @@ object StreamMergeSink {
       incoming.drop("bucket").withColumn("batch_id", lit(batchId))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").mode("overwrite").parquet(lp)
+      // per-batch doc-id bloom: the takedown scrub's partition-pruning
+      // certificate (graft.sources.LogBloom — deep-history logs stop
+      // paying full-store discovery per takedown)
+      graft.sources.LogBloom.record(s, lp, batchId,
+        incoming.select(col("docId")))
     }
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getLong(0))
