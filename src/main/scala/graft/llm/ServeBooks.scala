@@ -221,43 +221,135 @@ object ServeBooks {
     h
   }
 
+  private def cellsFpOf(corpusFp: Long, book: Array[Array[Double]]): Long =
+    ((corpusFp * 1000003L) ^ bookDigest(book)) & Long.MaxValue
+
   /** Artifact id for the serve-cells generation: corpus fingerprint ⊗
     * book digest (non-negative for the `fp-` dir name). */
   def annCellsFp(s: SparkSession, dir: String): Long =
-    ((ArtifactStore.embeddingsFp(s, dir) * 1000003L) ^
-      bookDigest(coarse(s, dir))) & Long.MaxValue
+    cellsFpOf(ArtifactStore.embeddingsFp(s, dir), coarse(s, dir))
 
   /** Publish-if-absent and return the DATA PATH of the current
     * generation's serve-cells artifact — the path a serve stream pins
     * at start (freezing both book and cells; a retrain is a NEW stream,
-    * the StreamAnnIndex convention). Built from [[graft.sources
+    * the StreamAnnIndex convention). [[annCellsPathFor]] with the
+    * corpus's own trained book. */
+  def annCellsPath(s: SparkSession, dir: String): String =
+    annCellsPathFor(s, dir, coarse(s, dir))
+
+  /** Publish-if-absent the serve-cells generation of `dir`'s corpus
+    * under an EXPLICIT book — the corpus's freshly trained one
+    * ([[annCellsPath]]) or a serving generation's frozen one (the
+    * refresh policy's Extended arm). Built from [[graft.sources
     * .VecTakedown.servedEmbeddings]] like every index build, with the
     * row-local `graft_ivf_cell` assignment — zero shuffle before the
-    * partitioned write. The generation is SELF-DESCRIBING: a `book`
-    * sidecar next to `data` carries the exact coarse-book doubles that
-    * assigned its cells, so maintenance jobs ([[refreshIfDrifted]],
-    * audits) can recover the frozen geometry from the path alone
-    * instead of sharing a live stream's memory. The sidecar is ensured
-    * write-if-absent AFTER the atomic publish (a crash in between
-    * self-heals on the next touch). */
-  def annCellsPath(s: SparkSession, dir: String): String = {
-    val book = coarse(s, dir)
-    val fp = annCellsFp(s, dir)
+    * partitioned write.
+    *
+    * DELTA CARRY (the documents-side documentsDeltaArtifact applied to
+    * vectors): cell assignment is VEC-LOCAL given a book, so when a
+    * prior generation with the SAME book digest exists (a corpus
+    * append served under a kept book), its rows are carried for every
+    * vector whose (vec_id, row-digest) is unchanged — the certificate
+    * is [[ArtifactStore.embeddingsRowDigest]], the corpus
+    * fingerprint's own per-row hash — and only the delta vectors are
+    * assigned fresh. A retrained book digests differently, finds no
+    * same-book prior, and full-builds; tombstoned vectors are absent
+    * from the current served keys and drop out of the carry.
+    *
+    * The generation is SELF-DESCRIBING: a `book` sidecar carries the
+    * exact doubles that assigned its cells, a `vecs` sidecar the
+    * (vec_id, digest) certificate — both ensured write-if-absent AFTER
+    * the atomic publish (a crash in between self-heals on next touch). */
+  def annCellsPathFor(s: SparkSession, dir: String,
+                      book: Array[Array[Double]]): String = {
+    val corpusFp = ArtifactStore.embeddingsFp(s, dir)
+    val fp = cellsFpOf(corpusFp, book)
+    val served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
     ArtifactStore.parquetOncePartitioned(s, AnnCellsKey, fp, Seq("cell")) {
-      graft.sources.VecTakedown.servedEmbeddings(s, dir)
+      val full = served
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))
-        .withColumn("corpus_fp", lit(ArtifactStore.embeddingsFp(s, dir)))
+        .withColumn("corpus_fp", lit(corpusFp))
         .withColumn("cell", cell(book, col("v")))
+      priorSameBookGeneration(s, fp, book) match {
+        case Some(pfp) =>
+          val priorKeys = s.read.parquet(
+            vecsSidecarPath(ArtifactStore.dataPath(AnnCellsKey, pfp)).toString)
+          val curKeys = served
+            .select(col("vec_id"),
+              ArtifactStore.embeddingsRowDigest.as("digest"))
+            .localCheckpoint()
+          val unchanged = curKeys
+            .join(priorKeys, Seq("vec_id", "digest"), "left_semi")
+            .select(col("vec_id"))
+          val changed = curKeys
+            .join(priorKeys, Seq("vec_id", "digest"), "left_anti")
+            .select(col("vec_id"))
+          ArtifactStore.deltaStats.put(AnnCellsKey,
+            (unchanged.count(), changed.count()))
+          val fresh = full.join(changed, Seq("vec_id"), "left_semi")
+          val carried = s.read
+            .parquet(ArtifactStore.dataPath(AnnCellsKey, pfp)).drop("fp")
+            .join(unchanged, Seq("vec_id"), "left_semi")
+            .withColumn("corpus_fp", lit(corpusFp))
+            .withColumn("cell", col("cell").cast(LongType))
+          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
+        case None =>
+          ArtifactStore.deltaStats.put(AnnCellsKey, (-1L, -1L))
+          full
+      }
     }
     val dataPath = ArtifactStore.dataPath(AnnCellsKey, fp)
     ensureBookSidecar(s, dataPath, book)
+    ensureVecsSidecar(s, dataPath,
+      served.select(col("vec_id"),
+        ArtifactStore.embeddingsRowDigest.as("digest")))
     dataPath
+  }
+
+  /** The newest OTHER published serve-cells generation whose frozen
+    * book digests identically to `book` AND carries a vecs sidecar —
+    * the delta carry's base. Book comparison reads each candidate's
+    * 2,048-row sidecar (metadata-priced, bounded by generation count). */
+  private def priorSameBookGeneration(s: SparkSession, fp: Long,
+      book: Array[Array[Double]]): Option[Long] = {
+    val want = bookDigest(book)
+    ArtifactStore.publishedFps(AnnCellsKey)
+      .filter(_ != fp)
+      .filter { p =>
+        val dp = ArtifactStore.dataPath(AnnCellsKey, p)
+        val fs = sidecarPath(dp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.exists(sidecarPath(dp)) && fs.exists(vecsSidecarPath(dp)) &&
+          bookDigest(generationBook(s, dp)) == want
+      }
+      .sortBy(p => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(ArtifactStore.dataPath(AnnCellsKey, p))
+          .getParent.resolve("manifest.json")).toMillis)
+      .lastOption
   }
 
   private def sidecarPath(dataPath: String): org.apache.hadoop.fs.Path = {
     val data = new org.apache.hadoop.fs.Path(dataPath)
     new org.apache.hadoop.fs.Path(data.getParent, "book")
+  }
+
+  private def vecsSidecarPath(dataPath: String): org.apache.hadoop.fs.Path = {
+    val data = new org.apache.hadoop.fs.Path(dataPath)
+    new org.apache.hadoop.fs.Path(data.getParent, "vecs")
+  }
+
+  /** Write the generation's (vec_id, digest) carry certificate next to
+    * its data (if absent) — [[annCellsPathFor]]'s delta base. */
+  private def ensureVecsSidecar(s: SparkSession, dataPath: String,
+                                keys: org.apache.spark.sql.DataFrame): Unit = {
+    val p = vecsSidecarPath(dataPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    keys.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost a race: theirs won
   }
 
   /** Write the generation's frozen book next to its data (if absent):
@@ -327,33 +419,59 @@ object ServeBooks {
                     servingDataPath: String): Double =
     rmsDisplacement(generationBook(s, servingDataPath), coarse(s, dir))
 
+  /** [[refreshIfDrifted]]'s outcome — which arm of the policy fired
+    * and, when something was published, the path new streams should
+    * pin. */
+  sealed trait RefreshDecision
+  /** The serving generation already describes the corpus: nothing
+    * trains, publishes, or is deleted. */
+  case object Stable extends RefreshDecision
+  /** The corpus changed but the frozen book still describes it (drift
+    * ≤ threshold): the new corpus's generation was published UNDER THE
+    * FROZEN BOOK, delta-carried from the serving generation — appended
+    * vectors get served without a book retrain or a codebook swap. */
+  case class Extended(dataPath: String) extends RefreshDecision
+  /** Drift exceeded the threshold: the corpus's book retrained and its
+    * own full generation was published. */
+  case class Retrained(dataPath: String) extends RefreshDecision
+
   /** THE REFRESH POLICY (r11 verdict item 2) — the code path that
     * turns q158/q159's drift readings into a retrain/republish
     * decision, honoring the generation contract:
     *
-    *  - **stable corpus → no-op** (returns None): the serving
-    *    generation remains the deployment; nothing trains, publishes,
-    *    or is deleted.
-    *  - **drifted corpus → retrain + republish** (returns
-    *    Some(newDataPath)): the current corpus's book (retrained
-    *    transparently by the fingerprint key) gets its OWN serve-cells
-    *    generation built and published — the path NEW streams should
-    *    pin.
-    *  - **live streams keep their frozen generation**: the serving
-    *    generation's files are never touched — a republish is purely
-    *    additive, so a stream pinned to `servingDataPath` answers
-    *    byte-identically across a background refresh (the spec proves
-    *    it); adopting the new generation is an operator's stream
-    *    restart, and the old generation is reclaimed later by
-    *    [[graft.ArtifactStore.gcKeepLatest]] (the janitor posture of
-    *    compaction/GC — nothing swaps under a live pipeline
-    *    implicitly). */
+    *  - **unchanged corpus → [[Stable]]**: the serving generation IS
+    *    the (corpus, book) generation; nothing happens.
+    *  - **appended corpus, drift within threshold → [[Extended]]**:
+    *    verdict stability's vector twin — the frozen book keeps
+    *    serving, but the NEW corpus's generation is published under it
+    *    (delta-carried: only the appended/changed vectors are
+    *    assigned; [[annCellsPathFor]]), so batch appends reach serving
+    *    without retraining, re-encoding, or a probe-geometry swap.
+    *  - **drift beyond threshold → [[Retrained]]**: the current
+    *    corpus's book (retrained transparently by the fingerprint key)
+    *    gets its OWN full generation — frozen geometry no longer
+    *    describes the corpus, so extension would entrench stale cells.
+    *  - **live streams keep their frozen generation** in every arm:
+    *    publishes are purely additive, so a stream pinned to
+    *    `servingDataPath` answers byte-identically across a background
+    *    refresh (the spec proves it); adopting a new generation is an
+    *    operator's stream restart, and old generations are reclaimed
+    *    by [[graft.ArtifactStore.gcKeepLatest]] (the janitor posture —
+    *    nothing swaps under a live pipeline implicitly).
+    *
+    * The drift reading trains the new corpus's book even on the
+    * Extended arm (that IS the reading — refreezeIfDrifted's
+    * economics: one artifact-cached train per corpus version). */
   def refreshIfDrifted(s: SparkSession, dir: String,
                        servingDataPath: String,
-                       threshold: Double = RefreshRms): Option[String] =
-    if (serveDriftRms(s, dir, servingDataPath) > threshold)
-      Some(annCellsPath(s, dir))
-    else None
+                       threshold: Double = RefreshRms): RefreshDecision = {
+    val frozen = generationBook(s, servingDataPath)
+    val curFp = cellsFpOf(ArtifactStore.embeddingsFp(s, dir), frozen)
+    if (ArtifactStore.dataPath(AnnCellsKey, curFp) == servingDataPath) Stable
+    else if (serveDriftRms(s, dir, servingDataPath) > threshold)
+      Retrained(annCellsPath(s, dir))
+    else Extended(annCellsPathFor(s, dir, frozen))
+  }
 
   /** The published serve-cells generations BELONGING TO `dir`'s corpus
     * — each generation's rows carry their corpus fingerprint, read

@@ -24,16 +24,16 @@ class ServeBookRefreshSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("serve_refresh").toString
     val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val dirA = s"$tmp/a"; val dirB = s"$tmp/b"
+    val dirA = s"$tmp/a"; val dirB = s"$tmp/b"; val dirC = s"$tmp/c"
     try {
-      runScenario(full, dirA, dirB, s"$tmp/answers", s"$tmp/ckpt")
+      runScenario(full, dirA, dirB, dirC, s"$tmp/answers", s"$tmp/ckpt")
     } finally {
       // drop this spec's serve-cells generations: the fixture corpora
       // share the main corpus's vec_id space, so a leaked generation
       // would trip StreamAnnServeSpec's "no published generation holds
       // the victim's bytes" sweep (same-id, DIFFERENT corpus — exactly
       // the cross-corpus scoping that sweep is not about)
-      Seq(dirA, dirB).foreach { d =>
+      Seq(dirA, dirB, dirC).foreach { d =>
         ServeBooks.annCellsFpsFor(spark, d).foreach(
           graft.ArtifactStore.invalidate(ServeBooks.AnnCellsKey, _))
       }
@@ -41,7 +41,7 @@ class ServeBookRefreshSpec extends SparkSpec {
   }
 
   private def runScenario(full: org.apache.spark.sql.DataFrame,
-                          dirA: String, dirB: String,
+                          dirA: String, dirB: String, dirC: String,
                           out: String, ckpt: String): Unit = {
     implicit val sqlCtx = spark.sqlContext
     // corpus A: the first 300 vectors, a deployment of its own
@@ -59,10 +59,50 @@ class ServeBookRefreshSpec extends SparkSpec {
     // nothing new is published
     val fpsBefore = graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).toSet
     assert(ServeBooks.serveDriftRms(spark, dirA, pathA) == 0.0)
-    assert(ServeBooks.refreshIfDrifted(spark, dirA, pathA).isEmpty,
+    assert(ServeBooks.refreshIfDrifted(spark, dirA, pathA) == ServeBooks.Stable,
       "a stable corpus must not trigger a refresh")
     assert(graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).toSet ==
       fpsBefore, "a no-op refresh must publish nothing")
+
+    // APPENDED corpus within the drift threshold → EXTENDED: the new
+    // corpus's generation is published UNDER THE FROZEN BOOK, carrying
+    // the 300 unchanged vectors and assigning only the 50 appended ones
+    full.where(col("vec_id") < 350)
+      .write.parquet(s"$dirC/embeddings.parquet")
+    val ext = ServeBooks.refreshIfDrifted(spark, dirC, pathA,
+      threshold = Double.MaxValue) // force the within-threshold arm
+    val pathC = ext match {
+      case ServeBooks.Extended(p) => p
+      case other => fail(s"append within threshold must Extend, got $other")
+    }
+    assert(pathC != pathA, "the extension must be a NEW generation")
+    assert(bits(ServeBooks.generationBook(spark, pathC)) ==
+      bits(ServeBooks.coarse(spark, dirA)),
+      "the extended generation must keep the FROZEN book")
+    assert(graft.ArtifactStore.deltaStats.get(ServeBooks.AnnCellsKey) ==
+      ((300L, 50L)),
+      s"extension must carry 300 vectors and assign only the 50 new: " +
+        s"${graft.ArtifactStore.deltaStats.get(ServeBooks.AnnCellsKey)}")
+    // the delta-carried generation equals a from-scratch assignment of
+    // the grown corpus under the frozen book, and every row carries the
+    // NEW corpus's fingerprint
+    val bookA = ServeBooks.coarse(spark, dirA)
+    val expectedC = full.where(col("vec_id") < 350)
+      .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .withColumn("cell", ServeBooks.cell(bookA, col("v")))
+    def cellRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell").cast("long"), col("nrm"), col("v"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getSeq[Double](3))
+      }.toSet
+    assert(cellRows(spark.read.parquet(pathC)) == cellRows(expectedC),
+      "delta-carried cells must equal the from-scratch frozen-book build")
+    assert(spark.read.parquet(pathC)
+      .where(col("corpus_fp") =!=
+        graft.ArtifactStore.embeddingsFp(spark, dirC)).count() == 0L,
+      "carried rows must be re-stamped with the new corpus fingerprint")
 
     // a live stream pins generation A and answers a batch
     val queries = full.where(col("vec_id") < 10)
@@ -85,15 +125,17 @@ class ServeBookRefreshSpec extends SparkSpec {
         .write.parquet(s"$dirB/embeddings.parquet")
       assert(ServeBooks.serveDriftRms(spark, dirB, pathA) > ServeBooks.RefreshRms,
         "witness: the negated corpus must read as drifted")
-      val r = ServeBooks.refreshIfDrifted(spark, dirB, pathA)
-      assert(r.isDefined, "a drifted corpus must retrain + republish")
-      val pathB = r.get
+      val pathB = ServeBooks.refreshIfDrifted(spark, dirB, pathA) match {
+        case ServeBooks.Retrained(p) => p
+        case other => fail(s"a drifted corpus must Retrain, got $other")
+      }
       assert(pathB != pathA, "the refresh must be a NEW generation")
       assert(bits(ServeBooks.generationBook(spark, pathB)) ==
         bits(ServeBooks.coarse(spark, dirB)),
         "the new generation must carry the retrained book")
       // and the new generation is itself now stable
-      assert(ServeBooks.refreshIfDrifted(spark, dirB, pathB).isEmpty)
+      assert(ServeBooks.refreshIfDrifted(spark, dirB, pathB) ==
+        ServeBooks.Stable)
 
       // the LIVE stream keeps its frozen generation: the same queries
       // answered after the background refresh are byte-identical
