@@ -264,7 +264,7 @@ object ServeBooks {
                       book: Array[Array[Double]]): String = {
     val corpusFp = ArtifactStore.embeddingsFp(s, dir)
     val fp = cellsFpOf(corpusFp, book)
-    val served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
     ArtifactStore.parquetOncePartitioned(s, AnnCellsKey, fp, Seq("cell")) {
       val full = served
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
@@ -340,9 +340,11 @@ object ServeBooks {
   }
 
   /** Write the generation's (vec_id, digest) carry certificate next to
-    * its data (if absent) — [[annCellsPathFor]]'s delta base. */
+    * its data (if absent) — [[annCellsPathFor]]'s delta base. `keys`
+    * is BY-NAME: the existence check is the serve hot path and must
+    * not construct the served-embeddings frame per call. */
   private def ensureVecsSidecar(s: SparkSession, dataPath: String,
-                                keys: org.apache.spark.sql.DataFrame): Unit = {
+                                keys: => org.apache.spark.sql.DataFrame): Unit = {
     val p = vecsSidecarPath(dataPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) return
