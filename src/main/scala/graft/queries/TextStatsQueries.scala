@@ -420,6 +420,22 @@ object TextStatsQueries {
           col("rep_keep") && col("sample_keep")).as("verdict"))
       .orderBy(col("doc_id"))
 
+  /** The ROW-LOCAL flag columns as their own DELTA-GENERATIONAL
+    * artifact (`verdict_rowflags_v1`): every column (incl. the digest)
+    * is a pure function of its document's row, and these are the
+    * EXPENSIVE columns — tokenization, language-ID, quality score, the
+    * bigram cascade — so a corpus append re-scores only the appended
+    * docs and carries the rest
+    * ([[graft.ArtifactStore.documentsDeltaArtifact]]; r11 verdict
+    * item 3's third named family). The one cross-document column
+    * (is_canonical) deliberately does NOT live here: a carried row's
+    * canonical slot can flip when a smaller-id duplicate arrives, so
+    * it is recomputed by [[verdictFlags]]' window over the stored
+    * digests — a digest-sized shuffle, never a re-score. */
+  private def verdictRowFlagsArt(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "verdict_rowflags_v1")(
+      verdictRowFlags)
+
   /** q75's per-document gate flags with the accounting columns (source,
     * token count) riding along — shared by the per-doc verdict and
     * q140's stage funnel, so both report the SAME decisions.
@@ -429,13 +445,23 @@ object TextStatsQueries {
     * costs a digest window + the bigram cascade per evaluation, and
     * BOTH consumers re-ran it per query; a curation pipeline reads the
     * decisions many times per corpus and must recompute them zero
-    * times. Invalidated by the takedown cascade
+    * times. Built FROM the delta-generational row-flags artifact (the
+    * same canonical-window expression over the STORED rows — rows are
+    * bit-identical to the direct build, which the spec pins), so a
+    * corpus append pays delta re-scoring + one digest window, never a
+    * corpus re-score. Invalidated by the takedown cascade
     * ([[graft.sources.TakedownApply.DocArtifactKeys]]) like every
     * documents-derived family. Oracles recompute from the corpus in
     * SQL, unchanged. */
   private def verdictFlags(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "verdict_flags_v1")(
-      buildVerdictFlags(s, dir))
+    graft.ArtifactStore.documentsArtifact(s, dir, "verdict_flags_v1") {
+      val canon = min(col("doc_id")).over(Window.partitionBy(col("digest")))
+      verdictRowFlagsArt(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("doc_id") === canon).as("is_canonical"),
+          col("lang_ok"), col("quality_ok"), col("rep_keep"),
+          col("sample_keep"))
+    }
 
   private[queries] def buildVerdictFlags(s: SparkSession, dir: String): DataFrame =
     verdictFlagsOver(Tables.documents(s, dir))

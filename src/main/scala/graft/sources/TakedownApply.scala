@@ -41,6 +41,7 @@ object TakedownApply {
   val DocArtifactKeys: Seq[String] =
     Seq("minhash_pairs_v1", "cluster_labels_v1", "dup_edges_v1",
       "postings_v1", "doclens_v1", "verdict_flags_v1",
+      "verdict_rowflags_v1",
       "brute_pair_stats_v1", "minhash_sig3_v1", "shingle_hashes3_v1",
       "banded_cand_nmatch_v1", "shingle_hashes8_v1")
 

@@ -100,4 +100,48 @@ class ArtifactDeltaSpec extends SparkSpec {
       .where(col("doc_id") === 5).count() == 0L,
       "the removed doc must have no rows in the new generation")
   }
+
+  test("verdict flags: delta-built row flags + recomputed canonical " +
+    "equal the direct build, duplicate appends flipping nothing wrongly") {
+    val tmp = Files.createTempDirectory("verdict_delta").toString
+    val salt = s"vsalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    val docsA = base.where(col("doc_id") < 200)
+    val dirA = writeCorpus(s"$tmp/a", docsA)
+
+    def q75(dir: String) = graft.SparkEntry
+      .queries("q75_curation_verdict")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    def direct(docs: org.apache.spark.sql.DataFrame) =
+      graft.queries.TextStatsQueries.verdictOver(
+        graft.queries.TextStatsQueries.verdictFlagsOver(
+          docs.select(col("doc_id"), col("lang"), col("source"), col("text"))))
+        .collect().map(_.toSeq).toSet
+    assert(q75(dirA) == direct(docsA),
+      "generation A's flags must equal the direct build")
+
+    // corpus B: A + 29 new docs + one APPENDED DUPLICATE of doc 10's
+    // text at id 900 — its row flags are fresh-built, but the canonical
+    // decision must come from the window over ALL stored rows: doc 10
+    // keeps the slot, the late dup never takes it
+    val dup = docsA.where(col("doc_id") === 10)
+      .select(lit(900L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val fresh = base.where(col("doc_id") >= 200 && col("doc_id") < 229)
+    val docsB = docsA.unionByName(fresh).unionByName(dup)
+    val dirB = writeCorpus(s"$tmp/b", docsB)
+    assert(q75(dirB) == direct(docsB),
+      "the delta-built flags must equal the direct build over B")
+    assert(ArtifactStore.deltaStats.get("verdict_rowflags_v1") ==
+      ((200L, 30L)),
+      s"append must re-score only the 30 new rows: " +
+        s"${ArtifactStore.deltaStats.get("verdict_rowflags_v1")}")
+    val canon = graft.SparkEntry.queries("q75_curation_verdict")(spark, dirB)
+      .select(col("doc_id"), col("is_canonical"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(canon(10L), "the carried doc must keep its canonical slot")
+    assert(!canon(900L), "the appended duplicate must not be canonical")
+  }
 }
