@@ -45,9 +45,13 @@ object ServeBooks {
   val PqResKey =
     s"pq_res_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
   /** The encoded corpus (cell + codeword ids per vector) — q164's
-    * precomputed index; keyed by the full geometry like [[PqResKey]]. */
+    * precomputed index; keyed by the full geometry like [[PqResKey]].
+    * v2: generation ids fold in the BOOK digests (coarse + residual)
+    * and rows carry `corpus_fp`, so the family is delta-generational
+    * under kept books ([[pqResCodesFor]]) and corpus-scoped
+    * maintenance can enumerate its generations. */
   val PqResCodesKey =
-    s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
+    s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v2"
   /** q106's exact per-dim (min, max) scale table — the int8 family's
     * model state. */
   val Int8ScalesKey = "int8_scales_v1"
@@ -164,27 +168,179 @@ object ServeBooks {
     * once (localCheckpoint — the index-build job's intermediate) so
     * the per-subspace argmin reads an attribute, not a duplicated
     * subtree. */
-  def pqResCodes(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val fp = ArtifactStore.embeddingsFp(s, dir)
-    val coarseBook = coarse(s, dir)
-    val resBooks = pqRes(s, dir)
-    ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
-      val bookArr = array(coarseBook.map(c =>
-        array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+  def pqResCodes(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    pqResCodesFor(s, dir, coarse(s, dir), pqRes(s, dir))
+
+  /** Digest of a PQ book family's exact bytes — [[bookDigest]]'s
+    * three-level form, for the codes generations' book identity. */
+  private[graft] def pqBooksDigest(books: Array[Array[Array[Double]]]): Long = {
+    var h = 1125899906842597L
+    var m = 0
+    while (m < books.length) {
+      val b = books(m); var k = 0
+      while (k < b.length) {
+        val c = b(k); var d = 0
+        while (d < c.length) {
+          h = h * 31L + java.lang.Double.doubleToLongBits(c(d)); d += 1
+        }
+        k += 1
+      }
+      m += 1
+    }
+    h
+  }
+
+  /** Codes-generation id: corpus fingerprint ⊗ coarse-book digest ⊗
+    * residual-books digest — a retrained book (either level) is a new
+    * generation, exactly like [[annCellsFp]]. */
+  def pqResCodesFp(s: SparkSession, dir: String,
+                   coarseBook: Array[Array[Double]],
+                   resBooks: Array[Array[Array[Double]]]): Long =
+    ((((ArtifactStore.embeddingsFp(s, dir) * 1000003L) ^
+      bookDigest(coarseBook)) * 1000003L) ^ pqBooksDigest(resBooks)) &
+      Long.MaxValue
+
+  /** [[pqResCodes]] under EXPLICIT books — the corpus's freshly trained
+    * ones (the default), or a serving deployment's frozen ones (the
+    * refresh policy's Extended posture applied to the code index).
+    *
+    * DELTA CARRY under kept books ([[annCellsPathFor]]'s idiom — the
+    * last of r11 verdict item 3's named families): a vector's codes
+    * are VEC-LOCAL given the books, and the encode argmin (~136 dot
+    * products per vector) is the single most expensive per-row derive
+    * in the engine — so when a prior generation with the SAME book
+    * digests exists (corpus append under kept books), its rows are
+    * carried for every vector whose (vec_id, row-digest) certificate
+    * is unchanged and only the delta is re-encoded. A retrained book
+    * digests into a different generation id, finds no same-books
+    * prior, and full-builds. The int8 twin ([[int8Codes]]) stays full
+    * rebuild BY DESIGN: its scales are per-dim corpus min/max, so an
+    * append can move every vector's codes — and its encode is 64
+    * clamped multiplies, not an argmin.
+    *
+    * Sidecars per generation (ensured post-publish, self-healing):
+    * `vecs` — the carry certificate; `books` — the two book digests
+    * the prior-matching reads without opening data files. Rows carry
+    * `corpus_fp` for corpus-scoped invalidation
+    * ([[pqResCodesFpsFor]]). */
+  def pqResCodesFor(s: SparkSession, dir: String,
+                    coarseBook: Array[Array[Double]],
+                    resBooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.DataFrame = {
+    val corpusFp = ArtifactStore.embeddingsFp(s, dir)
+    val fp = pqResCodesFp(s, dir, coarseBook, resBooks)
+    def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    val out = ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
       // corpus MINUS the vector tombstone set: a post-takedown rebuild
       // must not re-encode deleted vectors (VecTakedown's contract)
-      val e = graft.sources.VecTakedown.servedEmbeddings(s, dir)
-        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
-      val assigned = e
-        .select(col("vec_id"), col("v"),
-          cell(coarseBook, col("v")).as("cell"))
-        .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
-        .select(col("vec_id"), col("cell"),
-          zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
-        .localCheckpoint()
-      assigned.select(col("vec_id"), col("cell"),
-        graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"))
-    }.select(col("vec_id"), col("cell"), col("codes"))
+      def encode(e: org.apache.spark.sql.DataFrame) = {
+        val bookArr = array(coarseBook.map(c =>
+          array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+        val assigned = e
+          .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+          .select(col("vec_id"), col("v"),
+            cell(coarseBook, col("v")).as("cell"))
+          .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
+          .select(col("vec_id"), col("cell"),
+            zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+          .localCheckpoint()
+        assigned.select(col("vec_id"), col("cell"),
+          graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"),
+          lit(corpusFp).as("corpus_fp"))
+      }
+      priorSameBooksCodesGeneration(s, fp, coarseBook, resBooks) match {
+        case Some(pfp) =>
+          val priorKeys = s.read.parquet(
+            vecsSidecarPath(ArtifactStore.dataPath(PqResCodesKey, pfp)).toString)
+          val curKeys = served
+            .select(col("vec_id"),
+              ArtifactStore.embeddingsRowDigest.as("digest"))
+            .localCheckpoint()
+          val unchanged = curKeys
+            .join(priorKeys, Seq("vec_id", "digest"), "left_semi")
+            .select(col("vec_id"))
+          val changed = curKeys
+            .join(priorKeys, Seq("vec_id", "digest"), "left_anti")
+            .select(col("vec_id"))
+          ArtifactStore.deltaStats.put(PqResCodesKey,
+            (unchanged.count(), changed.count()))
+          val fresh = encode(served.join(changed, Seq("vec_id"), "left_semi"))
+          val carried = s.read
+            .parquet(ArtifactStore.dataPath(PqResCodesKey, pfp)).drop("fp")
+            .join(unchanged, Seq("vec_id"), "left_semi")
+            .withColumn("corpus_fp", lit(corpusFp))
+          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
+        case None =>
+          ArtifactStore.deltaStats.put(PqResCodesKey, (-1L, -1L))
+          encode(served)
+      }
+    }
+    val dataPath = ArtifactStore.dataPath(PqResCodesKey, fp)
+    ensureBooksMeta(s, dataPath, coarseBook, resBooks)
+    ensureVecsSidecar(s, dataPath,
+      served.select(col("vec_id"),
+        ArtifactStore.embeddingsRowDigest.as("digest")))
+    out.select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  private def booksMetaPath(dataPath: String): org.apache.hadoop.fs.Path = {
+    val data = new org.apache.hadoop.fs.Path(dataPath)
+    new org.apache.hadoop.fs.Path(data.getParent, "_books")
+  }
+
+  /** Record the generation's two book digests (if absent) — the
+    * prior-matching key [[priorSameBooksCodesGeneration]] reads without
+    * opening data files. Temp-then-rename; a torn file reads as absent. */
+  private def ensureBooksMeta(s: SparkSession, dataPath: String,
+                              coarseBook: Array[Array[Double]],
+                              resBooks: Array[Array[Array[Double]]]): Unit = {
+    val p = booksMetaPath(dataPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"._books-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val o = fs.create(tmp, true)
+    try o.write(s"${bookDigest(coarseBook)} ${pqBooksDigest(resBooks)}"
+      .getBytes("UTF-8"))
+    finally o.close()
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
+
+  /** The newest OTHER codes generation whose recorded book digests
+    * match AND that carries a vecs sidecar — the delta carry's base. */
+  private def priorSameBooksCodesGeneration(s: SparkSession, fp: Long,
+      coarseBook: Array[Array[Double]],
+      resBooks: Array[Array[Array[Double]]]): Option[Long] = {
+    val want = s"${bookDigest(coarseBook)} ${pqBooksDigest(resBooks)}"
+    ArtifactStore.publishedFps(PqResCodesKey)
+      .filter(_ != fp)
+      .filter { p =>
+        val dp = ArtifactStore.dataPath(PqResCodesKey, p)
+        val mp = booksMetaPath(dp)
+        val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.exists(mp) && fs.exists(vecsSidecarPath(dp)) && {
+          val in = fs.open(mp)
+          val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+                    finally in.close()
+          txt == want
+        }
+      }
+      .sortBy(p => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(ArtifactStore.dataPath(PqResCodesKey, p))
+          .getParent.resolve("manifest.json")).toMillis)
+      .lastOption
+  }
+
+  /** The published codes generations BELONGING TO `dir`'s corpus —
+    * [[annCellsFpsFor]]'s enumerator for the codes family (one
+    * footer-cheap row read per generation). */
+  def pqResCodesFpsFor(s: SparkSession, dir: String): Seq[Long] = {
+    val want = ArtifactStore.embeddingsFp(s, dir)
+    ArtifactStore.publishedFps(PqResCodesKey).filter { fp =>
+      s.read.parquet(ArtifactStore.dataPath(PqResCodesKey, fp))
+        .select(col("corpus_fp")).limit(1)
+        .collect().headOption.exists(_.getLong(0) == want)
+    }
   }
 
   /** The serve-cells artifact (r10 verdict item 1): one row per corpus

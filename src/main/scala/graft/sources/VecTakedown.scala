@@ -44,12 +44,14 @@ object VecTakedown {
   val Sentinel = -1L
 
   /** The embeddings-fingerprinted artifact families a vector deletion
-    * invalidates (books, scales, and code indexes — all model state
-    * derived from the corpus's vector values). */
+    * invalidates (books, scales, and the int8 code index — model state
+    * derived from the corpus's vector values and keyed directly by
+    * the corpus fingerprint). The residual-PQ code index keys its
+    * generations by corpus ⊗ books and is invalidated by enumeration
+    * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[flag]]/[[reset]]. */
   def embArtifactKeys: Seq[String] = Seq(
     ServeBooks.CoarseKey, ServeBooks.PqKey, ServeBooks.PqResKey,
-    ServeBooks.PqResCodesKey, ServeBooks.Int8ScalesKey,
-    ServeBooks.Int8CodesKey)
+    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey)
 
   private def sentinelFrame(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -103,6 +105,11 @@ object VecTakedown {
     ArtifactStore.invalidate(Key, fp)
     ArtifactStore.parquetOnce(s, Key, fp)(merged)
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
+    // codes generations key on corpus ⊗ books: enumerate THIS corpus's
+    // and invalidate each (they embed the deleted vectors' geometry;
+    // the next serve re-encodes from the corpus minus the tombstones)
+    ServeBooks.pqResCodesFpsFor(s, dir)
+      .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
     ServeBooks.invalidateMemos(dir, fp)
     // serve-cells generations hold RAW vector values and may be pinned
     // by a live serve stream: scrub the rows in place (every published
@@ -121,6 +128,8 @@ object VecTakedown {
     ArtifactStore.invalidate(Key, fp)
     ArtifactStore.parquetOnce(s, Key, fp)(sentinelFrame(s))
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
+    ServeBooks.pqResCodesFpsFor(s, dir)
+      .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
     ServeBooks.invalidateMemos(dir, fp)
     // scrubbed serve-cells rows cannot be restored by another scrub:
     // retraction drops this corpus's generations so the next serve

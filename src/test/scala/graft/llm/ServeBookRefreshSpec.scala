@@ -155,4 +155,52 @@ class ServeBookRefreshSpec extends SparkSpec {
     assert(refreshed != pathA)
     ()
   }
+
+  test("pq-res codes: append under kept books re-encodes only the " +
+    "delta, and the delta-built generation equals a from-scratch build") {
+    val tmp = Files.createTempDirectory("codes_delta").toString
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dirA = s"$tmp/a"; val dirC = s"$tmp/c"
+    full.where(col("vec_id") < 300).write.parquet(s"$dirA/embeddings.parquet")
+    full.where(col("vec_id") < 350).write.parquet(s"$dirC/embeddings.parquet")
+    val coarseA = ServeBooks.coarse(spark, dirA)
+    val resA = ServeBooks.pqRes(spark, dirA)
+    val fpA = ServeBooks.pqResCodesFp(spark, dirA, coarseA, resA)
+    val fpC = ServeBooks.pqResCodesFp(spark, dirC, coarseA, resA)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    try {
+      // generation A: first build of the family in this store — or a
+      // delta from some prior generation; either way it must cover
+      // exactly corpus A
+      val rowsA = rowsOf(ServeBooks.pqResCodesFor(spark, dirA, coarseA, resA))
+      assert(rowsA.map(_._1) == (0L until 300L).toSet)
+
+      // generation C under the SAME books: 300 carried, 50 re-encoded
+      val deltaRows = rowsOf(ServeBooks.pqResCodesFor(spark, dirC, coarseA, resA))
+      assert(graft.ArtifactStore.deltaStats.get(ServeBooks.PqResCodesKey) ==
+        ((300L, 50L)),
+        s"append under kept books must re-encode only the delta: " +
+          s"${graft.ArtifactStore.deltaStats.get(ServeBooks.PqResCodesKey)}")
+      assert(deltaRows.map(_._1) == (0L until 350L).toSet)
+
+      // the acid test: drop BOTH generations and rebuild C with no
+      // prior — the from-scratch encode must equal the delta build
+      // row-for-row (same cells, same codeword ids)
+      graft.ArtifactStore.invalidate(ServeBooks.PqResCodesKey, fpA)
+      graft.ArtifactStore.invalidate(ServeBooks.PqResCodesKey, fpC)
+      val fullRows = rowsOf(ServeBooks.pqResCodesFor(spark, dirC, coarseA, resA))
+      assert(graft.ArtifactStore.deltaStats.get(ServeBooks.PqResCodesKey) ==
+        ((-1L, -1L)), "the rebuild must have run with no prior")
+      assert(deltaRows == fullRows,
+        "delta-built codes must equal the from-scratch encode")
+    } finally {
+      Seq(dirA, dirC).foreach { d =>
+        ServeBooks.pqResCodesFpsFor(spark, d).foreach(
+          graft.ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
+      }
+    }
+  }
 }
