@@ -62,6 +62,24 @@ object ArtifactStore {
       qs.cast(StringType))))
   }
 
+  /** ORDER-SENSITIVE per-row certificate for the embeddings-side delta
+    * carries (serve cells, PQ codes): h60 of the '|'-joined (vec_id,
+    * label, per-component milli quanta in position). The fingerprint
+    * term above SUMS the quanta — fine for a corpus-level checksum
+    * where per-row collisions wash out in the corpus sum, but as a
+    * carry certificate a swapped or sum-compensated component pair
+    * would certify "unchanged" and carry stale geometry (cell, codes,
+    * raw v) into the new generation. Scala-side only — the oracles
+    * never read the sidecars this feeds. */
+  private[graft] def embeddingsCarryDigest: Column =
+    call_function("graft_h60", concat(lit("carry|embeddings|"),
+      concat_ws("|",
+        coalesce(col("vec_id").cast(StringType), lit("\u0000NULL")),
+        coalesce(col("label").cast(StringType), lit("\u0000NULL")),
+        concat_ws(",", transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * lit(1000.0))
+            .cast(LongType).cast(StringType))))))
+
   /** SQL twin of the embeddings fingerprint — a scalar subquery the
     * oracle inlines to select the artifact rows for ITS corpus. */
   val embeddingsFpSql: String =
@@ -237,6 +255,34 @@ object ArtifactStore {
     * appended docs" (ArtifactDeltaSpec). Full builds record (-1, -1). */
   private[graft] val deltaStats = new ConcurrentHashMap[String, (Long, Long)]()
 
+  /** The carry algebra every delta family shares (documents rows,
+    * serve cells, PQ codes): split the current corpus's (id, digest)
+    * certificate frame against a prior generation's into the unchanged
+    * ids (carry) and changed/new ids (rebuild), recording the counts
+    * under `statsKey`. ONE join materialized once (localCheckpoint) —
+    * both id frames and the stats read the same tagged pass, so the
+    * build adds one key-sized job, not three. Returns
+    * (unchangedIds, changedIds, curKeys-checkpointed) — the caller
+    * reuses the checkpointed certificate for its sidecar write instead
+    * of re-scanning the corpus. */
+  private[graft] def deltaSplit(statsKey: String, idCol: String,
+                                curKeys: DataFrame, priorKeys: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tagged = curKeys
+      .join(priorKeys.select(col(idCol), col("digest"))
+        .withColumn("_hit", lit(1)), Seq(idCol, "digest"), "left")
+      .select(col(idCol), col("digest"),
+        coalesce(col("_hit"), lit(0)).as("_hit"))
+      .localCheckpoint()
+    val byHit = tagged.groupBy(col("_hit")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    deltaStats.put(statsKey,
+      (byHit.getOrElse(1, 0L), byHit.getOrElse(0, 0L)))
+    (tagged.where(col("_hit") === 1).select(col(idCol)),
+      tagged.where(col("_hit") === 0).select(col(idCol)),
+      tagged.select(col(idCol), col("digest")))
+  }
+
   /** The (doc_id, digest) sidecar recording WHICH corpus a generation
     * was built from — the delta path's carry certificate. The digest is
     * [[documentsRowDigest]], the SAME per-row hash the corpus
@@ -262,8 +308,12 @@ object ArtifactStore {
       s".docs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     docKeys.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      deleteRecursively(tmp) } // lost a race: theirs won
+    catch { case e: java.nio.file.FileSystemException =>
+      // swallow ONLY a lost publish race (the winner's sidecar exists);
+      // a genuine move failure must not silently disable the delta
+      // path forever (parquetOnceImpl's guard, applied here)
+      if (Files.exists(p)) deleteRecursively(tmp) else throw e
+    }
   }
 
   /** The newest OTHER published generation of `key` that carries a
@@ -312,18 +362,16 @@ object ArtifactStore {
                             (buildFor: DataFrame => DataFrame): DataFrame = {
     val fp = documentsFp(s, dir)
     def docs = Tables.documents(s, dir)
+    // the delta path's checkpointed certificate, reused by the sidecar
+    // write below so a new generation digests the corpus ONCE
+    var certKeys: Option[DataFrame] = None
     val out = parquetOnce(s, key, fp) {
       priorGeneration(key, fp) match {
         case Some(pfp) =>
           val priorKeys = s.read.parquet(docsSidecarPath(key, pfp).toString)
-          val curKeys = docKeysFrame(docs).localCheckpoint()
-          val unchangedIds = curKeys
-            .join(priorKeys, Seq("doc_id", "digest"), "left_semi")
-            .select(col("doc_id"))
-          val changedIds = curKeys
-            .join(priorKeys, Seq("doc_id", "digest"), "left_anti")
-            .select(col("doc_id"))
-          deltaStats.put(key, (unchangedIds.count(), changedIds.count()))
+          val (unchangedIds, changedIds, keys) =
+            deltaSplit(key, "doc_id", docKeysFrame(docs), priorKeys)
+          certKeys = Some(keys)
           val fresh = buildFor(
             docs.join(changedIds, Seq("doc_id"), "left_semi"))
           val carried = s.read.parquet(s"${dataPath(key, pfp)}").drop("fp")
@@ -338,7 +386,7 @@ object ArtifactStore {
     // self-heals on the next touch; a sidecar-less generation is simply
     // never used as a delta base); by-name arg — repeat reads pay one
     // local existence check
-    ensureDocsSidecar(s, key, fp, docKeysFrame(docs))
+    ensureDocsSidecar(s, key, fp, certKeys.getOrElse(docKeysFrame(docs)))
     out.drop("fp")
   }
 

@@ -85,23 +85,33 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // BURST-ROBUST INTERLEAVING (r11 verdict item 1): the N runs no
     // longer execute consecutively — they are split across suite-wide
-    // PASSES ([2,2,1] for the default 5), each pass running every query
-    // once or twice in name order. A query's sample groups are thus
+    // PASSES ([3,2] for the default 5), each pass running every query
+    // consecutively in name order. A query's sample groups are thus
     // separated by ~a full pass (minutes at sf0.1), so a sustained
     // ambient burst — which in r9/r10/r11 corrupted ALL of one query's
     // consecutive runs and manufactured phantom MINs (q55 4.6×, q89
     // 3.1×, q178 19×, each needing manual same-machine refutation) —
     // can no longer cover every sample of any query: the MIN survives
     // in the passes the burst missed. Within a pass the per-query cache
-    // hygiene below is unchanged, and each multi-run pass still
-    // contains a warm (cache-reusing) run, so the MIN keeps measuring
-    // the same warm-plan statistic as before.
-    val passSizes = {
-      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var left = runs
-      while (left > 0) { val take = math.min(2, left); b += take; left -= take }
-      b.toSeq
-    }
+    // hygiene below is unchanged.
+    //
+    // Pass sizing keeps BOTH statistics comparable across rounds: each
+    // pass's first run is cold (cache cleared between queries), the
+    // rest warm, so the split must leave warm samples in the MAJORITY
+    // or the MEDIAN silently becomes a cold-run statistic (the first
+    // [2,2,1] cut of this harness did exactly that — 3 cold vs 2 warm
+    // flipped the headline median +16% with no plan change; caught by
+    // the r12 self-review). [3,2] for 5 runs gives 3 warm / 2 cold:
+    // median stays warm-dominated, the min stays warm, and the last
+    // pass's final run (the shuffle/spill attribution window) is warm.
+    val passSizes =
+      if (runs <= 1) Seq(runs)
+      else {
+        val nPasses = math.max(2, (runs + 2) / 3)
+        val base = runs / nPasses
+        val extra = runs % nPasses
+        (0 until nPasses).map(i => base + (if (i < extra) 1 else 0))
+      }
     // per-query shuffle/spill attribution (queries run sequentially, so
     // the listener's window cleanly brackets each run)
     val metrics = new BenchMetrics

@@ -52,6 +52,13 @@ object ServeBooks {
     * maintenance can enumerate its generations. */
   val PqResCodesKey =
     s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v2"
+  /** The codes family's PRE-v2 key (raw corpus-fingerprint ids). Never
+    * rebuilt, but it stays in the takedown invalidation list: stores
+    * deployed before the v2 migration still hold v1 generations with
+    * every vector's encoded rows, and a takedown that no longer named
+    * the key would leave the victims' codes on disk forever. */
+  private[graft] val PqResCodesKeyLegacyV1 =
+    s"pq_res_codes_m${PqTrain.M}_k${PqTrain.K}_r${Rounds}_c${CoarseCells}_v1"
   /** q106's exact per-dim (min, max) scale table — the int8 family's
     * model state. */
   val Int8ScalesKey = "int8_scales_v1"
@@ -230,6 +237,9 @@ object ServeBooks {
     val corpusFp = ArtifactStore.embeddingsFp(s, dir)
     val fp = pqResCodesFp(s, dir, coarseBook, resBooks)
     def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    // the delta path's checkpointed certificate, reused by the sidecar
+    // write below so a new generation digests the corpus ONCE
+    var certKeys: Option[org.apache.spark.sql.DataFrame] = None
     val out = ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
       // corpus MINUS the vector tombstone set: a post-takedown rebuild
       // must not re-encode deleted vectors (VecTakedown's contract)
@@ -252,18 +262,9 @@ object ServeBooks {
         case Some(pfp) =>
           val priorKeys = s.read.parquet(
             vecsSidecarPath(ArtifactStore.dataPath(PqResCodesKey, pfp)).toString)
-          val curKeys = served
-            .select(col("vec_id"),
-              ArtifactStore.embeddingsRowDigest.as("digest"))
-            .localCheckpoint()
-          val unchanged = curKeys
-            .join(priorKeys, Seq("vec_id", "digest"), "left_semi")
-            .select(col("vec_id"))
-          val changed = curKeys
-            .join(priorKeys, Seq("vec_id", "digest"), "left_anti")
-            .select(col("vec_id"))
-          ArtifactStore.deltaStats.put(PqResCodesKey,
-            (unchanged.count(), changed.count()))
+          val (unchanged, changed, keys) = ArtifactStore.deltaSplit(
+            PqResCodesKey, "vec_id", carryKeys(served), priorKeys)
+          certKeys = Some(keys)
           val fresh = encode(served.join(changed, Seq("vec_id"), "left_semi"))
           val carried = s.read
             .parquet(ArtifactStore.dataPath(PqResCodesKey, pfp)).drop("fp")
@@ -277,11 +278,17 @@ object ServeBooks {
     }
     val dataPath = ArtifactStore.dataPath(PqResCodesKey, fp)
     ensureBooksMeta(s, dataPath, coarseBook, resBooks)
-    ensureVecsSidecar(s, dataPath,
-      served.select(col("vec_id"),
-        ArtifactStore.embeddingsRowDigest.as("digest")))
+    ensureVecsSidecar(s, dataPath, certKeys.getOrElse(carryKeys(served)))
     out.select(col("vec_id"), col("cell"), col("codes"))
   }
+
+  /** The (vec_id, digest) carry-certificate frame — the ORDER-SENSITIVE
+    * per-row digest ([[ArtifactStore.embeddingsCarryDigest]]; the
+    * corpus-sum form would certify a component-swapped vector as
+    * unchanged). */
+  private def carryKeys(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), ArtifactStore.embeddingsCarryDigest.as("digest"))
 
   private def booksMetaPath(dataPath: String): org.apache.hadoop.fs.Path = {
     val data = new org.apache.hadoop.fs.Path(dataPath)
@@ -303,7 +310,12 @@ object ServeBooks {
     try o.write(s"${bookDigest(coarseBook)} ${pqBooksDigest(resBooks)}"
       .getBytes("UTF-8"))
     finally o.close()
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, p)) {
+      // swallow ONLY a lost race (the winner's file exists); a genuine
+      // rename failure must fail loud, not silently degrade
+      if (fs.exists(p)) fs.delete(tmp, false)
+      else throw new IllegalStateException(s"meta publish failed: $tmp -> $p")
+    }
   }
 
   /** The newest OTHER codes generation whose recorded book digests
@@ -406,8 +418,8 @@ object ServeBooks {
     * prior generation with the SAME book digest exists (a corpus
     * append served under a kept book), its rows are carried for every
     * vector whose (vec_id, row-digest) is unchanged — the certificate
-    * is [[ArtifactStore.embeddingsRowDigest]], the corpus
-    * fingerprint's own per-row hash — and only the delta vectors are
+    * is [[ArtifactStore.embeddingsCarryDigest]], position-sensitive
+    * per component — and only the delta vectors are
     * assigned fresh. A retrained book digests differently, finds no
     * same-book prior, and full-builds; tombstoned vectors are absent
     * from the current served keys and drop out of the carry.
@@ -421,6 +433,9 @@ object ServeBooks {
     val corpusFp = ArtifactStore.embeddingsFp(s, dir)
     val fp = cellsFpOf(corpusFp, book)
     def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    // the delta path's checkpointed certificate, reused by the sidecar
+    // write below so a new generation digests the corpus ONCE
+    var certKeys: Option[org.apache.spark.sql.DataFrame] = None
     ArtifactStore.parquetOncePartitioned(s, AnnCellsKey, fp, Seq("cell")) {
       val full = served
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
@@ -431,18 +446,9 @@ object ServeBooks {
         case Some(pfp) =>
           val priorKeys = s.read.parquet(
             vecsSidecarPath(ArtifactStore.dataPath(AnnCellsKey, pfp)).toString)
-          val curKeys = served
-            .select(col("vec_id"),
-              ArtifactStore.embeddingsRowDigest.as("digest"))
-            .localCheckpoint()
-          val unchanged = curKeys
-            .join(priorKeys, Seq("vec_id", "digest"), "left_semi")
-            .select(col("vec_id"))
-          val changed = curKeys
-            .join(priorKeys, Seq("vec_id", "digest"), "left_anti")
-            .select(col("vec_id"))
-          ArtifactStore.deltaStats.put(AnnCellsKey,
-            (unchanged.count(), changed.count()))
+          val (unchanged, changed, keys) = ArtifactStore.deltaSplit(
+            AnnCellsKey, "vec_id", carryKeys(served), priorKeys)
+          certKeys = Some(keys)
           val fresh = full.join(changed, Seq("vec_id"), "left_semi")
           val carried = s.read
             .parquet(ArtifactStore.dataPath(AnnCellsKey, pfp)).drop("fp")
@@ -457,9 +463,7 @@ object ServeBooks {
     }
     val dataPath = ArtifactStore.dataPath(AnnCellsKey, fp)
     ensureBookSidecar(s, dataPath, book)
-    ensureVecsSidecar(s, dataPath,
-      served.select(col("vec_id"),
-        ArtifactStore.embeddingsRowDigest.as("digest")))
+    ensureVecsSidecar(s, dataPath, certKeys.getOrElse(carryKeys(served)))
     dataPath
   }
 
@@ -507,7 +511,10 @@ object ServeBooks {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     keys.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost a race: theirs won
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(tmp, true) // lost a race: theirs won
+      else throw new IllegalStateException(s"sidecar publish failed: $tmp -> $p")
+    }
   }
 
   /** Write the generation's frozen book next to its data (if absent):
@@ -525,7 +532,10 @@ object ServeBooks {
       yield (k.toLong, (d + 1).toLong, book(k)(d)))
       .toDF("cid", "dim", "cval")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, true) // lost a race: theirs won
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(tmp, true) // lost a race: theirs won
+      else throw new IllegalStateException(s"sidecar publish failed: $tmp -> $p")
+    }
   }
 
   /** The frozen coarse book that assigned a generation's cells, read
@@ -678,8 +688,33 @@ object ServeBooks {
       withCellsLock(path) {
         graft.sources.PartitionScrub.dropRows(s, path, "cell",
           col("vec_id").isin(vecIds: _*))
+        // the vecs sidecar must forget the victims too: it is the delta
+        // CARRY CERTIFICATE, and a stale entry would certify a scrubbed
+        // vector as "unchanged" to a successor generation — the carry
+        // would silently omit a vector a full build includes (the
+        // successor corpus has its own tombstone set, which starts
+        // empty). Rewritten via the same temp-then-rename as the write.
+        rewriteVecsSidecar(s, path, vecIds)
       }
     }
+
+  /** Drop `vecIds` from a generation's vecs carry certificate (no-op
+    * when the sidecar is absent). */
+  private def rewriteVecsSidecar(s: SparkSession, dataPath: String,
+                                 vecIds: Seq[Long]): Unit = {
+    val p = vecsSidecarPath(dataPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val kept = s.read.parquet(p.toString)
+      .where(!col("vec_id").isin(vecIds: _*))
+      .localCheckpoint()
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"vecs sidecar rewrite failed: $tmp -> $p")
+  }
 
   private val int8ScalesMemo =
     new ConcurrentHashMap[String, (Array[Double], Array[Double])]()

@@ -29,8 +29,10 @@ import org.apache.spark.util.sketch.BloomFilter
   * harmless over-approximation.
   *
   * Replay-idempotent: a replayed batch finds its bloom present and
-  * writes nothing (its rows are byte-identical, so the bloom already
-  * describes them); writes are temp-then-rename so a torn file reads
+  * writes nothing — its row set carries the same doc ids (a replay
+  * after a takedown rewrites them in ERASURE form via
+  * [[ScrubRegistry]]'s gate, which keeps the docId, so the bloom
+  * stays exact); writes are temp-then-rename so a torn file reads
   * as absent, never as an authoritative empty bloom. */
 object LogBloom {
 
@@ -56,7 +58,10 @@ object LogBloom {
       s".${batchId}-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false) // lost a race: theirs won
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(tmp, false) // lost a race: theirs won
+      else throw new IllegalStateException(s"bloom publish failed: $tmp -> $p")
+    }
   }
 
   /** The batch ids of `log` that MAY hold any of `flagged` — batches

@@ -93,6 +93,13 @@ object TakedownApply {
     * readable bloom stay candidates — legacy logs scrub exactly as
     * before. */
   def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit = {
+    // registry FIRST (crash-safe ordering): once the erasure window is
+    // recorded, a checkpoint replay of any pre-scrub batch re-applies
+    // the tombstone form at write time (ScrubRegistry — without it the
+    // replay's dynamic partition overwrite would resurrect the erased
+    // content with nothing left to re-scrub), and a rerun after a
+    // crash completes the partition rewrites
+    ScrubRegistry.append(s, log, flagged, ScrubRegistry.maxBatchId(s, log))
     val cands = LogBloom.candidateBatches(s, log, flagged)
     if (cands.isEmpty) return
     // touch = a flagged doc's row not yet in tombstone form (so a
@@ -115,7 +122,15 @@ object TakedownApply {
     * flagged docs' rows are DROPPED from every touched batch
     * partition: retroactively the doc was never indexed. Discovery is
     * [[LogBloom]]-pruned like [[scrubMergeLog]]. */
-  def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+  def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
+    // registry FIRST (scrubMergeLog's rationale): gates checkpoint
+    // replays of pre-scrub batches in StreamIndexCompact.compactBatch —
+    // the compacted-bucket merge AND the log partition rewrite would
+    // both re-insert the victims' rows otherwise. One registry at the
+    // target root covers both sub-logs and the compacted merge.
+    val upto = Seq("log/postings", "log/doclens")
+      .map(sub => ScrubRegistry.maxBatchId(s, s"$target/$sub")).max
+    ScrubRegistry.append(s, target, flagged, upto)
     Seq("log/postings", "log/doclens").foreach { sub =>
       val log = s"$target/$sub"
       val cands = LogBloom.candidateBatches(s, log, flagged)
@@ -123,6 +138,7 @@ object TakedownApply {
         PartitionScrub.dropRows(s, log, "batch_id",
           col("batch_id").isin(cands: _*) && col("doc_id").isin(flagged: _*))
     }
+  }
 
   /** Leg 3: invalidate every documents-derived artifact family for the
     * corpus at `dir` (they encode pre-takedown content). */

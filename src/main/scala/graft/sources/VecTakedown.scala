@@ -51,7 +51,10 @@ object VecTakedown {
     * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[flag]]/[[reset]]. */
   def embArtifactKeys: Seq[String] = Seq(
     ServeBooks.CoarseKey, ServeBooks.PqKey, ServeBooks.PqResKey,
-    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey)
+    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey,
+    // pre-v2 codes generations (raw-fp ids): never rebuilt, but a
+    // takedown must still erase them where they exist on disk
+    ServeBooks.PqResCodesKeyLegacyV1)
 
   private def sentinelFrame(s: SparkSession): DataFrame = {
     import s.implicits._

@@ -39,7 +39,19 @@ object StreamIndexCompact {
     // validate-or-publish the target's bucket count ([[BucketMeta]]):
     // the takedown leg names postings/doclens partitions from it
     BucketMeta.ensure(s, target, buckets)
-    val docs = batch
+    // replay gate (graft.sources.ScrubRegistry — StreamMergeSink's
+    // rationale): a checkpoint replay of a batch the takedown already
+    // scrubbed would re-insert the victims' rows into BOTH the
+    // compacted buckets (the per-key max() merge has no version to
+    // outrank them) and the batch_id log partitions; dropping the
+    // gated ids at batch entry covers every write below. New batches
+    // pass through — a post-takedown re-add indexes normally.
+    val gated = graft.sources.ScrubRegistry.gatedIds(s, target, batchId)
+    val live =
+      if (gated.isEmpty) batch
+      else batch.where(!col("doc_id").isin(gated: _*))
+    if (live.isEmpty) return
+    val docs = live
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
       .localCheckpoint()

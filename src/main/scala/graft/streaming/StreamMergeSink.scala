@@ -48,7 +48,24 @@ object StreamMergeSink {
       .withColumn("bucket", pmod(col("docId"), lit(buckets.toLong)))
       .localCheckpoint()
     log.foreach { lp =>
-      incoming.drop("bucket").withColumn("batch_id", lit(batchId))
+      // replay gate (graft.sources.ScrubRegistry): a checkpoint replay
+      // of a batch that a takedown scrub already rewrote must re-apply
+      // the tombstone form, or the dynamic partition overwrite would
+      // resurrect the erased text. Only batches inside a registered
+      // erasure window are touched — new batches (higher ids) write
+      // verbatim, so a post-takedown re-add keeps its history. The
+      // MERGE target needs no gate: versioning handles replay there
+      // (the takedown's 'D' row at ver+1 outranks replayed old rows).
+      val gated = graft.sources.ScrubRegistry.gatedIds(s, lp, batchId)
+      val logRows =
+        if (gated.isEmpty) incoming.drop("bucket")
+        else {
+          val hit = col("docId").isin(gated: _*)
+          incoming.drop("bucket").select(col("docId"), col("ver"),
+            when(hit, lit("D")).otherwise(col("op")).as("op"),
+            when(hit, lit("")).otherwise(col("text")).as("text"))
+        }
+      logRows.withColumn("batch_id", lit(batchId))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").mode("overwrite").parquet(lp)
       // per-batch doc-id bloom: the takedown scrub's partition-pruning

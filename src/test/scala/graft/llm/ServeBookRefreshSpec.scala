@@ -203,4 +203,80 @@ class ServeBookRefreshSpec extends SparkSpec {
       }
     }
   }
+
+  test("the carry certificate is adversary-proof: a scrubbed victim " +
+    "and a sum-preserving component swap are both rebuilt, never carried") {
+    // two r12 self-review findings, one fixture: (a) a takedown scrub
+    // must also forget the victim in the generation's vecs sidecar, or
+    // an Extended successor (whose OWN tombstone set starts empty)
+    // certifies it 'unchanged', carries zero rows for it, and silently
+    // omits a vector a full build includes; (b) the certificate must
+    // be ORDER-SENSITIVE — the corpus-fingerprint digest SUMS the
+    // milli quanta, so swapping two components leaves it unchanged and
+    // stale geometry would be carried.
+    val tmp = Files.createTempDirectory("carry_adversary").toString
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dirA = s"$tmp/a"; val dirC = s"$tmp/c"
+    full.where(col("vec_id") < 300).write.parquet(s"$dirA/embeddings.parquet")
+    val pathA = ServeBooks.annCellsPath(spark, dirA)
+    val bookA = ServeBooks.generationBook(spark, pathA)
+    try {
+      // takedown in deployment A: scrubs generation A's rows AND its
+      // carry certificate
+      assert(graft.sources.VecTakedown.flag(spark, dirA, Seq(5L)) == 1L)
+      assert(spark.read.parquet(pathA)
+        .where(col("vec_id") === 5L).count() == 0L)
+
+      // successor corpus: A's 300 vectors (victim content INCLUDED —
+      // fresh corpus, empty tombstone set) with vec 7's first two
+      // components SWAPPED (sum-preserving!), plus 20 appended
+      val swapped = full.where(col("vec_id") < 300)
+        .select(col("vec_id"),
+          expr("IF(vec_id = 7, concat(array(embedding[1], embedding[0]), " +
+            "slice(embedding, 3, 62)), embedding)").as("embedding"),
+          col("label"))
+      val appended = full.where(col("vec_id") >= 300 && col("vec_id") < 320)
+        .select(swapped.columns.map(col): _*)
+      swapped.unionByName(appended).write.parquet(s"$dirC/embeddings.parquet")
+
+      val pathC = ServeBooks.refreshIfDrifted(spark, dirC, pathA,
+        threshold = Double.MaxValue) match {
+        case ServeBooks.Extended(p) => p
+        case other => fail(s"expected Extended, got $other")
+      }
+      // 298 of the 300 base vectors carried; rebuilt: victim 5
+      // (certificate scrubbed), vec 7 (the swap must MISS the
+      // order-sensitive certificate), and the 20 appended
+      assert(graft.ArtifactStore.deltaStats.get(ServeBooks.AnnCellsKey) ==
+        ((298L, 22L)),
+        s"carry/rebuild split wrong: " +
+          s"${graft.ArtifactStore.deltaStats.get(ServeBooks.AnnCellsKey)}")
+      // row-for-row against an inline from-scratch assignment of the
+      // successor corpus under the frozen book — catches BOTH a
+      // silently-omitted victim and carried stale geometry for vec 7
+      val expected = spark.read.parquet(s"$dirC/embeddings.parquet")
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+        .withColumn("cell", ServeBooks.cell(bookA, col("v")))
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cell").cast("long"), col("nrm"), col("v"))
+        .collect().map { r =>
+          (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)),
+            r.getSeq[Double](3))
+        }.toSet
+      assert(rows(spark.read.parquet(pathC)) == rows(expected),
+        "the Extended generation must equal the from-scratch build " +
+          "(victim present, swapped vector re-assigned)")
+      assert(spark.read.parquet(pathC)
+        .where(col("vec_id") === 5L).count() == 1L,
+        "the successor corpus's copy of the erased id must be present")
+    } finally {
+      graft.sources.VecTakedown.reset(spark, dirA)
+      Seq(dirA, dirC).foreach { d =>
+        ServeBooks.annCellsFpsFor(spark, d).foreach(
+          graft.ArtifactStore.invalidate(ServeBooks.AnnCellsKey, _))
+      }
+    }
+  }
 }

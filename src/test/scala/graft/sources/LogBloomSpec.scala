@@ -101,4 +101,70 @@ class LogBloomSpec extends SparkSpec {
     assert(LogBloom.candidateBatches(spark, log, Seq(victim)) == Seq(2L),
       "the replayed batch must republish its bloom")
   }
+
+  test("merge log: a checkpoint replay of a scrubbed batch cannot " +
+    "resurrect erased content; a post-takedown re-add keeps its history") {
+    val (target, log) = buildLog("logreplay")
+    val victim = 2007L
+    TakedownApply.scrubMergeLog(spark, log, Seq(victim))
+    // simulate the checkpoint replay: the ORIGINAL pre-scrub batch 2
+    // rows arrive again and dynamic overwrite rewrites the partition —
+    // without the registry gate this resurrects the erased text with
+    // nothing left to re-scrub (the scrub ran at flag time)
+    val rows2 = (0L until 40L)
+      .map(i => (2000L + i, 1L, "U", s"text of doc ${2000 + i}"))
+      .toDF("docId", "ver", "op", "text")
+    StreamMergeSink.mergeBatch(s"${target}_replay", 8, Some(log))(rows2, 2L)
+    val v = spark.read.parquet(log).where(col("docId") === victim).collect()
+    assert(v.length == 1 && v.head.getAs[String]("op") == "D" &&
+      v.head.getAs[String]("text") == "",
+      "the replayed victim row must stay in erasure form")
+    assert(spark.read.parquet(log)
+      .where(col("batch_id") === 2L && col("docId") =!= victim &&
+        !col("text").startsWith("text of")).count() == 0L,
+      "the replay must keep every unflagged row byte-faithful")
+    // erasure is retroactive, never prospective: a genuinely NEW batch
+    // re-adding the doc id (fresh content, fresh consent) passes the
+    // gate and its history survives
+    StreamMergeSink.mergeBatch(s"${target}_readd", 8, Some(log))(
+      Seq((victim, 2L, "U", "readded content"))
+        .toDF("docId", "ver", "op", "text"), 7L)
+    val readd = spark.read.parquet(log)
+      .where(col("batch_id") === 7L && col("docId") === victim).collect()
+    assert(readd.length == 1 && readd.head.getAs[String]("text") ==
+      "readded content", "a post-takedown re-add must keep its content")
+  }
+
+  test("index: a checkpoint replay of a scrubbed batch re-inserts " +
+    "nothing into compacted buckets or log partitions; a re-add indexes") {
+    import graft.streaming.StreamIndexCompact
+    val dir = Files.createTempDirectory("idxreplay").toString
+    val target = s"$dir/index"
+    def batchOf(b: Long) = (0L until 10L)
+      .map(i => (b * 100 + i, s"term${b}x$i shared tok$i"))
+      .toDF("doc_id", "text")
+    (0L to 2L).foreach(b => StreamIndexCompact.compactBatch(target, 4)(batchOf(b), b))
+    val victim = 105L // batch 1
+    TakedownApply.scrubIndex(spark, target, Seq(victim))
+    TakedownApply.scrubIndexLog(spark, target, Seq(victim))
+    def victimRows = Seq("postings", "doclens", "log/postings", "log/doclens")
+      .map(sub => spark.read.parquet(s"$target/$sub")
+        .where(col("doc_id") === victim).count()).sum
+    assert(victimRows == 0L, "witness: the scrub erased the victim")
+    // replay batch 1 (checkpoint replay of pre-scrub rows)
+    StreamIndexCompact.compactBatch(target, 4)(batchOf(1L), 1L)
+    assert(victimRows == 0L,
+      "a replayed pre-scrub batch must not re-insert the victim anywhere")
+    assert(spark.read.parquet(s"$target/doclens")
+      .where(col("doc_id") >= 100L && col("doc_id") < 110L).count() == 9L,
+      "the replay must keep the batch's other docs indexed")
+    // a NEW batch re-adds the doc id: prospective writes are untouched
+    StreamIndexCompact.compactBatch(target, 4)(
+      Seq((victim, "fresh readded text")).toDF("doc_id", "text"), 9L)
+    assert(spark.read.parquet(s"$target/postings")
+      .where(col("doc_id") === victim && col("t") === "readded").count() == 1L,
+      "a post-takedown re-add must index normally")
+    assert(spark.read.parquet(s"$target/log/doclens")
+      .where(col("batch_id") === 9L && col("doc_id") === victim).count() == 1L)
+  }
 }
