@@ -104,10 +104,16 @@ object Bench {
     // the r12 self-review). [3,2] for 5 runs gives 3 warm / 2 cold:
     // median stays warm-dominated, the min stays warm, and the last
     // pass's final run (the shuffle/spill attribution window) is warm.
+    // Warm majority under an interleave needs runs − passes > passes,
+    // impossible below 5 runs — so small run counts (dev-iteration
+    // settings, never the driver's 5) stay ONE consecutive pass rather
+    // than trade the statistics' meaning for burst robustness.
     val passSizes =
-      if (runs <= 1) Seq(runs)
+      if (runs < 5) Seq(runs)
       else {
-        val nPasses = math.max(2, (runs + 2) / 3)
+        // fewest passes ≥2 that keep every pass ≥2 runs (so each pass
+        // contributes a warm sample) and warm strictly in the majority
+        val nPasses = math.min(runs / 2, math.max(2, (runs + 2) / 3))
         val base = runs / nPasses
         val extra = runs % nPasses
         (0 until nPasses).map(i => base + (if (i < extra) 1 else 0))

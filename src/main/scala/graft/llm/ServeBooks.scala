@@ -310,12 +310,7 @@ object ServeBooks {
     try o.write(s"${bookDigest(coarseBook)} ${pqBooksDigest(resBooks)}"
       .getBytes("UTF-8"))
     finally o.close()
-    if (!fs.rename(tmp, p)) {
-      // swallow ONLY a lost race (the winner's file exists); a genuine
-      // rename failure must fail loud, not silently degrade
-      if (fs.exists(p)) fs.delete(tmp, false)
-      else throw new IllegalStateException(s"meta publish failed: $tmp -> $p")
-    }
+    graft.sources.AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = false)
   }
 
   /** The newest OTHER codes generation whose recorded book digests
@@ -511,10 +506,7 @@ object ServeBooks {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     keys.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(tmp, true) // lost a race: theirs won
-      else throw new IllegalStateException(s"sidecar publish failed: $tmp -> $p")
-    }
+    graft.sources.AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = true)
   }
 
   /** Write the generation's frozen book next to its data (if absent):
@@ -532,10 +524,7 @@ object ServeBooks {
       yield (k.toLong, (d + 1).toLong, book(k)(d)))
       .toDF("cid", "dim", "cval")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(tmp, true) // lost a race: theirs won
-      else throw new IllegalStateException(s"sidecar publish failed: $tmp -> $p")
-    }
+    graft.sources.AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = true)
   }
 
   /** The frozen coarse book that assigned a generation's cells, read

@@ -58,10 +58,7 @@ object LogBloom {
       s".${batchId}-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(tmp, false) // lost a race: theirs won
-      else throw new IllegalStateException(s"bloom publish failed: $tmp -> $p")
-    }
+    AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = false)
   }
 
   /** The batch ids of `log` that MAY hold any of `flagged` — batches

@@ -42,10 +42,7 @@ object ScrubRegistry {
     try out.write(flagged.distinct.sorted
       .map(id => s"$id $upto").mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(tmp, false)
-      else throw new IllegalStateException(s"registry publish failed: $tmp -> $p")
-    }
+    AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = false)
   }
 
   /** Every registered erasure for `target`: docId → max upto. */
@@ -56,15 +53,18 @@ object ScrubRegistry {
     fs.listStatus(d).toSeq
       .filterNot(_.getPath.getName.startsWith("."))
       .flatMap { st =>
-        try {
-          val in = fs.open(st.getPath)
-          val txt = try scala.io.Source.fromInputStream(in).mkString
-                    finally in.close()
-          txt.linesIterator.filter(_.nonEmpty).map { line =>
-            val Array(id, upto) = line.trim.split(" ")
-            (id.toLong, upto.toLong)
-          }.toSeq
-        } catch { case _: Exception => Seq.empty } // torn file — skip
+        // FAIL CLOSED: registry files are rename-published (never
+        // torn), so a read error here is a real filesystem fault — and
+        // this is a LEGAL-ERASURE gate: failing open would let a
+        // replayed pre-scrub batch resurrect erased content. Propagate
+        // and fail the batch loudly instead (r12 review finding).
+        val in = fs.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString
+                  finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(id, upto) = line.trim.split(" ")
+          (id.toLong, upto.toLong)
+        }.toSeq
       }
       .groupMapReduce(_._1)(_._2)(math.max)
   }

@@ -51,10 +51,16 @@ object VecTakedown {
     * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[flag]]/[[reset]]. */
   def embArtifactKeys: Seq[String] = Seq(
     ServeBooks.CoarseKey, ServeBooks.PqKey, ServeBooks.PqResKey,
-    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey,
-    // pre-v2 codes generations (raw-fp ids): never rebuilt, but a
-    // takedown must still erase them where they exist on disk
-    ServeBooks.PqResCodesKeyLegacyV1)
+    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey)
+
+  /** Erase every pre-v2 codes generation (raw-fp ids, never rebuilt,
+    * read by nothing since the v2 migration): invalidating only the
+    * CURRENT corpus fingerprint would miss generations parked at older
+    * fps — the common migrated-store state, since an appended corpus
+    * moves the fp and the v1 family never publishes again (r12 review
+    * finding). Dead state of a dead key: sweep it all. */
+  private def dropLegacyCodes(): Unit =
+    ArtifactStore.invalidateAllFps(ServeBooks.PqResCodesKeyLegacyV1)
 
   private def sentinelFrame(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -113,6 +119,7 @@ object VecTakedown {
     // the next serve re-encodes from the corpus minus the tombstones)
     ServeBooks.pqResCodesFpsFor(s, dir)
       .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
+    dropLegacyCodes()
     ServeBooks.invalidateMemos(dir, fp)
     // serve-cells generations hold RAW vector values and may be pinned
     // by a live serve stream: scrub the rows in place (every published
@@ -133,6 +140,7 @@ object VecTakedown {
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
     ServeBooks.pqResCodesFpsFor(s, dir)
       .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
+    dropLegacyCodes()
     ServeBooks.invalidateMemos(dir, fp)
     // scrubbed serve-cells rows cannot be restored by another scrub:
     // retraction drops this corpus's generations so the next serve

@@ -88,14 +88,20 @@ object StreamIndexCompact {
         .mode("overwrite")
         .parquet(path)
     }
-    merge("postings", newPostings, Seq("doc_id", "t"), "tf")
-    merge("doclens", newLens, Seq("doc_id"), "dl")
     // per-batch delta log — the index's time-travel half (TimeTravel's
     // batch_id-partition idiom): each batch's postings/length rows land
     // in their own partition with dynamic overwrite, so replay rewrites
     // identical rows and `asOfPostings` can reconstruct the index as
     // served at ANY historical batch boundary (relevance-regression
-    // debugging: "what did last week's index score for this query")
+    // debugging: "what did last week's index score for this query").
+    // LOGS WRITE FIRST (r12 review finding): ScrubRegistry derives its
+    // replay window from the on-disk log partitions, so every batch
+    // that has touched the compacted buckets must already be visible in
+    // the logs — log-first ordering makes "buckets mutated but log
+    // absent" impossible, closing the in-flight-crash gap where a
+    // replayed batch would sit above the recorded window and re-insert
+    // scrubbed rows. StreamMergeSink writes its log first for the same
+    // reason.
     Seq(("log/postings", newPostings.drop("bucket")),
         ("log/doclens", newLens.drop("bucket"))).foreach { case (sub, df) =>
       df.withColumn("batch_id", lit(batchId))
@@ -107,6 +113,8 @@ object StreamIndexCompact {
       graft.sources.LogBloom.record(s, s"$target/$sub", batchId,
         df.select(col("doc_id")))
     }
+    merge("postings", newPostings, Seq("doc_id", "t"), "tf")
+    merge("doclens", newLens, Seq("doc_id"), "dl")
   }
 
   /** docs(doc_id, text) stream → continuously compacted index target. */
