@@ -340,7 +340,16 @@ object ServeBooks {
 
   /** The published codes generations BELONGING TO `dir`'s corpus —
     * [[annCellsFpsFor]]'s enumerator for the codes family (one
-    * footer-cheap row read per generation). */
+    * footer-cheap row read per generation). NOT sufficient for erasure
+    * (r12 ADVICE, medium): it matches only the CURRENT corpus
+    * fingerprint, so generations parked at pre-append fps of the same
+    * deployment escape it — the takedown paths use
+    * [[codesGenerationsContaining]] instead. Still the right enumerator
+    * for [[graft.sources.VecTakedown.reset]]: retraction invalidates
+    * generations because they LACK the previously flagged vectors (a
+    * completeness concern, current-corpus-scoped), not because they
+    * retain content; parked older-fp generations are read by nothing
+    * (reads key on current fp ⊗ books) and fall to gcKeepLatest. */
   def pqResCodesFpsFor(s: SparkSession, dir: String): Seq[Long] = {
     val want = ArtifactStore.embeddingsFp(s, dir)
     ArtifactStore.publishedFps(PqResCodesKey).filter { fp =>
@@ -349,6 +358,40 @@ object ServeBooks {
         .collect().headOption.exists(_.getLong(0) == want)
     }
   }
+
+  /** ERASURE enumerator (r12 ADVICE, medium): every published
+    * generation of `key` that CONTAINS any of `vecIds` — checked
+    * against the `vecs` carry certificate when present (id + digest,
+    * pushed-filter read of a small sidecar), else against the data
+    * itself. Fingerprint scoping is wrong for erasure: the delta-
+    * generational scheme makes multi-fp histories the common case (an
+    * append moves the corpus fp, parking the prior generation at the
+    * old fp with the flagged vectors' geometry still on disk), so a
+    * takedown must sweep by CONTENT, not by current-corpus identity.
+    * Deliberately conservative across deployments: a different corpus
+    * whose numeric vec_id space collides is matched too — for the
+    * invalidate path that costs a rebuild, for the scrub path it drops
+    * rows another corpus legitimately serves; erasure wins that tie
+    * (share an artifact root between corpora with colliding ids and a
+    * takedown against one is a takedown against both — documented
+    * posture, use distinct roots or disjoint id spaces). */
+  private[graft] def generationsContaining(s: SparkSession, key: String,
+                                           vecIds: Seq[Long]): Seq[Long] = {
+    if (vecIds.isEmpty) return Seq.empty
+    ArtifactStore.publishedFps(key).filter { fp =>
+      val dp = ArtifactStore.dataPath(key, fp)
+      val sc = vecsSidecarPath(dp)
+      val fs = sc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val src = if (fs.exists(sc)) sc.toString else dp
+      s.read.parquet(src).where(col("vec_id").isin(vecIds: _*))
+        .limit(1).collect().nonEmpty
+    }
+  }
+
+  /** [[generationsContaining]] over the codes family — what
+    * [[graft.sources.VecTakedown.flag]] invalidates. */
+  def codesGenerationsContaining(s: SparkSession, vecIds: Seq[Long]): Seq[Long] =
+    generationsContaining(s, PqResCodesKey, vecIds)
 
   /** The serve-cells artifact (r10 verdict item 1): one row per corpus
     * vector — (vec_id, v, nrm) hive-partitioned by its coarse `cell` —
@@ -663,16 +706,19 @@ object ServeBooks {
 
   /** Erasure leg for the serve-cells family: the artifact stores RAW
     * vector values, so a vector takedown must remove the rows from
-    * every published generation OF THIS CORPUS (a live stream's frozen
-    * generation included — its next batch reads the scrubbed files),
-    * rewriting only the cell partitions that held them. Invalidation
-    * would be wrong here: deleting the directory under a live serve
-    * stream kills it, and a mid-stream rebuild would assign cells with
-    * a RETRAINED book while the stream probes with its frozen one.
-    * Serialized per generation against the ingest merge
-    * ([[withCellsLock]]). */
+    * EVERY published generation containing them — enumerated by
+    * CONTENT ([[generationsContaining]]), not by current corpus
+    * fingerprint: generations parked at pre-append fps of the same
+    * deployment hold the victims' raw values too (r12 ADVICE scoping).
+    * A live stream's frozen generation is included — its next batch
+    * reads the scrubbed files — rewriting only the cell partitions
+    * that held the victims. Invalidation would be wrong here: deleting
+    * the directory under a live serve stream kills it, and a
+    * mid-stream rebuild would assign cells with a RETRAINED book while
+    * the stream probes with its frozen one. Serialized per generation
+    * against the ingest merge ([[withCellsLock]]). */
   def scrubAnnCells(s: SparkSession, dir: String, vecIds: Seq[Long]): Unit =
-    annCellsFpsFor(s, dir).foreach { fp =>
+    generationsContaining(s, AnnCellsKey, vecIds).foreach { fp =>
       val path = ArtifactStore.dataPath(AnnCellsKey, fp)
       withCellsLock(path) {
         graft.sources.PartitionScrub.dropRows(s, path, "cell",
@@ -688,11 +734,27 @@ object ServeBooks {
     }
 
   /** Drop `vecIds` from a generation's vecs carry certificate (no-op
-    * when the sidecar is absent). */
+    * when the sidecar is absent). NOT delete-then-rename (r12 ADVICE):
+    * the replacement is fully written BEFORE the live sidecar moves,
+    * and the live sidecar is renamed ASIDE (dot-prefixed, invisible to
+    * readers) rather than deleted — the no-certificate window shrinks
+    * from [delete → data rename] to two metadata renames, and a crash
+    * inside it leaves the aside copy on disk for post-mortem instead of
+    * silently erasing the certificate. Correctness of the crash residue:
+    * a generation with NO `vecs` sidecar is merely never used as a
+    * delta base until [[ensureVecsSidecar]] self-heals it from the
+    * (tombstone-aware) served corpus on the next build touch — the
+    * aside copy is deliberately NOT restored, because the data scrub
+    * already ran and the pre-scrub certificate would certify scrubbed
+    * vectors as carryable. Stale asides from a prior crash are swept
+    * here. */
   private def rewriteVecsSidecar(s: SparkSession, dataPath: String,
                                  vecIds: Seq[Long]): Unit = {
     val p = vecsSidecarPath(dataPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // sweep crash residue (aside copies are pre-scrub state — never data)
+    fs.globStatus(new org.apache.hadoop.fs.Path(p.getParent, ".vecs-prev-*"))
+      .foreach(st => fs.delete(st.getPath, true))
     if (!fs.exists(p)) return
     val kept = s.read.parquet(p.toString)
       .where(!col("vec_id").isin(vecIds: _*))
@@ -700,9 +762,13 @@ object ServeBooks {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     kept.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
+    val aside = new org.apache.hadoop.fs.Path(p.getParent,
+      s".vecs-prev-${java.util.UUID.randomUUID.toString.take(8)}")
+    if (!fs.rename(p, aside))
+      throw new IllegalStateException(s"vecs sidecar aside failed: $p -> $aside")
     if (!fs.rename(tmp, p))
       throw new IllegalStateException(s"vecs sidecar rewrite failed: $tmp -> $p")
+    fs.delete(aside, true)
   }
 
   private val int8ScalesMemo =

@@ -47,8 +47,10 @@ object VecTakedown {
     * invalidates (books, scales, and the int8 code index — model state
     * derived from the corpus's vector values and keyed directly by
     * the corpus fingerprint). The residual-PQ code index keys its
-    * generations by corpus ⊗ books and is invalidated by enumeration
-    * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[flag]]/[[reset]]. */
+    * generations by corpus ⊗ books and is invalidated by enumeration —
+    * content-scoped ([[graft.llm.ServeBooks.codesGenerationsContaining]])
+    * in [[flag]], current-corpus-scoped
+    * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[reset]]. */
   def embArtifactKeys: Seq[String] = Seq(
     ServeBooks.CoarseKey, ServeBooks.PqKey, ServeBooks.PqResKey,
     ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey)
@@ -114,17 +116,23 @@ object VecTakedown {
     ArtifactStore.invalidate(Key, fp)
     ArtifactStore.parquetOnce(s, Key, fp)(merged)
     embArtifactKeys.foreach(ArtifactStore.invalidate(_, fp))
-    // codes generations key on corpus ⊗ books: enumerate THIS corpus's
-    // and invalidate each (they embed the deleted vectors' geometry;
-    // the next serve re-encodes from the corpus minus the tombstones)
-    ServeBooks.pqResCodesFpsFor(s, dir)
+    // codes generations key on corpus ⊗ books: enumerate BY CONTENT —
+    // every published generation whose certificate/data contains a
+    // flagged id (r12 ADVICE, medium) — and invalidate each. Current-fp
+    // scoping would miss generations parked at pre-append fps of this
+    // deployment, leaving the victims' encoded geometry on disk; a
+    // current-corpus generation NOT containing the ids was built after
+    // they were tombstoned and rightly survives. The next serve
+    // re-encodes from the corpus minus the tombstones.
+    ServeBooks.codesGenerationsContaining(s, add)
       .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
     dropLegacyCodes()
     ServeBooks.invalidateMemos(dir, fp)
     // serve-cells generations hold RAW vector values and may be pinned
     // by a live serve stream: scrub the rows in place (every published
-    // generation of THIS corpus) instead of invalidating —
-    // ServeBooks.scrubAnnCells explains why deletion would be wrong.
+    // generation CONTAINING them, pre-append fps included) instead of
+    // invalidating — ServeBooks.scrubAnnCells explains why deletion
+    // would be wrong.
     ServeBooks.scrubAnnCells(s, dir, add)
     add.size.toLong
   }
