@@ -360,38 +360,119 @@ object ServeBooks {
   }
 
   /** ERASURE enumerator (r12 ADVICE, medium): every published
-    * generation of `key` that CONTAINS any of `vecIds` — checked
-    * against the `vecs` carry certificate when present (id + digest,
-    * pushed-filter read of a small sidecar), else against the data
-    * itself. Fingerprint scoping is wrong for erasure: the delta-
-    * generational scheme makes multi-fp histories the common case (an
-    * append moves the corpus fp, parking the prior generation at the
-    * old fp with the flagged vectors' geometry still on disk), so a
-    * takedown must sweep by CONTENT, not by current-corpus identity.
-    * Deliberately conservative across deployments: a different corpus
-    * whose numeric vec_id space collides is matched too — for the
-    * invalidate path that costs a rebuild, for the scrub path it drops
-    * rows another corpus legitimately serves; erasure wins that tie
-    * (share an artifact root between corpora with colliding ids and a
-    * takedown against one is a takedown against both — documented
-    * posture, use distinct roots or disjoint id spaces). */
+    * generation of `key` that CONTAINS a flagged VECTOR. Fingerprint
+    * scoping is wrong for erasure: the delta-generational scheme makes
+    * multi-fp histories the common case (an append moves the corpus
+    * fp, parking the prior generation at the old fp with the flagged
+    * vectors' geometry still on disk), so a takedown must sweep by
+    * CONTENT, not by current-corpus identity.
+    *
+    * "Contains the vector" means the (vec_id, carry-digest) PAIR — the
+    * exact bytes being erased, matched against each generation's
+    * `vecs` certificate (pushed-filter read of a small sidecar). The
+    * digest is what separates the two same-numeric-id cases:
+    *
+    *  - a parked generation of THIS deployment holds the identical
+    *    vector (vectors are immutable per id — StreamAnnCells'
+    *    ingest contract — so one id has one digest for its lifetime):
+    *    matched, erased;
+    *  - ANOTHER corpus whose numeric id space collides holds a
+    *    DIFFERENT vector under the same id: digest differs, its
+    *    generations survive — a takedown against one corpus must not
+    *    drop rows a second corpus legitimately serves.
+    *
+    * Where a digest is NOT derivable — the flagged vector arrived by
+    * STREAM and sits in generations but not in the corpus parquet, or
+    * was already physically removed — the two families differ by what
+    * a false positive costs:
+    *
+    *  - **codes** (`vecBytesCol` None): id-only match. Invalidation
+    *    deletes and transparently rebuilds; over-invalidating a
+    *    colliding corpus's generation costs one rebuild and destroys
+    *    nothing, while under-matching leaves flagged geometry on disk.
+    *  - **cells** (`vecBytesCol` Some("v")): the data itself stores the
+    *    raw vectors, so the match refines to BYTES — the victim's
+    *    vector is read from the current-corpus generations (the rows
+    *    being erased) and another generation matches only if it holds
+    *    the identical (vec_id, v). Scrubbing is destructive in place;
+    *    a colliding corpus's different bytes must survive. An id whose
+    *    bytes exist nowhere current falls back to id-only — erasure
+    *    beats a collision that narrow.
+    *
+    * The certificate covers the generation AS BUILT; rows GROWN into it
+    * by the ingest stream ([[graft.streaming.StreamAnnCells]]) are not
+    * in the sidecar (the stream's (vec_id, embedding) rows lack the
+    * label the digest covers), so `currentFps` — the caller's
+    * corpus-fp-scoped enumeration, which streamed rows DO carry — is
+    * unioned in. Residual edge, documented: a streamed row inside a
+    * generation already PARKED at a pre-append fp is reachable only by
+    * the byte leg — and for codes falls to gcKeepLatest — narrow by
+    * construction, since streams pin current-corpus generations and a
+    * parked generation means ops already restarted them (the
+    * generation contract). */
   private[graft] def generationsContaining(s: SparkSession, key: String,
-                                           vecIds: Seq[Long]): Seq[Long] = {
+                                           dir: String, vecIds: Seq[Long],
+                                           currentFps: Seq[Long],
+                                           vecBytesCol: Option[String])
+      : Seq[Long] = {
     if (vecIds.isEmpty) return Seq.empty
+    val pairs = graft.Tables.embeddings(s, dir)
+      .where(col("vec_id").isin(vecIds: _*))
+      .select(col("vec_id"), ArtifactStore.embeddingsCarryDigest.as("digest"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idOnly = vecIds.toSet -- pairs.map(_._1) // no digest derivable
+    val cur = currentFps.toSet
+    def bits(v: Seq[Double]): Seq[Long] =
+      v.map(java.lang.Double.doubleToLongBits)
+    // the bytes being erased, for the digest-less ids: read from the
+    // current-corpus generations' own rows (bounded by |flagged| ×
+    // |current generations|)
+    val victimBytes: Map[Long, Set[Seq[Long]]] = vecBytesCol match {
+      case Some(vc) if idOnly.nonEmpty =>
+        currentFps.flatMap { fp =>
+          s.read.parquet(ArtifactStore.dataPath(key, fp))
+            .where(col("vec_id").isin(idOnly.toSeq: _*))
+            .select(col("vec_id"), col(vc)).collect()
+            .map(r => (r.getLong(0), bits(r.getSeq[Double](1))))
+        }.groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+      case _ => Map.empty
+    }
+    // id-only hit in another generation, refined to bytes when we have
+    // them: the generation matches only if ITS row for the id carries
+    // the erased vector's exact bits
+    def idHit(fp: Long, id: Long): Boolean =
+      (vecBytesCol, victimBytes.get(id)) match {
+        case (Some(vc), Some(bs)) =>
+          s.read.parquet(ArtifactStore.dataPath(key, fp))
+            .where(col("vec_id") === id).select(col(vc)).collect()
+            .exists(r => bs(bits(r.getSeq[Double](0))))
+        case _ => true // no bytes derivable anywhere: erasure wins
+      }
     ArtifactStore.publishedFps(key).filter { fp =>
-      val dp = ArtifactStore.dataPath(key, fp)
-      val sc = vecsSidecarPath(dp)
-      val fs = sc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val src = if (fs.exists(sc)) sc.toString else dp
-      s.read.parquet(src).where(col("vec_id").isin(vecIds: _*))
-        .limit(1).collect().nonEmpty
+      cur(fp) || {
+        val dp = ArtifactStore.dataPath(key, fp)
+        val sc = vecsSidecarPath(dp)
+        val fs = sc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(sc))
+          s.read.parquet(sc.toString).where(col("vec_id").isin(vecIds: _*))
+            .select(col("vec_id"), col("digest")).collect()
+            .exists(r => pairs((r.getLong(0), r.getLong(1))) ||
+              (idOnly(r.getLong(0)) && idHit(fp, r.getLong(0))))
+        else
+          s.read.parquet(dp).where(col("vec_id").isin(vecIds: _*))
+            .select(col("vec_id")).collect()
+            .exists(r => pairs.exists(_._1 == r.getLong(0)) ||
+              (idOnly(r.getLong(0)) && idHit(fp, r.getLong(0))))
+      }
     }
   }
 
   /** [[generationsContaining]] over the codes family — what
     * [[graft.sources.VecTakedown.flag]] invalidates. */
-  def codesGenerationsContaining(s: SparkSession, vecIds: Seq[Long]): Seq[Long] =
-    generationsContaining(s, PqResCodesKey, vecIds)
+  def codesGenerationsContaining(s: SparkSession, dir: String,
+                                 vecIds: Seq[Long]): Seq[Long] =
+    generationsContaining(s, PqResCodesKey, dir, vecIds,
+      pqResCodesFpsFor(s, dir), vecBytesCol = None)
 
   /** The serve-cells artifact (r10 verdict item 1): one row per corpus
     * vector — (vec_id, v, nrm) hive-partitioned by its coarse `cell` —
@@ -687,29 +768,30 @@ object ServeBooks {
     }
   }
 
-  /** Per-dataPath monitors serializing the TWO read-modify-write
-    * writers of a serve-cells generation — the streaming ingest merge
-    * ([[graft.streaming.StreamAnnCells.compactBatch]]) and the flag-time
-    * scrub ([[scrubAnnCells]]). Unserialized, a scrub interleaved with
-    * an in-flight merge that already read pre-scrub files can resurrect
+  /** Serialize the read-modify-write writers of a serve-cells
+    * generation — the streaming ingest merge ([[graft.streaming
+    * .StreamAnnCells.compactBatch]]) and the flag-time scrub
+    * ([[scrubAnnCells]]). Unserialized, a scrub interleaved with an
+    * in-flight merge that already read pre-scrub files can resurrect
     * scrubbed rows (lost update), and the converse can drop
-    * just-ingested rows. The monitor is the in-process enforcement
-    * (ArtifactStore.buildLocks' pattern); across processes the
-    * invariant is SINGLE WRITER PER GENERATION — one ingest stream owns
-    * a generation, and flag-time scrubs run in that process (VecTakedown
-    * .flag), exactly how the paired deploy is wired. */
-  private val annCellsLocks = new ConcurrentHashMap[String, Object]()
-
-  private[graft] def withCellsLock[T](dataPath: String)(body: => T): T =
-    annCellsLocks.computeIfAbsent(dataPath, _ => new Object)
-      .synchronized(body)
+    * just-ingested rows. Was an in-JVM monitor with the cross-process
+    * case a documented invariant; now the mutation LEASE (r12 verdict
+    * item 2 — [[graft.sources.MutationLease]]): an ingest stream and a
+    * takedown in different JVMs exclude each other on the generation's
+    * on-disk lease, failing the late-comer loudly instead of silently
+    * interleaving. */
+  private[graft] def withCellsLock[T](s: SparkSession, dataPath: String)
+                                     (body: => T): T =
+    graft.sources.MutationLease.withLease(s, dataPath)(body)
 
   /** Erasure leg for the serve-cells family: the artifact stores RAW
     * vector values, so a vector takedown must remove the rows from
     * EVERY published generation containing them — enumerated by
-    * CONTENT ([[generationsContaining]]), not by current corpus
-    * fingerprint: generations parked at pre-append fps of the same
-    * deployment hold the victims' raw values too (r12 ADVICE scoping).
+    * CONTENT ([[generationsContaining]]: (vec_id, digest) pairs), not
+    * by current corpus fingerprint: generations parked at pre-append
+    * fps of the same deployment hold the victims' raw values too (r12
+    * ADVICE scoping), while a colliding id in a DIFFERENT corpus is a
+    * different vector and survives.
     * A live stream's frozen generation is included — its next batch
     * reads the scrubbed files — rewriting only the cell partitions
     * that held the victims. Invalidation would be wrong here: deleting
@@ -718,9 +800,10 @@ object ServeBooks {
     * the stream probes with its frozen one. Serialized per generation
     * against the ingest merge ([[withCellsLock]]). */
   def scrubAnnCells(s: SparkSession, dir: String, vecIds: Seq[Long]): Unit =
-    generationsContaining(s, AnnCellsKey, vecIds).foreach { fp =>
+    generationsContaining(s, AnnCellsKey, dir, vecIds,
+      annCellsFpsFor(s, dir), vecBytesCol = Some("v")).foreach { fp =>
       val path = ArtifactStore.dataPath(AnnCellsKey, fp)
-      withCellsLock(path) {
+      withCellsLock(s, path) {
         graft.sources.PartitionScrub.dropRows(s, path, "cell",
           col("vec_id").isin(vecIds: _*))
         // the vecs sidecar must forget the victims too: it is the delta

@@ -66,17 +66,22 @@ object TakedownApply {
     * gains a bucket IN-list conjunct that partition-prunes the
     * discovery scan to the flagged ids' buckets; absent/torn meta
     * falls back to the unpruned predicate. */
-  def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
-    val doomed = col("doc_id").isin(flagged: _*)
-    val pred = graft.streaming.BucketMeta.read(s, target) match {
-      case Some(b) => col("bucket").isin(
-        flagged.map(java.lang.Math.floorMod(_, b)).distinct: _*) && doomed
-      case None => doomed
+  def scrubIndex(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    // the index target's mutation lease (MutationLease): serialized
+    // against StreamIndexCompact.compactBatch in-JVM and cross-process,
+    // so the scrub cannot interleave a batch's gate read and its
+    // compacted-bucket merge (r12 ADVICE)
+    MutationLease.withLease(s, target) {
+      val doomed = col("doc_id").isin(flagged: _*)
+      val pred = graft.streaming.BucketMeta.read(s, target) match {
+        case Some(b) => col("bucket").isin(
+          flagged.map(java.lang.Math.floorMod(_, b)).distinct: _*) && doomed
+        case None => doomed
+      }
+      Seq("postings", "doclens").foreach { sub =>
+        PartitionScrub.dropRows(s, s"$target/$sub", "bucket", pred)
+      }
     }
-    Seq("postings", "doclens").foreach { sub =>
-      PartitionScrub.dropRows(s, s"$target/$sub", "bucket", pred)
-    }
-  }
 
   /** Leg 4 (erasure beats time travel): the merge sink's change LOG
     * keeps every historical row, so [[TimeTravel.asOf]] would
@@ -92,7 +97,11 @@ object TakedownApply {
     * logs pay per-candidate-partition, not per-log; batches without a
     * readable bloom stay candidates — legacy logs scrub exactly as
     * before. */
-  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit = {
+  def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit =
+   // under the LOG's mutation lease: a replayed batch's gate read +
+   // log write (StreamMergeSink) cannot interleave this registry
+   // append + partition rewrite (r12 ADVICE's lost-update class)
+   MutationLease.withLease(s, log) {
     // registry FIRST (crash-safe ordering): once the erasure window is
     // recorded, a checkpoint replay of any pre-scrub batch re-applies
     // the tombstone form at write time (ScrubRegistry — without it the
@@ -101,19 +110,19 @@ object TakedownApply {
     // crash completes the partition rewrites
     ScrubRegistry.append(s, log, flagged, ScrubRegistry.maxBatchId(s, log))
     val cands = LogBloom.candidateBatches(s, log, flagged)
-    if (cands.isEmpty) return
     // touch = a flagged doc's row not yet in tombstone form (so a
     // second pass rewrites nothing — idempotent)
-    PartitionScrub.rewriteTouched(s, log, "batch_id",
-      col("batch_id").isin(cands: _*) && col("docId").isin(flagged: _*) &&
-        (col("op") =!= "D" || col("text") =!= "")) { rows =>
-      rows.select(col("docId"), col("ver"),
-        when(col("docId").isin(flagged: _*), lit("D"))
-          .otherwise(col("op")).as("op"),
-        when(col("docId").isin(flagged: _*), lit(""))
-          .otherwise(col("text")).as("text"),
-        col("batch_id"))
-    }
+    if (cands.nonEmpty)
+      PartitionScrub.rewriteTouched(s, log, "batch_id",
+        col("batch_id").isin(cands: _*) && col("docId").isin(flagged: _*) &&
+          (col("op") =!= "D" || col("text") =!= "")) { rows =>
+        rows.select(col("docId"), col("ver"),
+          when(col("docId").isin(flagged: _*), lit("D"))
+            .otherwise(col("op")).as("op"),
+          when(col("docId").isin(flagged: _*), lit(""))
+            .otherwise(col("text")).as("text"),
+          col("batch_id"))
+      }
   }
 
   /** Leg 5: same retroactive erasure for the search index's
@@ -122,7 +131,9 @@ object TakedownApply {
     * flagged docs' rows are DROPPED from every touched batch
     * partition: retroactively the doc was never indexed. Discovery is
     * [[LogBloom]]-pruned like [[scrubMergeLog]]. */
-  def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
+  def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+   // same lease as scrubIndex/compactBatch (one writer per index target)
+   MutationLease.withLease(s, target) {
     // registry FIRST (scrubMergeLog's rationale): gates checkpoint
     // replays of pre-scrub batches in StreamIndexCompact.compactBatch —
     // the compacted-bucket merge AND the log partition rewrite would

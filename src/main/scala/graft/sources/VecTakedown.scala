@@ -124,7 +124,7 @@ object VecTakedown {
     // current-corpus generation NOT containing the ids was built after
     // they were tombstoned and rightly survives. The next serve
     // re-encodes from the corpus minus the tombstones.
-    ServeBooks.codesGenerationsContaining(s, add)
+    ServeBooks.codesGenerationsContaining(s, dir, add)
       .foreach(ArtifactStore.invalidate(ServeBooks.PqResCodesKey, _))
     dropLegacyCodes()
     ServeBooks.invalidateMemos(dir, fp)

@@ -48,7 +48,8 @@ object StreamAnnCells {
     * time. The tombstone set is re-read per batch (StreamAnnServe's
     * discipline — bounded by deletion volume, broadcasts) and the whole
     * read-merge-write is serialized per generation against flag-time
-    * scrubs (ServeBooks.withCellsLock). */
+    * scrubs — in-JVM and ACROSS PROCESSES (ServeBooks.withCellsLock,
+    * now backed by the graft.sources.MutationLease on-disk lease). */
   def compactBatch(dataPath: String, book: Array[Array[Double]],
                    fp: Long, corpusFp: Long, dir: String)
                   (batch: DataFrame, batchId: Long): Unit = {
@@ -67,7 +68,7 @@ object StreamAnnCells {
       .localCheckpoint()
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    ServeBooks.withCellsLock(dataPath) {
+    ServeBooks.withCellsLock(s, dataPath) {
       val existing = s.read.parquet(dataPath)
         .where(col("cell").isin(touched: _*))
         .select(col("vec_id"), col("v"), col("nrm"), col("corpus_fp"),

@@ -32,10 +32,28 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamIndexCompact {
 
-  /** Merge one batch of (doc_id, text) docs into the index target. */
+  /** Merge one batch of (doc_id, text) docs into the index target.
+    * The whole read-modify-write — gate read through compacted-bucket
+    * merge — runs under the target's mutation lease
+    * ([[graft.sources.MutationLease]], r12 ADVICE): unserialized, a
+    * takedown scrub interleaving between this batch's gate read and
+    * its bucket merge could have victim rows re-inserted into
+    * postings/doclens with nothing left to re-scrub them (the per-key
+    * max() merge has no version to outrank them). The lease makes the
+    * single-writer-per-target posture enforced in-JVM AND across
+    * processes; [[graft.sources.TakedownApply.scrubIndex]]/
+    * `scrubIndexLog` take the same lease. */
   def compactBatch(target: String, buckets: Int)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    graft.sources.MutationLease.withLease(s, target) {
+      compactLocked(s, target, buckets, batch, batchId)
+    }
+  }
+
+  private def compactLocked(s: org.apache.spark.sql.SparkSession,
+                            target: String, buckets: Int,
+                            batch: DataFrame, batchId: Long): Unit = {
     // validate-or-publish the target's bucket count ([[BucketMeta]]):
     // the takedown leg names postings/doclens partitions from it
     BucketMeta.ensure(s, target, buckets)
@@ -45,7 +63,9 @@ object StreamIndexCompact {
     // compacted buckets (the per-key max() merge has no version to
     // outrank them) and the batch_id log partitions; dropping the
     // gated ids at batch entry covers every write below. New batches
-    // pass through — a post-takedown re-add indexes normally.
+    // pass through — a post-takedown re-add indexes normally. Read
+    // INSIDE the lease: a gate snapshot taken before a concurrent
+    // scrub's registry append would miss its victims.
     val gated = graft.sources.ScrubRegistry.gatedIds(s, target, batchId)
     val live =
       if (gated.isEmpty) batch
@@ -117,13 +137,22 @@ object StreamIndexCompact {
     merge("doclens", newLens, Seq("doc_id"), "dl")
   }
 
-  /** docs(doc_id, text) stream → continuously compacted index target. */
+  /** docs(doc_id, text) stream → continuously compacted index target.
+    * SINGLE LINEAGE PER TARGET ([[LineageEpoch]], r12 ADVICE): the
+    * ScrubRegistry gate keys on batch ids, so the target accepts
+    * batches from exactly one checkpoint lineage — a redeploy with a
+    * fresh checkpoint (ids restart at 0) against this used target
+    * fails loudly here instead of having its new content silently
+    * erased by old scrub windows. Callers invoking [[compactBatch]]
+    * directly own this invariant themselves. */
   def start(docs: DataFrame, target: String, checkpoint: String,
-            buckets: Int = 16): StreamingQuery =
+            buckets: Int = 16): StreamingQuery = {
+    LineageEpoch.ensure(docs.sparkSession, target, checkpoint)
     docs.writeStream
       .foreachBatch(compactBatch(target, buckets) _)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The compacted artifacts in the exact frames bm25Over consumes. */
   def postings(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =

@@ -43,11 +43,18 @@ object StreamMergeSink {
                 (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    // the whole RMW under the target's mutation lease (graft.sources
+    // .MutationLease — in-JVM and cross-process single writer), the log
+    // leg additionally under the LOG's lease so a replayed batch's gate
+    // read cannot interleave with scrubMergeLog's registry-append +
+    // partition rewrite (lease order is always target → log, never the
+    // reverse — no inversion with the scrub legs, which take one each)
+    graft.sources.MutationLease.withLease(s, target) {
     val incoming = batch
       .select(col("docId"), col("ver"), col("op"), col("text"))
       .withColumn("bucket", pmod(col("docId"), lit(buckets.toLong)))
       .localCheckpoint()
-    log.foreach { lp =>
+    log.foreach { lp => graft.sources.MutationLease.withLease(s, lp) {
       // replay gate (graft.sources.ScrubRegistry): a checkpoint replay
       // of a batch that a takedown scrub already rewrote must re-apply
       // the tombstone form, or the dynamic partition overwrite would
@@ -73,17 +80,26 @@ object StreamMergeSink {
       // paying full-store discovery per takedown)
       graft.sources.LogBloom.record(s, lp, batchId,
         incoming.select(col("docId")))
-    }
+    }}
     val touched = incoming.select(col("bucket")).distinct()
       .collect().map(_.getLong(0))
-    // first-batch detection is an EXISTENCE check, not a catch (r7
+    // first-batch detection is a HAS-DATA check, not a catch (r7
     // verdict item 7): a genuine analysis error on a present target —
     // schema drift, corrupted footer — must fail the batch loudly, not
-    // silently re-initialize the table from one batch's rows
+    // silently re-initialize the table from one batch's rows. Has-data,
+    // not exists: the mutation lease / lineage files create the
+    // directory before any parquet lands in it — so ONLY `_`/`.`
+    // harness files read as "no table yet"; anything else (bucket
+    // dirs, even a corrupt stray file) takes the read path and fails
+    // loudly there if unreadable.
     val tgtPath = new org.apache.hadoop.fs.Path(target)
     val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(tgtPath) && fs.listStatus(tgtPath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val existing =
-      if (!fs.exists(tgtPath)) incoming.limit(0)
+      if (!hasData) incoming.limit(0)
       else s.read.parquet(target).where(col("bucket").isin(touched: _*))
         .select(col("docId"), col("ver"), col("op"), col("text"), col("bucket"))
     // eager: materialize the old bucket contents BEFORE overwriting them
@@ -98,16 +114,27 @@ object StreamMergeSink {
       .partitionBy("bucket")
       .mode("overwrite")
       .parquet(target)
+    }
   }
 
   /** changes(doc_id, ver, op, text) stream → continuously merged
-    * parquet target, checkpointed (restart-safe, replay-idempotent). */
+    * parquet target, checkpointed (restart-safe, replay-idempotent).
+    * The change LOG accepts batches from exactly one checkpoint
+    * lineage ([[LineageEpoch]], r12 ADVICE): its ScrubRegistry erasure
+    * windows key on batch ids, so a redeploy with a fresh checkpoint
+    * (ids restart at 0) against a used log fails loudly here instead
+    * of having its new content silently tombstoned by old windows.
+    * The merge TARGET needs no pin — version-superseding makes it
+    * lineage-agnostic. Callers invoking [[mergeBatch]] directly own
+    * the single-lineage invariant themselves. */
   def start(changes: DataFrame, target: String, checkpoint: String,
-            buckets: Int = 16, log: Option[String] = None): StreamingQuery =
+            buckets: Int = 16, log: Option[String] = None): StreamingQuery = {
+    log.foreach(LineageEpoch.ensure(changes.sparkSession, _, checkpoint))
     StreamMerge(changes).toDF().writeStream
       .foreachBatch(mergeBatch(target, buckets, log) _)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The merge target as consumers see it: tombstones filtered out. */
   def liveView(s: SparkSession, target: String): DataFrame =

@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The cross-process mutation lease (r12 verdict item 2): single
+  * writer per storage target enforced by an on-disk lease file, not a
+  * documented invariant. A held lease fails the second mutator LOUDLY
+  * (the two-session interleave made impossible), a crashed holder's
+  * stale lease is broken, and the lease always releases — success,
+  * failure, or nested re-entry.
+  */
+class MutationLeaseSpec extends SparkSpec {
+
+  private def fsOf(target: String) =
+    new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leaseOf(target: String) =
+    new org.apache.hadoop.fs.Path(target, "_mutate.lease")
+
+  test("a lease held by another process fails the second mutator loudly") {
+    val target = Files.createTempDirectory("lease_conflict").toString
+    val fs = fsOf(target)
+    // "session A" (a different JVM): claim the lease out-of-band
+    val out = fs.create(leaseOf(target), false)
+    try out.write("9999@other-host test-holder".getBytes("UTF-8"))
+    finally out.close()
+
+    val e = intercept[IllegalStateException] {
+      MutationLease.withLease(spark, target) {
+        fail("the body must never run under a held lease")
+      }
+    }
+    assert(e.getMessage.contains("another process"), e.getMessage)
+    assert(e.getMessage.contains("test-holder"),
+      s"the failure must name the holder: ${e.getMessage}")
+    // the failed claim must not have disturbed the holder's lease
+    assert(fs.exists(leaseOf(target)))
+  }
+
+  test("a stale lease (crashed holder) is broken and the mutation runs") {
+    val target = Files.createTempDirectory("lease_stale").toString
+    val fs = fsOf(target)
+    val out = fs.create(leaseOf(target), false)
+    try out.write("dead holder".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(leaseOf(target), System.currentTimeMillis() - 3600000L, -1)
+
+    var ran = false
+    MutationLease.withLease(spark, target) { ran = true }
+    assert(ran, "the stale lease must be broken, not block the mutation")
+    assert(!fs.exists(leaseOf(target)), "released after the body")
+  }
+
+  test("release on success, on failure, and across re-entry") {
+    val target = Files.createTempDirectory("lease_release").toString
+    val fs = fsOf(target)
+
+    // re-entry: a scrub nested inside a merge re-enters its own hold,
+    // and the lease exists exactly while the outermost hold is live
+    val r = MutationLease.withLease(spark, target) {
+      assert(fs.exists(leaseOf(target)), "held during the body")
+      MutationLease.withLease(spark, target) { 42 }
+    }
+    assert(r == 42)
+    assert(!fs.exists(leaseOf(target)), "released after success")
+
+    intercept[RuntimeException] {
+      MutationLease.withLease(spark, target) {
+        throw new RuntimeException("mutation failed")
+      }
+    }
+    assert(!fs.exists(leaseOf(target)),
+      "a failed mutation must not leave the target wedged")
+  }
+}

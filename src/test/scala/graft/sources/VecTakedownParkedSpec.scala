@@ -22,7 +22,17 @@ class VecTakedownParkedSpec extends SparkSpec {
   test("flag after an append erases the victim from generations parked " +
     "at the pre-append fp: codes invalidated, cells scrubbed in place") {
     val tmp = Files.createTempDirectory("vec_parked").toString
+    // perturbed ONCE, shared by both corpus versions: A and B hold the
+    // identical vector bytes per id (the same deployment appending), so
+    // the (vec_id, digest)-scoped erasure matches both — while the MAIN
+    // corpus's same numeric ids carry different bytes and its
+    // generations must survive this spec's takedown. Salted per run so
+    // a failed prior run's persisted tombstones/generations (same
+    // fp-keyed store) cannot shadow this one's.
+    val salt = ((new scala.util.Random).nextInt(4000) + 5000) / 1000.0f
     val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(salt)).cast("float")))
     val dirA = s"$tmp/a"; val dirB = s"$tmp/b"
     full.where(col("vec_id") < 300).write.parquet(s"$dirA/embeddings.parquet")
     full.where(col("vec_id") < 350).write.parquet(s"$dirB/embeddings.parquet")

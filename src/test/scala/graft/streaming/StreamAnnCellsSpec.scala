@@ -23,8 +23,20 @@ class StreamAnnCellsSpec extends SparkSpec {
     "replay no-op; takedown reaches streamed rows") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("ann_cells_stream").toString
-    // base corpus: the first 400 vectors, as a corpus dir of its own
+    // base corpus: the first 400 vectors, as a corpus dir of its own —
+    // PERTURBED so this corpus's vectors are byte-distinct from the
+    // main corpus's under the same ids: the takedown's cross-corpus
+    // assertion below is about a colliding id carrying a DIFFERENT
+    // vector (erasure matches (vec_id, digest) pairs — identical bytes
+    // under the same id would rightly be erased everywhere). Salted
+    // PER RUN (ArtifactDeltaSpec's discipline): the artifact store is
+    // persistent and fp-keyed, so a deterministic perturbation would
+    // find a failed prior run's tombstones/generations already
+    // published under the same fingerprint.
+    val salt = ((new scala.util.Random).nextInt(4000) + 1000) / 1000.0f
     val full = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x + lit(salt)).cast("float")))
     full.where(col("vec_id") < SplitId)
       .write.parquet(s"$tmp/embeddings.parquet")
 
@@ -32,6 +44,11 @@ class StreamAnnCellsSpec extends SparkSpec {
     val book = ServeBooks.coarse(spark, tmp)
     val fp = ServeBooks.annCellsFp(spark, tmp)
     val dataPath = ServeBooks.annCellsPath(spark, tmp)
+    // cleanup even on mid-test failure (reset drops this corpus's
+    // generations + tombstones): a leaked generation shares the main
+    // corpus's vec_id space and would trip StreamAnnServeSpec's
+    // no-generation-holds-the-victim sweep
+    try {
 
     // stream the held-out 100 vectors in two out-of-order batches
     val holdout = full.where(col("vec_id") >= SplitId)
@@ -92,7 +109,8 @@ class StreamAnnCellsSpec extends SparkSpec {
 
     // takedown reaches a STREAMED row in the grown generation — and
     // ONLY in this corpus's generations: the same numeric vec_id in
-    // another corpus is a different vector and must survive
+    // another corpus is a different vector (different carry digest —
+    // this spec's corpus is perturbed above) and must survive
     val mainPath = ServeBooks.annCellsPath(spark, sfDir)
     val victim = holdout.head._1
     assert(spark.read.parquet(mainPath)
@@ -121,6 +139,6 @@ class StreamAnnCellsSpec extends SparkSpec {
       "replay after takedown must not resurrect the erased vector")
     assert(rowSet(spark.read.parquet(dataPath)) == preReplay,
       "the post-takedown replay must be a no-op for surviving rows too")
-    graft.sources.VecTakedown.reset(spark, tmp)
+    } finally graft.sources.VecTakedown.reset(spark, tmp)
   }
 }
