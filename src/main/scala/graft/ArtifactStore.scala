@@ -99,18 +99,78 @@ object ArtifactStore {
     queries.OpsQueries.checksumHash("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
-  private val fpMemo = new ConcurrentHashMap[(String, String), java.lang.Long]()
+  /** (listing signature → fp) per (dir, table): the in-JVM memo is
+    * validated against the CURRENT file listing on every call, so an
+    * appended corpus is visible without a JVM restart (the pre-r13
+    * memo assumed immutable corpus dirs — true of the testdata, false
+    * of a production store that appends in place). A listing is one
+    * metadata pass; at 100 TB the file inventory is the table format's
+    * manifest and this stays metadata-priced. */
+  private val fpMemo =
+    new ConcurrentHashMap[(String, String), (String, java.lang.Long)]()
 
+  /** The corpus files the last [[fpOf]] call actually SCANNED, per
+    * (dir, table) — the spec pin for "an append re-reads only the
+    * appended files" (ArtifactCarrySpec). */
+  private[graft] val fpScanned =
+    new ConcurrentHashMap[(String, String), Seq[String]]()
+
+  private def fpCachePath(dir: String, table: String): org.apache.hadoop.fs.Path = {
+    // readable prefix + full-string hash suffix; a collision is only a
+    // cache MISS (entries validate by absolute path), never a wrong fp
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(48)
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    new org.apache.hadoop.fs.Path(root, s"_fpcache/$table-$safe-$h")
+  }
+
+  /** FILE-INCREMENTAL corpus fingerprint (r12 verdict item 1): the
+    * per-row digests sum, so fp = (Σ per-file sums) mod M — unchanged
+    * files (same path+size+mtime as the cached manifest) contribute
+    * their recorded sums and only new/changed files are scanned. First
+    * touch (no cache) scans everything once and writes the manifest;
+    * the exact fp VALUE is unchanged from the full-scan form, so every
+    * published artifact key and every oracle's SQL fingerprint twin
+    * still match. Fails LOUD if a scanned file's rows cannot be
+    * attributed back to it (normalization drift would otherwise
+    * silently zero its contribution). */
   private def fpOf(s: SparkSession, dir: String, table: String,
-                   digest: => Column): Long =
-    fpMemo.computeIfAbsent((dir, table), _ => {
-      val r = Tables.load(s, dir, table)
-        .select(digest.as("h"))
-        .agg((sum(col("h").cast(DecimalType(38, 0))) % lit(Mod))
-          .cast(LongType).as("fp"))
-        .head().getLong(0)
-      Long.box(r)
-    })
+                   digest: => Column): Long = {
+    val key = (dir, table)
+    val listing = graft.sources.CorpusFiles.list(s, dir, table)
+    val sig = listing.map { case (p, sz, mt) => s"$p|$sz|$mt" }.mkString("\n")
+    val memo = fpMemo.get(key)
+    if (memo != null && memo._1 == sig) return memo._2
+    val cache = fpCachePath(dir, table)
+    val fs = cache.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior = graft.sources.CorpusFiles.readManifest(fs, cache)
+      .getOrElse(Map.empty[String, (Long, Long, Long)])
+    val (unchanged, changed) = listing.partition { case (p, sz, mt) =>
+      prior.get(p).exists { case (s0, m0, _) => s0 == sz && m0 == mt }
+    }
+    val sums = graft.sources.CorpusFiles.fileSums(s, changed.map(_._1), digest)
+    fpScanned.put(key, changed.map(_._1))
+    val unknown = sums.keySet -- changed.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"fp scan attributed rows to unlisted files $unknown — " +
+        "source-path normalization drifted; refusing a silent wrong fp")
+    val entries = unchanged.map { case (p, sz, mt) => (p, sz, mt, prior(p)._3) } ++
+      changed.map { case (p, sz, mt) =>
+        val sum = sums.get(p).map(_._1).getOrElse {
+          // absent from the grouped scan: legitimate ONLY for a
+          // zero-row part file — verify rather than assume
+          val n = s.read.parquet(p).count()
+          require(n == 0L,
+            s"fp scan lost $n rows of $p — source-path normalization " +
+              "drifted; refusing a silent wrong fp")
+          0L
+        }
+        (p, sz, mt, sum)
+      }
+    val fp = entries.map(e => BigInt(e._4)).sum.mod(BigInt(Mod)).toLong
+    graft.sources.CorpusFiles.writeManifest(fs, cache, entries)
+    fpMemo.put(key, (sig, Long.box(fp)))
+    fp
+  }
 
   def embeddingsFp(s: SparkSession, dir: String): Long =
     fpOf(s, dir, "embeddings", embeddingsRowDigest)
@@ -202,6 +262,24 @@ object ArtifactStore {
   private def parquetOnceImpl(s: SparkSession, key: String, fp: Long,
                               partitionCols: Seq[String])
                              (build: => DataFrame): DataFrame = {
+    val dataDir = publishOnce(s, key, fp) { tmp =>
+      val w = build.withColumn("fp", lit(fp)).write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+       else w)
+        .mode("overwrite").parquet(tmp.resolve("data").toString)
+    }
+    s.read.parquet(dataDir)
+  }
+
+  /** The publication contract, factored from [[parquetOnce]] for
+    * builders that lay out a generation themselves (the bucket-carried
+    * delta path writes data + certificate + file manifest into ONE
+    * staging dir so a single atomic rename publishes them together):
+    * `write` fills the staging dir; this handles the build lock, the
+    * manifest, the atomic rename, and the lost-race cleanup. Returns
+    * the generation's `data` path. */
+  private def publishOnce(s: SparkSession, key: String, fp: Long)
+                         (write: Path => Unit): String = {
     val dir = Paths.get(root, key, s"fp-$fp")
     val dirKey = dir.toString
     if (memo.get(dirKey) == null) {
@@ -213,10 +291,7 @@ object ArtifactStore {
             val tmp = Paths.get(root, key,
               s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
             Files.createDirectories(tmp)
-            val w = build.withColumn("fp", lit(fp)).write
-            (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
-             else w)
-              .mode("overwrite").parquet(tmp.resolve("data").toString)
+            write(tmp)
             Files.writeString(tmp.resolve("manifest.json"),
               s"""{"key":"$key","fp":$fp,""" +
                 s""""created":"${java.time.Instant.now}"}\n""")
@@ -236,7 +311,7 @@ object ArtifactStore {
         }
       }
     }
-    s.read.parquet(s"$dirKey/data")
+    s"$dirKey/data"
   }
 
   /** [[parquetOnce]] keyed by the documents-corpus fingerprint, with
@@ -283,38 +358,42 @@ object ArtifactStore {
       tagged.select(col(idCol), col("digest")))
   }
 
-  /** The (doc_id, digest) sidecar recording WHICH corpus a generation
-    * was built from — the delta path's carry certificate. The digest is
+  /** The (doc_id, digest, src, bck) sidecar recording WHICH corpus a
+    * generation was built from — the delta path's carry certificate,
+    * hive-partitioned by the same `bck` as the data. The digest is
     * [[documentsRowDigest]], the SAME per-row hash the corpus
     * fingerprint sums, so it certifies every fingerprinted column
     * (doc_id, text, lang, source, n_chars) — a doc whose text survived
     * a re-crawl but whose source moved is rebuilt, keeping the carry
-    * safe for any doc-local family, not just text-derived ones. */
+    * safe for any doc-local family, not just text-derived ones. `src`
+    * names the corpus file that held the doc (the file-level carry's
+    * join key); pre-r13 generations carry the (doc_id, digest)-only
+    * form and delta through the row-level fallback. */
   private def docsSidecarPath(key: String, fp: Long): Path =
     Paths.get(root, key, s"fp-$fp", "docs")
 
-  private def docKeysFrame(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), documentsRowDigest.as("digest"))
+  /** Per-generation corpus-file manifest (path, size, mtime, digest
+    * sum) — [[fpOf]]'s cache format, pinned to the generation so the
+    * NEXT build knows exactly which files it derived from. */
+  private def filesManifestPath(key: String, fp: Long): Path =
+    Paths.get(root, key, s"fp-$fp", "files")
 
-  /** `docKeys` is BY-NAME: the existence check is the hot path (every
-    * artifact read lands here) and must not construct the corpus frame
-    * or its digest projection — an eager argument measured as a flat
-    * +0.1–0.2 s on every dedup-audit query at sf0.1. */
-  private def ensureDocsSidecar(s: SparkSession, key: String, fp: Long,
-                                docKeys: => DataFrame): Unit = {
-    val p = docsSidecarPath(key, fp)
-    if (Files.exists(p)) return
-    val tmp = Paths.get(root, key, s"fp-$fp",
-      s".docs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    docKeys.write.mode("overwrite").parquet(tmp.toString)
-    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileSystemException =>
-      // swallow ONLY a lost publish race (the winner's sidecar exists);
-      // a genuine move failure must not silently disable the delta
-      // path forever (parquetOnceImpl's guard, applied here)
-      if (Files.exists(p)) deleteRecursively(tmp) else throw e
-    }
-  }
+  /** Doc-id bucket count for the delta families' partition layout.
+    * 64 bounds small-file overhead at spec scale; a 100 TB deployment
+    * raises it (the constant is a layout property of each generation —
+    * changing it simply makes the next build fall back to the
+    * row-level carry once, since bucket dirs no longer align). */
+  val DeltaBuckets = 64
+
+  private def bckCol: Column = pmod(col("doc_id"), lit(DeltaBuckets.toLong))
+
+  /** The current corpus certificate over exactly `paths`:
+    * (doc_id, digest, src, bck). */
+  private def docCertFrame(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*).select(col("doc_id"),
+      documentsRowDigest.as("digest"),
+      graft.sources.CorpusFiles.srcCol.as("src"),
+      bckCol.as("bck"))
 
   /** The newest OTHER published generation of `key` that carries a
     * docs sidecar — the delta build's base. Sidecar-less generations
@@ -327,67 +406,287 @@ object ArtifactStore {
         Paths.get(root, key, s"fp-$p", "manifest.json")).toMillis)
       .lastOption
 
+  /** Bucket-carry observability (the r12 verdict item 1 "done"
+    * criterion): per key, the last delta build's linked vs rewritten
+    * bucket counts, linked vs written bytes, and the corpus files it
+    * actually scanned. */
+  case class CarryStat(linkedBuckets: Int, rewrittenBuckets: Int,
+                       bytesLinked: Long, bytesWritten: Long,
+                       scannedFiles: Seq[String])
+  private[graft] val carryStats = new ConcurrentHashMap[String, CarryStat]()
+
+  /** Hard-link (fall back to copy where the FS refuses links) every
+    * data file of `src` into `dst`; returns bytes carried. */
+  private def linkDirInto(src: Path, dst: Path): Long = {
+    Files.createDirectories(dst)
+    var bytes = 0L
+    val kids = Files.list(src)
+    try kids.forEach { f =>
+      if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith(".")) {
+        val t = dst.resolve(f.getFileName.toString)
+        try Files.createLink(t, f)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          Files.copy(f, t, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+        bytes += Files.size(f)
+      }
+    } finally kids.close()
+    bytes
+  }
+
+  private def dirBytes(p: Path): Long = {
+    if (!Files.isDirectory(p)) return 0L
+    var bytes = 0L
+    val kids = Files.walk(p)
+    try kids.forEach(f => if (Files.isRegularFile(f)) bytes += Files.size(f))
+    finally kids.close()
+    bytes
+  }
+
+  /** Write the generation's file manifest from per-file sums derived
+    * off the certificate, carrying unchanged files' recorded sums; the
+    * entries must re-sum to `fp` (a mismatch means the corpus mutated
+    * mid-build — fail loud, never publish a mislabeled generation). */
+  private def writeGenManifest(s: SparkSession, tmp: Path, fp: Long,
+                               listing: Seq[(String, Long, Long)],
+                               carriedSums: Map[String, Long],
+                               freshCert: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val freshSums = freshCert.groupBy(col("src"))
+      .agg((sum(col("digest").cast(DecimalType(38, 0))) % lit(Mod))
+        .cast(LongType).as("sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unknown = freshSums.keySet -- listing.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"certificate attributed rows to unlisted files $unknown")
+    val entries = listing.map { case (p, sz, mt) =>
+      (p, sz, mt, freshSums.getOrElse(p, carriedSums.getOrElse(p, 0L)))
+    }
+    require(entries.map(e => BigInt(e._4)).sum.mod(BigInt(Mod)).toLong == fp,
+      s"generation manifest sums disagree with fp $fp — corpus changed " +
+        "mid-build; refusing to publish a mislabeled generation")
+    graft.sources.CorpusFiles.writeManifest(fs,
+      new org.apache.hadoop.fs.Path(tmp.resolve("files").toString), entries)
+  }
+
   /** [[documentsArtifact]] for CORPUS-LINEAR, DOC-LOCAL families
     * (every output row is a pure function of its own document's
     * content — shingle hashes, minhash signatures): generation N+1 is
     * built from generation N plus the document delta instead of
     * re-deriving the whole corpus (r11 verdict item 3 — at 100 TB you
-    * cannot re-shingle the corpus because 1 GB arrived). q87's digest
-    * anti-join idiom, applied to the store itself:
+    * cannot re-shingle the corpus because 1 GB arrived), and — r12
+    * verdict item 1 — the carry is PARTITION-LEVEL: data and
+    * certificate are hive-partitioned by `bck = doc_id mod
+    * [[DeltaBuckets]]`, buckets untouched by the delta are HARD-LINKED
+    * from the prior generation (metadata-priced, zero data I/O), and
+    * the carry certificate derives from the prior generation's file
+    * manifest plus a scan of ONLY the new/changed corpus files. Per
+    * append the I/O is therefore O(delta files + touched buckets):
     *
-    *  - each generation publishes a (doc_id, digest) sidecar naming
-    *    the exact corpus it was built from;
-    *  - the next corpus version CARRIES the prior generation's rows
-    *    for every doc whose (doc_id, digest) is unchanged — doc-local
-    *    derivation makes those rows byte-identical to a fresh build by
-    *    construction — and runs `buildFor` ONLY over the changed/new
-    *    docs (removed docs drop out of the carry semi-join);
-    *  - no prior generation (first touch, or every prior invalidated
-    *    by the takedown cascade) → full build, same as
-    *    [[documentsArtifact]].
+    *  - file level: the prior generation's `files` manifest names the
+    *    corpus files it derived from; files unchanged (path+size+mtime)
+    *    contribute their certificate rows and digest sums verbatim,
+    *    only new/changed files are scanned ([[graft.sources
+    *    .CorpusFiles]]);
+    *  - row level, within the scanned delta: docs whose (doc_id,
+    *    digest) matches the prior certificate are carries (a
+    *    compaction that re-files unchanged docs rebuilds nothing),
+    *    the rest run `buildFor`; removed docs drop out;
+    *  - bucket level: a bucket is rewritten only if a changed, new, or
+    *    removed doc lands in it — everything else is a hard link. A
+    *    bucket whose docs merely MOVED files relinks its data and
+    *    rewrites only its certificate partition (src changed, rows
+    *    didn't).
     *
-    * Scale shape: the derive cost (shingle explode + md5 + 16
-    * permutations per shingle — the dominant term) becomes O(delta);
-    * what stays corpus-linear is one digest SCAN of the new corpus
-    * (the unavoidable certificate — md5 of each text, computed once
-    * via localCheckpoint and reused by both joins) and the carried
-    * rows' REWRITE into the new generation (sequential parquet I/O; a
-    * partition-level carry could remove even that, documented as the
-    * next step if append cadence ever makes the copy the bottleneck).
-    * The quadratic audit families (brute_pair_stats_v1,
+    * Certificate, file manifest, and data publish in ONE staging dir →
+    * one atomic rename (strictly stronger than the r12
+    * ensure-after-publish self-healing). Prior generations without a
+    * file manifest (pre-r13) delta through the row-level fallback and
+    * come out in the new layout — one migration build, then steady
+    * state. The quadratic audit families (brute_pair_stats_v1,
     * banded_cand_nmatch_v1) deliberately keep full rebuild: their rows
     * are PAIR-local, so an appended doc invalidates rows it never
     * appears in. */
   def documentsDeltaArtifact(s: SparkSession, dir: String, key: String)
                             (buildFor: DataFrame => DataFrame): DataFrame = {
     val fp = documentsFp(s, dir)
-    def docs = Tables.documents(s, dir)
-    // the delta path's checkpointed certificate, reused by the sidecar
-    // write below so a new generation digests the corpus ONCE
-    var certKeys: Option[DataFrame] = None
-    val out = parquetOnce(s, key, fp) {
-      priorGeneration(key, fp) match {
-        case Some(pfp) =>
-          val priorKeys = s.read.parquet(docsSidecarPath(key, pfp).toString)
-          val (unchangedIds, changedIds, keys) =
-            deltaSplit(key, "doc_id", docKeysFrame(docs), priorKeys)
-          certKeys = Some(keys)
-          val fresh = buildFor(
-            docs.join(changedIds, Seq("doc_id"), "left_semi"))
-          val carried = s.read.parquet(s"${dataPath(key, pfp)}").drop("fp")
-            .join(unchangedIds, Seq("doc_id"), "left_semi")
-          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
-        case None =>
-          deltaStats.put(key, (-1L, -1L))
-          buildFor(docs)
+    val dataDir = publishOnce(s, key, fp) { tmp =>
+      val listing = graft.sources.CorpusFiles.list(s, dir, "documents")
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val prior = priorGeneration(key, fp)
+      val priorManifest = prior.flatMap { pfp =>
+        graft.sources.CorpusFiles.readManifest(hfs,
+          new org.apache.hadoop.fs.Path(filesManifestPath(key, pfp).toString))
+      }
+      (prior, priorManifest) match {
+        case (Some(pfp), Some(pm)) =>
+          bucketCarryBuild(s, dir, key, fp, tmp, pfp, pm, listing)(buildFor)
+        case (Some(pfp), None) => // pre-r13 prior: row-level migration
+          rowCarryBuild(s, dir, key, fp, tmp, pfp, listing)(buildFor)
+        case _ =>
+          fullBuild(s, dir, key, fp, tmp, listing)(buildFor)
       }
     }
-    // write-if-absent AFTER the atomic publish (a crash in between
-    // self-heals on the next touch; a sidecar-less generation is simply
-    // never used as a delta base); by-name arg — repeat reads pay one
-    // local existence check
-    ensureDocsSidecar(s, key, fp, certKeys.getOrElse(docKeysFrame(docs)))
-    out.drop("fp")
+    s.read.parquet(dataDir).drop("fp").drop("bck")
+  }
+
+  /** One task per bucket before a bucketed write: without it every
+    * shuffle partition writes a sliver into every bucket it holds —
+    * up to tasks×buckets files per generation, and every consumer
+    * query pays the per-file scan overhead forever. One bounded
+    * shuffle at build time buys ≤1 file per bucket per build. */
+  private def byBucket(df: DataFrame): DataFrame =
+    df.repartition(DeltaBuckets, col("bck"))
+
+  private def fullBuild(s: SparkSession, dir: String, key: String, fp: Long,
+                        tmp: Path, listing: Seq[(String, Long, Long)])
+                       (buildFor: DataFrame => DataFrame): Unit = {
+    val cert = docCertFrame(s, listing.map(_._1)).localCheckpoint()
+    byBucket(buildFor(Tables.documents(s, dir))
+      .withColumn("bck", bckCol).withColumn("fp", lit(fp)))
+      .write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    byBucket(cert).write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("docs").toString)
+    writeGenManifest(s, tmp, fp, listing, Map.empty, cert)
+    deltaStats.put(key, (-1L, -1L))
+    carryStats.remove(key)
+  }
+
+  private def rowCarryBuild(s: SparkSession, dir: String, key: String,
+                            fp: Long, tmp: Path, pfp: Long,
+                            listing: Seq[(String, Long, Long)])
+                           (buildFor: DataFrame => DataFrame): Unit = {
+    val cert = docCertFrame(s, listing.map(_._1)).localCheckpoint()
+    val priorKeys = s.read.parquet(docsSidecarPath(key, pfp).toString)
+      .select(col("doc_id"), col("digest"))
+    val (unchangedIds, changedIds, _) =
+      deltaSplit(key, "doc_id", cert.select(col("doc_id"), col("digest")),
+        priorKeys)
+    val fresh = buildFor(
+      Tables.documents(s, dir).join(changedIds, Seq("doc_id"), "left_semi"))
+      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
+    val priorData = s.read.parquet(dataPath(key, pfp)).drop("fp")
+    val carried = (if (priorData.columns.contains("bck"))
+      priorData.drop("bck") else priorData)
+      .join(unchangedIds, Seq("doc_id"), "left_semi")
+      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
+    byBucket(fresh.unionByName(carried.select(fresh.columns.map(col): _*)))
+      .write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    byBucket(cert).write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("docs").toString)
+    writeGenManifest(s, tmp, fp, listing, Map.empty, cert)
+    carryStats.remove(key)
+  }
+
+  private def bucketCarryBuild(s: SparkSession, dir: String, key: String,
+                               fp: Long, tmp: Path, pfp: Long,
+                               priorManifest: Map[String, (Long, Long, Long)],
+                               listing: Seq[(String, Long, Long)])
+                              (buildFor: DataFrame => DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val (unchanged, delta) = listing.partition { case (p, sz, mt) =>
+      priorManifest.get(p).exists { case (s0, m0, _) => s0 == sz && m0 == mt }
+    }
+    val removedOrChanged =
+      (priorManifest.keySet -- unchanged.map(_._1)).toSeq.sorted
+    val deltaPaths = delta.map(_._1)
+    val priorSidecar = s.read.parquet(docsSidecarPath(key, pfp).toString)
+      .select(col("doc_id"), col("digest"), col("src"),
+        col("bck").cast(LongType).as("bck"))
+    val deltaKeys =
+      (if (deltaPaths.isEmpty) priorSidecar.limit(0)
+       else docCertFrame(s, deltaPaths)).localCheckpoint()
+    // changed = scanned docs the prior certificate cannot vouch for;
+    // a doc that merely moved files keeps its (doc_id, digest) pair
+    val changedIds = deltaKeys
+      .join(priorSidecar.select(col("doc_id"), col("digest")),
+        Seq("doc_id", "digest"), "left_anti")
+      .select(col("doc_id"), col("bck")).localCheckpoint()
+    // removed = prior docs of vanished/changed files that did not
+    // resurface in the scan
+    val removedIds = priorSidecar
+      .where(col("src").isin(removedOrChanged: _*))
+      .join(deltaKeys.select(col("doc_id"), col("digest")),
+        Seq("doc_id", "digest"), "left_anti")
+      .select(col("doc_id"), col("bck")).localCheckpoint()
+    def bcks(df: DataFrame): Set[Long] = df.select(col("bck")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val touchedData = bcks(changedIds) ++ bcks(removedIds)
+    val touchedCert = touchedData ++ bcks(deltaKeys) // moved docs: new src
+    // --- data: rebuild touched buckets, hard-link the rest
+    val changedDocs =
+      (if (deltaPaths.isEmpty) Tables.documents(s, dir).limit(0)
+       else s.read.parquet(deltaPaths: _*))
+        .join(changedIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val fresh = buildFor(changedDocs)
+      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
+    val keepInTouched =
+      (if (touchedData.isEmpty) fresh.limit(0)
+       else {
+         val p = s.read.parquet(dataPath(key, pfp)).drop("fp")
+           .where(col("bck").isin(touchedData.toSeq: _*)) // partition prune
+           .join(changedIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+           .join(removedIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+           .withColumn("bck", col("bck").cast(LongType))
+           .withColumn("fp", lit(fp))
+         p.select(fresh.columns.map(col): _*)
+       })
+    byBucket(fresh.unionByName(keepInTouched))
+      .write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    var linkedBytes = 0L
+    var linked = 0
+    val priorDataDir = Paths.get(dataPath(key, pfp))
+    val kids = Files.list(priorDataDir)
+    try kids.iterator().asScala.foreach { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("bck=") &&
+          !touchedData(n.stripPrefix("bck=").toLong)) {
+        linkedBytes += linkDirInto(d, tmp.resolve("data").resolve(n))
+        linked += 1
+      }
+    } finally kids.close()
+    // --- certificate: current corpus rows for touched buckets, links
+    // for the rest (their docs all sit in unchanged files, or the
+    // bucket would be touched)
+    val certTouched = deltaKeys
+      .where(col("bck").isin(touchedCert.toSeq: _*))
+      .unionByName(priorSidecar
+        .where(!col("src").isin(removedOrChanged: _*))
+        .where(col("bck").isin(touchedCert.toSeq: _*)))
+    byBucket(certTouched).write.partitionBy("bck").mode("overwrite")
+      .parquet(tmp.resolve("docs").toString)
+    val priorDocsDir = docsSidecarPath(key, pfp)
+    val dk = Files.list(priorDocsDir)
+    try dk.iterator().asScala.foreach { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("bck=") && !touchedCert(n.stripPrefix("bck=").toLong))
+        linkDirInto(d, tmp.resolve("docs").resolve(n))
+    } finally dk.close()
+    // --- manifest: carried sums for unchanged files, fresh sums for
+    // the scanned delta
+    val unchangedSet = unchanged.map(_._1).toSet
+    writeGenManifest(s, tmp, fp, listing,
+      priorManifest.collect { case (p, (_, _, sum))
+        if unchangedSet(p) => p -> sum },
+      deltaKeys.select(col("src"), col("digest")))
+    // --- stats: deltaStats keeps its (carried, rebuilt) meaning;
+    // carryStats adds the bucket/byte pin
+    val nChanged = changedIds.count()
+    val nCur = deltaKeys.count() +
+      priorSidecar.where(!col("src").isin(removedOrChanged: _*)).count()
+    deltaStats.put(key, (nCur - nChanged, nChanged))
+    carryStats.put(key, CarryStat(
+      linkedBuckets = linked,
+      rewrittenBuckets = touchedData.size,
+      bytesLinked = linkedBytes,
+      bytesWritten = dirBytes(tmp.resolve("data")) - linkedBytes,
+      scannedFiles = deltaPaths))
   }
 
   /** Janitor: keep the `keep` most recently PUBLISHED fingerprints of

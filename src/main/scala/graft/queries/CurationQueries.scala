@@ -311,16 +311,23 @@ object CurationQueries {
     * by every scorer in this and every later run. dl is size(w) over the UNFILTERED whitespace split —
     * q86's exact length convention — while postings drop empty tokens
     * (query terms are never empty, so scores cannot differ). */
-  private[queries] def postingsArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "postings_v1")(
-      Tables.documents(s, dir)
+  private[graft] def postingsArtifact(s: SparkSession, dir: String): DataFrame =
+    // DELTA-GENERATIONAL (r12 verdict item 3's family sweep): a doc's
+    // postings are a pure function of its own text, so a corpus append
+    // tokenizes only the appended docs and bucket-carries the rest
+    // (ArtifactStore.documentsDeltaArtifact — hard-linked untouched
+    // buckets). The term-pruned q153 read path is unchanged: the `In`
+    // filter still pushes into every bucket's parquet scan.
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "postings_v1")(docs =>
+      docs
         .select(col("doc_id"), explode(toks).as("t"))
         .where(col("t") =!= "")
         .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf")))
 
-  private[queries] def doclenArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "doclens_v1")(
-      Tables.documents(s, dir)
+  private[graft] def doclenArtifact(s: SparkSession, dir: String): DataFrame =
+    // delta-generational like its postings twin (dl is doc-local)
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "doclens_v1")(docs =>
+      docs
         .select(col("doc_id"), size(toks).cast(LongType).as("dl")))
 
   /** q153 — BM25 SERVED FROM THE INDEX: q86's exact scoring (same
