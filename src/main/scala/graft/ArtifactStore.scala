@@ -378,22 +378,43 @@ object ArtifactStore {
   private def filesManifestPath(key: String, fp: Long): Path =
     Paths.get(root, key, s"fp-$fp", "files")
 
-  /** Doc-id bucket count for the delta families' partition layout.
-    * 64 bounds small-file overhead at spec scale; a 100 TB deployment
-    * raises it (the constant is a layout property of each generation —
-    * changing it simply makes the next build fall back to the
-    * row-level carry once, since bucket dirs no longer align). */
-  val DeltaBuckets = 64
+  /** Doc-id bucket count for a delta generation's partition layout,
+    * SCALED to the corpus: ~[[BucketTargetBytes]] of source corpus per
+    * bucket, floor 8, cap 65536. A fixed count can't serve both ends —
+    * 64 buckets over a megabyte corpus is 64 tiny files whose per-file
+    * open/footer cost showed up as a flat 2–2.8× on every
+    * artifact-served query at sf0.1 (measured, r13), while a large
+    * corpus wants MORE buckets to keep the carry granularity fine and
+    * bucket rewrites bounded. The count is a layout property OF EACH
+    * GENERATION (recorded in its `buckets` note); a corpus that grows
+    * across a threshold simply demotes the next build to the row-level
+    * carry once and re-buckets. */
+  private val BucketTargetBytes = 8L << 20
 
-  private def bckCol: Column = pmod(col("doc_id"), lit(DeltaBuckets.toLong))
+  /** POWER-OF-TWO quantized (r13 self-review finding 3): a plain
+    * ceiling would move the count on every ~8 MB of corpus growth, and
+    * every count change demotes the next build to the full row-level
+    * rewrite — a TB-scale corpus would demote on EVERY append.
+    * Quantized, re-bucketing happens only when the corpus DOUBLES:
+    * amortized O(1) full rewrites over a corpus's lifetime. */
+  private[graft] def bucketsFor(corpusBytes: Long): Int = {
+    val raw = math.max(1L,
+      (corpusBytes + BucketTargetBytes - 1) / BucketTargetBytes)
+    val p2 = java.lang.Long.highestOneBit(raw)
+    val rounded = if (p2 == raw) raw else p2 << 1
+    math.max(8L, math.min(65536L, rounded)).toInt
+  }
+
+  private def bckCol(nb: Int): Column = pmod(col("doc_id"), lit(nb.toLong))
 
   /** The current corpus certificate over exactly `paths`:
     * (doc_id, digest, src, bck). */
-  private def docCertFrame(s: SparkSession, paths: Seq[String]): DataFrame =
+  private def docCertFrame(s: SparkSession, paths: Seq[String],
+                           nb: Int): DataFrame =
     s.read.parquet(paths: _*).select(col("doc_id"),
       documentsRowDigest.as("digest"),
       graft.sources.CorpusFiles.srcCol.as("src"),
-      bckCol.as("bck"))
+      bckCol(nb).as("bck"))
 
   /** The newest OTHER published generation of `key` that carries a
     * docs sidecar — the delta build's base. Sidecar-less generations
@@ -448,7 +469,7 @@ object ArtifactStore {
     * off the certificate, carrying unchanged files' recorded sums; the
     * entries must re-sum to `fp` (a mismatch means the corpus mutated
     * mid-build — fail loud, never publish a mislabeled generation). */
-  private def writeGenManifest(s: SparkSession, tmp: Path, fp: Long,
+  private def writeGenManifest(s: SparkSession, tmp: Path, fp: Long, nb: Int,
                                listing: Seq[(String, Long, Long)],
                                carriedSums: Map[String, Long],
                                freshCert: DataFrame): Unit = {
@@ -469,6 +490,25 @@ object ArtifactStore {
         "mid-build; refusing to publish a mislabeled generation")
     graft.sources.CorpusFiles.writeManifest(fs,
       new org.apache.hadoop.fs.Path(tmp.resolve("files").toString), entries)
+    // record the generation's bucket LAYOUT alongside (r13 self-review
+    // finding 1): the bucket-carry path mixes the prior sidecar's bck
+    // values with freshly computed ones, which is only sound when both
+    // used the same modulus — a modulus change against a same-modulus
+    // assumption would link a changed doc's OLD bucket while writing
+    // its fresh rows into the NEW one (silent duplication). The
+    // dispatch below demotes a modulus-mismatched OR unrecorded prior
+    // to the row-level carry.
+    Files.writeString(tmp.resolve("buckets"), s"$nb\n")
+  }
+
+  /** The bucket modulus a generation was written with; None (no
+    * `buckets` note — a generation from before the note existed) must
+    * DEMOTE the carry, never be presumed current: the modulus is
+    * corpus-scaled, so "current" is not even well-defined for it. */
+  private def generationBuckets(key: String, fp: Long): Option[Int] = {
+    val p = Paths.get(root, key, s"fp-$fp", "buckets")
+    if (!Files.exists(p)) None
+    else scala.util.Try(Files.readString(p).trim.toInt).toOption
   }
 
   /** [[documentsArtifact]] for CORPUS-LINEAR, DOC-LOCAL families
@@ -479,7 +519,7 @@ object ArtifactStore {
     * cannot re-shingle the corpus because 1 GB arrived), and — r12
     * verdict item 1 — the carry is PARTITION-LEVEL: data and
     * certificate are hive-partitioned by `bck = doc_id mod
-    * [[DeltaBuckets]]`, buckets untouched by the delta are HARD-LINKED
+    * [[bucketsFor]]`, buckets untouched by the delta are HARD-LINKED
     * from the prior generation (metadata-priced, zero data I/O), and
     * the carry certificate derives from the prior generation's file
     * manifest plus a scan of ONLY the new/changed corpus files. Per
@@ -514,6 +554,7 @@ object ArtifactStore {
     val fp = documentsFp(s, dir)
     val dataDir = publishOnce(s, key, fp) { tmp =>
       val listing = graft.sources.CorpusFiles.list(s, dir, "documents")
+      val nb = bucketsFor(listing.map(_._2).sum)
       val hfs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val prior = priorGeneration(key, fp)
@@ -522,12 +563,18 @@ object ArtifactStore {
           new org.apache.hadoop.fs.Path(filesManifestPath(key, pfp).toString))
       }
       (prior, priorManifest) match {
-        case (Some(pfp), Some(pm)) =>
-          bucketCarryBuild(s, dir, key, fp, tmp, pfp, pm, listing)(buildFor)
-        case (Some(pfp), None) => // pre-r13 prior: row-level migration
-          rowCarryBuild(s, dir, key, fp, tmp, pfp, listing)(buildFor)
+        case (Some(pfp), Some(pm))
+          if generationBuckets(key, pfp).contains(nb) =>
+          bucketCarryBuild(s, dir, key, fp, nb, tmp, pfp, pm, listing)(buildFor)
+        case (Some(pfp), _) =>
+          // pre-r13 prior (no manifest), a prior written under a
+          // DIFFERENT bucket modulus (corpus crossed a sizing
+          // threshold), or an unrecorded one: bucket dirs don't align,
+          // so the carry demotes to row level — one migration build in
+          // the new layout, then steady state
+          rowCarryBuild(s, dir, key, fp, nb, tmp, pfp, listing)(buildFor)
         case _ =>
-          fullBuild(s, dir, key, fp, tmp, listing)(buildFor)
+          fullBuild(s, dir, key, fp, nb, tmp, listing)(buildFor)
       }
     }
     s.read.parquet(dataDir).drop("fp").drop("bck")
@@ -538,29 +585,29 @@ object ArtifactStore {
     * up to tasks×buckets files per generation, and every consumer
     * query pays the per-file scan overhead forever. One bounded
     * shuffle at build time buys ≤1 file per bucket per build. */
-  private def byBucket(df: DataFrame): DataFrame =
-    df.repartition(DeltaBuckets, col("bck"))
+  private def byBucket(df: DataFrame, nb: Int): DataFrame =
+    df.repartition(nb, col("bck"))
 
   private def fullBuild(s: SparkSession, dir: String, key: String, fp: Long,
-                        tmp: Path, listing: Seq[(String, Long, Long)])
+                        nb: Int, tmp: Path, listing: Seq[(String, Long, Long)])
                        (buildFor: DataFrame => DataFrame): Unit = {
-    val cert = docCertFrame(s, listing.map(_._1)).localCheckpoint()
+    val cert = docCertFrame(s, listing.map(_._1), nb).localCheckpoint()
     byBucket(buildFor(Tables.documents(s, dir))
-      .withColumn("bck", bckCol).withColumn("fp", lit(fp)))
+      .withColumn("bck", bckCol(nb)).withColumn("fp", lit(fp)), nb)
       .write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("data").toString)
-    byBucket(cert).write.partitionBy("bck").mode("overwrite")
+    byBucket(cert, nb).write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("docs").toString)
-    writeGenManifest(s, tmp, fp, listing, Map.empty, cert)
+    writeGenManifest(s, tmp, fp, nb, listing, Map.empty, cert)
     deltaStats.put(key, (-1L, -1L))
     carryStats.remove(key)
   }
 
   private def rowCarryBuild(s: SparkSession, dir: String, key: String,
-                            fp: Long, tmp: Path, pfp: Long,
+                            fp: Long, nb: Int, tmp: Path, pfp: Long,
                             listing: Seq[(String, Long, Long)])
                            (buildFor: DataFrame => DataFrame): Unit = {
-    val cert = docCertFrame(s, listing.map(_._1)).localCheckpoint()
+    val cert = docCertFrame(s, listing.map(_._1), nb).localCheckpoint()
     val priorKeys = s.read.parquet(docsSidecarPath(key, pfp).toString)
       .select(col("doc_id"), col("digest"))
     val (unchangedIds, changedIds, _) =
@@ -568,23 +615,23 @@ object ArtifactStore {
         priorKeys)
     val fresh = buildFor(
       Tables.documents(s, dir).join(changedIds, Seq("doc_id"), "left_semi"))
-      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
+      .withColumn("bck", bckCol(nb)).withColumn("fp", lit(fp))
     val priorData = s.read.parquet(dataPath(key, pfp)).drop("fp")
     val carried = (if (priorData.columns.contains("bck"))
       priorData.drop("bck") else priorData)
       .join(unchangedIds, Seq("doc_id"), "left_semi")
-      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
-    byBucket(fresh.unionByName(carried.select(fresh.columns.map(col): _*)))
+      .withColumn("bck", bckCol(nb)).withColumn("fp", lit(fp))
+    byBucket(fresh.unionByName(carried.select(fresh.columns.map(col): _*)), nb)
       .write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("data").toString)
-    byBucket(cert).write.partitionBy("bck").mode("overwrite")
+    byBucket(cert, nb).write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("docs").toString)
-    writeGenManifest(s, tmp, fp, listing, Map.empty, cert)
+    writeGenManifest(s, tmp, fp, nb, listing, Map.empty, cert)
     carryStats.remove(key)
   }
 
   private def bucketCarryBuild(s: SparkSession, dir: String, key: String,
-                               fp: Long, tmp: Path, pfp: Long,
+                               fp: Long, nb: Int, tmp: Path, pfp: Long,
                                priorManifest: Map[String, (Long, Long, Long)],
                                listing: Seq[(String, Long, Long)])
                               (buildFor: DataFrame => DataFrame): Unit = {
@@ -600,7 +647,7 @@ object ArtifactStore {
         col("bck").cast(LongType).as("bck"))
     val deltaKeys =
       (if (deltaPaths.isEmpty) priorSidecar.limit(0)
-       else docCertFrame(s, deltaPaths)).localCheckpoint()
+       else docCertFrame(s, deltaPaths, nb)).localCheckpoint()
     // changed = scanned docs the prior certificate cannot vouch for;
     // a doc that merely moved files keeps its (doc_id, digest) pair
     val changedIds = deltaKeys
@@ -624,7 +671,7 @@ object ArtifactStore {
        else s.read.parquet(deltaPaths: _*))
         .join(changedIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val fresh = buildFor(changedDocs)
-      .withColumn("bck", bckCol).withColumn("fp", lit(fp))
+      .withColumn("bck", bckCol(nb)).withColumn("fp", lit(fp))
     val keepInTouched =
       (if (touchedData.isEmpty) fresh.limit(0)
        else {
@@ -636,7 +683,7 @@ object ArtifactStore {
            .withColumn("fp", lit(fp))
          p.select(fresh.columns.map(col): _*)
        })
-    byBucket(fresh.unionByName(keepInTouched))
+    byBucket(fresh.unionByName(keepInTouched), nb)
       .write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("data").toString)
     var linkedBytes = 0L
@@ -659,7 +706,7 @@ object ArtifactStore {
       .unionByName(priorSidecar
         .where(!col("src").isin(removedOrChanged: _*))
         .where(col("bck").isin(touchedCert.toSeq: _*)))
-    byBucket(certTouched).write.partitionBy("bck").mode("overwrite")
+    byBucket(certTouched, nb).write.partitionBy("bck").mode("overwrite")
       .parquet(tmp.resolve("docs").toString)
     val priorDocsDir = docsSidecarPath(key, pfp)
     val dk = Files.list(priorDocsDir)
@@ -671,7 +718,7 @@ object ArtifactStore {
     // --- manifest: carried sums for unchanged files, fresh sums for
     // the scanned delta
     val unchangedSet = unchanged.map(_._1).toSet
-    writeGenManifest(s, tmp, fp, listing,
+    writeGenManifest(s, tmp, fp, nb, listing,
       priorManifest.collect { case (p, (_, _, sum))
         if unchangedSet(p) => p -> sum },
       deltaKeys.select(col("src"), col("digest")))

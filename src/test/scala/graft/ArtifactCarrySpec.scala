@@ -69,9 +69,11 @@ class ArtifactCarrySpec extends SparkSpec {
       .contains(ArtifactStore.deltaStats.get(ShKey)),
       s"first touch must carry nothing: ${ArtifactStore.deltaStats.get(ShKey)}")
 
-    // corpus B: SAME DIR, one appended part file, 5 docs whose ids all
-    // land in bucket 8 — so exactly one data bucket is touched
-    val newIds = (0 until 5).map(i => 1000L + 64L * i + 8L)
+    // corpus B: SAME DIR, one appended part file, 5 docs whose ids are
+    // all ≡ 0 (mod 64) — hence one bucket under any power-of-two
+    // modulus ≤ 64, so exactly one data bucket is touched (the corpus
+    // is far below BucketTargetBytes → 8 buckets)
+    val newIds = (0 until 5).map(i => 1024L + 64L * i)
     val appended = base.where(col("doc_id") < 5)
       .select(col("doc_id"), concat(lit("appended "), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
@@ -110,21 +112,22 @@ class ArtifactCarrySpec extends SparkSpec {
     assert(cs.scannedFiles == newFiles,
       s"the carry certificate must scan only the appended file: $cs")
     assert(cs.rewrittenBuckets == 1,
-      s"all five appended ids land in bucket 8 — one rewrite: $cs")
-    assert(cs.linkedBuckets >= 60,
-      s"the other buckets must be hard-links, not rewrites: $cs")
+      s"all five appended ids land in bucket 0 — one rewrite: $cs")
+    assert(cs.linkedBuckets == 7,
+      s"the other 7 buckets must be hard-links, not rewrites: $cs")
     assert(cs.bytesWritten < cs.bytesLinked / 4,
       s"bytes written must scale with the touched bucket, not the " +
         s"corpus: $cs")
-    // hard links, not copies: the linked file shares its inode with
-    // the prior generation's (link count 2)
+    // hard links, not copies: a linked bucket's file shares its inode
+    // with the prior generation's (link count 2); bucket 0 is the
+    // rewritten one, bucket 1 a linked one
     val genDir = Paths.get(ArtifactStore.root, ShKey)
     val linkedPart = Files.walk(genDir).toArray.map(_.toString)
-      .filter(p => p.contains("bck=0/") && p.endsWith(".parquet"))
+      .filter(p => p.contains("bck=1/") && p.endsWith(".parquet"))
     assert(linkedPart.exists { p =>
       Files.getAttribute(Paths.get(p), "unix:nlink")
         .asInstanceOf[Number].intValue >= 2
-    }, s"bucket-0 parts must be shared inodes across generations")
+    }, s"bucket-1 parts must be shared inodes across generations")
 
     // corpus C: rewrite ONE base part file in place with one doc
     // removed and one doc's source changed — only that file re-scans,
@@ -216,5 +219,56 @@ class ArtifactCarrySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dl == directDl, "the delta-built doc lengths must equal direct")
     assert(ArtifactStore.deltaStats.get("doclens_v1") == ((200L, 30L)))
+  }
+
+  test("bucketsFor: corpus-scaled, power-of-two quantized, clamped") {
+    assert(ArtifactStore.bucketsFor(0L) == 8)
+    assert(ArtifactStore.bucketsFor(1L << 20) == 8, "tiny corpus: floor")
+    assert(ArtifactStore.bucketsFor(64L << 20) == 8, "8 x 8MB: at floor")
+    assert(ArtifactStore.bucketsFor(65L << 20) == 16, "crossing doubles")
+    assert(ArtifactStore.bucketsFor(1L << 40) == 65536,
+      "1 TB: 2^17 raw, capped at 65536")
+    assert(ArtifactStore.bucketsFor(100L * (1L << 40)) == 65536,
+      "100 TB: capped at 65536 (~1.6 GB per bucket)")
+    // power-of-two stickiness: growth inside a doubling window keeps
+    // the modulus — the property that makes re-bucketing amortized O(1)
+    val a = ArtifactStore.bucketsFor(300L << 20)
+    val b = ArtifactStore.bucketsFor(480L << 20)
+    assert(a == b && a == 64, s"same doubling window, same modulus: $a $b")
+  }
+
+  test("a prior generation written under a different bucket modulus " +
+    "demotes to the row-level carry (no silent duplication)") {
+    val dir = Files.createTempDirectory("carry_mod").toString
+    val salt = s"msalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    val docsA = base.where(col("doc_id") < 150)
+    docsA.repartition(2).write.parquet(s"$dir/documents.parquet")
+    assert(shRows(DedupQueries.shingleHashes3(spark, dir)) ==
+      expectedShingles(docsA))
+    val fpA = ArtifactStore.documentsFp(spark, dir)
+
+    // simulate a generation written under a DIFFERENT bucket modulus:
+    // mixing its bck values with freshly computed ones would park a
+    // changed doc's old rows in a linked bucket while writing fresh
+    // rows into the new one — the guard must refuse the bucket carry
+    Files.writeString(Paths.get(ArtifactStore.root, ShKey,
+      s"fp-$fpA", "buckets"), "32\n")
+
+    val appended = base.where(col("doc_id") >= 150 && col("doc_id") < 170)
+    appended.coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val docsB = docsA.unionByName(appended)
+    assert(shRows(DedupQueries.shingleHashes3(spark, dir)) ==
+      expectedShingles(docsB),
+      "a modulus-mismatched prior must still yield exact rows " +
+        "(row-level carry)")
+    assert(ArtifactStore.deltaStats.get(ShKey) == ((150L, 20L)),
+      s"the row-level fallback still carries by (doc_id, digest): " +
+        s"${ArtifactStore.deltaStats.get(ShKey)}")
+    assert(ArtifactStore.carryStats.get(ShKey) == null,
+      "the bucket-carry stats must be absent — the guard demoted the " +
+        "build to the row-level path")
   }
 }
