@@ -35,11 +35,36 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamAnnIndex {
 
-  /** Encode + merge one batch of (vec_id, embedding) vectors. */
+  /** Encode + merge one batch of (vec_id, embedding) vectors. Runs
+    * under the target's mutation lease ([[graft.sources
+    * .MutationLease]]) and behind the [[graft.sources.ScrubRegistry]]
+    * replay gate — a checkpoint replay of a batch the takedown scrub
+    * already covered would re-encode the victims and the per-key max()
+    * merge would re-insert their codes with nothing left to re-scrub
+    * (r13 self-review finding 4); new batches pass through, so a
+    * post-takedown re-add of a vec id indexes normally. */
   def compactBatch(target: String, coarse: Array[Array[Double]],
                    resBooks: Array[Array[Array[Double]]], buckets: Int)
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    if (batch.isEmpty) return
+    graft.sources.MutationLease.withLease(s, target) {
+      compactLocked(s, target, coarse, resBooks, buckets, batch, batchId)
+    }
+  }
+
+  private def compactLocked(s: org.apache.spark.sql.SparkSession,
+                            target: String, coarse: Array[Array[Double]],
+                            resBooks: Array[Array[Array[Double]]],
+                            buckets: Int, batch0: DataFrame,
+                            batchId: Long): Unit = {
+    // high-water note FIRST (BatchHighWater's crash ordering), then
+    // the replay gate
+    BatchHighWater.record(s, target, batchId)
+    val gated = graft.sources.ScrubRegistry.gatedIds(s, target, batchId)
+    val batch =
+      if (gated.isEmpty) batch0
+      else batch0.where(!col("vec_id").isin(gated: _*))
     if (batch.isEmpty) return
     // validate-or-publish the target's bucket count ([[BucketMeta]]):
     // the takedown scrub names vec_id partitions from it
@@ -87,11 +112,16 @@ object StreamAnnIndex {
   def start(vectors: DataFrame, target: String, checkpoint: String,
             coarse: Array[Array[Double]],
             resBooks: Array[Array[Array[Double]]],
-            buckets: Int = 16): StreamingQuery =
+            buckets: Int = 16): StreamingQuery = {
+    // scrub-gated target → one checkpoint lineage per target
+    // ([[LineageEpoch]]): a fresh checkpoint's batch ids would land
+    // inside old erasure windows
+    LineageEpoch.ensure(vectors.sparkSession, target, checkpoint)
     vectors.writeStream
       .foreachBatch(compactBatch(target, coarse, resBooks, buckets) _)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The maintained index in the exact frame knnIvfPqResOver consumes. */
   def codes(s: org.apache.spark.sql.SparkSession, target: String): DataFrame =
@@ -116,7 +146,14 @@ object StreamAnnIndex {
       fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
 
   def scrub(s: org.apache.spark.sql.SparkSession, target: String,
-            flagged: Seq[Long]): Unit = {
+            flagged: Seq[Long]): Unit =
+   // mutation lease + registry FIRST (TakedownApply's crash-safe
+   // ordering): the recorded window drops victims from replayed
+   // pre-scrub batches at merge entry; the lease excludes an in-flight
+   // merge in another JVM from interleaving this read-rewrite
+   graft.sources.MutationLease.withLease(s, target) {
+    graft.sources.ScrubRegistry.append(s, target, flagged,
+      BatchHighWater.read(s, target))
     val tgtPath = new org.apache.hadoop.fs.Path(target)
     val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!hasData(fs, tgtPath)) return
@@ -131,5 +168,5 @@ object StreamAnnIndex {
       case None => doomed
     }
     graft.sources.PartitionScrub.dropRows(s, target, "bucket", pred)
-  }
+   }
 }

@@ -51,12 +51,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamDupEdges {
 
-  /** Merge one batch of (doc_id, text) docs into the edge target. */
+  /** Merge one batch of (doc_id, text) docs into the edge target.
+    * Runs under the target's mutation lease ([[graft.sources
+    * .MutationLease]] — a takedown scrub in another JVM cannot
+    * interleave this read-merge-write) and behind the
+    * [[graft.sources.ScrubRegistry]] replay gate: a checkpoint replay
+    * of a batch the scrub already covered re-derives the victims' rows
+    * and the distinct merge would re-insert them with nothing left to
+    * re-scrub (r13 self-review finding 4); gated batches drop the
+    * victims at entry, genuinely NEW batches (ids above the scrub's
+    * recorded high-water) pass through — erasure stays retroactive,
+    * never prospective. */
   def compactBatch(target: String, buckets: Int)
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    graft.sources.MutationLease.withLease(s, target) {
+      compactLocked(s, target, buckets, batch, batchId)
+    }
+  }
+
+  private def compactLocked(s: org.apache.spark.sql.SparkSession,
+                            target: String, buckets: Int,
+                            batch0: DataFrame, batchId: Long): Unit = {
     val b = lit(buckets.toLong)
+    // high-water note FIRST (BatchHighWater's crash ordering), then
+    // the replay gate
+    BatchHighWater.record(s, target, batchId)
+    val gated = graft.sources.ScrubRegistry.gatedIds(s, target, batchId)
+    val batch =
+      if (gated.isEmpty) batch0
+      else batch0.where(!col("doc_id").isin(gated: _*))
+    if (batch.isEmpty) return
     // a batch of only sub-3-token docs contributes no shingles, no
     // bands, no candidates — and must not trip the first-batch store
     // reads below
@@ -177,11 +203,16 @@ object StreamDupEdges {
   /** (doc_id, text) document stream → continuously maintained edge
     * target, checkpointed (restart-safe, replay-idempotent). */
   def start(docs: DataFrame, target: String, checkpoint: String,
-            buckets: Int = 16): StreamingQuery =
+            buckets: Int = 16): StreamingQuery = {
+    // scrub-gated target → one checkpoint lineage per target
+    // ([[LineageEpoch]]): a fresh checkpoint's batch ids would land
+    // inside old erasure windows
+    LineageEpoch.ensure(docs.sparkSession, target, checkpoint)
     docs.writeStream
       .foreachBatch(compactBatch(target, buckets) _)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The edge set as q73/q141/q142/q145's consumers read it — the
     * same (doc_a, doc_b) shape as the `minhash_pairs_v1` artifact.
@@ -296,7 +327,11 @@ object StreamDupEdges {
       .select(col("doc_id")).distinct()
       .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
-    if (removed.nonEmpty) scrub(s, target, removed)
+    // eviction, not erasure: skip the replay registry — a replayed old
+    // batch re-adding an evicted doc is re-evicted by the next janitor
+    // pass (eventual), whereas registering millions of evicted ids
+    // would make every batch's gate read pay for the janitor's history
+    if (removed.nonEmpty) scrubImpl(s, target, removed, register = false)
     Seq("shingles", "sigs", "bands", "cand", "edges").foreach { sub =>
       val path = s"$target/$sub"
       val root = new org.apache.hadoop.fs.Path(path)
@@ -333,7 +368,23 @@ object StreamDupEdges {
     * bands/cand/edges legs keep full discovery: their buckets key on
     * the band-value hash / the pair's smaller id, neither computable
     * from the flagged list alone. */
-  def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit = {
+  def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    scrubImpl(s, target, flagged, register = true)
+
+  private def scrubImpl(s: SparkSession, target: String, flagged: Seq[Long],
+                        register: Boolean): Unit =
+   // under the target's mutation lease (no interleave with an in-flight
+   // merge in another JVM; in-JVM the monitor serializes)
+   graft.sources.MutationLease.withLease(s, target) {
+    // registry FIRST (TakedownApply's crash-safe ordering): once the
+    // erasure window — bounded by the store's batch high-water note —
+    // is recorded, a checkpoint replay of any pre-scrub batch drops the
+    // victims at merge entry instead of re-deriving their rows into the
+    // distinct merge (r13 self-review finding 4); batches above the
+    // window pass through, so a post-takedown re-add indexes normally.
+    if (register)
+      graft.sources.ScrubRegistry.append(s, target, flagged,
+        BatchHighWater.read(s, target))
     val doomed = col("doc_id").isin(flagged: _*)
     // with the meta file, the doomed predicate gains a bucket IN-list
     // conjunct: it is a partition-filter, so dropRows' discovery scan
@@ -358,5 +409,5 @@ object StreamDupEdges {
       col("da").isin(flagged: _*) || col("db").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/edges", "bucket",
       col("doc_a").isin(flagged: _*) || col("doc_b").isin(flagged: _*))
-  }
+   }
 }

@@ -39,10 +39,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamVerdictFlags {
 
-  /** Merge one batch of (doc_id, lang, source, text) docs. */
+  /** Merge one batch of (doc_id, lang, source, text) docs. Runs under
+    * the target's mutation lease ([[graft.sources.MutationLease]]) and
+    * behind the [[graft.sources.ScrubRegistry]] replay gate — a
+    * checkpoint replay of a batch the takedown scrub already covered
+    * would re-score the victims and the distinct/min merges would
+    * re-insert their rows (and could steal back a reassigned canonical
+    * slot) with nothing left to re-scrub (r13 self-review finding 4).
+    * New batches pass through: erasure stays retroactive. */
   def compactBatch(target: String, buckets: Int)
                   (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
+    if (batch.isEmpty) return
+    graft.sources.MutationLease.withLease(s, target) {
+      compactLocked(s, target, buckets, batch, batchId)
+    }
+  }
+
+  private def compactLocked(s: SparkSession, target: String, buckets: Int,
+                            batch0: DataFrame, batchId: Long): Unit = {
+    // high-water note FIRST (BatchHighWater's crash ordering), then
+    // the replay gate
+    BatchHighWater.record(s, target, batchId)
+    val gated = graft.sources.ScrubRegistry.gatedIds(s, target, batchId)
+    val batch =
+      if (gated.isEmpty) batch0
+      else batch0.where(!col("doc_id").isin(gated: _*))
     if (batch.isEmpty) return
     // validate-or-publish the target's bucket count ([[BucketMeta]]:
     // loud on a mismatched restart — rows merged under a new modulus
@@ -91,11 +113,16 @@ object StreamVerdictFlags {
   /** (doc_id, lang, source, text) stream → continuously maintained
     * flag stores, checkpointed (restart-safe, replay-idempotent). */
   def start(docs: DataFrame, target: String, checkpoint: String,
-            buckets: Int = 16): StreamingQuery =
+            buckets: Int = 16): StreamingQuery = {
+    // scrub-gated target → one checkpoint lineage per target
+    // ([[LineageEpoch]]): a fresh checkpoint's batch ids would land
+    // inside old erasure windows
+    LineageEpoch.ensure(docs.sparkSession, target, checkpoint)
     docs.writeStream
       .foreachBatch(compactBatch(target, buckets) _)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** The verdict flags over everything ingested so far — the exact
     * frame `buildVerdictFlags` computes over the same corpus:
@@ -164,11 +191,21 @@ object StreamVerdictFlags {
     * store rewrites (1 = members, 2 = canon, 3 = flags) — the spec's
     * handle for proving a rerun completes from every crash point. */
   private[graft] def scrubSteps(s: SparkSession, target: String,
-                                flagged: Seq[Long], abortAfter: Int): Unit = {
+                                flagged: Seq[Long], abortAfter: Int): Unit =
+   // the target's mutation lease (cross-process single writer) —
+   // reentrant with an in-JVM merge, excluded against another process's
+   graft.sources.MutationLease.withLease(s, target) {
     val flagsPath = s"$target/flags"
     val p = new org.apache.hadoop.fs.Path(flagsPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || flagged.isEmpty) return
+    // registry FIRST, even before the crash-seam store rewrites
+    // (TakedownApply's ordering): once recorded, a checkpoint replay of
+    // any pre-scrub batch drops the victims at merge entry — without it
+    // the replay re-scores them into flags/members and can steal back a
+    // reassigned canonical slot, with nothing left to re-scrub.
+    graft.sources.ScrubRegistry.append(s, target, flagged,
+      BatchHighWater.read(s, target))
     val doomed = col("doc_id").isin(flagged: _*)
     BucketMeta.read(s, target) match {
       case Some(b) =>

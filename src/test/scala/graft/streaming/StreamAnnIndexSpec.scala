@@ -87,5 +87,24 @@ class StreamAnnIndexSpec extends SparkSpec {
     StreamAnnIndex.scrub(spark, target, flagged)
     assert(codesMap(StreamAnnIndex.codes(spark, target)) == scrubbed,
       "re-scrub mutated the target")
+
+    // erasure survives REPLAY (r13 self-review finding 4): a checkpoint
+    // replay of a pre-scrub batch re-encodes the victims, and without
+    // the registry gate the per-key max() merge would re-insert their
+    // codes with nothing left to re-scrub them
+    val (ra, _) = vectors.splitAt(vectors.size / 3)
+    StreamAnnIndex.compactBatch(target, coarse, resBooks, 4)(
+      ra.toDF("vec_id", "embedding"), 0L)
+    assert(codesMap(StreamAnnIndex.codes(spark, target)) == scrubbed,
+      "replay after takedown must not resurrect erased codes")
+
+    // ...but erasure is retroactive, never prospective: a NEW batch
+    // (id above the scrub's recorded window) re-adds normally
+    val readd = vectors.find(v => flagged.contains(v._1)).get
+    StreamAnnIndex.compactBatch(target, coarse, resBooks, 4)(
+      Seq(readd).toDF("vec_id", "embedding"), 100L)
+    assert(codesMap(StreamAnnIndex.codes(spark, target))
+      .contains(readd._1),
+      "a post-takedown re-add (new batch id) must index normally")
   }
 }

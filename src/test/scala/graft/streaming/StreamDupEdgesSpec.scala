@@ -122,6 +122,32 @@ class StreamDupEdgesSpec extends SparkSpec {
     val afterScrub = snapshot()
     StreamDupEdges.scrub(spark, target, Seq(victim))
     assert(snapshot() == afterScrub, "second scrub pass mutated a store")
+
+    // erasure survives REPLAY (r13 self-review finding 4): a checkpoint
+    // replay of the pre-scrub batches re-derives the victim's shingle/
+    // sig/band/edge rows, and without the registry gate the distinct
+    // merges would re-insert them with nothing left to re-scrub
+    val (ra, rrest) = docs.splitAt(docs.size / 3)
+    val (rb, rc) = rrest.splitAt(rrest.size / 3)
+    Seq(ra, rb, rc).zipWithIndex.foreach { case (bt, i) =>
+      StreamDupEdges.compactBatch(target, 4)(bt.toDF("doc_id", "text"), i.toLong)
+    }
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === victim).count() == 0L,
+      "replay after takedown must not resurrect the victim's shingles")
+    assert(!edgeSet(target).exists(e => e._1 == victim || e._2 == victim),
+      "replay after takedown must not resurrect the victim's edges")
+    assert(snapshot() == afterScrub,
+      "the post-takedown replay must be a no-op for surviving rows too")
+
+    // ...but erasure is retroactive, never prospective: a genuinely NEW
+    // batch (id above the scrub's recorded window) re-adding the same
+    // doc id indexes normally
+    val victimDoc = docs.find(_._1 == victim).get
+    StreamDupEdges.compactBatch(target, 4)(Seq(victimDoc).toDF("doc_id", "text"), 99L)
+    assert(spark.read.parquet(s"$target/shingles")
+      .where($"doc_id" === victim).count() > 0L,
+      "a post-takedown re-add (new batch id) must index normally")
   }
 
   test("janitor: evicts upstream-removed docs, bounds files, serves identically") {

@@ -117,6 +117,28 @@ class StreamVerdictFlagsSpec extends SparkSpec {
     assert(rows(StreamVerdictFlags.flagsFromStore(spark, target)) ==
       rows(batchFlags(postCorpus.toDF("doc_id", "lang", "source", "text"))),
       "a second scrub pass must change nothing")
+
+    // erasure survives REPLAY (r13 self-review finding 4): replaying
+    // the pre-scrub batches must neither resurrect the victim's rows
+    // nor steal back the reassigned canonical slot
+    StreamVerdictFlags.compactBatch(target, 16)(
+      batch1.toDF("doc_id", "lang", "source", "text"), 0L)
+    StreamVerdictFlags.compactBatch(target, 16)(
+      batch2.toDF("doc_id", "lang", "source", "text"), 1L)
+    assert(rows(StreamVerdictFlags.flagsFromStore(spark, target)) ==
+      rows(batchFlags(postCorpus.toDF("doc_id", "lang", "source", "text"))),
+      "replay after takedown must not resurrect the erased doc")
+
+    // retroactive, never prospective: a NEW batch re-adding the same
+    // doc id indexes normally — the corpus semantics return to the
+    // full build, canonical slot included
+    val doc1 = all.find(_._1 == 1L).get
+    StreamVerdictFlags.compactBatch(target, 16)(
+      Seq(doc1).toDF("doc_id", "lang", "source", "text"), 100L)
+    assert(rows(StreamVerdictFlags.flagsFromStore(spark, target)) ==
+      rows(batchFlags(all.toDF("doc_id", "lang", "source", "text"))),
+      "a post-takedown re-add (new batch id) must restore the full " +
+        "corpus semantics")
   }
 
   test("q75/q140 unchanged: the artifact build equals verdictFlagsOver " +
