@@ -13,15 +13,25 @@ import sys
 
 
 def load(path):
+    """Merge every metric line into one dict: bench_out.json carries the
+    per-query map, the min map, the shuffle map, and the `total` line
+    (with `value`) on SEPARATE lines — grabbing only the first line
+    used to KeyError on `value` for working-tree artifacts (r13)."""
+    merged = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                return json.loads(line)
             i = line.find('{"metric"')
-            if i >= 0:
-                return json.loads(line[i:])
-    raise SystemExit(f"no bench JSON line in {path}")
+            if i < 0:
+                continue
+            try:
+                d = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+            merged.update(d)
+    if not merged:
+        raise SystemExit(f"no bench JSON line in {path}")
+    return merged
 
 
 def main():
