@@ -68,6 +68,7 @@ class ArtifactCarrySpec extends SparkSpec {
     assert(Seq((-1L, -1L), (0L, 300L))
       .contains(ArtifactStore.deltaStats.get(ShKey)),
       s"first touch must carry nothing: ${ArtifactStore.deltaStats.get(ShKey)}")
+    val fpA = ArtifactStore.documentsFp(spark, dir)
 
     // corpus B: SAME DIR, one appended part file, 5 docs whose ids are
     // all ≡ 0 (mod 64) — hence one bucket under any power-of-two
@@ -176,6 +177,16 @@ class ArtifactCarrySpec extends SparkSpec {
     assert(DedupQueries.shingleHashes3(spark, dir)
       .where(col("doc_id") === removedId).count() == 0L,
       "the removed doc must have no rows in the new generation")
+
+    // hard links survive the janitor: generation C's untouched buckets
+    // share inodes with A and B — deleting those generations unlinks
+    // THEIR directory entries, never the shared data
+    Seq(fpA, fpB).foreach(ArtifactStore.invalidate(ShKey, _))
+    ArtifactStore.resetMemoForTest()
+    assert(shRows(DedupQueries.shingleHashes3(spark, dir)) ==
+      expectedShingles(docsC),
+      "the surviving generation must read whole after its link sources " +
+        "were garbage-collected")
   }
 
   test("postings/doclens (migrated families) delta-build equal the " +
