@@ -548,7 +548,18 @@ object ArtifactStore {
     * state. The quadratic audit families (brute_pair_stats_v1,
     * banded_cand_nmatch_v1) deliberately keep full rebuild: their rows
     * are PAIR-local, so an appended doc invalidates rows it never
-    * appears in. */
+    * appears in.
+    *
+    * **`fp` data-column caveat (r13 ADVICE, low):** hard-linked
+    * untouched buckets are the PRIOR generation's bytes, so their rows
+    * retain the prior generation's `fp` column value inside the
+    * `fp-<new>` directory. For delta-carried families the DIRECTORY
+    * name is the generation's identity; the `fp` column is not, and no
+    * consumer may filter on it (none does: this read drops it, and no
+    * oracle reads a delta-carried family's glob — the fp-filtered
+    * oracle globs all target full-rebuild [[parquetOnce]] model-state
+    * families, where the column is exact). Any future direct reader of
+    * [[dataPath]] for these keys must drop `fp` the same way. */
   def documentsDeltaArtifact(s: SparkSession, dir: String, key: String)
                             (buildFor: DataFrame => DataFrame): DataFrame = {
     val fp = documentsFp(s, dir)
@@ -655,10 +666,21 @@ object ArtifactStore {
         Seq("doc_id", "digest"), "left_anti")
       .select(col("doc_id"), col("bck")).localCheckpoint()
     // removed = prior docs of vanished/changed files that did not
-    // resurface in the scan
+    // resurface in the scan AND are not also held by an unchanged file
+    // (r13 ADVICE, low: a doc duplicated across a deleted file and an
+    // unchanged one is still in the corpus — anti-joining it out of the
+    // rebuilt bucket while the carried certificate keeps its
+    // unchanged-src row would silently lose rows; reachable only when
+    // doc_id is not unique across corpus files. Row MULTIPLICITY for
+    // such duplicates still differs from a from-scratch build — the
+    // carry keeps one copy where a full build re-derives per input row
+    // — the documented residual of keying a carry on doc identity)
     val removedIds = priorSidecar
       .where(col("src").isin(removedOrChanged: _*))
       .join(deltaKeys.select(col("doc_id"), col("digest")),
+        Seq("doc_id", "digest"), "left_anti")
+      .join(priorSidecar.where(!col("src").isin(removedOrChanged: _*))
+        .select(col("doc_id"), col("digest")),
         Seq("doc_id", "digest"), "left_anti")
       .select(col("doc_id"), col("bck")).localCheckpoint()
     def bcks(df: DataFrame): Set[Long] = df.select(col("bck")).distinct()

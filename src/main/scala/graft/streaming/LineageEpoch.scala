@@ -46,14 +46,21 @@ private[graft] object LineageEpoch {
       if (txt.isEmpty) None else Some(txt)
     }
 
+  /** Temp-then-rename with a UUID tmp and a LOUD failure (r13 ADVICE,
+    * low): a fixed tmp name under concurrent publishers, or an ignored
+    * rename result on rename-no-overwrite semantics, could leave the
+    * target unpinned with nothing thrown — the fresh-checkpoint
+    * protection silently absent. The caller re-reads the published
+    * file and treats its CONTENT as authoritative (a lost race is a
+    * concurrent first-touch whose id wins). */
   private def publish(fs: org.apache.hadoop.fs.FileSystem,
                       p: org.apache.hadoop.fs.Path, id: String): Unit = {
     fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(id.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    graft.sources.AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = false)
   }
 
   /** The checkpoint's lineage id, minted on first touch. */
@@ -85,7 +92,20 @@ private[graft] object LineageEpoch {
             "batches (ScrubRegistry gates on batch id). Resume the " +
             "original checkpoint, or point the redeploy at a fresh target.")
       case Some(_) => ()
-      case None => publish(fs, p, id)
+      case None =>
+        publish(fs, p, id)
+        // adopt must be CONFIRMED (r13 ADVICE, low): a concurrent
+        // adopter may have won the publish race, and the recorded file
+        // is authoritative — if its lineage is not ours, this stream
+        // must fail exactly as the Some(stored != id) case does,
+        // instead of running unpinned against someone else's target.
+        val recorded = readText(fs, p)
+        if (!recorded.contains(id))
+          throw new IllegalStateException(
+            s"log target $target lineage adoption lost a race: recorded " +
+              s"${recorded.getOrElse("<none>")}, this stream's checkpoint " +
+              s"($checkpoint) is lineage $id — another checkpoint adopted " +
+              "the target first; point this redeploy at a fresh target.")
     }
   }
 }

@@ -153,7 +153,7 @@ object StreamAnnIndex {
    // merge in another JVM from interleaving this read-rewrite
    graft.sources.MutationLease.withLease(s, target) {
     graft.sources.ScrubRegistry.append(s, target, flagged,
-      BatchHighWater.read(s, target))
+      BatchHighWater.uptoForScrub(s, target))
     val tgtPath = new org.apache.hadoop.fs.Path(target)
     val fs = tgtPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!hasData(fs, tgtPath)) return

@@ -384,7 +384,7 @@ object StreamDupEdges {
     // window pass through, so a post-takedown re-add indexes normally.
     if (register)
       graft.sources.ScrubRegistry.append(s, target, flagged,
-        BatchHighWater.read(s, target))
+        BatchHighWater.uptoForScrub(s, target))
     val doomed = col("doc_id").isin(flagged: _*)
     // with the meta file, the doomed predicate gains a bucket IN-list
     // conjunct: it is a partition-filter, so dropRows' discovery scan

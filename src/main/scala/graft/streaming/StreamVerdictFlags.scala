@@ -205,7 +205,7 @@ object StreamVerdictFlags {
     // the replay re-scores them into flags/members and can steal back a
     // reassigned canonical slot, with nothing left to re-scrub.
     graft.sources.ScrubRegistry.append(s, target, flagged,
-      BatchHighWater.read(s, target))
+      BatchHighWater.uptoForScrub(s, target))
     val doomed = col("doc_id").isin(flagged: _*)
     BucketMeta.read(s, target) match {
       case Some(b) =>

@@ -248,6 +248,43 @@ class ArtifactCarrySpec extends SparkSpec {
     assert(a == b && a == 64, s"same doubling window, same modulus: $a $b")
   }
 
+  test("a doc duplicated across a deleted file and an unchanged file " +
+    "survives the delta build (r13 ADVICE, low)") {
+    val dir = Files.createTempDirectory("carry_dup").toString
+    val salt = s"dsalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    val docsA = base.where(col("doc_id") < 100)
+    docsA.repartition(2).write.parquet(s"$dir/documents.parquet")
+    // one extra part file holding a byte-identical COPY of doc 7
+    val before = Files.list(Paths.get(s"$dir/documents.parquet"))
+      .toArray.map(_.toString).toSet
+    docsA.where(col("doc_id") === 7).coalesce(1)
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val dupFile = Files.list(Paths.get(s"$dir/documents.parquet"))
+      .toArray.map(_.toString)
+      .filter(p => !before(p) && p.endsWith(".parquet")).head
+    assert(shRows(DedupQueries.shingleHashes3(spark, dir)) ==
+      expectedShingles(docsA), "generation A (set semantics: the dup " +
+        "contributes no new (doc_id, x, h) triples)")
+
+    // delete ONLY the duplicate's file: doc 7 is still in the corpus
+    // via the unchanged base file — the delta build must NOT anti-join
+    // its rows out of the rebuilt generation
+    Files.delete(Paths.get(dupFile))
+    Files.deleteIfExists(Paths.get(dupFile).getParent
+      .resolve(s".${Paths.get(dupFile).getFileName}.crc"))
+    assert(shRows(DedupQueries.shingleHashes3(spark, dir)) ==
+      expectedShingles(docsA),
+      "removing one copy of a cross-file duplicate must not remove the doc")
+    assert(DedupQueries.shingleHashes3(spark, dir)
+      .where(col("doc_id") === 7).count() > 0L,
+      "doc 7's rows must survive — it is still in the corpus")
+    assert(ArtifactStore.deltaStats.get(ShKey)._2 == 0L,
+      s"nothing changed content: ${ArtifactStore.deltaStats.get(ShKey)}")
+  }
+
   test("a prior generation written under a different bucket modulus " +
     "demotes to the row-level carry (no silent duplication)") {
     val dir = Files.createTempDirectory("carry_mod").toString

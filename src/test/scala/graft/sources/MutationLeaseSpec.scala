@@ -53,6 +53,30 @@ class MutationLeaseSpec extends SparkSpec {
     assert(!fs.exists(leaseOf(target)), "released after the body")
   }
 
+  test("a lease stolen while the body runs fails loudly instead of " +
+    "reporting success") {
+    val target = Files.createTempDirectory("lease_stolen").toString
+    val fs = fsOf(target)
+    val e = intercept[IllegalStateException] {
+      MutationLease.withLease(spark, target) {
+        // "another process" presumed us crashed (the body outlived the
+        // stale window), broke our lease, and claimed its own
+        fs.delete(leaseOf(target), false)
+        val out = fs.create(leaseOf(target), false)
+        try out.write("9999@other-host thief".getBytes("UTF-8"))
+        finally out.close()
+        "body-completed"
+      }
+    }
+    assert(e.getMessage.contains("stolen"), e.getMessage)
+    // release must never delete the thief's lease
+    val in = fs.open(leaseOf(target))
+    val holder = try scala.io.Source.fromInputStream(in).mkString.trim
+                 finally in.close()
+    assert(holder.contains("thief"),
+      s"the successor's lease must survive our release: $holder")
+  }
+
   test("release on success, on failure, and across re-entry") {
     val target = Files.createTempDirectory("lease_release").toString
     val fs = fsOf(target)
