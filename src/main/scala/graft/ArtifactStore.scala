@@ -758,6 +758,352 @@ object ArtifactStore {
       scannedFiles = deltaPaths))
   }
 
+  // ------------------------------------------- vec cell-carried generations
+
+  /** The embeddings-side twin of the docs sidecar: the (vec_id, digest,
+    * src, cell) carry certificate, hive-partitioned by the SAME `cell`
+    * as the data. */
+  private def vecsSidecarPathOf(key: String, fp: Long): Path =
+    Paths.get(root, key, s"fp-$fp", "vecs")
+
+  /** Whether a generation's vecs certificate is cell-partitioned (the
+    * r14 layout) — the cell-carry's eligibility check; flat pre-r14
+    * sidecars demote to the row-level carry for one migration build. */
+  private def vecsCellPartitioned(key: String, fp: Long): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val p = vecsSidecarPathOf(key, fp)
+    if (!Files.isDirectory(p)) return false
+    val kids = Files.list(p)
+    try kids.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("cell="))
+    finally kids.close()
+  }
+
+  /** Tombstone-filtered (vec_id, digest, src) certificate over exactly
+    * `paths` — [[embeddingsCarryDigest]] (order-sensitive), so a
+    * component-swapped vector is never certified as unchanged. */
+  private def vecCertFrame(s: SparkSession, dir: String,
+                           paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*)
+      .select(col("vec_id"), embeddingsCarryDigest.as("digest"),
+        graft.sources.CorpusFiles.srcCol.as("src"))
+      .join(broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+        Seq("vec_id"), "left_anti")
+
+  /** One task per cell before a cell-partitioned write (the byBucket
+    * lesson): hash repartitioning never splits equal keys, so each cell
+    * directory gets at most one file per writing task group instead of
+    * tasks×cells slivers. */
+  private def byCell(df: DataFrame): DataFrame = df.repartition(col("cell"))
+
+  /** The generation's embeddings file manifest, copied from the global
+    * fp cache (validated against the current listing by the
+    * [[embeddingsFp]] call that keyed this build) and re-sum-guarded:
+    * entries must re-sum to `corpusFp`, or the corpus mutated mid-build
+    * and the generation would be mislabeled. */
+  private def writeVecManifest(s: SparkSession, tmp: Path, dir: String,
+                               corpusFp: Long,
+                               listing: Seq[(String, Long, Long)]): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cache = graft.sources.CorpusFiles
+      .readManifest(hfs, fpCachePath(dir, "embeddings"))
+      .getOrElse(throw new IllegalStateException(
+        s"no fp cache for $dir/embeddings — embeddingsFp must run first"))
+    val entries = listing.map { case (p0, sz, mt) =>
+      val (s0, m0, sum) = cache.getOrElse(p0, throw new IllegalStateException(
+        s"corpus file $p0 missing from the fp cache — corpus changed " +
+          "mid-build; refusing to publish a mislabeled generation"))
+      require(s0 == sz && m0 == mt,
+        s"corpus file $p0 changed mid-build; refusing a mislabeled generation")
+      (p0, sz, mt, sum)
+    }
+    require(entries.map(e => BigInt(e._4)).sum.mod(BigInt(Mod)).toLong ==
+      corpusFp,
+      s"generation manifest sums disagree with corpus fp $corpusFp — " +
+        "corpus changed mid-build; refusing a mislabeled generation")
+    graft.sources.CorpusFiles.writeManifest(hfs,
+      new org.apache.hadoop.fs.Path(tmp.resolve("files").toString), entries)
+  }
+
+  /** CELL-PARTITIONED, partition-carried generations for VEC-LOCAL
+    * embedding-derived families — the serve cells and the residual-PQ
+    * code index (r13 verdict item 1, the top_next): every output row is
+    * a pure function of its own vector GIVEN the frozen books, so a
+    * corpus append under kept books must cost O(delta vectors + touched
+    * cells), not a full carried-row + certificate rewrite. The docs-side
+    * [[documentsDeltaArtifact]] carry applied to the embeddings table,
+    * with `cell` (the coarse assignment — already the data's partition
+    * key for serve-side pruning) as the carry partition:
+    *
+    *  - file level: the generation's `files` manifest names the
+    *    embeddings files it derived from; unchanged files are never
+    *    scanned (the fingerprint itself is file-incremental via
+    *    [[fpOf]]'s cache);
+    *  - row level: scanned vectors whose (vec_id, order-sensitive
+    *    digest) matches the prior certificate are carries; the rest
+    *    re-encode (the expensive per-row derive — the IVFADC argmin —
+    *    runs over the delta only);
+    *  - cell level: a cell is rewritten only when a changed/new vector
+    *    lands in it, a removed/changed vector must leave it, or its
+    *    data row count disagrees with its certificate (rows GROWN by
+    *    the ingest stream — [[graft.streaming.StreamAnnCells]] — are
+    *    uncertified and are re-derived when ops appends them to the
+    *    corpus, never carried: full-build equality holds). Every other
+    *    cell is a HARD LINK — metadata-priced.
+    *
+    * Data, certificate ((vec_id, digest, src, cell), cell-partitioned
+    * and itself partition-carried), file manifest, `corpus` note, and
+    * the family's book notes publish in ONE staging dir → one atomic
+    * rename. Rows carry NO `fp`/`corpus_fp` columns in this layout —
+    * the directory name and the `corpus` note are the generation's
+    * identity (the hard-linked files of a carried generation would
+    * otherwise disagree with it — the documented fp-column caveat made
+    * structural). Prior generations in the flat pre-r14 layout demote
+    * to a row-level carry for one migration build; no prior builds
+    * full. `prior` must be the newest generation under the SAME books
+    * (the caller's digest match) — carrying across books would mix
+    * incommensurable cells.
+    *
+    * `encode` maps raw embeddings rows to output rows and MUST be
+    * row-local given the books, emit a long `cell` column, and keep
+    * `vec_id`. */
+  private[graft] def embeddingsCellArtifact(
+      s: SparkSession, dir: String, key: String, fp: Long,
+      prior: => Option[Long],
+      encode: DataFrame => DataFrame,
+      notes: Path => Unit): String = {
+    val corpusFp = embeddingsFp(s, dir)
+    publishOnce(s, key, fp) { tmp =>
+      val listing = graft.sources.CorpusFiles.list(s, dir, "embeddings")
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = prior
+      val priorManifest = p.flatMap { pfp =>
+        graft.sources.CorpusFiles.readManifest(hfs,
+          new org.apache.hadoop.fs.Path(
+            filesManifestPath(key, pfp).toString))
+      }
+      (p, priorManifest) match {
+        case (Some(pfp), Some(pm)) if vecsCellPartitioned(key, pfp) =>
+          // under the PRIOR generation's mutation lease: the carry
+          // hard-links and count-compares the prior's live files, and
+          // (a) an ingest-stream merge rewriting a cell mid-carry could
+          // slip uncertified rows past the dirty-cell detection into a
+          // linked cell, (b) a takedown scrub mid-carry could erase the
+          // prior while our links pin the pre-scrub bytes into a
+          // generation the scrub cannot see (not yet published). The
+          // lease fails the late-comer loudly; an erasure pass re-runs
+          // after the publish and then enumerates the new generation.
+          graft.sources.MutationLease.withLease(s, dataPath(key, pfp)) {
+            vecCellCarryBuild(s, dir, key, fp, corpusFp, tmp, pfp, pm,
+              listing)(encode)
+          }
+        case (Some(pfp), _) =>
+          vecRowCarryBuild(s, dir, key, fp, corpusFp, tmp, pfp,
+            listing)(encode)
+        case _ =>
+          vecFullBuild(s, dir, key, fp, corpusFp, tmp, listing)(encode)
+      }
+      notes(tmp)
+      Files.writeString(tmp.resolve("corpus"), s"$corpusFp\n")
+    }
+  }
+
+  /** The generation's corpus fingerprint: the r14 `corpus` note when
+    * present, else the legacy `corpus_fp` data column (one footer-cheap
+    * row) — the corpus-scoped enumerators' read. */
+  private[graft] def generationCorpusFp(s: SparkSession, key: String,
+                                        fp: Long): Option[Long] = {
+    val note = Paths.get(root, key, s"fp-$fp", "corpus")
+    if (Files.exists(note))
+      scala.util.Try(Files.readString(note).trim.toLong).toOption
+    else scala.util.Try(
+      s.read.parquet(dataPath(key, fp)).select(col("corpus_fp")).limit(1)
+        .collect().headOption.map(_.getLong(0))).toOption.flatten
+  }
+
+  private def vecFullBuild(s: SparkSession, dir: String, key: String,
+                           fp: Long, corpusFp: Long, tmp: Path,
+                           listing: Seq[(String, Long, Long)])
+                          (encode: DataFrame => DataFrame): Unit = {
+    val served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    byCell(encode(served)).write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    // cert cells come off the WRITTEN data (column-pruned read-back),
+    // so the expensive encode runs exactly once
+    val written = s.read.parquet(tmp.resolve("data").toString)
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+    val cert = vecCertFrame(s, dir, listing.map(_._1))
+      .join(written, Seq("vec_id"))
+    byCell(cert).write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("vecs").toString)
+    writeVecManifest(s, tmp, dir, corpusFp, listing)
+    deltaStats.put(key, (-1L, -1L))
+    carryStats.remove(key)
+  }
+
+  /** The migration build: a prior with a flat (vec_id, digest)
+    * certificate carries at row level once and comes out in the
+    * cell-partitioned layout. */
+  private def vecRowCarryBuild(s: SparkSession, dir: String, key: String,
+                               fp: Long, corpusFp: Long, tmp: Path,
+                               pfp: Long, listing: Seq[(String, Long, Long)])
+                              (encode: DataFrame => DataFrame): Unit = {
+    val served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
+    val curKeys = vecCertFrame(s, dir, listing.map(_._1)).localCheckpoint()
+    val priorKeys = s.read.parquet(vecsSidecarPathOf(key, pfp).toString)
+      .select(col("vec_id"), col("digest"))
+    val (unchangedIds, changedIds, _) = deltaSplit(key, "vec_id",
+      curKeys.select(col("vec_id"), col("digest")), priorKeys)
+    val fresh = encode(served.join(changedIds, Seq("vec_id"), "left_semi"))
+    val carried = s.read.parquet(dataPath(key, pfp))
+      .drop("fp").drop("corpus_fp")
+      .join(unchangedIds, Seq("vec_id"), "left_semi")
+      .withColumn("cell", col("cell").cast(LongType))
+    byCell(fresh.unionByName(carried.select(fresh.columns.map(col): _*)))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    val written = s.read.parquet(tmp.resolve("data").toString)
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"))
+    byCell(curKeys.join(written, Seq("vec_id")))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("vecs").toString)
+    writeVecManifest(s, tmp, dir, corpusFp, listing)
+    carryStats.remove(key)
+  }
+
+  private def vecCellCarryBuild(s: SparkSession, dir: String, key: String,
+                                fp: Long, corpusFp: Long, tmp: Path,
+                                pfp: Long,
+                                priorManifest: Map[String, (Long, Long, Long)],
+                                listing: Seq[(String, Long, Long)])
+                               (encode: DataFrame => DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val (unchanged, delta) = listing.partition { case (p0, sz, mt) =>
+      priorManifest.get(p0).exists { case (s0, m0, _) => s0 == sz && m0 == mt }
+    }
+    val removedOrChanged =
+      (priorManifest.keySet -- unchanged.map(_._1)).toSeq.sorted
+    val deltaPaths = delta.map(_._1)
+    val priorCert = s.read.parquet(vecsSidecarPathOf(key, pfp).toString)
+      .select(col("vec_id"), col("digest"), col("src"),
+        col("cell").cast(LongType).as("cell"))
+    val deltaCert =
+      (if (deltaPaths.isEmpty)
+        priorCert.select(col("vec_id"), col("digest"), col("src")).limit(0)
+       else vecCertFrame(s, dir, deltaPaths)).localCheckpoint()
+    // changed/new = scanned vectors the prior certificate cannot vouch for
+    val changedIds = deltaCert
+      .join(priorCert.select(col("vec_id"), col("digest")),
+        Seq("vec_id", "digest"), "left_anti")
+      .select(col("vec_id")).localCheckpoint()
+    // removed = prior vecs of vanished/changed files that did not
+    // resurface and are not also held by an unchanged file (the docs-side
+    // duplicate fix mirrored); includes CHANGED vecs' old rows — their
+    // old cell may differ from the new assignment and must rewrite
+    val removed = priorCert
+      .where(col("src").isin(removedOrChanged: _*))
+      .join(deltaCert.select(col("vec_id"), col("digest")),
+        Seq("vec_id", "digest"), "left_anti")
+      .join(priorCert.where(!col("src").isin(removedOrChanged: _*))
+        .select(col("vec_id"), col("digest")),
+        Seq("vec_id", "digest"), "left_anti")
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    // moved = same (vec_id, digest), new file: the cert row rewrites
+    // with the live src (future removal detection keys on it); the
+    // DATA row is untouched (same vector, same cell)
+    val moved = deltaCert
+      .join(priorCert.select(col("vec_id"), col("digest"), col("cell")),
+        Seq("vec_id", "digest"))
+      .select(col("vec_id"), col("digest"), col("src"), col("cell"))
+      .dropDuplicates(Seq("vec_id", "digest"))
+      .localCheckpoint()
+    // fresh assignments: the expensive encode over the changed rows only
+    val fresh = (
+      if (deltaPaths.isEmpty)
+        encode(Tables.embeddings(s, dir).limit(0))
+      else encode(s.read.parquet(deltaPaths: _*)
+        .join(changedIds, Seq("vec_id"), "left_semi"))
+      ).localCheckpoint()
+    def cellsOf(df: DataFrame): Set[Long] = df.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // dirty = cells whose data row count disagrees with the certificate:
+    // stream-grown (uncertified) rows live there — rebuild so the delta
+    // generation equals a from-scratch build (streamed rows re-derive
+    // when ops appends them to the corpus; they are never carried)
+    val priorDataPath = dataPath(key, pfp)
+    val dataCounts = s.read.parquet(priorDataPath)
+      .groupBy(col("cell").cast(LongType).as("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val certCounts = priorCert.groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirty = (dataCounts.keySet ++ certCounts.keySet).filter(c =>
+      dataCounts.getOrElse(c, 0L) != certCounts.getOrElse(c, 0L))
+    val touchedData = cellsOf(fresh) ++ cellsOf(
+      removed.select(col("cell"))) ++ dirty
+    val touchedCert = touchedData ++ cellsOf(moved.select(col("cell")))
+    // --- data: rebuild touched cells (fresh + certified survivors),
+    // hard-link the rest
+    val keptIds = priorCert
+      .where(col("cell").isin(touchedData.toSeq: _*))
+      .join(changedIds, Seq("vec_id"), "left_anti")
+      .join(removed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+    val keptData =
+      (if (touchedData.isEmpty) fresh.limit(0)
+       else s.read.parquet(priorDataPath)
+         .where(col("cell").isin(touchedData.toSeq: _*)) // partition prune
+         .drop("fp").drop("corpus_fp")
+         .join(keptIds, Seq("vec_id"), "left_semi")
+         .withColumn("cell", col("cell").cast(LongType))
+         .select(fresh.columns.map(col): _*))
+    byCell(fresh.unionByName(keptData))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("data").toString)
+    var linkedBytes = 0L
+    var linked = 0
+    val dk = Files.list(Paths.get(priorDataPath))
+    try dk.iterator().asScala.foreach { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("cell=") &&
+          !touchedData(n.stripPrefix("cell=").toLong)) {
+        linkedBytes += linkDirInto(d, tmp.resolve("data").resolve(n))
+        linked += 1
+      }
+    } finally dk.close()
+    // --- certificate: fresh + moved + certified survivors in touched
+    // cells; links for the rest
+    val keptCert = priorCert
+      .where(col("cell").isin(touchedCert.toSeq: _*))
+      .join(changedIds, Seq("vec_id"), "left_anti")
+      .join(removed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(moved.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val freshCert = deltaCert
+      .join(changedIds, Seq("vec_id"), "left_semi")
+      .join(fresh.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("digest"), col("src"), col("cell"))
+    byCell(freshCert.unionByName(moved)
+        .unionByName(keptCert.select(freshCert.columns.map(col): _*)))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(tmp.resolve("vecs").toString)
+    val ck = Files.list(vecsSidecarPathOf(key, pfp))
+    try ck.iterator().asScala.foreach { d =>
+      val n = d.getFileName.toString
+      if (n.startsWith("cell=") && !touchedCert(n.stripPrefix("cell=").toLong))
+        linkDirInto(d, tmp.resolve("vecs").resolve(n))
+    } finally ck.close()
+    writeVecManifest(s, tmp, dir, corpusFp, listing)
+    val nChanged = changedIds.count()
+    deltaStats.put(key, (priorCert.count() - removed.count(), nChanged))
+    carryStats.put(key, CarryStat(
+      linkedBuckets = linked,
+      rewrittenBuckets = touchedData.size,
+      bytesLinked = linkedBytes,
+      bytesWritten = dirBytes(tmp.resolve("data")) - linkedBytes,
+      scannedFiles = deltaPaths))
+  }
+
   /** Janitor: keep the `keep` most recently PUBLISHED fingerprints of
     * `key`, delete the rest (manifest write time orders publications).
     * Corpus versions accumulate one fp dir per regeneration; a

@@ -211,75 +211,60 @@ object ServeBooks {
     * ones (the default), or a serving deployment's frozen ones (the
     * refresh policy's Extended posture applied to the code index).
     *
-    * DELTA CARRY under kept books ([[annCellsPathFor]]'s idiom — the
-    * last of r11 verdict item 3's named families): a vector's codes
-    * are VEC-LOCAL given the books, and the encode argmin (~136 dot
-    * products per vector) is the single most expensive per-row derive
-    * in the engine — so when a prior generation with the SAME book
-    * digests exists (corpus append under kept books), its rows are
-    * carried for every vector whose (vec_id, row-digest) certificate
-    * is unchanged and only the delta is re-encoded. A retrained book
-    * digests into a different generation id, finds no same-books
-    * prior, and full-builds. The int8 twin ([[int8Codes]]) stays full
-    * rebuild BY DESIGN: its scales are per-dim corpus min/max, so an
-    * append can move every vector's codes — and its encode is 64
-    * clamped multiplies, not an argmin.
+    * CELL-LEVEL DELTA CARRY under kept books ([[ArtifactStore
+    * .embeddingsCellArtifact]], r13 verdict item 1's tail): a vector's
+    * codes are VEC-LOCAL given the books, and the encode argmin (~136
+    * dot products per vector) is the single most expensive per-row
+    * derive in the engine — so when a prior generation with the SAME
+    * book digests exists (corpus append under kept books), only the
+    * delta re-encodes and only the touched coarse cells rewrite;
+    * untouched cells (data and certificate) hard-link. The data is now
+    * cell-partitioned like [[annCellsPathFor]]'s — the serve side gains
+    * the same partition pruning. A retrained book digests into a
+    * different generation id, finds no same-books prior, and
+    * full-builds. The int8 twin ([[int8Codes]]) stays full rebuild BY
+    * DESIGN: its scales are per-dim corpus min/max, so an append can
+    * move every vector's codes — and its encode is 64 clamped
+    * multiplies, not an argmin.
     *
-    * Sidecars per generation (ensured post-publish, self-healing):
-    * `vecs` — the carry certificate; `books` — the two book digests
-    * the prior-matching reads without opening data files. Rows carry
-    * `corpus_fp` for corpus-scoped invalidation
-    * ([[pqResCodesFpsFor]]). */
+    * Per generation, staged into the one atomic publish: the
+    * cell-partitioned `vecs` certificate, the `_books` digests the
+    * prior-matching reads without opening data files, the embeddings
+    * `files` manifest, and the `corpus` note for corpus-scoped
+    * invalidation ([[pqResCodesFpsFor]] — pre-r14 generations carry a
+    * `corpus_fp` data column instead). */
   def pqResCodesFor(s: SparkSession, dir: String,
                     coarseBook: Array[Array[Double]],
                     resBooks: Array[Array[Array[Double]]])
       : org.apache.spark.sql.DataFrame = {
-    val corpusFp = ArtifactStore.embeddingsFp(s, dir)
     val fp = pqResCodesFp(s, dir, coarseBook, resBooks)
-    def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
-    // the delta path's checkpointed certificate, reused by the sidecar
-    // write below so a new generation digests the corpus ONCE
-    var certKeys: Option[org.apache.spark.sql.DataFrame] = None
-    val out = ArtifactStore.parquetOnce(s, PqResCodesKey, fp) {
-      // corpus MINUS the vector tombstone set: a post-takedown rebuild
-      // must not re-encode deleted vectors (VecTakedown's contract)
-      def encode(e: org.apache.spark.sql.DataFrame) = {
-        val bookArr = array(coarseBook.map(c =>
-          array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
-        val assigned = e
-          .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
-          .select(col("vec_id"), col("v"),
-            cell(coarseBook, col("v")).as("cell"))
-          .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
-          .select(col("vec_id"), col("cell"),
-            zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
-          .localCheckpoint()
-        assigned.select(col("vec_id"), col("cell"),
-          graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"),
-          lit(corpusFp).as("corpus_fp"))
-      }
-      priorSameBooksCodesGeneration(s, fp, coarseBook, resBooks) match {
-        case Some(pfp) =>
-          val priorKeys = s.read.parquet(
-            vecsSidecarPath(ArtifactStore.dataPath(PqResCodesKey, pfp)).toString)
-          val (unchanged, changed, keys) = ArtifactStore.deltaSplit(
-            PqResCodesKey, "vec_id", carryKeys(served), priorKeys)
-          certKeys = Some(keys)
-          val fresh = encode(served.join(changed, Seq("vec_id"), "left_semi"))
-          val carried = s.read
-            .parquet(ArtifactStore.dataPath(PqResCodesKey, pfp)).drop("fp")
-            .join(unchanged, Seq("vec_id"), "left_semi")
-            .withColumn("corpus_fp", lit(corpusFp))
-          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
-        case None =>
-          ArtifactStore.deltaStats.put(PqResCodesKey, (-1L, -1L))
-          encode(served)
-      }
+    // row-local given the books: assign the coarse cell, materialize the
+    // residual once (localCheckpoint — the index-build job's
+    // intermediate), encode. Tombstone exclusion is the builder's.
+    def encode(e: org.apache.spark.sql.DataFrame) = {
+      val bookArr = array(coarseBook.map(c =>
+        array(c.toSeq.map(lit(_)): _*)).toSeq: _*)
+      val assigned = e
+        .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"),
+          cell(coarseBook, col("v")).as("cell"))
+        .withColumn("cent", element_at(bookArr, (col("cell") + 1).cast("int")))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cent"), (a, b) => a - b).as("rv"))
+        .localCheckpoint()
+      assigned.select(col("vec_id"), col("cell"),
+        graft.llm.Pq.encodeWith(resBooks)(col("rv")).as("codes"))
     }
-    val dataPath = ArtifactStore.dataPath(PqResCodesKey, fp)
+    val dataPath = ArtifactStore.embeddingsCellArtifact(s, dir, PqResCodesKey,
+      fp,
+      prior = priorSameBooksCodesGeneration(s, fp, coarseBook, resBooks),
+      encode = encode,
+      notes = tmp => writeBooksMetaInto(tmp, coarseBook, resBooks))
     ensureBooksMeta(s, dataPath, coarseBook, resBooks)
-    ensureVecsSidecar(s, dataPath, certKeys.getOrElse(carryKeys(served)))
-    out.select(col("vec_id"), col("cell"), col("codes"))
+    ensureVecsSidecar(s, dataPath,
+      carryKeys(graft.sources.VecTakedown.servedEmbeddings(s, dir)))
+    s.read.parquet(dataPath).select(col("vec_id"),
+      col("cell").cast(LongType).as("cell"), col("codes"))
   }
 
   /** The (vec_id, digest) carry-certificate frame — the ORDER-SENSITIVE
@@ -294,6 +279,15 @@ object ServeBooks {
     val data = new org.apache.hadoop.fs.Path(dataPath)
     new org.apache.hadoop.fs.Path(data.getParent, "_books")
   }
+
+  /** [[ensureBooksMeta]]'s staging twin: write the `_books` digests
+    * into a generation's staging dir so they publish atomically with
+    * the data (the ensure form remains only as legacy self-heal). */
+  private def writeBooksMetaInto(tmp: java.nio.file.Path,
+                                 coarseBook: Array[Array[Double]],
+                                 resBooks: Array[Array[Array[Double]]]): Unit =
+    java.nio.file.Files.writeString(tmp.resolve("_books"),
+      s"${bookDigest(coarseBook)} ${pqBooksDigest(resBooks)}")
 
   /** Record the generation's two book digests (if absent) — the
     * prior-matching key [[priorSameBooksCodesGeneration]] reads without
@@ -352,11 +346,8 @@ object ServeBooks {
     * (reads key on current fp ⊗ books) and fall to gcKeepLatest. */
   def pqResCodesFpsFor(s: SparkSession, dir: String): Seq[Long] = {
     val want = ArtifactStore.embeddingsFp(s, dir)
-    ArtifactStore.publishedFps(PqResCodesKey).filter { fp =>
-      s.read.parquet(ArtifactStore.dataPath(PqResCodesKey, fp))
-        .select(col("corpus_fp")).limit(1)
-        .collect().headOption.exists(_.getLong(0) == want)
-    }
+    ArtifactStore.publishedFps(PqResCodesKey).filter(fp =>
+      ArtifactStore.generationCorpusFp(s, PqResCodesKey, fp).contains(want))
   }
 
   /** ERASURE enumerator (r12 ADVICE, medium): every published
@@ -532,57 +523,42 @@ object ServeBooks {
     * row-local `graft_ivf_cell` assignment — zero shuffle before the
     * partitioned write.
     *
-    * DELTA CARRY (the documents-side documentsDeltaArtifact applied to
-    * vectors): cell assignment is VEC-LOCAL given a book, so when a
-    * prior generation with the SAME book digest exists (a corpus
-    * append served under a kept book), its rows are carried for every
-    * vector whose (vec_id, row-digest) is unchanged — the certificate
-    * is [[ArtifactStore.embeddingsCarryDigest]], position-sensitive
-    * per component — and only the delta vectors are
-    * assigned fresh. A retrained book digests differently, finds no
-    * same-book prior, and full-builds; tombstoned vectors are absent
-    * from the current served keys and drop out of the carry.
+    * CELL-LEVEL DELTA CARRY (r13 verdict item 1 — [[ArtifactStore
+    * .embeddingsCellArtifact]], the docs-side bucket carry applied to
+    * vectors with `cell` as the carry partition): cell assignment is
+    * VEC-LOCAL given a book, so when a prior generation with the SAME
+    * book digest exists (a corpus append served under a kept book) only
+    * the delta vectors are assigned fresh, only the cells a
+    * changed/new/removed vector touches are rewritten, and every other
+    * cell — data AND certificate — is a hard link. A retrained book
+    * digests differently, finds no same-book prior, and full-builds;
+    * tombstoned vectors are absent from the certificate (scrubbed at
+    * flag time) and drop out of the carry.
     *
-    * The generation is SELF-DESCRIBING: a `book` sidecar carries the
-    * exact doubles that assigned its cells, a `vecs` sidecar the
-    * (vec_id, digest) certificate — both ensured write-if-absent AFTER
-    * the atomic publish (a crash in between self-heals on next touch). */
+    * The generation is SELF-DESCRIBING, all of it staged into ONE
+    * atomic publish: a `book` sidecar with the exact doubles that
+    * assigned its cells, a cell-partitioned `vecs` certificate
+    * ((vec_id, digest, src, cell)), the embeddings `files` manifest the
+    * next carry deltas against, and the `corpus` note (rows carry no
+    * fp/corpus_fp columns in this layout — hard-linked files would
+    * disagree with the generation's identity). The post-publish ensure
+    * calls below only self-heal PRE-r14 generations (flat sidecar,
+    * sidecars written after publish). */
   def annCellsPathFor(s: SparkSession, dir: String,
                       book: Array[Array[Double]]): String = {
     val corpusFp = ArtifactStore.embeddingsFp(s, dir)
     val fp = cellsFpOf(corpusFp, book)
-    def served = graft.sources.VecTakedown.servedEmbeddings(s, dir)
-    // the delta path's checkpointed certificate, reused by the sidecar
-    // write below so a new generation digests the corpus ONCE
-    var certKeys: Option[org.apache.spark.sql.DataFrame] = None
-    ArtifactStore.parquetOncePartitioned(s, AnnCellsKey, fp, Seq("cell")) {
-      val full = served
+    val dataPath = ArtifactStore.embeddingsCellArtifact(s, dir, AnnCellsKey,
+      fp,
+      prior = priorSameBookGeneration(s, fp, book),
+      encode = e => e
         .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
         .withColumn("nrm", VectorOps.norm(col("v")))
-        .withColumn("corpus_fp", lit(corpusFp))
-        .withColumn("cell", cell(book, col("v")))
-      priorSameBookGeneration(s, fp, book) match {
-        case Some(pfp) =>
-          val priorKeys = s.read.parquet(
-            vecsSidecarPath(ArtifactStore.dataPath(AnnCellsKey, pfp)).toString)
-          val (unchanged, changed, keys) = ArtifactStore.deltaSplit(
-            AnnCellsKey, "vec_id", carryKeys(served), priorKeys)
-          certKeys = Some(keys)
-          val fresh = full.join(changed, Seq("vec_id"), "left_semi")
-          val carried = s.read
-            .parquet(ArtifactStore.dataPath(AnnCellsKey, pfp)).drop("fp")
-            .join(unchanged, Seq("vec_id"), "left_semi")
-            .withColumn("corpus_fp", lit(corpusFp))
-            .withColumn("cell", col("cell").cast(LongType))
-          fresh.unionByName(carried.select(fresh.columns.map(col): _*))
-        case None =>
-          ArtifactStore.deltaStats.put(AnnCellsKey, (-1L, -1L))
-          full
-      }
-    }
-    val dataPath = ArtifactStore.dataPath(AnnCellsKey, fp)
+        .withColumn("cell", cell(book, col("v"))),
+      notes = tmp => writeBookInto(s, tmp, book))
     ensureBookSidecar(s, dataPath, book)
-    ensureVecsSidecar(s, dataPath, certKeys.getOrElse(carryKeys(served)))
+    ensureVecsSidecar(s, dataPath,
+      carryKeys(graft.sources.VecTakedown.servedEmbeddings(s, dir)))
     dataPath
   }
 
@@ -631,6 +607,19 @@ object ServeBooks {
       s".vecs-tmp-${java.util.UUID.randomUUID.toString.take(8)}")
     keys.write.mode("overwrite").parquet(tmp.toString)
     graft.sources.AtomicFiles.publishOrThrow(fs, tmp, p, recursiveTmp = true)
+  }
+
+  /** [[ensureBookSidecar]]'s staging twin: write the frozen book into
+    * a generation's staging dir so it publishes atomically with the
+    * data (the ensure form remains only as legacy self-heal). */
+  private def writeBookInto(s: SparkSession, tmp: java.nio.file.Path,
+                            book: Array[Array[Double]]): Unit = {
+    import s.implicits._
+    (for { k <- book.indices; d <- book(k).indices }
+      yield (k.toLong, (d + 1).toLong, book(k)(d)))
+      .toDF("cid", "dim", "cval")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("book").toString)
   }
 
   /** Write the generation's frozen book next to its data (if absent):
@@ -761,11 +750,8 @@ object ServeBooks {
     * excluded on purpose. */
   def annCellsFpsFor(s: SparkSession, dir: String): Seq[Long] = {
     val want = ArtifactStore.embeddingsFp(s, dir)
-    ArtifactStore.publishedFps(AnnCellsKey).filter { fp =>
-      s.read.parquet(ArtifactStore.dataPath(AnnCellsKey, fp))
-        .select(col("corpus_fp")).limit(1)
-        .collect().headOption.exists(_.getLong(0) == want)
-    }
+    ArtifactStore.publishedFps(AnnCellsKey).filter(fp =>
+      ArtifactStore.generationCorpusFp(s, AnnCellsKey, fp).contains(want))
   }
 
   /** Serialize the read-modify-write writers of a serve-cells
@@ -811,8 +797,18 @@ object ServeBooks {
         // vector as "unchanged" to a successor generation — the carry
         // would silently omit a vector a full build includes (the
         // successor corpus has its own tombstone set, which starts
-        // empty). Rewritten via the same temp-then-rename as the write.
-        rewriteVecsSidecar(s, path, vecIds)
+        // empty). Cell-partitioned certificates (r14) rewrite only the
+        // victims' cell partitions — the same touched-only dance as the
+        // data; flat pre-r14 sidecars rewrite whole (bounded: one
+        // migration-era generation).
+        val sc = vecsSidecarPath(path)
+        val fs = sc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val partitioned = fs.exists(sc) &&
+          fs.listStatus(sc).exists(_.getPath.getName.startsWith("cell="))
+        if (partitioned)
+          graft.sources.PartitionScrub.dropRows(s, sc.toString, "cell",
+            col("vec_id").isin(vecIds: _*))
+        else rewriteVecsSidecar(s, path, vecIds)
       }
     }
 

@@ -361,7 +361,12 @@ object DedupQueries {
     * rollups are 5-row aggregations. All-integer milli recall. */
   def bandRecallCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSig3(s, dir)
+    // persist: the five band configs and both self-join sides otherwise
+    // scan the sig artifact ~10× — with the bucket-partitioned store
+    // (8+ files at sf0.1, thousands at corpus scale) the per-scan
+    // listing/footer tax multiplied into the r13 bench watch
+    // (q182 1.15 → 1.51 s); one materialized scan feeds all plans
+    val sig = minhashSig3(s, dir).persist()
     // exact truth from the brute_pair_stats_v1 facts (build-once):
     // 3c >= na+nb ⟺ jaccard >= 0.5, all-integer
     val truth = brutePairStats(s, dir)

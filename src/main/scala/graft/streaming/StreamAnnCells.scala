@@ -34,10 +34,15 @@ import org.apache.spark.sql.types.LongType
 object StreamAnnCells {
 
   /** Merge one batch of (vec_id, embedding float[]) vectors into the
-    * pinned cells artifact at `dataPath`. `fp` is the generation id
-    * (the artifact's `fp` data column), `corpusFp` the corpus
-    * fingerprint the generation's rows carry for corpus-scoped
-    * maintenance (ServeBooks.annCellsFpsFor). `dir` names the corpus
+    * pinned cells artifact at `dataPath`. `fp` is the generation id and
+    * `corpusFp` the corpus fingerprint — stamped onto rows ONLY for
+    * legacy (pre-r14) generations whose layout carries them as data
+    * columns; r14 cell-carried generations record identity in the
+    * directory name and the `corpus` note, and rows grown here are
+    * UNCERTIFIED (absent from the `vecs` carry certificate), which is
+    * what makes their cell read as dirty to a successor build — grown
+    * rows are re-derived when ops appends them to the corpus, never
+    * hard-link-carried. `dir` names the corpus
     * whose tombstone set gates the merge: a checkpoint REPLAY of an
     * in-flight batch after a takedown (or redelivery of a taken-down
     * vector) would otherwise re-insert the erased vector's raw bytes
@@ -59,22 +64,28 @@ object StreamAnnCells {
       broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
       Seq("vec_id"), "left_anti")
     if (live.isEmpty) return
-    val assigned = live
+    // r14 generations carry no fp/corpus_fp data columns (the directory
+    // name and the `corpus` note are the identity; hard-linked carried
+    // files would disagree with a per-row stamp) — match the pinned
+    // generation's actual layout, legacy or current (one footer read)
+    val legacy = s.read.parquet(dataPath).columns.contains("corpus_fp")
+    val assigned0 = live
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
-      .withColumn("corpus_fp", lit(corpusFp))
-      .withColumn("fp", lit(fp))
       .withColumn("cell", ServeBooks.cell(book, col("v")))
-      .localCheckpoint()
+    val assigned =
+      (if (legacy) assigned0.withColumn("corpus_fp", lit(corpusFp))
+        .withColumn("fp", lit(fp))
+       else assigned0).localCheckpoint()
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
     ServeBooks.withCellsLock(s, dataPath) {
-      val existing = s.read.parquet(dataPath)
+      val existing0 = s.read.parquet(dataPath)
         .where(col("cell").isin(touched: _*))
-        .select(col("vec_id"), col("v"), col("nrm"), col("corpus_fp"),
-          col("fp"), col("cell").cast(LongType).as("cell"))
+        .withColumn("cell", col("cell").cast(LongType))
+      val existing = existing0.select(assigned.columns.map(col): _*)
       existing.localCheckpoint()
-        .unionByName(assigned.select(existing.columns.map(col): _*))
+        .unionByName(assigned)
         .distinct()
         .write
         .option("partitionOverwriteMode", "dynamic")

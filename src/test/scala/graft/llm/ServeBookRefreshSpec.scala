@@ -99,10 +99,21 @@ class ServeBookRefreshSpec extends SparkSpec {
       }.toSet
     assert(cellRows(spark.read.parquet(pathC)) == cellRows(expectedC),
       "delta-carried cells must equal the from-scratch frozen-book build")
-    assert(spark.read.parquet(pathC)
-      .where(col("corpus_fp") =!=
-        graft.ArtifactStore.embeddingsFp(spark, dirC)).count() == 0L,
-      "carried rows must be re-stamped with the new corpus fingerprint")
+    // generation identity: the corpus attribution comes from the
+    // generation-level `corpus` note (rows carry no fp stamp in the
+    // cell-carried layout — hard-linked files would disagree with it),
+    // and the corpus-scoped enumerator must attribute the generation to
+    // corpus C and NOT to corpus A
+    val fpOfC = graft.ArtifactStore.embeddingsFp(spark, dirC)
+    assert(ServeBooks.annCellsFpsFor(spark, dirC).map(f =>
+      graft.ArtifactStore.dataPath(ServeBooks.AnnCellsKey, f))
+      .contains(pathC),
+      "the extended generation must be attributed to the NEW corpus")
+    val pathCFp = new java.io.File(pathC).getParentFile.getName
+      .stripPrefix("fp-").toLong
+    assert(graft.ArtifactStore.generationCorpusFp(spark,
+      ServeBooks.AnnCellsKey, pathCFp).contains(fpOfC),
+      "the generation's corpus note must record corpus C's fingerprint")
 
     // a live stream pins generation A and answers a batch
     val queries = full.where(col("vec_id") < 10)
