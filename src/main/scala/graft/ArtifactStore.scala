@@ -291,7 +291,15 @@ object ArtifactStore {
             val tmp = Paths.get(root, key,
               s".tmp-${java.util.UUID.randomUUID.toString.take(8)}")
             Files.createDirectories(tmp)
-            write(tmp)
+            // a FAILED build must not leak its staging tree (at corpus
+            // scale a crashed carry's tmp dir is generation-sized);
+            // the failure itself stays loud
+            try write(tmp)
+            catch {
+              case e: Throwable =>
+                try deleteRecursively(tmp) catch { case _: Throwable => () }
+                throw e
+            }
             Files.writeString(tmp.resolve("manifest.json"),
               s"""{"key":"$key","fp":$fp,""" +
                 s""""created":"${java.time.Instant.now}"}\n""")
@@ -1012,10 +1020,16 @@ object ArtifactStore {
       .select(col("vec_id"), col("cell")).localCheckpoint()
     // moved = same (vec_id, digest), new file: the cert row rewrites
     // with the live src (future removal detection keys on it); the
-    // DATA row is untouched (same vector, same cell)
+    // DATA row is untouched (same vector, same cell). Ids that ALSO
+    // appear with a changed digest (same vec_id, different vectors
+    // across delta files — a violation of the immutable-id contract)
+    // are excluded: the fresh row wins whole, or the certificate would
+    // hold contradictory digests for one id and a later revert could
+    // carry the wrong bytes
     val moved = deltaCert
       .join(priorCert.select(col("vec_id"), col("digest"), col("cell")),
         Seq("vec_id", "digest"))
+      .join(changedIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("digest"), col("src"), col("cell"))
       .dropDuplicates(Seq("vec_id", "digest"))
       .localCheckpoint()

@@ -180,6 +180,52 @@ class VecCellCarrySpec extends SparkSpec {
     }
   }
 
+  test("a carry against a prior whose mutation lease another process " +
+    "holds fails loudly (and leaks no staging dir); it runs after release") {
+    val dir = Files.createTempDirectory("vec_lease").toString
+    val o = off
+    val base = saltedBase(200, o)
+    base.repartition(2).write.parquet(s"$dir/embeddings.parquet")
+    var built: List[String] = Nil
+    try {
+      val pathA = ServeBooks.annCellsPath(spark, dir)
+      built ::= pathA
+      val bookA = ServeBooks.generationBook(spark, pathA)
+      // "another process" (an ingest merge / a takedown scrub) holds
+      // the prior generation's lease while we append and carry
+      val lease = new org.apache.hadoop.fs.Path(pathA, "_mutate.lease")
+      val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(lease, false)
+      try out.write("9999@other-host merge-in-flight".getBytes("UTF-8"))
+      finally out.close()
+      clonesOf(base, o, o + 9000L, 3).coalesce(1)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+      val e = intercept[IllegalStateException] {
+        ServeBooks.annCellsPathFor(spark, dir, bookA)
+      }
+      assert(e.getMessage.contains("another process"), e.getMessage)
+      // the failed build must not leak its staging tree
+      val keyDir = Paths.get(ArtifactStore.root, ServeBooks.AnnCellsKey)
+      val leaked = Files.list(keyDir)
+      val tmps = try leaked.toArray.map(_.toString)
+        .filter(_.contains("/.tmp-")) finally leaked.close()
+      assert(tmps.isEmpty, s"staging dirs leaked: ${tmps.toSeq}")
+      // the holder releases; the carry proceeds and is exact
+      fs.delete(lease, false)
+      val pathB = ServeBooks.annCellsPathFor(spark, dir, bookA)
+      built ::= pathB
+      val corpusB = spark.read.parquet(s"$dir/embeddings.parquet")
+      assert(cellRows(spark.read.parquet(pathB)) ==
+        expectedCells(corpusB, bookA))
+    } finally {
+      built.foreach { p =>
+        ArtifactStore.invalidate(ServeBooks.AnnCellsKey,
+          Paths.get(p).getParent.getFileName.toString
+            .stripPrefix("fp-").toLong)
+      }
+    }
+  }
+
   test("stream-grown rows make their cell dirty: it rebuilds instead " +
     "of linking, and the successor equals a from-scratch build") {
     val dir = Files.createTempDirectory("vec_dirty").toString
