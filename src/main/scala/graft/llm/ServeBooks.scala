@@ -789,6 +789,10 @@ object ServeBooks {
     generationsContaining(s, AnnCellsKey, dir, vecIds,
       annCellsFpsFor(s, dir), vecBytesCol = Some("v")).foreach { fp =>
       val path = ArtifactStore.dataPath(AnnCellsKey, fp)
+      // scrub side waits out a live ingest merge / carry build for a
+      // bounded window (ScrubRetry — the leg is idempotent); the merge
+      // and build sides stay fail-loud
+      graft.sources.ScrubRetry.retryContended(s"scrubAnnCells($fp)") {
       withCellsLock(s, path) {
         graft.sources.PartitionScrub.dropRows(s, path, "cell",
           col("vec_id").isin(vecIds: _*))
@@ -809,7 +813,7 @@ object ServeBooks {
           graft.sources.PartitionScrub.dropRows(s, sc.toString, "cell",
             col("vec_id").isin(vecIds: _*))
         else rewriteVecsSidecar(s, path, vecIds)
-      }
+      }}
     }
 
   /** Drop `vecIds` from a generation's vecs carry certificate (no-op

@@ -60,6 +60,17 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object MutationLease {
 
+  /** LIVE contention: another process holds a fresh lease (or won the
+    * post-break claim race). Typed so callers can apply a retry POLICY
+    * to exactly this case — an erasure pipeline that re-runs anyway may
+    * wait out a build ([[ScrubRetry]]), while builds and merges stay
+    * fail-loud. A STOLEN lease is deliberately NOT this type: retrying
+    * a mutation whose writes may have interleaved with a thief's would
+    * re-run over corrupted state, so it stays a plain
+    * [[IllegalStateException]] that no retry loop catches. */
+  final class LeaseContended(message: String)
+      extends IllegalStateException(message)
+
   val DefaultStaleMs: Long = 15L * 60 * 1000
 
   private case class Hold(monitor: Object) {
@@ -156,11 +167,11 @@ private[graft] object MutationLease {
         if (fs.rename(x.getPath, broken)) fs.delete(broken, false)
       }
       if (claim(fs, p, token)) return token
-      throw new IllegalStateException(
+      throw new LeaseContended(
         s"mutation lease contended after breaking a stale lease: $p")
     }
     val holder = readLease(fs, p).getOrElse("<unreadable>")
-    throw new IllegalStateException(
+    throw new LeaseContended(
       s"target is being mutated by another process (lease $p held by " +
         s"$holder, age ${st.map(x => System.currentTimeMillis() -
           x.getModificationTime).getOrElse(-1L)} ms); " +

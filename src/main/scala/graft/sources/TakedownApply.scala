@@ -70,8 +70,10 @@ object TakedownApply {
     // the index target's mutation lease (MutationLease): serialized
     // against StreamIndexCompact.compactBatch in-JVM and cross-process,
     // so the scrub cannot interleave a batch's gate read and its
-    // compacted-bucket merge (r12 ADVICE)
-    MutationLease.withLease(s, target) {
+    // compacted-bucket merge (r12 ADVICE). Scrub side waits out a live
+    // holder for a bounded window (ScrubRetry — the leg is idempotent)
+    ScrubRetry.retryContended(s"scrubIndex($target)") {
+     MutationLease.withLease(s, target) {
       val doomed = col("doc_id").isin(flagged: _*)
       val pred = graft.streaming.BucketMeta.read(s, target) match {
         case Some(b) => col("bucket").isin(
@@ -81,7 +83,7 @@ object TakedownApply {
       Seq("postings", "doclens").foreach { sub =>
         PartitionScrub.dropRows(s, s"$target/$sub", "bucket", pred)
       }
-    }
+    }}
 
   /** Leg 4 (erasure beats time travel): the merge sink's change LOG
     * keeps every historical row, so [[TimeTravel.asOf]] would
@@ -100,7 +102,9 @@ object TakedownApply {
   def scrubMergeLog(s: SparkSession, log: String, flagged: Seq[Long]): Unit =
    // under the LOG's mutation lease: a replayed batch's gate read +
    // log write (StreamMergeSink) cannot interleave this registry
-   // append + partition rewrite (r12 ADVICE's lost-update class)
+   // append + partition rewrite (r12 ADVICE's lost-update class);
+   // scrub side waits out a live holder bounded (ScrubRetry)
+   ScrubRetry.retryContended(s"scrubMergeLog($log)") {
    MutationLease.withLease(s, log) {
     // registry FIRST (crash-safe ordering): once the erasure window is
     // recorded, a checkpoint replay of any pre-scrub batch re-applies
@@ -123,7 +127,7 @@ object TakedownApply {
             .otherwise(col("text")).as("text"),
           col("batch_id"))
       }
-  }
+  }}
 
   /** Leg 5: same retroactive erasure for the search index's
     * time-travel log ([[graft.streaming.StreamIndexCompact]]'s
@@ -132,7 +136,9 @@ object TakedownApply {
     * partition: retroactively the doc was never indexed. Discovery is
     * [[LogBloom]]-pruned like [[scrubMergeLog]]. */
   def scrubIndexLog(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
-   // same lease as scrubIndex/compactBatch (one writer per index target)
+   // same lease as scrubIndex/compactBatch (one writer per index
+   // target); same bounded scrub-side wait (ScrubRetry)
+   ScrubRetry.retryContended(s"scrubIndexLog($target)") {
    MutationLease.withLease(s, target) {
     // registry FIRST (scrubMergeLog's rationale): gates checkpoint
     // replays of pre-scrub batches in StreamIndexCompact.compactBatch —
@@ -149,7 +155,7 @@ object TakedownApply {
         PartitionScrub.dropRows(s, log, "batch_id",
           col("batch_id").isin(cands: _*) && col("doc_id").isin(flagged: _*))
     }
-  }
+  }}
 
   /** Leg 3: invalidate every documents-derived artifact family for the
     * corpus at `dir` (they encode pre-takedown content). */

@@ -150,7 +150,9 @@ object StreamAnnIndex {
    // mutation lease + registry FIRST (TakedownApply's crash-safe
    // ordering): the recorded window drops victims from replayed
    // pre-scrub batches at merge entry; the lease excludes an in-flight
-   // merge in another JVM from interleaving this read-rewrite
+   // merge in another JVM from interleaving this read-rewrite; scrub
+   // side waits out a live holder bounded (ScrubRetry, idempotent)
+   graft.sources.ScrubRetry.retryContended(s"annIndex.scrub($target)") {
    graft.sources.MutationLease.withLease(s, target) {
     graft.sources.ScrubRegistry.append(s, target, flagged,
       BatchHighWater.uptoForScrub(s, target))
@@ -168,5 +170,5 @@ object StreamAnnIndex {
       case None => doomed
     }
     graft.sources.PartitionScrub.dropRows(s, target, "bucket", pred)
-   }
+   }}
 }

@@ -374,7 +374,9 @@ object StreamDupEdges {
   private def scrubImpl(s: SparkSession, target: String, flagged: Seq[Long],
                         register: Boolean): Unit =
    // under the target's mutation lease (no interleave with an in-flight
-   // merge in another JVM; in-JVM the monitor serializes)
+   // merge in another JVM; in-JVM the monitor serializes); scrub side
+   // waits out a live holder bounded (ScrubRetry, idempotent)
+   graft.sources.ScrubRetry.retryContended(s"dupEdges.scrub($target)") {
    graft.sources.MutationLease.withLease(s, target) {
     // registry FIRST (TakedownApply's crash-safe ordering): once the
     // erasure window — bounded by the store's batch high-water note —
@@ -409,5 +411,5 @@ object StreamDupEdges {
       col("da").isin(flagged: _*) || col("db").isin(flagged: _*))
     graft.sources.PartitionScrub.dropRows(s, s"$target/edges", "bucket",
       col("doc_a").isin(flagged: _*) || col("doc_b").isin(flagged: _*))
-   }
+   }}
 }

@@ -193,7 +193,9 @@ object StreamVerdictFlags {
   private[graft] def scrubSteps(s: SparkSession, target: String,
                                 flagged: Seq[Long], abortAfter: Int): Unit =
    // the target's mutation lease (cross-process single writer) —
-   // reentrant with an in-JVM merge, excluded against another process's
+   // reentrant with an in-JVM merge, excluded against another process's;
+   // scrub side waits out a live holder bounded (ScrubRetry, idempotent)
+   graft.sources.ScrubRetry.retryContended(s"verdictFlags.scrub($target)") {
    graft.sources.MutationLease.withLease(s, target) {
     val flagsPath = s"$target/flags"
     val p = new org.apache.hadoop.fs.Path(flagsPath)
@@ -269,5 +271,5 @@ object StreamVerdictFlags {
         graft.sources.PartitionScrub.rewriteTouched(s, flagsPath, "bucket",
           doomed)(_.where(!doomed))
     }
-  }
+  }}
 }
