@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Corpus-curation operators a production training-data pipeline runs
   * between raw ingest and tokenization: PII detection/redaction,
@@ -46,6 +46,54 @@ object CurationQueries {
         Pii.nIps(col("t")).as("n_ips"),
         Pii.hasPii(col("t")).as("has_pii"),
         md5(Pii.redact(col("t"))).as("redacted_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Luhn mod-10 validity of a 16-digit string column, composed from
+    * codegen'd builtins (sequence → aggregate → substr): digits are
+    * taken from the RIGHT (i = 0 is the check digit, never doubled),
+    * every second one doubles with the >9 ⇒ −9 fold, and the sum must
+    * be ≡ 0 (mod 10). The payment-card shape q78's pattern regexes
+    * cannot see: a 16-digit run is only PII-grade when the checksum
+    * holds — filtering on validity is what keeps card-number scrubbing
+    * from redacting order ids and timestamps. */
+  private def luhnOk16(c: Column): Column = {
+    val sum = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
+      val d = c.substr(lit(16) - i, lit(1)).cast(LongType)
+      val folded = when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + folded
+    })
+    sum % 10 === 0
+  }
+
+  /** q186 — Luhn-gated card-number detection (q78's missing PII
+    * class): the corpus is deterministically salted with 16-digit runs
+    * — a doc_id-derived pseudo-PAN whose check digit is doc_id mod 10
+    * (Luhn-valid for ~1 in 10 docs) and the classic test PAN for
+    * doc_id % 7 — then each doc reports its candidate count, its
+    * LUHN-VALID count, and the has_card verdict a scrubber acts on.
+    * Detection is row-local (regexp_extract_all + [[luhnOk16]], all
+    * inside whole-stage codegen); nothing shuffles until the final
+    * order for the oracle. */
+  def luhnPii(s: SparkSession, dir: String): DataFrame = {
+    val pan = concat(
+      lpad(((col("doc_id") * 7919L) % 1000000000000000L).cast(StringType),
+        15, "0"),
+      (col("doc_id") % 10).cast(StringType))
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" card "), pan, lit(" end"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" pan 4111111111111111 known")).otherwise(lit("")))
+    Tables.documents(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("t"), lit("\\d{16}"), lit(0)).as("cands"))
+      .select(col("doc_id"),
+        size(col("cands")).cast(LongType).as("n_cand"),
+        size(filter(col("cands"), luhnOk16(_))).cast(LongType).as("n_valid"))
+      .select(col("doc_id"), col("n_cand"), col("n_valid"),
+        (col("n_valid") > 0).as("has_card"))
       .orderBy(col("doc_id"))
   }
 
@@ -806,6 +854,7 @@ object CurationQueries {
     "q147_dsir_affinity"    -> dsirAffinity,
     "q123_ivm_agg"       -> ivmAgg,
     "q78_pii_scrub"         -> piiScrub,
+    "q186_luhn_pii"         -> luhnPii,
     "q79_sequence_pack"     -> sequencePack,
     "q176_pack_efficiency"  -> packEfficiency,
     "q80_mixture_cap"       -> mixtureCap,
@@ -1076,6 +1125,32 @@ object CurationQueries {
     // oracle is deliberately the from-scratch recomputation — the two
     // plans must agree to the bit for the artifact to be lossless
     "q153_bm25_indexed" -> Bm25OracleSql,
+
+    "q186_luhn_pii" ->
+      """WITH a AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' card '
+        |              || lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')
+        |              || CAST(doc_id % 10 AS VARCHAR) || ' end'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' pan 4111111111111111 known'
+        |       ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_extract_all(t, '\d{16}') AS cands FROM a),
+        |v AS (
+        |  SELECT doc_id, len(cands)::BIGINT AS n_cand,
+        |         len(list_filter(cands, c ->
+        |           list_sum(list_transform(range(16), i ->
+        |             CASE WHEN i % 2 = 1 THEN
+        |               CASE WHEN CAST(substr(c, CAST(16 - i AS INTEGER), 1) AS BIGINT) * 2 > 9
+        |                    THEN CAST(substr(c, CAST(16 - i AS INTEGER), 1) AS BIGINT) * 2 - 9
+        |                    ELSE CAST(substr(c, CAST(16 - i AS INTEGER), 1) AS BIGINT) * 2 END
+        |               ELSE CAST(substr(c, CAST(16 - i AS INTEGER), 1) AS BIGINT) END)) % 10 = 0
+        |         ))::BIGINT AS n_valid
+        |  FROM c)
+        |SELECT doc_id, n_cand, n_valid, n_valid > 0 AS has_card
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q78_pii_scrub" ->
       """WITH a AS (

@@ -962,7 +962,157 @@ object TextStatsQueries {
   /** q172's keep bar: mean bigram probability ≥ KeepBar × (1/V). */
   private val LmKeepBar = 1.0
 
+  // q184 dials: a keyness term must carry at least MinKeyTf in-source
+  // occurrences (χ² on tiny counts is noise), and each source reports
+  // its KeynessK most over-represented terms.
+  private val MinKeyTf = 5L
+  private val KeynessK = 10
+
+  /** q184 — χ² keyness per source (corpus linguistics' keyword
+    * extraction, Rayson & Garside 2000's contingency form with the χ²
+    * statistic instead of G² — χ² is RATIONAL in the four cell counts,
+    * so both engines compute it from identical integer-exact doubles
+    * with no `ln()`, whose last-ulp disagreement is exactly what the
+    * q69/q86 monotone-transform rule exists to dodge): for each
+    * (source, term), the 2×2 contingency table a = tf in source, b =
+    * tf elsewhere, c = other tokens in source, d = other tokens
+    * elsewhere; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)). Top-K per
+    * source by (χ² desc, term) over terms with a ≥ [[MinKeyTf]] —
+    * "what vocabulary makes this source distinctive", the curation
+    * dual of q80's mixture weights.
+    *
+    * Scale shape: one (source, term) count shuffle, one term-keyed
+    * re-aggregation for the corpus-wide term totals (co-partitioned
+    * with the join that consumes it), per-source totals and the grand
+    * total broadcast as scalar stats; the rank window runs per source
+    * over vocabulary-sized input. Nothing is corpus-quadratic. */
+  def keyness(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("t"))
+      .where(col("t") =!= "")
+    val tf = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("a"))
+    val termTot = tf.groupBy(col("t")).agg(sum(col("a")).as("n_term"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("a")).as("n_src"))
+    val grand = srcTot.agg(sum(col("n_src")).as("n_all"))
+    val cells = tf
+      .join(termTot, Seq("t"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("t").as("term"), col("a"),
+        col("a").cast(DoubleType).as("da"),
+        (col("n_term") - col("a")).cast(DoubleType).as("db"),
+        (col("n_src") - col("a")).cast(DoubleType).as("dc"),
+        (col("n_all") - col("n_src") - col("n_term") + col("a"))
+          .cast(DoubleType).as("dd"),
+        col("n_all").cast(DoubleType).as("dn"))
+    // the exact operation tree the oracle mirrors: del², then
+    // n·del²/den with left-associative products (IEEE ops on
+    // integer-exact doubles — deterministic on both engines)
+    val del = col("da") * col("dd") - col("db") * col("dc")
+    val den = (col("da") + col("db")) * (col("dc") + col("dd")) *
+      (col("da") + col("dc")) * (col("db") + col("dd"))
+    val scored = cells
+      .where(col("a") >= MinKeyTf)
+      .select(col("source"), col("term"), col("a").as("tf_src"),
+        (col("dn") * del * del / den).as("chi2"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= KeynessK)
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** q185 — Hellinger distance between per-source unigram
+    * distributions, all source pairs: BC = Σ_t √(p_t|s1 · p_t|s2)
+    * (the Bhattacharyya coefficient over SHARED terms — a term absent
+    * from either source contributes exactly 0, so the shared-term
+    * inner join IS the full sum), H = √(1−BC). The corpus-mixture
+    * drift probe (q136/q137 cover numeric columns; this covers the
+    * token distribution itself — "how far apart are two sources'
+    * vocabularies", the distance SemDeDup-style source balancing
+    * reads). IEEE √ is correctly rounded on both engines, each
+    * per-term contribution routes through DECIMAL(18,9) before the
+    * sum (the engine-wide order-independence rule), and p = tf/tot is
+    * a quotient of exact longs — no `ln()` anywhere.
+    *
+    * Scale shape: the pair stage joins the per-source term
+    * distributions ON TERM (vocabulary-keyed, co-partitioned with the
+    * tf aggregation that feeds it); fan-out per term is (#sources
+    * choose 2) — sources are few by construction, the vocabulary
+    * carries the scale. Per-source totals broadcast. */
+  def srcHellinger(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), explode(toks).as("t"))
+      .where(col("t") =!= "")
+    val tf = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val p = tf.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("t"),
+        (col("cnt").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
+    val pairs = p.as("x").join(p.as("y"),
+      col("x.t") === col("y.t") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("s1"), col("y.source").as("s2"),
+        sqrt(col("x.p") * col("y.p")).cast("decimal(18,9)").as("bc_term"))
+    pairs.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("bc_term")).as("bc_dec"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        col("bc_dec").cast(DoubleType).as("bc"),
+        sqrt(lit(1.0) - col("bc_dec").cast(DoubleType)).as("hellinger"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  // q187 dials: collocation pairs need MinPairDocs co-occurrences
+  // (lift on singletons is pure noise) and the report keeps the
+  // CollocK strongest.
+  private val MinPairDocs = 10L
+  private val CollocK = 30
+
+  /** q187 — collocation mining by LIFT, PMI's monotone rational twin:
+    * for unordered term pairs {a,b} co-occurring at the DOCUMENT level,
+    * lift = N·c(a,b)/(c(a)·c(b)) over document frequencies — PMI is
+    * ln(lift), so ranking by lift IS ranking by PMI with the q69/q86
+    * no-`ln()` discipline intact. Top-[[CollocK]] pairs with c(a,b) ≥
+    * [[MinPairDocs]], ties (lift, then a, b). The boilerplate/TextQA
+    * signal q81's sequential n-grams cannot see: collocated but
+    * non-adjacent vocabulary (template fields, topic markers).
+    *
+    * Scale shape: the pair stage self-joins the DISTINCT (doc, term)
+    * set on doc_id — co-partitioned, per-document fan-out quadratic in
+    * the document's distinct vocabulary, never in the corpus. The
+    * production guard at 100 TB is the same one the reference corpus
+    * satisfies by construction: bound per-doc distinct terms (chunk
+    * long docs; q103's chunker) so the per-key fan-out stays O(1)-ish;
+    * document frequencies broadcast nothing — the final lift join keys
+    * on the pair's terms against the vocabulary-sized df table. */
+  def collocLift(s: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .where(col("t") =!= "").distinct()
+    val dfT = dt.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val pairs = dt.as("x").join(dt.as("y"),
+      col("x.doc_id") === col("y.doc_id") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= MinPairDocs)
+    pairs
+      .join(dfT.select(col("t").as("ta"), col("c").as("ca")), Seq("ta"))
+      .join(dfT.select(col("t").as("tb"), col("c").as("cb")), Seq("tb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("ta"), col("tb"), col("cab"), col("ca"), col("cb"),
+        ((col("nd") * col("cab")).cast(DoubleType) /
+          (col("ca").cast(DoubleType) * col("cb").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("ta"), col("tb"))
+      .limit(CollocK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_keyness"      -> keyness,
+    "q185_src_hellinger" -> srcHellinger,
+    "q187_colloc_lift"  -> collocLift,
     "q166_cms_sketch"   -> cmsSketch,
     "q172_lm_score"     -> lmScore,
     "q167_cms_estimate" -> cmsEstimate,
@@ -1050,6 +1200,77 @@ object TextStatsQueries {
        |  GROUP BY j, bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_keyness" ->
+      s"""WITH tok AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |tf AS (SELECT source, t, count(*)::BIGINT AS a FROM tok GROUP BY source, t),
+        |termtot AS (SELECT t, sum(a)::BIGINT AS n_term FROM tf GROUP BY t),
+        |srctot AS (SELECT source, sum(a)::BIGINT AS n_src FROM tf GROUP BY source),
+        |grand AS (SELECT sum(n_src)::BIGINT AS n_all FROM srctot),
+        |cells AS (
+        |  SELECT tf.source, tf.t AS term, tf.a,
+        |         CAST(tf.a AS DOUBLE) AS da,
+        |         CAST(termtot.n_term - tf.a AS DOUBLE) AS db,
+        |         CAST(srctot.n_src - tf.a AS DOUBLE) AS dc,
+        |         CAST(grand.n_all - srctot.n_src - termtot.n_term + tf.a AS DOUBLE) AS dd,
+        |         CAST(grand.n_all AS DOUBLE) AS dn
+        |  FROM tf JOIN termtot USING (t) JOIN srctot USING (source)
+        |  CROSS JOIN grand),
+        |scored AS (
+        |  SELECT source, term, a AS tf_src,
+        |         dn * (da * dd - db * dc) * (da * dd - db * dc)
+        |           / ((da + db) * (dc + dd) * (da + dc) * (db + dd)) AS chi2
+        |  FROM cells WHERE a >= $MinKeyTf),
+        |r AS (
+        |  SELECT source, term, tf_src, chi2,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY chi2 DESC, term) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT source, term, tf_src, chi2, rn FROM r
+        |WHERE rn <= $KeynessK ORDER BY source, rn""".stripMargin,
+
+    "q185_src_hellinger" ->
+      """WITH tok AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |tf AS (SELECT source, t, count(*)::BIGINT AS cnt FROM tok GROUP BY source, t),
+        |tot AS (SELECT source, sum(cnt)::BIGINT AS n FROM tf GROUP BY source),
+        |p AS (
+        |  SELECT tf.source, tf.t,
+        |         CAST(tf.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p
+        |  FROM tf JOIN tot USING (source)),
+        |pairs AS (
+        |  SELECT x.source AS s1, y.source AS s2,
+        |         CAST(sqrt(x.p * y.p) AS DECIMAL(18,9)) AS bc_term
+        |  FROM p x JOIN p y ON x.t = y.t AND x.source < y.source)
+        |SELECT s1, s2, count(*)::BIGINT AS n_shared,
+        |       CAST(sum(bc_term) AS DOUBLE) AS bc,
+        |       sqrt(1.0 - CAST(sum(bc_term) AS DOUBLE)) AS hellinger
+        |FROM pairs GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+
+    "q187_colloc_lift" ->
+      s"""WITH dt AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |dft AS (SELECT t, count(*)::BIGINT AS c FROM dt GROUP BY t),
+        |nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        |pairs AS (
+        |  SELECT x.t AS ta, y.t AS tb, count(*)::BIGINT AS cab
+        |  FROM dt x JOIN dt y ON x.doc_id = y.doc_id AND x.t < y.t
+        |  GROUP BY x.t, y.t HAVING count(*) >= $MinPairDocs)
+        |SELECT ta, tb, cab, ca.c AS ca, cb.c AS cb,
+        |       CAST(nd.nd * cab AS DOUBLE)
+        |         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN dft ca ON pairs.ta = ca.t
+        |JOIN dft cb ON pairs.tb = cb.t
+        |CROSS JOIN nd
+        |ORDER BY lift DESC, ta, tb LIMIT $CollocK""".stripMargin,
+
     "q172_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
