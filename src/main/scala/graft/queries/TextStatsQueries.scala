@@ -986,11 +986,24 @@ object TextStatsQueries {
     * with the join that consumes it), per-source totals and the grand
     * total broadcast as scalar stats; the rank window runs per source
     * over vocabulary-sized input. Nothing is corpus-quadratic. */
-  def keyness(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+  def keyness(s: SparkSession, dir: String): DataFrame =
+    keynessOver(termCounts(s, dir))
+
+  /** The (source, t, a) term-frequency frame q184 and q185 both
+    * consume — and the exact state [[graft.streaming.StreamTermCounts]]
+    * maintains across micro-batches (per-key counts are a monoid, so
+    * the live snapshot and this batch aggregation agree row for row;
+    * StreamTermCountsSpec pins it). */
+  private[graft] def termCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), explode(toks).as("t"))
       .where(col("t") =!= "")
-    val tf = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("a"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("a"))
+
+  /** q184's scoring tail over ANY (source, t, a) term-count frame —
+    * the batch aggregation or a [[graft.streaming.StreamTermCounts]]
+    * snapshot (the knnIvfPqResOver idiom: one scorer, two feeds). */
+  private[graft] def keynessOver(tf: DataFrame): DataFrame = {
     val termTot = tf.groupBy(col("t")).agg(sum(col("a")).as("n_term"))
     val srcTot = tf.groupBy(col("source")).agg(sum(col("a")).as("n_src"))
     val grand = srcTot.agg(sum(col("n_src")).as("n_all"))
@@ -1041,11 +1054,13 @@ object TextStatsQueries {
     * tf aggregation that feeds it); fan-out per term is (#sources
     * choose 2) — sources are few by construction, the vocabulary
     * carries the scale. Per-source totals broadcast. */
-  def srcHellinger(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("source"), explode(toks).as("t"))
-      .where(col("t") =!= "")
-    val tf = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+  def srcHellinger(s: SparkSession, dir: String): DataFrame =
+    srcHellingerOver(termCounts(s, dir))
+
+  /** q185's distance tail over ANY (source, t, a) term-count frame —
+    * batch or live snapshot, like [[keynessOver]]. */
+  private[graft] def srcHellingerOver(tfIn: DataFrame): DataFrame = {
+    val tf = tfIn.select(col("source"), col("t"), col("a").as("cnt"))
     val tot = tf.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
     val p = tf.join(broadcast(tot), Seq("source"))
       .select(col("source"), col("t"),
