@@ -49,33 +49,19 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Luhn mod-10 validity of a 16-digit string column, composed from
-    * codegen'd builtins (sequence → aggregate → substr): digits are
-    * taken from the RIGHT (i = 0 is the check digit, never doubled),
-    * every second one doubles with the >9 ⇒ −9 fold, and the sum must
-    * be ≡ 0 (mod 10). The payment-card shape q78's pattern regexes
-    * cannot see: a 16-digit run is only PII-grade when the checksum
-    * holds — filtering on validity is what keeps card-number scrubbing
-    * from redacting order ids and timestamps. */
-  private def luhnOk16(c: Column): Column = {
-    val sum = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
-      val d = c.substr(lit(16) - i, lit(1)).cast(LongType)
-      val folded = when(i % 2 === 1,
-        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
-      acc + folded
-    })
-    sum % 10 === 0
-  }
-
   /** q186 — Luhn-gated card-number detection (q78's missing PII
     * class): the corpus is deterministically salted with 16-digit runs
     * — a doc_id-derived pseudo-PAN whose check digit is doc_id mod 10
     * (Luhn-valid for ~1 in 10 docs) and the classic test PAN for
     * doc_id % 7 — then each doc reports its candidate count, its
     * LUHN-VALID count, and the has_card verdict a scrubber acts on.
-    * Detection is row-local (regexp_extract_all + [[luhnOk16]], all
-    * inside whole-stage codegen); nothing shuffles until the final
-    * order for the oracle. */
+    * The checksum expression is [[graft.text.Pii.luhnValid16]] — a
+    * 16-digit run is only PII-grade when the mod-10 checksum holds,
+    * which keeps card scrubbing from redacting order ids and
+    * timestamps; the streaming scrub ([[graft.streaming.StreamPii]])
+    * consumes the same tree. Detection is row-local
+    * (regexp_extract_all + the checksum fold, all inside whole-stage
+    * codegen); nothing shuffles until the final order for the oracle. */
   def luhnPii(s: SparkSession, dir: String): DataFrame = {
     val pan = concat(
       lpad(((col("doc_id") * 7919L) % 1000000000000000L).cast(StringType),
@@ -88,10 +74,12 @@ object CurationQueries {
         lit(" pan 4111111111111111 known")).otherwise(lit("")))
     Tables.documents(s, dir).select(col("doc_id"), aug.as("t"))
       .select(col("doc_id"),
-        regexp_extract_all(col("t"), lit("\\d{16}"), lit(0)).as("cands"))
+        regexp_extract_all(col("t"), lit(graft.text.Pii.CardRe), lit(0))
+          .as("cands"))
       .select(col("doc_id"),
         size(col("cands")).cast(LongType).as("n_cand"),
-        size(filter(col("cands"), luhnOk16(_))).cast(LongType).as("n_valid"))
+        size(filter(col("cands"), graft.text.Pii.luhnValid16(_)))
+          .cast(LongType).as("n_valid"))
       .select(col("doc_id"), col("n_cand"), col("n_valid"),
         (col("n_valid") > 0).as("has_card"))
       .orderBy(col("doc_id"))

@@ -48,6 +48,31 @@ class StreamPiiSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("card class: Luhn-valid runs are counted and redacted, invalid stay") {
+    implicit val sqlCtx = spark.sqlContext
+    val valid = "pay with 4111111111111111 thanks"       // Luhn-valid test PAN
+    val invalid = "order 4111111111111112 confirmed"      // checksum fails
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamPii.scrubbed(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_pii_cards")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, valid), (2L, invalid))
+      q.processAllAvailable()
+      val rows = spark.table("stream_pii_cards")
+        .select("doc_id", "text", "n_cards", "has_card", "has_pii")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getString(1) == "pay with <CARD> thanks")
+      assert(rows(1L).getLong(2) == 1 && rows(1L).getBoolean(3))
+      assert(rows(2L).getString(1) == invalid,
+        "a run that fails the checksum is an order id, not PII")
+      assert(rows(2L).getLong(2) == 0 && !rows(2L).getBoolean(3))
+      // the card flag is its own class: neither doc trips q78's
+      // three-class has_pii
+      assert(!rows(1L).getBoolean(4) && !rows(2L).getBoolean(4))
+    } finally q.stop()
+  }
+
   test("quarantine mode drops flagged documents from the stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
