@@ -90,6 +90,81 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q188
+
+  /** Winnowing dials (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    * fingerprint): k = 4-token grams, window w = 4 — any shared run of
+    * t = w + k − 1 = 7 tokens is GUARANTEED to share a fingerprint,
+    * expected density 2/(w+1) = 0.4 of the gram count. */
+  private val WinnowK = 4
+  private val WinnowW = 4
+  // 40-bit gram hash leaves headroom for the 21-bit PosPack in a
+  // signed 64-bit pack (a full 60-bit graft_h60 would overflow it)
+  private val WinnowHashMod = 1L << 40
+
+  /** q188 — winnowed document fingerprints: q88/q98 index EVERY
+    * duplicated gram, which is exact but stores one row per token; a
+    * 100 TB dup index wants the published sampling scheme instead.
+    * Winnowing slides a w-window over the k-gram hashes and keeps each
+    * window's RIGHTMOST MINIMAL hash — position-robust (an insertion
+    * far from a span cannot change which of its hashes are picked) with
+    * the t = w+k−1 guarantee, at ~2/(w+1) of the full index. Output
+    * per doc: gram count, fingerprint count, how many fingerprints are
+    * shared with ≥1 other doc (the dup signal the sampled index still
+    * sees), and the density the 2/(w+1) theory predicts.
+    *
+    * The rightmost-minimum selection is ONE windowed min over the
+    * PosPack trick (q98's idiom, flipped): pack = h·2²¹ + (2²¹−1−pos)
+    * — min() picks the smallest hash and breaks ties toward the
+    * LARGEST position, exactly the winnowing tie rule, with no
+    * per-window sort or argmin UDF on either engine.
+    *
+    * Scale shape: one doc_id-partitioned window pass (the same
+    * partitioning the per-doc counts reuse — one shuffle end to end on
+    * the fingerprint arm); the shared-fingerprint set groups 8-byte
+    * hashes, never text. Nothing quadratic, nothing global. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val grams = docs.select(col("doc_id"),
+      greatest(size(col("w")).cast(LongType) - (WinnowK - 1), lit(0L))
+        .as("n_grams"))
+    val occ = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $WinnowK THEN sequence(0, size(w) - $WinnowK) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        (call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $WinnowK))"))
+          % WinnowHashMod).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = byDoc.orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val sel = occ
+      .withColumn("pk", col("h") * PosPack + (lit(PosPack - 1) - col("pos")))
+      .withColumn("maxpos", max(col("pos")).over(byDoc))
+      .withColumn("wmin", min(col("pk")).over(frame))
+      .where(col("pos") <= col("maxpos") - (WinnowW - 1)) // full windows only
+      .select(col("doc_id"), col("wmin")).distinct()
+    val selH = sel.select(col("doc_id"),
+      expr(s"wmin DIV $PosPack").as("h")).distinct()
+    val shared = selH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
+    val perDoc = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val perShared = selH.join(shared, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    grams
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(perShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_fp"), lit(0L)).cast(DoubleType) /
+            col("n_grams").cast(DoubleType))
+          .otherwise(lit(0.0)).as("fp_density"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q98
 
   /** Positions fit in 21 bits (docs here are O(100) tokens; 2²¹ ≈ 2M
@@ -1294,6 +1369,7 @@ object AnalyticsQueries {
     "q124_event_transitions" -> eventTransitions,
     "q119_group_trend" -> groupTrend,
     "q88_dup_spans"    -> dupSpans,
+    "q188_winnow_fingerprint" -> winnowFingerprint,
     "q89_kmv_distinct" -> kmvDistinct,
     "q90_rrf_hybrid"   -> rrfHybrid,
     "q91_pagerank"     -> pageRank,
@@ -1766,6 +1842,56 @@ object AnalyticsQueries {
         |SELECT t.grp, t.ql, t.n, o.v AS val
         |FROM tgt t JOIN o ON o.grp = t.grp AND o.rn = t.r
         |ORDER BY t.grp, t.ql""".stripMargin,
+    "q188_winnow_fingerprint" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         greatest(len(w)::BIGINT - ${WinnowK - 1}, 0) AS n_grams
+        |  FROM d),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(
+        |    CASE WHEN len(w) >= $WinnowK
+        |         THEN range(0, len(w) - ${WinnowK - 1}) ELSE [] END) AS pos
+        |  FROM d),
+        |occ AS (
+        |  SELECT doc_id, pos::BIGINT AS pos,
+        |    (('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + $WinnowK), ' ')), 1, 15))::BIGINT
+        |     % $WinnowHashMod) AS h
+        |  FROM pos),
+        |pk AS (
+        |  SELECT doc_id, pos,
+        |         h * 2097152 + (2097151 - pos) AS pk,
+        |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM occ),
+        |wm AS (
+        |  SELECT doc_id, pos, maxpos,
+        |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+        |  FROM pk),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, wmin FROM wm
+        |  WHERE pos <= maxpos - ${WinnowW - 1}),
+        |selh AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM sel),
+        |shared AS (
+        |  SELECT h FROM selh GROUP BY h HAVING count(*) >= 2),
+        |perdoc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_fp FROM sel GROUP BY doc_id),
+        |pershared AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_shared
+        |  FROM selh JOIN shared USING (h) GROUP BY doc_id)
+        |SELECT g.doc_id, g.n_grams,
+        |       COALESCE(p.n_fp, 0) AS n_fp,
+        |       COALESCE(ps.n_shared, 0) AS n_shared,
+        |       CASE WHEN g.n_grams > 0
+        |            THEN COALESCE(p.n_fp, 0)::DOUBLE / g.n_grams::DOUBLE
+        |            ELSE 0.0 END AS fp_density
+        |FROM g LEFT JOIN perdoc p USING (doc_id)
+        |LEFT JOIN pershared ps USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin,
+
     "q88_dup_spans" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** q188 winnowed fingerprints re-derived from first principles: an
+  * independent Scala winnower (md5-derived gram hashes, rightmost
+  * minimal hash per window, the textbook loop — no PosPack trick)
+  * must agree with the query's windowed-min plan on every document,
+  * and the density must sit near the 2/(w+1) theory.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private val K = 4
+  private val W = 4
+  private val HashMod = 1L << 40
+
+  private def h40(gram: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % HashMod
+  }
+
+  /** The textbook winnower: for each full window, keep the RIGHTMOST
+    * position of the minimal hash; return the distinct selected
+    * positions. */
+  private def winnow(tokens: Array[String]): Set[Int] = {
+    val hs = (0 to tokens.length - K)
+      .map(i => h40(tokens.slice(i, i + K).mkString(" "))).toArray
+    (0 to hs.length - W).flatMap { j =>
+      val win = hs.slice(j, j + W)
+      val m = win.min
+      Some(j + win.lastIndexWhere(_ == m))
+    }.toSet
+  }
+
+  test("q188 equals the textbook winnower per document; density near 2/(w+1)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') as w")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val expSel: Map[Long, Set[Int]] =
+      docs.view.mapValues(w =>
+        if (w.length >= K + W - 1) winnow(w) else Set.empty[Int]).toMap
+    val expH: Map[Long, Set[Long]] = docs.map { case (id, w) =>
+      id -> expSel(id).map(i => h40(w.slice(i, i + K).mkString(" ")))
+    }
+    val sharedH: Set[Long] = expH.toSeq.flatMap { case (id, hs) => hs.map(id -> _) }
+      .groupBy(_._2).collect { case (h, ds) if ds.map(_._1).distinct.size >= 2 => h }
+      .toSet
+
+    val rows = AnalyticsQueries.winnowFingerprint(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    var fpSum = 0L; var gramSum = 0L
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == math.max(docs(id).length - (K - 1), 0).toLong)
+      // the query counts distinct PACKS = distinct selected positions
+      assert(r.getLong(2) == expSel(id).size.toLong, s"doc $id n_fp")
+      assert(r.getLong(3) == expH(id).count(sharedH).toLong, s"doc $id n_shared")
+      assert(r.getDouble(4) ==
+        (if (r.getLong(1) > 0) r.getLong(2).toDouble / r.getLong(1) else 0.0))
+      fpSum += r.getLong(2); gramSum += r.getLong(1)
+    }
+    val density = fpSum.toDouble / gramSum
+    assert(density > 0.3 && density < 0.55,
+      s"winnowing density $density far from the 2/(w+1)=0.4 theory")
+    // the sampled index must still see duplication on this corpus
+    assert(rows.exists(_.getLong(3) > 0))
+  }
+}
