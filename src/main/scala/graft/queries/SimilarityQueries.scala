@@ -124,6 +124,96 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // q189 dials: rerank the top-MmrShortK relevance shortlist down to
+  // MmrK diversified answers; λ = 0.7 relevance / 0.3 diversity — the
+  // Carbonell & Goldstein 1998 default regime.
+  private val MmrShortK = 20
+  private val MmrK = 5
+
+  /** q189 — Maximal Marginal Relevance rerank (Carbonell & Goldstein
+    * 1998): greedily pick MmrK of the top-MmrShortK cosine shortlist,
+    * each step maximizing λ·rel(c) − (1−λ)·max_{s∈Sel} cos(c, s) — the
+    * diversified top-k a retrieval tier serves when near-duplicate
+    * neighbors (exactly what a dedup-bearing corpus still has at serve
+    * time) would otherwise fill all K slots. Ties break by neighbor_id;
+    * step 1's empty-selection max is 0 (argmax unchanged either way).
+    *
+    * The greedy loop is K bounded DataFrame iterations (the q91
+    * fixpoint idiom, K = 5 plan-time constant), each a join + window
+    * over shortlist-sized frames — the corpus is touched ONLY by the
+    * relevance arm; everything after the shortlist fetch is
+    * queries × MmrShortK rows. The oracle unrolls the same K steps as
+    * chained CTEs (no recursion needed at fixed K), so the whole
+    * sequential-by-nature operator stays exact-oracled: cosine is
+    * bit-identical cross-engine (VectorOps contract) and max() over
+    * the same set is order-free.
+    *
+    * Scale shape: the relevance arm is q31's (gated brute at oracle
+    * scale; a production tier feeds the shortlist from q55/q64's ANN
+    * path instead — the rerank tail is feed-agnostic). Shortlist
+    * vectors come back by a bounded broadcast fetch (q164's idiom);
+    * the pair-similarity table is queries × K² rows, localCheckpointed
+    * once and reused by all K steps. */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val short0 = q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .where(col("rn") <= MmrShortK)
+    // bounded broadcast fetch of the shortlist's vectors (q164's shape)
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    val short = nv.join(broadcast(short0), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("nv"), col("nnrm"))
+      .localCheckpoint()
+    val sims = short.as("a").join(short.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("ca"), col("b.neighbor_id").as("cb"),
+        (VectorOps.dot(col("a.nv"), col("b.nv")) /
+          (col("a.nnrm") * col("b.nnrm"))).as("sim"))
+      .localCheckpoint()
+    val cands = short.select(col("query_id"), col("neighbor_id"), col("rel"))
+    var sel = cands
+      .select(col("query_id"), lit(0L).as("step"), col("neighbor_id"),
+        col("rel"), lit(0.0).as("mmr"))
+      .where(lit(false))
+    for (i <- 1 to MmrK) {
+      val remaining = cands.join(
+        sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = sims.join(
+          sel.select(col("query_id"), col("neighbor_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca"))
+        .agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("ca", "neighbor_id")
+      val scored = remaining.join(ms, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          (lit(0.7) * col("rel") -
+            lit(0.3) * coalesce(col("msim"), lit(0.0))).as("mmr"))
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      val pick = scored.withColumn("rk", row_number().over(wPick))
+        .where(col("rk") === 1)
+        .select(col("query_id"), lit(i.toLong).as("step"),
+          col("neighbor_id"), col("rel"), col("mmr"))
+      // localCheckpoint per step, deliberately: without it each step's
+      // plan re-derives every previous step (measured 2.9× at sf0.1 —
+      // 2.34 → 6.69 s solo-min); with it each step is one bounded job
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.orderBy(col("query_id"), col("step"))
+  }
+
   /** q32 — multi-table random-hyperplane sign-LSH ANN. Each vector hashes
     * to one bucket per table (bit j = sign of the projection onto plane
     * j); each query probes its own bucket and every Hamming≤2 neighbor in
@@ -1196,6 +1286,7 @@ object SimilarityQueries {
     "q102_centroid_update" -> centroidUpdate,
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
+    "q189_mmr_rerank"   -> mmrRerank,
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
@@ -1248,6 +1339,75 @@ object SimilarityQueries {
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   private lazy val knnBruteSql: String = bruteSqlOver("embeddings")
+
+  /** q189's oracle: the SAME greedy MMR, unrolled — at plan-time-fixed
+    * K the recursion is just [[MmrK]] chained CTE stages (selu/rem/ms/
+    * sc/sel per step), generated here so the per-step expression
+    * `0.7·rel − 0.3·COALESCE(msim, 0.0)` is literally the Spark tree. */
+  private lazy val mmrSql: String = {
+    val steps = (2 to MmrK).map { i =>
+      val selU = (1 until i).map(j => s"SELECT * FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""selu$i AS ($selU),
+         |rem$i AS (
+         |  SELECT s.query_id, s.neighbor_id, s.rel FROM short s
+         |  LEFT JOIN selu$i u
+         |    ON s.query_id = u.query_id AND s.neighbor_id = u.neighbor_id
+         |  WHERE u.neighbor_id IS NULL),
+         |ms$i AS (
+         |  SELECT sims.query_id, sims.ca AS neighbor_id,
+         |         max(sims.sim) AS msim
+         |  FROM sims JOIN selu$i u
+         |    ON sims.query_id = u.query_id AND sims.cb = u.neighbor_id
+         |  GROUP BY sims.query_id, sims.ca),
+         |sc$i AS (
+         |  SELECT r.query_id, r.neighbor_id, r.rel,
+         |         0.7 * r.rel - 0.3 * COALESCE(m.msim, 0.0) AS mmr
+         |  FROM rem$i r LEFT JOIN ms$i m
+         |    ON r.query_id = m.query_id AND r.neighbor_id = m.neighbor_id),
+         |sel$i AS (
+         |  SELECT query_id, ${i}::BIGINT AS step, neighbor_id, rel, mmr
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr DESC, neighbor_id) AS rk FROM sc$i)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to MmrK).map(j => s"SELECT * FROM sel$j")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |  FROM e WHERE vec_id < $QuerySetSize),
+       |sc AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(qv, e.v) / (qnrm * e.nrm) AS rel
+       |  FROM q JOIN e ON e.vec_id <> query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id) AS rn FROM sc)
+       |  WHERE rn <= $MmrShortK),
+       |sims AS (
+       |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+       |         list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS sim
+       |  FROM short a
+       |  JOIN short b ON a.query_id = b.query_id
+       |              AND a.neighbor_id <> b.neighbor_id
+       |  JOIN e ea ON ea.vec_id = a.neighbor_id
+       |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+       |sel1 AS (
+       |  SELECT query_id, 1::BIGINT AS step, neighbor_id, rel,
+       |         0.7 * rel - 0.3 * 0.0 AS mmr
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, neighbor_id) AS rk
+       |    FROM short)
+       |  WHERE rk = 1),
+       |$steps
+       |SELECT * FROM ($union) ORDER BY query_id, step""".stripMargin
+  }
 
   /** q55's oracle body — also the ANN arm of q129's recall audit.
     * Centroids come from the ServeBooks-published artifact (the SAME
@@ -1735,6 +1895,7 @@ object SimilarityQueries {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q31_knn_brute" -> knnBruteSql,
+    "q189_mmr_rerank" -> mmrSql,
 
     "q32_knn_lsh" -> {
       val perTable = (0 until PlaneTables).map { t =>
