@@ -166,6 +166,42 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("rel"))
       .withColumn("rn", row_number().over(wRel))
       .where(col("rn") <= MmrShortK)
+    mmrOver(e, short0)
+  }
+
+  /** q190 — q189's greedy tail over the IVF SERVE feed (q55's probed
+    * cells, tombstone-excluded): the exact+ANN pair the RRF twins
+    * q90/q94 established, applied to diversification — the production
+    * shape, where the shortlist comes from the index, not a corpus
+    * scan. Rel is exact cosine among probed-cell candidates; the MMR
+    * arithmetic, ties, and K are q189's, so the two arms differ only
+    * by feed recall. */
+  def mmrRerankIvf(s: SparkSession, dir: String): DataFrame = {
+    val book = graft.llm.ServeBooks.coarse(s, dir)
+    val e = vecsServed(s, dir)
+    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
+          .as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val short0 = probes
+      .join(cells, col("probe") === col("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .where(col("rn") <= MmrShortK)
+    mmrOver(e, short0)
+  }
+
+  /** The greedy MMR tail over ANY (query_id, neighbor_id, rel)
+    * shortlist and its vector source `e` (vec_id, v, nrm) — one
+    * reranker, two feeds (the knnIvfPqResOver idiom). */
+  private def mmrOver(e: DataFrame, short0: DataFrame): DataFrame = {
     // bounded broadcast fetch of the shortlist's vectors (q164's shape)
     val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
       col("nrm").as("nnrm"))
@@ -1287,6 +1323,7 @@ object SimilarityQueries {
     "q30_embed_neardup" -> embedNearDup,
     "q31_knn_brute"     -> knnBrute,
     "q189_mmr_rerank"   -> mmrRerank,
+    "q190_mmr_rerank_ivf" -> mmrRerankIvf,
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
@@ -1343,8 +1380,10 @@ object SimilarityQueries {
   /** q189's oracle: the SAME greedy MMR, unrolled — at plan-time-fixed
     * K the recursion is just [[MmrK]] chained CTE stages (selu/rem/ms/
     * sc/sel per step), generated here so the per-step expression
-    * `0.7·rel − 0.3·COALESCE(msim, 0.0)` is literally the Spark tree. */
-  private lazy val mmrSql: String = {
+    * `0.7·rel − 0.3·COALESCE(msim, 0.0)` is literally the Spark tree.
+    * Parameterized on the shortlist prefix (CTEs `e` and `short`) —
+    * one oracle tail, two feeds, mirroring [[mmrOver]]. */
+  private def mmrSqlOver(prefix: String): String = {
     val steps = (2 to MmrK).map { i =>
       val selU = (1 until i).map(j => s"SELECT * FROM sel$j")
         .mkString(" UNION ALL ")
@@ -1374,21 +1413,7 @@ object SimilarityQueries {
     }.mkString(",\n")
     val union = (1 to MmrK).map(j => s"SELECT * FROM sel$j")
       .mkString(" UNION ALL ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
-       |  FROM embeddings),
-       |q AS (
-       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-       |  FROM e WHERE vec_id < $QuerySetSize),
-       |sc AS (
-       |  SELECT query_id, e.vec_id AS neighbor_id,
-       |         list_dot_product(qv, e.v) / (qnrm * e.nrm) AS rel
-       |  FROM q JOIN e ON e.vec_id <> query_id),
-       |short AS (
-       |  SELECT query_id, neighbor_id, rel FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rel DESC, neighbor_id) AS rn FROM sc)
-       |  WHERE rn <= $MmrShortK),
+    s"""WITH $prefix,
        |sims AS (
        |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
        |         list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS sim
@@ -1407,6 +1432,55 @@ object SimilarityQueries {
        |  WHERE rk = 1),
        |$steps
        |SELECT * FROM ($union) ORDER BY query_id, step""".stripMargin
+  }
+
+  /** q189's oracle: the brute relevance feed under the unrolled tail. */
+  private lazy val mmrSql: String = mmrSqlOver(
+    s"""e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |  FROM e WHERE vec_id < $QuerySetSize),
+       |sc AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         list_dot_product(qv, e.v) / (qnrm * e.nrm) AS rel
+       |  FROM q JOIN e ON e.vec_id <> query_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id) AS rn FROM sc)
+       |  WHERE rn <= $MmrShortK)""".stripMargin)
+
+  /** q190's oracle: q55's probed-cell feed (tombstone-excluded, the
+    * published book's cells) under the same unrolled tail. */
+  private lazy val mmrIvfSql: String = {
+    import graft.llm.ServeBooks
+    mmrSqlOver(
+      s"""e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+         |  FROM embeddings
+         |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
+         |${ServeBooks.coarseCentsCteSql},
+         |${ServeBooks.assignRankCteSql},
+         |cells AS (
+         |  SELECT e.vec_id, e.v, e.nrm, r.cid AS cell
+         |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+         |probes AS (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+         |         r.cid AS probe
+         |  FROM e JOIN r ON e.vec_id = r.vec_id
+         |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+         |sc AS (
+         |  SELECT query_id, cells.vec_id AS neighbor_id,
+         |         list_dot_product(qv, cells.v) / (qnrm * cells.nrm) AS rel
+         |  FROM probes JOIN cells
+         |    ON probe = cell AND cells.vec_id <> query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rn FROM sc)
+         |  WHERE rn <= $MmrShortK)""".stripMargin)
   }
 
   /** q55's oracle body — also the ANN arm of q129's recall audit.
@@ -1896,6 +1970,7 @@ object SimilarityQueries {
 
     "q31_knn_brute" -> knnBruteSql,
     "q189_mmr_rerank" -> mmrSql,
+    "q190_mmr_rerank_ivf" -> mmrIvfSql,
 
     "q32_knn_lsh" -> {
       val perTable = (0 until PlaneTables).map { t =>

@@ -68,4 +68,26 @@ class MmrSpec extends SparkSpec {
     }
     assert(diversified, "MMR never deviated from pure top-K on this corpus")
   }
+
+  test("q190 IVF arm: K rows per query, greedy-monotone mmr, rel bounded by step 1") {
+    val rows = SimilarityQueries.mmrRerankIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to K), s"query $q steps")
+      val inStep = rs.sortBy(_._2)
+      // greedy MMR scores are non-increasing FROM STEP 2: the argmax at
+      // step i+1 was available at step i under a no-larger penalty
+      // (the selected set only grows). Step 1→2 is exempt: the
+      // empty-set penalty is 0 by convention, while a singleton set's
+      // real max-sim can be NEGATIVE — raising step 2 above step 1.
+      inStep.drop(1).map(_._5).toSeq.sliding(2).foreach { case Seq(a, b) =>
+        assert(a >= b, s"query $q: mmr must be non-increasing ($a < $b)")
+      case _ => ()
+      }
+      // step 1 is the pure-relevance pick of its own feed
+      assert(inStep.head._4 == rs.map(_._4).max, s"query $q step-1 rel")
+    }
+  }
 }
