@@ -77,6 +77,47 @@ class MutationLeaseSpec extends SparkSpec {
       s"the successor's lease must survive our release: $holder")
   }
 
+  test("a body that outlives the stale window keeps its lease (heartbeat)") {
+    val target = Files.createTempDirectory("lease_heartbeat").toString
+    val fs = fsOf(target)
+    val staleMs = 600L
+    MutationLease.withLease(spark, target, staleMs = staleMs) {
+      Thread.sleep(staleMs * 3) // far past the window
+      // a concurrent breaker decides on mtime age: the heartbeat must
+      // have kept it fresh, so this holder can never be presumed dead
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(leaseOf(target)).getModificationTime
+      assert(age < staleMs,
+        s"lease aged $age ms under a $staleMs ms window — heartbeat dead")
+    }
+    assert(!fs.exists(leaseOf(target)), "released after the body")
+  }
+
+  test("the heartbeat never resurrects a thief's lease") {
+    val target = Files.createTempDirectory("lease_no_resurrect").toString
+    val fs = fsOf(target)
+    val staleMs = 600L
+    intercept[IllegalStateException] {
+      MutationLease.withLease(spark, target, staleMs = staleMs) {
+        // a breaker stole the lease mid-body
+        fs.delete(leaseOf(target), false)
+        val out = fs.create(leaseOf(target), false)
+        try out.write("9999@other-host thief".getBytes("UTF-8"))
+        finally out.close()
+        val stolenAt = fs.getFileStatus(leaseOf(target)).getModificationTime
+        Thread.sleep(staleMs * 2) // several heartbeat periods
+        val mtime = fs.getFileStatus(leaseOf(target)).getModificationTime
+        assert(mtime == stolenAt,
+          "our heartbeat must not touch a lease we no longer hold")
+      }
+    }
+    // the thief's lease survives our release
+    val in = fs.open(leaseOf(target))
+    val holder = try scala.io.Source.fromInputStream(in).mkString.trim
+                 finally in.close()
+    assert(holder.contains("thief"))
+  }
+
   test("release on success, on failure, and across re-entry") {
     val target = Files.createTempDirectory("lease_release").toString
     val fs = fsOf(target)
