@@ -102,6 +102,35 @@ object AnalyticsQueries {
   // signed 64-bit pack (a full 60-bit graft_h60 would overflow it)
   private val WinnowHashMod = 1L << 40
 
+  /** The winnowing SELECTION shared by q188 and q191: distinct
+    * (doc_id, pack) — one pack per selected position, the rightmost
+    * minimal hash of each full w-window via the PosPack windowed min. */
+  private def winnowSel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val occ = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $WinnowK THEN sequence(0, size(w) - $WinnowK) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        (call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $WinnowK))"))
+          % WinnowHashMod).as("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = byDoc.orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    occ
+      .withColumn("pk", col("h") * PosPack + (lit(PosPack - 1) - col("pos")))
+      .withColumn("maxpos", max(col("pos")).over(byDoc))
+      .withColumn("wmin", min(col("pk")).over(frame))
+      .where(col("pos") <= col("maxpos") - (WinnowW - 1)) // full windows only
+      .select(col("doc_id"), col("wmin")).distinct()
+  }
+
+  /** Distinct (doc_id, fingerprint-hash) — [[winnowSel]] unpacked. */
+  private def winnowSelH(s: SparkSession, dir: String): DataFrame =
+    winnowSel(s, dir).select(col("doc_id"),
+      expr(s"wmin DIV $PosPack").as("h")).distinct()
+
   /** q188 — winnowed document fingerprints: q88/q98 index EVERY
     * duplicated gram, which is exact but stores one row per token; a
     * 100 TB dup index wants the published sampling scheme instead.
@@ -128,25 +157,8 @@ object AnalyticsQueries {
     val grams = docs.select(col("doc_id"),
       greatest(size(col("w")).cast(LongType) - (WinnowK - 1), lit(0L))
         .as("n_grams"))
-    val occ = docs
-      .select(col("doc_id"), col("w"), explode(expr(
-        s"CASE WHEN size(w) >= $WinnowK THEN sequence(0, size(w) - $WinnowK) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        (call_function("graft_h60",
-          expr(s"concat_ws(' ', slice(w, pos + 1, $WinnowK))"))
-          % WinnowHashMod).as("h"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val frame = byDoc.orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val sel = occ
-      .withColumn("pk", col("h") * PosPack + (lit(PosPack - 1) - col("pos")))
-      .withColumn("maxpos", max(col("pos")).over(byDoc))
-      .withColumn("wmin", min(col("pk")).over(frame))
-      .where(col("pos") <= col("maxpos") - (WinnowW - 1)) // full windows only
-      .select(col("doc_id"), col("wmin")).distinct()
-    val selH = sel.select(col("doc_id"),
-      expr(s"wmin DIV $PosPack").as("h")).distinct()
+    val sel = winnowSel(s, dir)
+    val selH = winnowSelH(s, dir)
     val shared = selH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("h"))
     val perDoc = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
@@ -163,6 +175,47 @@ object AnalyticsQueries {
             col("n_grams").cast(DoubleType))
           .otherwise(lit(0.0)).as("fp_density"))
       .orderBy(col("doc_id"))
+  }
+
+  // q191 dials: report pairs sharing at least MinSharedFp fingerprints,
+  // with fingerprints in more than MaxFpDf docs excluded from pairing
+  // (the MOSS boilerplate exclusion — an over-common fingerprint is
+  // template, not copying, and it is also the join's fan-out bound).
+  private val MinSharedFp = 3L
+  private val MaxFpDf = 10L
+
+  /** q191 — winnowed match report, q188's actionable twin (the MOSS
+    * use case: which document PAIRS share fingerprints, and how much):
+    * pairs form by equi-join on the SAMPLED fingerprint hash — the
+    * LSH-band candidate shape, never all-pairs — with over-common
+    * fingerprints (df > [[MaxFpDf]]) excluded before pairing, which is
+    * both MOSS's template exclusion and the hard per-key fan-out bound
+    * the join needs at corpus scale. Each surviving pair reports its
+    * shared-fingerprint count and the overlap coefficient
+    * shared / min(|fp_a|, |fp_b|) (rational — exact cross-engine).
+    * q88→q98 is measure→repair for full-gram spans; q188→q191 is the
+    * same pairing for the sampled index. */
+  def winnowMatches(s: SparkSession, dir: String): DataFrame = {
+    val selH = winnowSelH(s, dir)
+    val perDoc = selH.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val rare = selH.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxFpDf).select(col("h"))
+    val pruned = selH.join(rare, Seq("h"))
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinSharedFp)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---------------------------------------------------------------- q98
@@ -1370,6 +1423,7 @@ object AnalyticsQueries {
     "q119_group_trend" -> groupTrend,
     "q88_dup_spans"    -> dupSpans,
     "q188_winnow_fingerprint" -> winnowFingerprint,
+    "q191_winnow_matches" -> winnowMatches,
     "q89_kmv_distinct" -> kmvDistinct,
     "q90_rrf_hybrid"   -> rrfHybrid,
     "q91_pagerank"     -> pageRank,
@@ -1842,6 +1896,55 @@ object AnalyticsQueries {
         |SELECT t.grp, t.ql, t.n, o.v AS val
         |FROM tgt t JOIN o ON o.grp = t.grp AND o.rn = t.r
         |ORDER BY t.grp, t.ql""".stripMargin,
+    "q191_winnow_matches" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(
+        |    CASE WHEN len(w) >= $WinnowK
+        |         THEN range(0, len(w) - ${WinnowK - 1}) ELSE [] END) AS pos
+        |  FROM d),
+        |occ AS (
+        |  SELECT doc_id, pos::BIGINT AS pos,
+        |    (('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + $WinnowK), ' ')), 1, 15))::BIGINT
+        |     % $WinnowHashMod) AS h
+        |  FROM pos),
+        |pk AS (
+        |  SELECT doc_id, pos,
+        |         h * 2097152 + (2097151 - pos) AS pk,
+        |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM occ),
+        |wm AS (
+        |  SELECT doc_id, pos, maxpos,
+        |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+        |  FROM pk),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, wmin FROM wm
+        |  WHERE pos <= maxpos - ${WinnowW - 1}),
+        |selh AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM sel),
+        |perdoc AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_fp FROM selh GROUP BY doc_id),
+        |rare AS (
+        |  SELECT h FROM selh GROUP BY h HAVING count(*) <= $MaxFpDf),
+        |pruned AS (SELECT selh.doc_id, selh.h FROM selh JOIN rare USING (h)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*)::BIGINT AS n_shared
+        |  FROM pruned a JOIN pruned b
+        |    ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= $MinSharedFp)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |       pa.n_fp AS n_a, pb.n_fp AS n_b,
+        |       p.n_shared::DOUBLE / least(pa.n_fp, pb.n_fp)::DOUBLE AS overlap
+        |FROM pairs p
+        |JOIN perdoc pa ON p.doc_a = pa.doc_id
+        |JOIN perdoc pb ON p.doc_b = pb.doc_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     "q188_winnow_fingerprint" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

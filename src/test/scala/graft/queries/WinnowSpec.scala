@@ -67,4 +67,35 @@ class WinnowSpec extends SparkSpec {
     // the sampled index must still see duplication on this corpus
     assert(rows.exists(_.getLong(3) > 0))
   }
+
+  test("q191 pair report equals the textbook pairing with the df cap") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') as w")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, w) =>
+      id -> (if (w.length >= K + W - 1)
+        winnow(w).map(i => h40(w.slice(i, i + K).mkString(" ")))
+      else Set.empty[Long])
+    }
+    val df = fps.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = df.collect { case (h, n) if n <= 10 => h }.toSet
+    val expected = (for {
+      Seq(a, b) <- fps.keys.toSeq.sorted.combinations(2)
+      shared = (fps(a) & fps(b) & rare).size
+      if shared >= 3
+    } yield (a, b) -> (shared, fps(a).size, fps(b).size)).toMap
+
+    val rows = AnalyticsQueries.winnowMatches(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      expected.keySet, "pair set differs from the textbook pairing")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (shared, na, nb) = expected(key)
+      assert(r.getLong(2) == shared.toLong && r.getLong(3) == na.toLong &&
+        r.getLong(4) == nb.toLong, s"pair $key counts")
+      assert(r.getDouble(5) == shared.toDouble / math.min(na, nb))
+    }
+    assert(rows.nonEmpty, "the corpus's near-dups must surface pairs")
+  }
 }
