@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ONE declarative job over the documents table
   * (`runMain graft.CurateMain [outDir] [sfDir]`):
   *
-  *   1. PII scrub (q78's expressions — redact in the scan projection)
+  *   1. PII scrub (q78's regex classes + q186's Luhn card class, redacted in the scan projection)
   *   2. quality gate (q34's score ≥ 0.5)
   *   3. repetition gate (q74's Gopher thresholds)
   *   4. exact near-dup removal (q24's canonical-digest window)
@@ -32,7 +32,9 @@ object CurateMain {
     val toks = split(trim(col("text")), "\\s+")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"),
-        Pii.redact(col("text")).as("text"))
+        // regex classes first, then the Luhn-gated card class (r14 —
+        // q186's checksum tree; still one row-local scan projection)
+        Pii.redactCards(Pii.redact(col("text"))).as("text"))
       .withColumn("w", toks)
     // row-local gates, all fused into the scan projection by Catalyst
     val nTok = size(col("w"))
