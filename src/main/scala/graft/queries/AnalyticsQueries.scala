@@ -102,11 +102,17 @@ object AnalyticsQueries {
   // signed 64-bit pack (a full 60-bit graft_h60 would overflow it)
   private val WinnowHashMod = 1L << 40
 
-  /** The winnowing SELECTION shared by q188 and q191: distinct
+  /** The winnowing SELECTION as a doc-local plan fragment: distinct
     * (doc_id, pack) — one pack per selected position, the rightmost
-    * minimal hash of each full w-window via the PosPack windowed min. */
-  private def winnowSel(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    * minimal hash of each full w-window via the PosPack windowed min.
+    * Runs over ANY (doc_id, text) frame: the [[winnowFpArtifact]]
+    * build derives exactly the appended docs through it, the
+    * [[graft.streaming.StreamWinnow]] maintainer applies it per
+    * micro-batch (selection is doc-local — windows never span
+    * documents — so batch splits cannot change a doc's fingerprints),
+    * and the parity specs re-run it inline. */
+  private[graft] def winnowSelFor(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), toks.as("w"))
     val occ = docs
       .select(col("doc_id"), col("w"), explode(expr(
         s"CASE WHEN size(w) >= $WinnowK THEN sequence(0, size(w) - $WinnowK) " +
@@ -126,9 +132,45 @@ object AnalyticsQueries {
       .select(col("doc_id"), col("wmin")).distinct()
   }
 
+  /** The corpus's winnowed fingerprint selection (`winnow_fp_v1`,
+    * documents fingerprint): one row per distinct (doc_id, wmin pack)
+    * the MOSS scheme selects — THE sampled dup index a 100 TB corpus
+    * persists (r14 verdict item 1: every sibling dup-index family —
+    * shingles, signatures, postings — was bucket-carried with a
+    * streaming twin while q188/q191 re-winnowed the corpus per query).
+    * DELTA-GENERATIONAL: the selection is doc-local (hash windows
+    * never span documents), so a corpus append winnows only the
+    * appended docs and hard-link-carries every untouched doc_id bucket
+    * ([[graft.ArtifactStore.documentsDeltaArtifact]]); in the takedown
+    * cascade like every documents-derived key; its live twin is the
+    * [[graft.streaming.StreamWinnow]] store (same plan fragment per
+    * micro-batch, spec-pinned row-for-row equal). */
+  private[graft] def winnowFpArtifact(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "winnow_fp_v1")(
+      winnowSelFor)
+
+  /** The selection as q188/q191 consume it — served from the
+    * [[winnowFpArtifact]] store, never re-derived from the corpus. */
+  private def winnowSel(s: SparkSession, dir: String): DataFrame =
+    winnowFpArtifact(s, dir)
+
   /** Distinct (doc_id, fingerprint-hash) — [[winnowSel]] unpacked. */
   private def winnowSelH(s: SparkSession, dir: String): DataFrame =
     winnowSel(s, dir).select(col("doc_id"),
+      expr(s"wmin DIV $PosPack").as("h")).distinct()
+
+  /** (doc_id, n_grams) over ANY (doc_id, text) frame — the doc-local
+    * gram-count fragment the [[graft.streaming.StreamWinnow]] lens
+    * store runs per micro-batch; batch q188 reads the same quantity
+    * off the doclens artifact (dl over the identical split). */
+  private[graft] def winnowGramsFor(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      greatest(size(toks).cast(LongType) - lit((WinnowK - 1).toLong),
+        lit(0L)).as("n_grams"))
+
+  /** [[winnowSelH]]'s unpack over ANY (doc_id, wmin) selection frame. */
+  private[graft] def winnowUnpackH(sel: DataFrame): DataFrame =
+    sel.select(col("doc_id"),
       expr(s"wmin DIV $PosPack").as("h")).distinct()
 
   /** q188 — winnowed document fingerprints: q88/q98 index EVERY
@@ -151,14 +193,29 @@ object AnalyticsQueries {
     * Scale shape: one doc_id-partitioned window pass (the same
     * partitioning the per-doc counts reuse — one shuffle end to end on
     * the fingerprint arm); the shared-fingerprint set groups 8-byte
-    * hashes, never text. Nothing quadratic, nothing global. */
-  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val grams = docs.select(col("doc_id"),
-      greatest(size(col("w")).cast(LongType) - (WinnowK - 1), lit(0L))
-        .as("n_grams"))
-    val sel = winnowSel(s, dir)
-    val selH = winnowSelH(s, dir)
+    * hashes, never text. Nothing quadratic, nothing global. SERVED
+    * (r15): the selection reads the bucket-carried `winnow_fp_v1`
+    * store and the gram counts the `doclens_v1` store — a query run
+    * touches zero corpus text; appends re-winnow only the delta. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    // both arms artifact-served (r15): the selection from winnow_fp_v1,
+    // the gram counts off the doclens store (dl = size over the same
+    // unfiltered whitespace split) — zero corpus text I/O per query
+    winnowFingerprintOver(
+      CurationQueries.doclenArtifact(s, dir).select(col("doc_id"),
+        greatest(col("dl") - lit((WinnowK - 1).toLong), lit(0L))
+          .as("n_grams")),
+      winnowSel(s, dir))
+
+  /** q188's scoring tail over ANY ((doc_id, n_grams), (doc_id, wmin))
+    * feed pair — the batch artifacts or the [[graft.streaming
+    * .StreamWinnow]] live stores (one scorer, two feeds — the
+    * keynessOver idiom): the live dup board and the nightly audit can
+    * disagree only on recency. */
+  private[graft] def winnowFingerprintOver(grams: DataFrame,
+                                           sel: DataFrame): DataFrame = {
+    val selH = sel.select(col("doc_id"),
+      expr(s"wmin DIV $PosPack").as("h")).distinct()
     val shared = selH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("h"))
     val perDoc = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
@@ -195,8 +252,13 @@ object AnalyticsQueries {
     * shared / min(|fp_a|, |fp_b|) (rational — exact cross-engine).
     * q88→q98 is measure→repair for full-gram spans; q188→q191 is the
     * same pairing for the sampled index. */
-  def winnowMatches(s: SparkSession, dir: String): DataFrame = {
-    val selH = winnowSelH(s, dir)
+  def winnowMatches(s: SparkSession, dir: String): DataFrame =
+    winnowMatchesOver(winnowSelH(s, dir))
+
+  /** q191's pairing tail over ANY distinct (doc_id, h) fingerprint
+    * feed — the batch artifact's projection or the live
+    * [[graft.streaming.StreamWinnow]] store. */
+  private[graft] def winnowMatchesOver(selH: DataFrame): DataFrame = {
     val perDoc = selH.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val rare = selH.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxFpDf).select(col("h"))

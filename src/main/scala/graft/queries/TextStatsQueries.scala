@@ -1053,7 +1053,16 @@ object TextStatsQueries {
     * distributions ON TERM (vocabulary-keyed, co-partitioned with the
     * tf aggregation that feeds it); fan-out per term is (#sources
     * choose 2) — sources are few by construction, the vocabulary
-    * carries the scale. Per-source totals broadcast. */
+    * carries the scale. Per-source totals broadcast.
+    *
+    * **Source-cardinality bound (r14 verdict):** the output and the
+    * per-term fan-out are QUADRATIC in #sources — intrinsic to an
+    * all-pairs distance matrix, fine for a curation registry of tens
+    * to hundreds of sources. A registry of thousands needs blocking
+    * before this operator (pair only sources sharing a coarse bucket —
+    * language, domain class — the q27 banding posture) or a top-pairs
+    * cap; the operator itself deliberately stays the exact all-pairs
+    * matrix, the q187-scaladoc discipline applied to its own bound. */
   def srcHellinger(s: SparkSession, dir: String): DataFrame =
     srcHellingerOver(termCounts(s, dir))
 
@@ -1074,7 +1083,14 @@ object TextStatsQueries {
         sum(col("bc_term")).as("bc_dec"))
       .select(col("s1"), col("s2"), col("n_shared"),
         col("bc_dec").cast(DoubleType).as("bc"),
-        sqrt(lit(1.0) - col("bc_dec").cast(DoubleType)).as("hellinger"))
+        // clamp before the √ (r14 ADVICE): the DECIMAL(18,9) per-term
+        // contributions round half-up, so near-identical distributions
+        // can sum to bc marginally ABOVE 1.0 — Spark's sqrt would
+        // return NaN while DuckDB's ERRORS on a negative argument, an
+        // engine-parity hazard where the oracle crashes instead of
+        // mismatching; both sides clamp identically
+        sqrt(greatest(lit(1.0) - col("bc_dec").cast(DoubleType), lit(0.0)))
+          .as("hellinger"))
       .orderBy(col("s1"), col("s2"))
   }
 
@@ -1269,7 +1285,8 @@ object TextStatsQueries {
         |  FROM p x JOIN p y ON x.t = y.t AND x.source < y.source)
         |SELECT s1, s2, count(*)::BIGINT AS n_shared,
         |       CAST(sum(bc_term) AS DOUBLE) AS bc,
-        |       sqrt(1.0 - CAST(sum(bc_term) AS DOUBLE)) AS hellinger
+        |       sqrt(greatest(1.0 - CAST(sum(bc_term) AS DOUBLE), 0.0))
+        |         AS hellinger
         |FROM pairs GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
 
     "q187_colloc_lift" ->

@@ -102,9 +102,16 @@ private[graft] object MutationLease {
       if (first) hold.token = acquire(s, target, staleMs)
       hold.count += 1
       var bodyFailed = false
-      val beat = if (first) Some(startHeartbeat(s, target, hold.token,
-        staleMs)) else None
-      try body
+      // heartbeat starts INSIDE the try (r14 ADVICE): if Thread.start
+      // itself fails (cannot create native thread), the finally must
+      // still roll back the hold count and release the on-disk lease —
+      // started outside it, the target stayed wedged for this JVM
+      // indefinitely and cross-process until staleMs
+      var beat: Option[Thread] = None
+      try {
+        if (first) beat = Some(startHeartbeat(s, target, hold.token, staleMs))
+        body
+      }
       catch { case e: Throwable => bodyFailed = true; throw e }
       finally {
         beat.foreach { t => t.interrupt(); t.join(1000) }
@@ -140,19 +147,46 @@ private[graft] object MutationLease {
                              staleMs: Long): Thread = {
     val period = math.max(staleMs / 3, 50L)
     val t = new Thread(() => {
-      val p = leasePath(target)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // the WHOLE loop (including the getFileSystem) guards NonFatal,
+      // not just IOException around the touch (r14 ADVICE): connectors
+      // that throw UnsupportedOperationException from setTimes — some
+      // object-store/har filesystems — used to kill the daemon via an
+      // uncaught exception, silently reverting to the pre-heartbeat
+      // posture despite the graceful-degradation claim. Degradation is
+      // now VISIBLE: one warning on first failure, then the old
+      // posture (theft after staleMs, detected loudly at release).
+      var warned = false
+      def degrade(e: Throwable): Unit = if (!warned) {
+        warned = true
+        System.err.println(s"graft: lease heartbeat for $target degraded " +
+          s"(${e.getClass.getName}: ${e.getMessage}) — mtime renewal " +
+          "unavailable; a mutation outliving staleMs will fail loudly " +
+          "at release")
+      }
       try {
+        val p = leasePath(target)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         var live = true
         while (live && !Thread.currentThread().isInterrupted) {
           Thread.sleep(period)
           if (readLease(fs, p).contains(token))
+            // TOCTOU residue (documented, bounded): a breaker can
+            // rename+reclaim between the token read above and this
+            // touch, so one touch may land on the SUCCESSOR's lease,
+            // freshening its mtime by up to one period. The successor's
+            // own heartbeat takes over immediately, our next iteration
+            // sees the foreign token and stops, and our release still
+            // fails loudly — the residue extends a crashed successor's
+            // stale window by at most one period.
             try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () } // best-effort
+            catch { case scala.util.control.NonFatal(e) => degrade(e) }
           // stolen: stop renewing, release will fail loudly
           else live = false
         }
-      } catch { case _: InterruptedException => () }
+      } catch {
+        case _: InterruptedException => ()
+        case scala.util.control.NonFatal(e) => degrade(e)
+      }
     }, s"graft-lease-heartbeat-$target")
     t.setDaemon(true)
     t.start()

@@ -16,6 +16,17 @@ package graft.sources
   * may have interleaved) and every other failure propagate immediately:
   * re-running over possibly-corrupted state is exactly what the loud
   * failure exists to prevent.
+  *
+  * **The bounded-wait promise holds CROSS-PROCESS only** (r14 ADVICE):
+  * `LeaseContended` is thrown for a foreign process's on-disk lease,
+  * but contention from another THREAD in this JVM blocks on the Hold
+  * monitor inside `withLease` before the lease is ever examined — a
+  * scrub queued behind a long in-JVM compaction waits on that monitor
+  * for the compaction's full duration, not the retry budget. That is
+  * the intended posture (in-JVM callers share a scheduler and a fate;
+  * the budget exists to avoid camping on a FOREIGN holder's unknown
+  * timeline), but callers wanting a hard wall-clock bound must enforce
+  * it around the whole scrub invocation, not rely on this budget.
   */
 private[graft] object ScrubRetry {
 
