@@ -236,7 +236,24 @@ object ServeBooks {
   def pqResCodesFor(s: SparkSession, dir: String,
                     coarseBook: Array[Array[Double]],
                     resBooks: Array[Array[Array[Double]]])
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(pqResCodesPathFor(s, dir, coarseBook, resBooks))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("codes"))
+
+  /** The codes generation's DATA PATH — for consumers that prune the
+    * cell-partitioned read themselves on the RAW partition column
+    * before any cast (q164's probe-cell static pruning, r14 verdict
+    * item 2: a probe set reads its cells' directories, never the whole
+    * index; [[graft.streaming.StreamAnnServe.candidates]]' idiom).
+    * Ensures the generation exists (build/carry/publish) first. */
+  def pqResCodesPath(s: SparkSession, dir: String): String =
+    pqResCodesPathFor(s, dir, coarse(s, dir), pqRes(s, dir))
+
+  private def pqResCodesPathFor(s: SparkSession, dir: String,
+                                coarseBook: Array[Array[Double]],
+                                resBooks: Array[Array[Array[Double]]])
+      : String = {
     val fp = pqResCodesFp(s, dir, coarseBook, resBooks)
     // row-local given the books: assign the coarse cell, materialize the
     // residual once (localCheckpoint — the index-build job's
@@ -263,8 +280,7 @@ object ServeBooks {
     ensureBooksMeta(s, dataPath, coarseBook, resBooks)
     ensureVecsSidecar(s, dataPath,
       carryKeys(graft.sources.VecTakedown.servedEmbeddings(s, dir)))
-    s.read.parquet(dataPath).select(col("vec_id"),
-      col("cell").cast(LongType).as("cell"), col("codes"))
+    dataPath
   }
 
   /** The (vec_id, digest) carry-certificate frame — the ORDER-SENSITIVE

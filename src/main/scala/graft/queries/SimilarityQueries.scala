@@ -508,13 +508,55 @@ object SimilarityQueries {
     * row-local expressions over ≈20 KiB of literal model state — no
     * crossJoin, no per-vector window, no shuffle before the candidate
     * join. */
-  def knnIvfPqRes(s: SparkSession, dir: String): DataFrame =
+  def knnIvfPqRes(s: SparkSession, dir: String): DataFrame = {
     // the PRECOMPUTED index: (vec_id, cell, codes) — encoding happens
     // once per corpus in the artifact build, never per query (the
     // production IVFADC topology; also avoids re-deriving the encode
     // argmin inside this plan, where consumer expressions would
     // duplicate it — measured 2–7× serve-time regressions)
-    knnIvfPqResOver(s, dir, graft.llm.ServeBooks.pqResCodes(s, dir))
+    import graft.llm.ServeBooks
+    val book = ServeBooks.coarse(s, dir)
+    // probe-cell STATIC pruning (r14 verdict item 2, recovering the
+    // cell-partitioned layout's small-file tax): the query set is
+    // bounded, so its distinct probed cells collect driver-side (≤ 32
+    // ints — one tiny job over the query vectors) and filter the RAW
+    // partition column BEFORE the cast (StreamAnnServe.candidates'
+    // idiom) — the scan lists and reads ONLY the probed cells'
+    // directories; rows in unprobed cells can never join (the
+    // candidate join keys probe === cell), so the answer is unchanged.
+    // At corpus scale this is the load-bearing read shape: a probe set
+    // touches its cells, never the whole index.
+    val probed = probedCellsFor(s, dir, book)
+    val codes = s.read.parquet(ServeBooks.pqResCodesPath(s, dir))
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("codes"))
+    knnIvfPqResOver(s, dir, codes)
+  }
+
+  /** q164's probe set per (corpus fingerprint ⊗ coarse-book digest) —
+    * the batch query set is the corpus's first [[QuerySetSize]]
+    * vectors, so its probe plan is a PURE FUNCTION of (corpus, book):
+    * computed by one bounded job per generation, memoized like the
+    * fp/book memos (the file-incremental fingerprint key invalidates
+    * on any corpus change, a retrained book digests differently). The
+    * per-batch serving path deliberately does NOT ride this —
+    * [[graft.streaming.StreamAnnServe.probedCells]] recomputes from
+    * each live batch's actual queries. */
+  private val probedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Seq[Int]]()
+
+  private def probedCellsFor(s: SparkSession, dir: String,
+                             book: Array[Array[Double]]): Seq[Int] = {
+    import graft.llm.ServeBooks
+    val key = (graft.ArtifactStore.embeddingsFp(s, dir),
+      ServeBooks.bookDigest(book))
+    probedMemo.computeIfAbsent(key, _ =>
+      vecsServed(s, dir).where(col("vec_id") < QuerySetSize)
+        .select(explode(
+          ServeBooks.probeCells(book, IvfProbes, col("v"))).as("p"))
+        .distinct().collect().map(_.getLong(0).toInt).toSeq)
+  }
 
   /** q164's serve tail over ANY codes frame (vec_id, cell, codes) —
     * the batch artifact or [[graft.streaming.StreamAnnIndex]]'s

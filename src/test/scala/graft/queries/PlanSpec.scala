@@ -172,6 +172,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q164 codes read statically prunes to the probed cells' partitions") {
+    // r14 verdict item 2: the cell-partitioned codes store must be read
+    // through a STATIC partition filter on the probed cells (collected
+    // driver-side from the bounded query set, filtered on the raw
+    // partition column before the cast) — at corpus scale a probe set
+    // reads its cells' directories, never the whole index
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("q164_knn_ivfpq_res")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.output.exists(_.name == "codes") => sc
+    }
+    assert(scans.nonEmpty, "q164 must read the codes store")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "the probed-cells predicate must reach the codes scan as a " +
+        "partition filter")
+    // expected probe set, re-derived with the query's dials (50
+    // queries, 8 probes — the q164 constants)
+    val book = graft.llm.ServeBooks.coarse(spark, sfDir)
+    val expected = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 50)
+      .select(explode(graft.llm.ServeBooks.probeCells(book, 8,
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))).as("p"))
+      .distinct().count()
+    assert(scans.head.selectedPartitions.partitionCount == expected,
+      s"expected exactly the $expected probed cell directories, got " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("audit truth arms ride graft_topk: no WindowExec outside the serve arm") {
     // r9 verdict item 3: the exact arm of every ANN audit used to sort
     // all Q×N scored pairs in a per-query row_number window; it now
