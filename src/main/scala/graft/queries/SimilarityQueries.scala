@@ -198,6 +198,35 @@ object SimilarityQueries {
     mmrOver(e, short0)
   }
 
+  /** q190's shortlist + greedy tail over an EXPLICIT candidate cells
+    * frame (vec_id, v, nrm, cell) and query batch (query_id, qv) — the
+    * LIVE serve feed's entry point (r14 verdict item 3): the candidate
+    * frame is [[graft.streaming.StreamAnnServe.candidates]]' pruned,
+    * tombstone-excluded read of the serve-cells generation, so the
+    * diversified tier reranks over exactly what the ANN tier serves.
+    * Probe list, cosine, ties, K: q190's — one reranker, two feeds
+    * (the spec pins identical output off the live snapshot vs the
+    * batch feed at a quiesced boundary). */
+  private[graft] def mmrServeOver(cands: DataFrame,
+                                  book: Array[Array[Double]],
+                                  queries: DataFrame): DataFrame = {
+    val probes = queries
+      .select(col("query_id"), col("qv"),
+        VectorOps.norm(col("qv")).as("qnrm"),
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("qv")))
+          .as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val short0 = probes
+      .join(cands, col("probe") === col("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("rel"))
+      .withColumn("rn", row_number().over(wRel))
+      .where(col("rn") <= MmrShortK)
+    mmrOver(cands.select(col("vec_id"), col("v"), col("nrm")), short0)
+  }
+
   /** The greedy MMR tail over ANY (query_id, neighbor_id, rel)
     * shortlist and its vector source `e` (vec_id, v, nrm) — one
     * reranker, two feeds (the knnIvfPqResOver idiom). */

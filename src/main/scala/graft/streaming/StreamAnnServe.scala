@@ -73,6 +73,45 @@ object StreamAnnServe {
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cell").cast(LongType).as("cell"))
 
+  /** q190's MMR rerank over the LIVE serve feed (r14 verdict item 3):
+    * one micro-batch of (query_id, qv DOUBLE[]) diversified against
+    * the pinned serve-cells generation — the shortlist reads ONLY the
+    * batch's probed cells' directories ([[candidates]]), tombstones
+    * are excluded, and the greedy tail is batch q190's verbatim
+    * ([[graft.queries.SimilarityQueries.mmrServeOver]] — one reranker,
+    * two feeds; the spec pins identical output off this snapshot vs
+    * the batch feed at a quiesced boundary). Returns
+    * (query_id, step, neighbor_id, rel, mmr). */
+  def mmrBatch(s: SparkSession, dir: String, dataPath: String,
+               book: Array[Array[Double]])
+              (batch: DataFrame): DataFrame = {
+    val b = batch.localCheckpoint()
+    val served = candidates(s, dataPath, probedCells(book, b)).join(
+      broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+      Seq("vec_id"), "left_anti")
+    graft.queries.SimilarityQueries.mmrServeOver(served, book, b)
+  }
+
+  /** queries(query_id, qv array<double>) stream → DIVERSIFIED answers
+    * appended as parquet under `out` (query_id, step, neighbor_id,
+    * rel, mmr) — [[start]]'s deployment shape with the MMR tail in
+    * place of the plain top-K (same frozen book + generation, same
+    * per-batch tombstone re-read). */
+  def startDiversified(queries: DataFrame, dir: String, out: String,
+                       checkpoint: String): StreamingQuery = {
+    val s = queries.sparkSession
+    val book = ServeBooks.coarse(s, dir)
+    val dataPath = ServeBooks.annCellsPath(s, dir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          mmrBatch(s, dir, dataPath, book)(batch)
+            .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** queries(query_id, qv array<double>) stream → answers appended as
     * parquet under `out` (query_id, neighbor_id, cos, rn).
     *

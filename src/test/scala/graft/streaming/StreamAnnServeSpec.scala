@@ -52,6 +52,47 @@ class StreamAnnServeSpec extends SparkSpec {
       "live ANN answers must equal batch q55 bit-for-bit")
   }
 
+  test("diversified (MMR) answers off the live serve feed equal batch " +
+    "q190 row-for-row at a quiesced boundary") {
+    // r14 verdict item 3: the serving tier's shape is mmrOver fed by
+    // StreamAnnServe's candidates (tombstone-excluded) — one reranker,
+    // two feeds. Streaming q190's query set through startDiversified
+    // in two out-of-order micro-batches must reproduce batch q190
+    // bit-for-bit: the live store and the batch cells frame hold the
+    // same (v, nrm, cell) rows at a quiesced boundary, and the
+    // shortlist/greedy arithmetic is the same code path.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ann_serve_mmr").toString
+    val out = s"$dir/answers"; val ckpt = s"$dir/ckpt"
+
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = StreamAnnServe.startDiversified(
+      stream.toDS().toDF("query_id", "qv"), sfDir, out, ckpt)
+    try {
+      val (late, early) = queries.partition(_._1 % 2 == 0)
+      stream.addData(early); query.processAllAvailable()
+      stream.addData(late); query.processAllAvailable()
+    } finally query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("step")) ->
+        ((r.getAs[Long]("neighbor_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("rel")),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("mmr"))))).toMap
+    val served = rows(spark.read.parquet(out))
+    val batch = rows(
+      graft.SparkEntry.queries("q190_mmr_rerank_ivf")(spark, sfDir))
+    assert(served.nonEmpty, "witness: the server must answer something")
+    assert(served == batch,
+      "live diversified answers must equal batch q190 bit-for-bit")
+  }
+
   test("the per-batch candidate read prunes to the probed cells") {
     val dataPath = ServeBooks.annCellsPath(spark, sfDir)
     // two cells that actually exist on disk (any would do — the pin is
