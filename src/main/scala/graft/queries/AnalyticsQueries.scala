@@ -241,6 +241,51 @@ object AnalyticsQueries {
   private val MinSharedFp = 3L
   private val MaxFpDf = 10L
 
+  /** Oracle-side winnow chain shared by q191/q195 (and q188's selection
+    * half): corpus → k-gram hashes → PosPack windowed min → distinct
+    * selection → df-capped pairing with the shared-count floor. */
+  private def winnowPairsCtesSql: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w, unnest(
+       |    CASE WHEN len(w) >= $WinnowK
+       |         THEN range(0, len(w) - ${WinnowK - 1}) ELSE [] END) AS pos
+       |  FROM d),
+       |occ AS (
+       |  SELECT doc_id, pos::BIGINT AS pos,
+       |    (('0x' || substr(md5(array_to_string(
+       |       list_slice(w, pos + 1, pos + $WinnowK), ' ')), 1, 15))::BIGINT
+       |     % $WinnowHashMod) AS h
+       |  FROM pos),
+       |pk AS (
+       |  SELECT doc_id, pos,
+       |         h * 2097152 + (2097151 - pos) AS pk,
+       |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
+       |  FROM occ),
+       |wm AS (
+       |  SELECT doc_id, pos, maxpos,
+       |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+       |  FROM pk),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, wmin FROM wm
+       |  WHERE pos <= maxpos - ${WinnowW - 1}),
+       |selh AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM sel),
+       |perdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_fp FROM selh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT h FROM selh GROUP BY h HAVING count(*) <= $MaxFpDf),
+       |pruned AS (SELECT selh.doc_id, selh.h FROM selh JOIN rare USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(*)::BIGINT AS n_shared
+       |  FROM pruned a JOIN pruned b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING count(*) >= $MinSharedFp)""".stripMargin
+
   /** q191 — winnowed match report, q188's actionable twin (the MOSS
     * use case: which document PAIRS share fingerprints, and how much):
     * pairs form by equi-join on the SAMPLED fingerprint hash — the
@@ -278,6 +323,65 @@ object AnalyticsQueries {
         (col("n_shared").cast(DoubleType) /
           least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q195 — dup clusters from the SAMPLED index: connected components
+    * over q191's winnow match pairs, completing measure → pair →
+    * REPAIR for the winnowed family (q188 measures, q191 names the
+    * pairs, q195 hands a curation run the cluster labels its
+    * keep-one-per-component policy acts on — exactly what q73 does for
+    * the MinHash family, served from the sampled index instead).
+    * Labels ride [[DedupQueries.clusterLabelsOver]] — the measured
+    * union-find/label-propagation gate — so the winnowed and MinHash
+    * cluster paths share one fixpoint implementation; only graph
+    * members appear (absent docs are singletons), q73's convention. */
+  def winnowClusters(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.clusterLabelsOver(
+      winnowMatchesOver(winnowSelH(s, dir))
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+
+  /** q196 — LONGEST duplicated span per document: q88 scores the
+    * duplicated-token FRACTION (total coverage); a removal policy also
+    * needs the longest CONTIGUOUS duplicated run — a doc 20% covered
+    * by one 40-token quote is a cut-the-span candidate (q98's surgery)
+    * while a doc 20% covered by scattered 8-gram echoes is not. Runs
+    * are maximal consecutive duplicated-gram start positions, found
+    * with the gaps-and-islands trick (pos − row_number() is constant
+    * within a run — pure integers, no per-run subquery); a run of R
+    * consecutive starts spans R + k − 1 tokens.
+    *
+    * Scale shape: q88's arms verbatim (hashes shuffle, the dup set
+    * joins back on the 8-byte key) plus one doc_id-partitioned window
+    * and a two-level rollup — nothing new crosses documents. */
+  def dupLongestRun(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"))
+    val occ = docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
+    val dup = occ.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = occ.join(dup, Seq("g"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(SpanGram.toLong))
+        .as("span"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("span")).cast(LongType).as("longest_dup_span"),
+        count(lit(1)).as("n_runs"))
+    lens.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q98
@@ -1485,6 +1589,8 @@ object AnalyticsQueries {
     "q119_group_trend" -> groupTrend,
     "q88_dup_spans"    -> dupSpans,
     "q188_winnow_fingerprint" -> winnowFingerprint,
+    "q195_winnow_clusters" -> winnowClusters,
+    "q196_dup_longest_run" -> dupLongestRun,
     "q191_winnow_matches" -> winnowMatches,
     "q89_kmv_distinct" -> kmvDistinct,
     "q90_rrf_hybrid"   -> rrfHybrid,
@@ -1958,47 +2064,55 @@ object AnalyticsQueries {
         |SELECT t.grp, t.ql, t.n, o.v AS val
         |FROM tgt t JOIN o ON o.grp = t.grp AND o.rn = t.r
         |ORDER BY t.grp, t.ql""".stripMargin,
-    "q191_winnow_matches" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    "q195_winnow_clusters" ->
+      s"""WITH RECURSIVE $winnowPairsCtesSql,
+        |und AS (
+        |  SELECT doc_a AS s, doc_b AS d FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS r FROM und
+        |  UNION
+        |  SELECT reach.id, u.d FROM reach JOIN und u ON u.s = reach.r)
+        |SELECT id AS doc_id, min(r) AS comp
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q196_dup_longest_run" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
+        |lens AS (SELECT doc_id, len(w)::BIGINT AS n_tok FROM d),
         |pos AS (
         |  SELECT doc_id, w, unnest(
-        |    CASE WHEN len(w) >= $WinnowK
-        |         THEN range(0, len(w) - ${WinnowK - 1}) ELSE [] END) AS pos
+        |    CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos
         |  FROM d),
         |occ AS (
         |  SELECT doc_id, pos::BIGINT AS pos,
-        |    (('0x' || substr(md5(array_to_string(
-        |       list_slice(w, pos + 1, pos + $WinnowK), ' ')), 1, 15))::BIGINT
-        |     % $WinnowHashMod) AS h
+        |    ('0x' || substr(md5(array_to_string(
+        |       list_slice(w, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS g
         |  FROM pos),
-        |pk AS (
+        |dup AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM occ)
+        |  GROUP BY g HAVING count(*) >= 2),
+        |runs AS (
         |  SELECT doc_id, pos,
-        |         h * 2097152 + (2097151 - pos) AS pk,
-        |         max(pos) OVER (PARTITION BY doc_id) AS maxpos
-        |  FROM occ),
-        |wm AS (
-        |  SELECT doc_id, pos, maxpos,
-        |         min(pk) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
-        |  FROM pk),
-        |sel AS (
-        |  SELECT DISTINCT doc_id, wmin FROM wm
-        |  WHERE pos <= maxpos - ${WinnowW - 1}),
-        |selh AS (SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM sel),
-        |perdoc AS (
-        |  SELECT doc_id, count(*)::BIGINT AS n_fp FROM selh GROUP BY doc_id),
-        |rare AS (
-        |  SELECT h FROM selh GROUP BY h HAVING count(*) <= $MaxFpDf),
-        |pruned AS (SELECT selh.doc_id, selh.h FROM selh JOIN rare USING (h)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         count(*)::BIGINT AS n_shared
-        |  FROM pruned a JOIN pruned b
-        |    ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING count(*) >= $MinSharedFp)
+        |         pos - row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY pos) AS grp
+        |  FROM occ JOIN dup USING (g)),
+        |spans AS (
+        |  SELECT doc_id, grp, max(pos) - min(pos) + 8 AS span
+        |  FROM runs GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id, max(span)::BIGINT AS longest_dup_span,
+        |         count(*)::BIGINT AS n_runs
+        |  FROM spans GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_tok,
+        |       coalesce(a.longest_dup_span, 0) AS longest_dup_span,
+        |       coalesce(a.n_runs, 0) AS n_runs
+        |FROM lens l LEFT JOIN agg a USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+
+    "q191_winnow_matches" ->
+      s"""WITH $winnowPairsCtesSql
         |SELECT p.doc_a, p.doc_b, p.n_shared,
         |       pa.n_fp AS n_a, pb.n_fp AS n_b,
         |       p.n_shared::DOUBLE / least(pa.n_fp, pb.n_fp)::DOUBLE AS overlap

@@ -124,6 +124,62 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // q193/q194 dial: the RADIUS — return every neighbor at cosine ≥ τ,
+  // not a fixed K. 0.3 sits in the populated regime of the synthetic
+  // embeddings at every tested sf (measured: 184/202/790 rows at
+  // sf0.001/0.01/0.1) while staying selective.
+  private val RadiusTau = 0.3
+
+  /** q193 — RADIUS (range) similarity search, the ANN API's other
+    * half: top-K (q31/q55) answers "the K nearest whatever their
+    * similarity"; a dedup/retrieval tier as often needs "EVERY
+    * neighbor at cosine ≥ τ, however many" (SemDeDup's ε-ball, RAG
+    * recall floors, near-dup sweeps). Exact arm: all (query, neighbor)
+    * pairs at cosine ≥ [[RadiusTau]], no rank, no cap — the result IS
+    * the ε-ball. Brute over the bounded query set (q31's gated-truth
+    * posture: at corpus scale the serve arm is q194 and this is the
+    * recall oracle). Unbounded-output caveat by design: radius queries
+    * return data-dependent row counts — the operator reports the ball,
+    * the caller budgets τ. */
+  def radiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .where(col("cos") >= RadiusTau)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** q194 — radius search over the IVF SERVE feed (q55's probed
+    * cells, tombstone-excluded): the production shape — candidates
+    * come from the probe list's cells, never a corpus scan, and the
+    * two arms differ only by feed recall (the q55/q31, q190/q189
+    * exact+ANN pairing applied to range queries). A neighbor lives in
+    * exactly one cell and probes are distinct, so no dedup step is
+    * needed; the threshold filter is row-local on the candidate join's
+    * output. */
+  def radiusSearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val book = graft.llm.ServeBooks.coarse(s, dir)
+    val e = vecsServed(s, dir)
+    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
+      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    val probes = e.where(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(graft.llm.ServeBooks.probeCells(book, IvfProbes, col("v")))
+          .as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    probes
+      .join(cells, col("probe") === col("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .where(col("cos") >= RadiusTau)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   // q189 dials: rerank the top-MmrShortK relevance shortlist down to
   // MmrK diversified answers; λ = 0.7 relevance / 0.3 diversity — the
   // Carbonell & Goldstein 1998 default regime.
@@ -1395,6 +1451,8 @@ object SimilarityQueries {
     "q31_knn_brute"     -> knnBrute,
     "q189_mmr_rerank"   -> mmrRerank,
     "q190_mmr_rerank_ivf" -> mmrRerankIvf,
+    "q193_radius_search" -> radiusSearch,
+    "q194_radius_search_ivf" -> radiusSearchIvf,
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
@@ -1558,6 +1616,42 @@ object SimilarityQueries {
     * Centroids come from the ServeBooks-published artifact (the SAME
     * parquet the Spark side trained and serves from), selected by the
     * fingerprint this corpus hashes to in SQL. */
+  private lazy val radiusSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |  FROM e WHERE vec_id < $QuerySetSize)
+       |SELECT query_id, e.vec_id AS neighbor_id,
+       |       list_dot_product(qv, e.v) / (qnrm * e.nrm) AS cos
+       |FROM q, e
+       |WHERE e.vec_id <> query_id
+       |  AND list_dot_product(qv, e.v) / (qnrm * e.nrm) >= $RadiusTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  private lazy val radiusSearchIvfSql: String = {
+    import graft.llm.ServeBooks
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings
+       |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
+       |${ServeBooks.coarseCentsCteSql},
+       |${ServeBooks.assignRankCteSql},
+       |cells AS (
+       |  SELECT e.vec_id, e.v, e.nrm, r.cid AS cell
+       |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm, r.cid AS probe
+       |  FROM e JOIN r ON e.vec_id = r.vec_id
+       |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize)
+       |SELECT query_id, cells.vec_id AS neighbor_id,
+       |       list_dot_product(qv, cells.v) / (qnrm * cells.nrm) AS cos
+       |FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id
+       |WHERE list_dot_product(qv, cells.v) / (qnrm * cells.nrm) >= $RadiusTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   private lazy val knnIvfSql: String = {
     import graft.llm.ServeBooks
     s"""WITH e AS (
@@ -1858,6 +1952,8 @@ object SimilarityQueries {
          |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q193_radius_search" -> radiusSearchSql,
+    "q194_radius_search_ivf" -> radiusSearchIvfSql,
     // same affine quantization; expression shapes (parenthesization,
     // bucket-center dequant) mirror the Spark side so the IEEE doubles
     // are bit-identical before the integer floors

@@ -98,4 +98,41 @@ class WinnowSpec extends SparkSpec {
     }
     assert(rows.nonEmpty, "the corpus's near-dups must surface pairs")
   }
+
+  test("q195 clusters equal the textbook transitive closure of the " +
+    "q191 pairing") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(trim(text), '\\\\s+') as w")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, w) =>
+      id -> (if (w.length >= K + W - 1)
+        winnow(w).map(i => h40(w.slice(i, i + K).mkString(" ")))
+      else Set.empty[Long])
+    }
+    val df = fps.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = df.collect { case (h, n) if n <= 10 => h }.toSet
+    val edges = (for {
+      Seq(a, b) <- fps.keys.toSeq.sorted.combinations(2)
+      if (fps(a) & fps(b) & rare).size >= 3
+    } yield (a, b)).toSeq
+    // textbook closure: iterate min-label over the undirected graph
+    var comp = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> id).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        val m = math.min(comp(a), comp(b))
+        if (comp(a) != m) { comp += a -> m; changed = true }
+        if (comp(b) != m) { comp += b -> m; changed = true }
+      }
+    }
+    val rows = AnalyticsQueries.winnowClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == comp,
+      "q195 labels must equal the textbook transitive closure")
+    assert(rows.nonEmpty && rows.exists { case (id, c) => id != c },
+      "witness: at least one non-singleton component")
+  }
 }
