@@ -73,6 +73,49 @@ object StreamAnnServe {
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cell").cast(LongType).as("cell"))
 
+  /** q194's RADIUS answers for one micro-batch of (query_id, qv
+    * DOUBLE[]) against a candidate cells frame — the range-query face
+    * of [[answerBatch]]: every candidate at cosine ≥ `tau`, no rank,
+    * no cap (q193/q194's semantics; the threshold filter is row-local
+    * on the candidate join's output, so the per-batch cost is the
+    * same probed-cells read whatever the ball size). */
+  def radiusBatch(cells: DataFrame, book: Array[Array[Double]],
+                  tau: Double)(batch: DataFrame): DataFrame = {
+    val probes = batch
+      .select(col("query_id"), col("qv"),
+        sqrt(VectorOps.dot(col("qv"), col("qv"))).as("qnrm"),
+        explode(ServeBooks.probeCells(book, Probes, col("qv"))).as("probe"))
+    val cos = VectorOps.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+    probes.join(cells,
+        col("probe") === col("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .where(col("cos") >= tau)
+  }
+
+  /** queries(query_id, qv array<double>) stream → radius answers
+    * appended as parquet under `out` (query_id, neighbor_id, cos) —
+    * [[start]]'s deployment shape for range queries (same frozen book
+    * + generation, same per-batch tombstone re-read). */
+  def startRadius(queries: DataFrame, dir: String, out: String,
+                  checkpoint: String, tau: Double = 0.3): StreamingQuery = {
+    val s = queries.sparkSession
+    val book = ServeBooks.coarse(s, dir)
+    val dataPath = ServeBooks.annCellsPath(s, dir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          val served = candidates(s, dataPath, probedCells(book, b)).join(
+            broadcast(graft.sources.VecTakedown.tombstones(s, dir)),
+            Seq("vec_id"), "left_anti")
+          radiusBatch(served, book, tau)(b)
+            .write.mode("append").parquet(out)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** q190's MMR rerank over the LIVE serve feed (r14 verdict item 3):
     * one micro-batch of (query_id, qv DOUBLE[]) diversified against
     * the pinned serve-cells generation — the shortlist reads ONLY the

@@ -157,13 +157,18 @@ object StreamWinnow {
     * retry ([[graft.sources.ScrubRetry]] — builds stay fail-loud,
     * stolen leases typed out of the retry). */
   def scrub(s: SparkSession, target: String, flagged: Seq[Long]): Unit =
+    scrubImpl(s, target, flagged, register = true)
+
+  private def scrubImpl(s: SparkSession, target: String, flagged: Seq[Long],
+                        register: Boolean): Unit =
    graft.sources.ScrubRetry.retryContended(s"winnow.scrub($target)") {
    graft.sources.MutationLease.withLease(s, target) {
     // registry FIRST (TakedownApply's crash-safe ordering): with the
     // erasure window recorded, a checkpoint replay of a covered batch
     // drops the victims at merge entry instead of resurrecting them
-    graft.sources.ScrubRegistry.append(s, target, flagged,
-      BatchHighWater.uptoForScrub(s, target))
+    if (register)
+      graft.sources.ScrubRegistry.append(s, target, flagged,
+        BatchHighWater.uptoForScrub(s, target))
     val doomed = col("doc_id").isin(flagged: _*)
     val pruned = BucketMeta.read(s, target) match {
       case Some(b) =>
@@ -174,4 +179,40 @@ object StreamWinnow {
     graft.sources.PartitionScrub.dropRows(s, s"$target/fps", "bucket", pruned)
     graft.sources.PartitionScrub.dropRows(s, s"$target/lens", "bucket", pruned)
    }}
+
+  /** Retention janitor (the StreamDupEdges.janitor posture): evict
+    * docs the upstream already removed — the store's doc set diffed
+    * against the caller's `live` list routes through the scrub leg
+    * WITHOUT the replay registry (eviction, not erasure: a replayed
+    * old batch re-adding an evicted doc is re-evicted by the next
+    * janitor pass, while registering bulk evictions would make every
+    * batch's gate read pay for the janitor's history) — and compact
+    * buckets fragmented past `maxFilesPerBucket` by merge rewrites.
+    * Both passes preserve the served relation exactly; idempotent. */
+  def janitor(s: SparkSession, target: String, live: DataFrame,
+              maxFilesPerBucket: Int = 4): Unit = {
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$target/fps")
+    val fs = fpsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fpsPath)) return
+    import s.implicits._
+    val removed = s.read.parquet(s"$target/fps")
+      .select(col("doc_id")).distinct()
+      .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSeq
+    if (removed.nonEmpty) scrubImpl(s, target, removed, register = false)
+    Seq("fps", "lens").foreach { sub =>
+      val path = s"$target/$sub"
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(root)) {
+        val frag = fs.listStatus(root).toSeq
+          .filter(_.getPath.getName.startsWith("bucket="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+          .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+        if (frag.nonEmpty)
+          graft.sources.PartitionScrub.rewriteTouched(s, path, "bucket",
+            col("bucket").isin(frag: _*))(_.repartition(col("bucket")))
+      }
+    }
+  }
 }

@@ -52,6 +52,38 @@ class StreamAnnServeSpec extends SparkSpec {
       "live ANN answers must equal batch q55 bit-for-bit")
   }
 
+  test("radius answers off the live serve feed equal batch q194 " +
+    "row-for-row at a quiesced boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ann_serve_radius").toString
+    val out = s"$dir/answers"; val ckpt = s"$dir/ckpt"
+
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = StreamAnnServe.startRadius(
+      stream.toDS().toDF("query_id", "qv"), sfDir, out, ckpt)
+    try {
+      val (late, early) = queries.partition(_._1 % 2 == 0)
+      stream.addData(early); query.processAllAvailable()
+      stream.addData(late); query.processAllAvailable()
+    } finally query.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos"))).toMap
+    val served = rows(spark.read.parquet(out))
+    val batch = rows(
+      graft.SparkEntry.queries("q194_radius_search_ivf")(spark, sfDir))
+    assert(served.nonEmpty, "witness: the ball must be populated")
+    assert(served == batch,
+      "live radius answers must equal batch q194 bit-for-bit")
+  }
+
   test("diversified (MMR) answers off the live serve feed equal batch " +
     "q190 row-for-row at a quiesced boundary") {
     // r14 verdict item 3: the serving tier's shape is mmrOver fed by

@@ -96,5 +96,30 @@ class StreamWinnowSpec extends SparkSpec {
       splits.flatten.filter(_._1 == victim).toDF("doc_id", "text"), 99L)
     assert(selSet(target).exists(_._1 == victim),
       "a genuinely new batch must re-index the re-added doc")
+
+    // 5. janitor: an upstream-removed doc is evicted from both stores,
+    // a doc still live survives untouched, and a second pass is a
+    // byte-level no-op (idempotence)
+    val evictee = selSet(target).map(_._1).max
+    val live = docs.filter(_._1 != evictee).toDF("doc_id", "text")
+    StreamWinnow.janitor(spark, target, live)
+    assert(!selSet(target).exists(_._1 == evictee),
+      "janitor must evict the upstream-removed doc")
+    assert(StreamWinnow.grams(spark, target)
+      .where(org.apache.spark.sql.functions.col("doc_id") === evictee)
+      .isEmpty, "janitor must evict the lens row too")
+    def storeBytes: Long = {
+      val root = java.nio.file.Paths.get(target)
+      val kids = java.nio.file.Files.walk(root)
+      try kids.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally kids.close()
+    }
+    val before2 = (selSet(target), storeBytes)
+    StreamWinnow.janitor(spark, target, live)
+    assert((selSet(target), storeBytes) == before2,
+      "a second janitor pass must touch nothing")
   }
 }
