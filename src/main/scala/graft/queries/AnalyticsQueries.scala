@@ -342,6 +342,35 @@ object AnalyticsQueries {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
 
+  /** q199 — cross-source duplication matrix off the SAMPLED index:
+    * for every unordered source pair, how many q191 winnow match
+    * pairs straddle it and the shared-fingerprint mass they carry —
+    * the provenance rollup a curation dashboard reads to see WHICH
+    * feeds duplicate WHICH (a hot (src_a, src_b) cell means one feed
+    * mirrors or scrapes the other; the diagonal is in-source
+    * duplication). Source pairs are normalized (least, greatest) so
+    * the matrix is triangular and deterministic.
+    *
+    * Scale shape: the q191 pairing (df-capped equi-join on the
+    * sampled hash) plus two doc_id equi-joins against the slim
+    * (doc_id, source) projection and a sources²-bounded rollup —
+    * nothing new touches text. */
+  def winnowSrcMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = winnowMatchesOver(winnowSelH(s, dir))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("n_shared"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_shared")).as("shared_fp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q196 — LONGEST duplicated span per document: q88 scores the
     * duplicated-token FRACTION (total coverage); a removal policy also
     * needs the longest CONTIGUOUS duplicated run — a doc 20% covered
@@ -1591,6 +1620,7 @@ object AnalyticsQueries {
     "q188_winnow_fingerprint" -> winnowFingerprint,
     "q195_winnow_clusters" -> winnowClusters,
     "q196_dup_longest_run" -> dupLongestRun,
+    "q199_winnow_src_matrix" -> winnowSrcMatrix,
     "q191_winnow_matches" -> winnowMatches,
     "q89_kmv_distinct" -> kmvDistinct,
     "q90_rrf_hybrid"   -> rrfHybrid,
@@ -2064,6 +2094,19 @@ object AnalyticsQueries {
         |SELECT t.grp, t.ql, t.n, o.v AS val
         |FROM tgt t JOIN o ON o.grp = t.grp AND o.rn = t.r
         |ORDER BY t.grp, t.ql""".stripMargin,
+    "q199_winnow_src_matrix" ->
+      s"""WITH $winnowPairsCtesSql,
+        |sp AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |         greatest(da.source, db.source) AS src_b, p.n_shared
+        |  FROM pairs p
+        |  JOIN documents da ON p.doc_a = da.doc_id
+        |  JOIN documents db ON p.doc_b = db.doc_id)
+        |SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+        |       sum(n_shared)::BIGINT AS shared_fp
+        |FROM sp GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
     "q195_winnow_clusters" ->
       s"""WITH RECURSIVE $winnowPairsCtesSql,
         |und AS (

@@ -1063,7 +1063,54 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q197 — triangle enumeration over the near-dup graph: q73's
+    * components say WHO is transitively connected; triangles say how
+    * DENSELY — a dup "cluster" that is a star is hub boilerplate
+    * (one template document echoed by many), a clique is a true
+    * mutual-duplicate family, and the triangle census is the standard
+    * way to tell them apart before a keep-one policy deletes the
+    * wrong thing. Edges are the once-per-corpus `minhash_pairs_v1`
+    * artifact; the plan is the DEGREE-ORIENTED compact-forward
+    * enumeration (Schank & Wagner 2005 / Latapy 2008): every edge
+    * orients from its lower-(degree, id) endpoint to the higher, so a
+    * node's OUT-degree is O(√|E|)-bounded and the wedge self-join
+    * cannot blow up on hub nodes (the id-oriented form would fan out
+    * quadratically on exactly the star patterns this query exists to
+    * find); a wedge closes into a triangle iff its far ends are an
+    * edge (canonical low-id/high-id lookup). Each triangle has
+    * exactly one node with two out-edges, so it is emitted once, then
+    * normalized to id order. The oracle states WHAT — the plain
+    * triple join — not HOW. */
+  def dupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashPairsArtifact(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("p"), col("x.dst").as("q"),
+        col("y.dst").as("r"))
+    wedges.join(e,
+        least(col("q"), col("r")) === col("u") &&
+          greatest(col("q"), col("r")) === col("v"))
+      .select(expr("array_sort(array(p, q, r))").as("t"))
+      .select(element_at(col("t"), 1).as("doc_a"),
+        element_at(col("t"), 2).as("doc_b"),
+        element_at(col("t"), 3).as("doc_c"))
+      .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_dup_triangles" -> dupTriangles,
     "q192_sim_join_prefix" -> simJoinPrefix,
     "q183_dup_mass_curve"  -> dupMassCurve,
     "q96_containment"      -> containment,
@@ -1132,6 +1179,20 @@ object DedupQueries {
        |  GROUP BY da, db)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q197_dup_triangles" ->
+      s"""WITH $minhashCtesSql,
+        |mp AS (
+        |  SELECT da AS a, db AS b
+        |  FROM common
+        |  JOIN sz sa ON da = sa.doc_id
+        |  JOIN sz sb ON db = sb.doc_id
+        |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5)
+        |SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+        |FROM mp e1
+        |JOIN mp e2 ON e1.b = e2.a
+        |JOIN mp e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY doc_a, doc_b, doc_c""".stripMargin,
+
     "q192_sim_join_prefix" ->
       s"""WITH dt0 AS (SELECT doc_id, s AS t FROM (${Dedup.shinglesSql(3)})),
         |dtx AS (

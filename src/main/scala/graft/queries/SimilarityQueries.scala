@@ -141,7 +141,13 @@ object SimilarityQueries {
     * recall oracle). Unbounded-output caveat by design: radius queries
     * return data-dependent row counts — the operator reports the ball,
     * the caller budgets τ. */
-  def radiusSearch(s: SparkSession, dir: String): DataFrame = {
+  def radiusSearch(s: SparkSession, dir: String): DataFrame =
+    radiusExactArm(s, dir).orderBy(col("query_id"), col("neighbor_id"))
+
+  /** The exact ball WITHOUT the presentation sort — shared by q193 and
+    * q198's truth arm (a mid-plan global order would be dead weight
+    * under the recall aggregation). */
+  private def radiusExactArm(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -150,7 +156,6 @@ object SimilarityQueries {
     q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
       .where(col("cos") >= RadiusTau)
-      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** q194 — radius search over the IVF SERVE feed (q55's probed
@@ -161,7 +166,10 @@ object SimilarityQueries {
     * exactly one cell and probes are distinct, so no dedup step is
     * needed; the threshold filter is row-local on the candidate join's
     * output. */
-  def radiusSearchIvf(s: SparkSession, dir: String): DataFrame = {
+  def radiusSearchIvf(s: SparkSession, dir: String): DataFrame =
+    radiusIvfArm(s, dir).orderBy(col("query_id"), col("neighbor_id"))
+
+  private def radiusIvfArm(s: SparkSession, dir: String): DataFrame = {
     val book = graft.llm.ServeBooks.coarse(s, dir)
     val e = vecsServed(s, dir)
     val cells = e.select(col("vec_id"), col("v"), col("nrm"),
@@ -177,7 +185,26 @@ object SimilarityQueries {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
       .where(col("cos") >= RadiusTau)
-      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** q198 — radius recall audit, the q129/q165 discipline applied to
+    * range queries: per query, the exact ball size (q193's arm), how
+    * many of its members the IVF-probed arm (q194's) serves, and the
+    * integer-ratio recall — the number an operator reads before
+    * committing a probe budget to a radius SLA. Queries whose ball is
+    * empty have no recall to report and are absent (the truth arm
+    * drives the join). Integer milli-ratio — exact cross-engine. */
+  def radiusRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = radiusExactArm(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = radiusIvfArm(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(served, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("ball"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_milli", expr("(hits * 1000) div ball"))
+      .orderBy(col("query_id"))
   }
 
   // q189 dials: rerank the top-MmrShortK relevance shortlist down to
@@ -1453,6 +1480,7 @@ object SimilarityQueries {
     "q190_mmr_rerank_ivf" -> mmrRerankIvf,
     "q193_radius_search" -> radiusSearch,
     "q194_radius_search_ivf" -> radiusSearchIvf,
+    "q198_radius_recall" -> radiusRecall,
     "q32_knn_lsh"       -> knnLsh,
     "q52_embed_neardup_lsh" -> embedNearDupLsh,
     "q55_knn_ivf"       -> knnIvf,
@@ -1650,6 +1678,50 @@ object SimilarityQueries {
        |FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id
        |WHERE list_dot_product(qv, cells.v) / (qnrm * cells.nrm) >= $RadiusTau
        |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  private lazy val radiusRecallSql: String = {
+    import graft.llm.ServeBooks
+    // `e` is the tombstone-filtered relation the assignment CTEs read
+    // (q194's oracle verbatim); the exact arm reads the unfiltered
+    // corpus (`eall`) exactly like q193's
+    s"""WITH eall AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings),
+       |qall AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+       |  FROM eall WHERE vec_id < $QuerySetSize),
+       |exact AS (
+       |  SELECT query_id, eall.vec_id AS neighbor_id
+       |  FROM qall, eall
+       |  WHERE eall.vec_id <> query_id
+       |    AND list_dot_product(qv, eall.v) / (qnrm * eall.nrm)
+       |        >= $RadiusTau),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, $nrmSql AS nrm
+       |  FROM embeddings
+       |  WHERE ${graft.sources.VecTakedown.notTombstonedSql}),
+       |${ServeBooks.coarseCentsCteSql},
+       |${ServeBooks.assignRankCteSql},
+       |cells AS (
+       |  SELECT e.vec_id, e.v, e.nrm, r.cid AS cell
+       |  FROM e JOIN r ON e.vec_id = r.vec_id AND r.rk = 1),
+       |probes AS (
+       |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm,
+       |         r.cid AS probe
+       |  FROM e JOIN r ON e.vec_id = r.vec_id
+       |  WHERE r.rk <= $IvfProbes AND e.vec_id < $QuerySetSize),
+       |served AS (
+       |  SELECT query_id, cells.vec_id AS neighbor_id
+       |  FROM probes JOIN cells ON probe = cell AND cells.vec_id <> query_id
+       |  WHERE list_dot_product(qv, cells.v) / (qnrm * cells.nrm)
+       |        >= $RadiusTau)
+       |SELECT x.query_id, count(*)::BIGINT AS ball,
+       |       count(s.neighbor_id)::BIGINT AS hits,
+       |       (count(s.neighbor_id) * 1000) // count(*) AS recall_milli
+       |FROM exact x LEFT JOIN served s
+       |  ON s.query_id = x.query_id AND s.neighbor_id = x.neighbor_id
+       |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
   }
 
   private lazy val knnIvfSql: String = {
@@ -1954,6 +2026,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q193_radius_search" -> radiusSearchSql,
     "q194_radius_search_ivf" -> radiusSearchIvfSql,
+    "q198_radius_recall" -> radiusRecallSql,
     // same affine quantization; expression shapes (parenthesization,
     // bucket-center dequant) mirror the Spark side so the IEEE doubles
     // are bit-identical before the integer floors

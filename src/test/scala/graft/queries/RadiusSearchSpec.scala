@@ -51,5 +51,17 @@ class RadiusSearchSpec extends SparkSpec {
     // loose floor, meant to catch a broken probe join, not tune recall
     assert(ivf.size * 2 >= exact.size,
       s"suspicious recall: ${ivf.size}/${exact.size}")
+
+    // q198: the audit re-aggregated by hand from the two arms
+    val expAudit = exact.keys.groupBy(_._1).map { case (q, ks) =>
+      val ball = ks.size.toLong
+      val hits = ks.count(ivf.contains).toLong
+      q -> (ball, hits, hits * 1000 / ball)
+    }
+    val audit = SimilarityQueries.radiusRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(audit == expAudit,
+      "q198 must equal the hand-aggregated recall per query")
   }
 }

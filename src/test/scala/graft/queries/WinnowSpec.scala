@@ -135,4 +135,24 @@ class WinnowSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.exists { case (id, c) => id != c },
       "witness: at least one non-singleton component")
   }
+
+  test("q199 source matrix equals the hand rollup of the q191 pairs") {
+    val srcs = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = AnalyticsQueries.winnowMatches(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> ((ps.size.toLong, ps.map(_._3).sum))
+    }
+    val rows = AnalyticsQueries.winnowSrcMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == expected,
+      "q199 must equal the hand rollup of the q191 pair list")
+    assert(rows.nonEmpty, "witness: matched pairs must span sources")
+  }
 }
