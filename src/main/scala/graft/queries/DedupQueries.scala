@@ -1081,7 +1081,44 @@ object DedupQueries {
     * exactly one node with two out-edges, so it is emitted once, then
     * normalized to id order. The oracle states WHAT — the plain
     * triple join — not HOW. */
-  def dupTriangles(s: SparkSession, dir: String): DataFrame = {
+  def dupTriangles(s: SparkSession, dir: String): DataFrame =
+    dupTrianglesUnsorted(s, dir)
+      .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
+
+  /** q200 — per-node triangle support and LOCAL CLUSTERING COEFFICIENT
+    * over the near-dup graph: for every graph member, its degree, how
+    * many triangles it sits in, and 2T/(d(d−1)) as an integer
+    * milli-ratio (exact cross-engine — no float division ambiguity).
+    * This is q197's rollup into the per-document signal a curation
+    * policy actually thresholds: coefficient ≈ 1000 → the doc sits in
+    * a mutual-duplicate clique (safe to keep one), coefficient ≈ 0
+    * with high degree → a template hub echoed by many otherwise
+    * unrelated docs (cut the template, keep the docs). Triangles come
+    * from [[dupTriangles]]'s degree-oriented plan; the per-node rollup
+    * is one unpivot + count. */
+  def dupClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = minhashPairsArtifact(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val deg = e.select(col("u").as("doc_id"))
+      .unionByName(e.select(col("v").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = dupTrianglesUnsorted(s, dir)
+    val perNode = tri.select(col("doc_a").as("doc_id"))
+      .unionByName(tri.select(col("doc_b").as("doc_id")))
+      .unionByName(tri.select(col("doc_c").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff_milli",
+        when(col("degree") >= 2,
+          expr("(n_tri * 2000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dupTriangles]] without the presentation sort — q200's feed. */
+  private def dupTrianglesUnsorted(s: SparkSession, dir: String): DataFrame = {
     val e = minhashPairsArtifact(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val deg = e.select(col("u").as("id"))
@@ -1106,10 +1143,10 @@ object DedupQueries {
       .select(element_at(col("t"), 1).as("doc_a"),
         element_at(col("t"), 2).as("doc_b"),
         element_at(col("t"), 3).as("doc_c"))
-      .orderBy(col("doc_a"), col("doc_b"), col("doc_c"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_dup_clustering" -> dupClusteringCoeff,
     "q197_dup_triangles" -> dupTriangles,
     "q192_sim_join_prefix" -> simJoinPrefix,
     "q183_dup_mass_curve"  -> dupMassCurve,
@@ -1179,6 +1216,38 @@ object DedupQueries {
        |  GROUP BY da, db)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q200_dup_clustering" ->
+      s"""WITH $minhashCtesSql,
+        |mp AS (
+        |  SELECT da AS a, db AS b
+        |  FROM common
+        |  JOIN sz sa ON da = sa.doc_id
+        |  JOIN sz sb ON db = sb.doc_id
+        |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5),
+        |deg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS degree FROM (
+        |    SELECT a AS doc_id FROM mp UNION ALL SELECT b FROM mp)
+        |  GROUP BY doc_id),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c3
+        |  FROM mp e1
+        |  JOIN mp e2 ON e1.b = e2.a
+        |  JOIN mp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_tri FROM (
+        |    SELECT a AS doc_id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c3 FROM tri)
+        |  GROUP BY doc_id)
+        |SELECT deg.doc_id, deg.degree,
+        |       coalesce(pn.n_tri, 0) AS n_tri,
+        |       CASE WHEN deg.degree >= 2
+        |            THEN (coalesce(pn.n_tri, 0) * 2000)
+        |                 // (deg.degree * (deg.degree - 1))
+        |            ELSE 0 END AS coeff_milli
+        |FROM deg LEFT JOIN pn USING (doc_id)
+        |ORDER BY deg.doc_id""".stripMargin,
+
     "q197_dup_triangles" ->
       s"""WITH $minhashCtesSql,
         |mp AS (

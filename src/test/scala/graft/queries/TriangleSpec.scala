@@ -25,5 +25,21 @@ class TriangleSpec extends SparkSpec {
       "q197 must enumerate exactly the textbook triangles")
     assert(rows.length == expected.size, "each triangle exactly once")
     assert(rows.nonEmpty, "witness: the dup graph must close a triangle")
+
+    // q200: degree + per-node support + milli coefficient by hand
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val support = expected.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expCc = deg.map { case (id, d) =>
+      val t = support.getOrElse(id, 0L)
+      id -> ((d, t, if (d >= 2) t * 2000 / (d * (d - 1)) else 0L))
+    }
+    val cc = DedupQueries.dupClusteringCoeff(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cc == expCc,
+      "q200 must equal the hand-computed clustering coefficients")
+    assert(cc.values.exists(_._3 > 0), "witness: a clique member exists")
   }
 }
