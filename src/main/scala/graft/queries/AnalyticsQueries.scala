@@ -298,7 +298,24 @@ object AnalyticsQueries {
     * q88→q98 is measure→repair for full-gram spans; q188→q191 is the
     * same pairing for the sampled index. */
   def winnowMatches(s: SparkSession, dir: String): DataFrame =
-    winnowMatchesOver(winnowSelH(s, dir))
+    winnowPairsArtifact(s, dir)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The winnow match REPORT as a persistent corpus artifact
+    * (`winnow_pairs_v1`, documents fingerprint — minhash_pairs_v1's
+    * discipline applied to the sampled index): the df-capped pairing
+    * join runs once per CORPUS and q191 (the report), q195 (the
+    * clusters), and q199 (the source matrix) read the tiny pair
+    * parquet instead of re-pairing per query. FULL REBUILD by design,
+    * like its audit siblings brute_pair_stats_v1/banded_cand_nmatch_v1:
+    * rows are PAIR-local, so an appended doc invalidates rows it never
+    * appears in — the delta carry's doc-local contract does not hold.
+    * In the takedown cascade; oracles recompute from the corpus in
+    * SQL, unchanged. */
+  private[graft] def winnowPairsArtifact(s: SparkSession,
+                                         dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "winnow_pairs_v1")(
+      winnowMatchesOver(winnowSelH(s, dir)))
 
   /** q191's pairing tail over ANY distinct (doc_id, h) fingerprint
     * feed — the batch artifact's projection or the live
@@ -337,8 +354,7 @@ object AnalyticsQueries {
     * members appear (absent docs are singletons), q73's convention. */
   def winnowClusters(s: SparkSession, dir: String): DataFrame =
     DedupQueries.clusterLabelsOver(
-      winnowMatchesOver(winnowSelH(s, dir))
-        .select(col("doc_a"), col("doc_b")))
+      winnowPairsArtifact(s, dir).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
 
@@ -356,7 +372,7 @@ object AnalyticsQueries {
     * (doc_id, source) projection and a sources²-bounded rollup —
     * nothing new touches text. */
   def winnowSrcMatrix(s: SparkSession, dir: String): DataFrame = {
-    val pairs = winnowMatchesOver(winnowSelH(s, dir))
+    val pairs = winnowPairsArtifact(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
     val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     pairs
