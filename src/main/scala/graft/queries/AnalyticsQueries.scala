@@ -339,8 +339,12 @@ object AnalyticsQueries {
         col("n_a"), col("n_b"),
         (col("n_shared").cast(DoubleType) /
           least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+  // NB: no presentation orderBy here — the winnow_pairs_v1 artifact
+  // build consumes this frame, and a global sort whose order parquet
+  // discards anyway would be dead build-time weight (the radiusExactArm
+  // lesson); the presentation consumers (q191's artifact read, the
+  // live matchesBoard) sort for themselves.
 
   /** q195 — dup clusters from the SAMPLED index: connected components
     * over q191's winnow match pairs, completing measure → pair →

@@ -1097,12 +1097,9 @@ object DedupQueries {
     * from [[dupTriangles]]'s degree-oriented plan; the per-node rollup
     * is one unpivot + count. */
   def dupClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = minhashPairsArtifact(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val deg = e.select(col("u").as("doc_id"))
-      .unionByName(e.select(col("v").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    val tri = dupTrianglesUnsorted(s, dir)
+    val (e, deg0) = dupGraph(s, dir)
+    val deg = deg0.select(col("id").as("doc_id"), col("d").as("degree"))
+    val tri = trianglesOver(e, deg0)
     val perNode = tri.select(col("doc_a").as("doc_id"))
       .unionByName(tri.select(col("doc_b").as("doc_id")))
       .unionByName(tri.select(col("doc_c").as("doc_id")))
@@ -1117,13 +1114,26 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** [[dupTriangles]] without the presentation sort — q200's feed. */
-  private def dupTrianglesUnsorted(s: SparkSession, dir: String): DataFrame = {
+  /** The dup graph's (edges, degrees) — computed once and shared by
+    * q197's enumeration and q200's rollup (one artifact scan, one
+    * degree aggregation per plan). */
+  private def dupGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = minhashPairsArtifact(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val deg = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    (e, deg)
+  }
+
+  /** [[dupTriangles]] without the presentation sort — q200's feed. */
+  private def dupTrianglesUnsorted(s: SparkSession, dir: String): DataFrame = {
+    val (e, deg) = dupGraph(s, dir)
+    trianglesOver(e, deg)
+  }
+
+  /** Degree-oriented wedge enumeration over explicit (edges, degrees). */
+  private def trianglesOver(e: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))

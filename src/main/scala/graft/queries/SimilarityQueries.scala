@@ -128,7 +128,7 @@ object SimilarityQueries {
   // not a fixed K. 0.3 sits in the populated regime of the synthetic
   // embeddings at every tested sf (measured: 184/202/790 rows at
   // sf0.001/0.01/0.1) while staying selective.
-  private val RadiusTau = 0.3
+  private[graft] val RadiusTau = 0.3
 
   /** q193 — RADIUS (range) similarity search, the ANN API's other
     * half: top-K (q31/q55) answers "the K nearest whatever their

@@ -169,19 +169,43 @@ private[graft] object MutationLease {
         var live = true
         while (live && !Thread.currentThread().isInterrupted) {
           Thread.sleep(period)
-          if (readLease(fs, p).contains(token))
-            // TOCTOU residue (documented, bounded): a breaker can
-            // rename+reclaim between the token read above and this
-            // touch, so one touch may land on the SUCCESSOR's lease,
-            // freshening its mtime by up to one period. The successor's
-            // own heartbeat takes over immediately, our next iteration
-            // sees the foreign token and stops, and our release still
-            // fails loudly — the residue extends a crashed successor's
-            // stale window by at most one period.
-            try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case scala.util.control.NonFatal(e) => degrade(e) }
-          // stolen: stop renewing, release will fail loudly
-          else live = false
+          // per-ITERATION NonFatal guard: a transient blip (a flaky
+          // readLease, a momentary store error) must degrade THIS
+          // renewal and retry next period — escaping the loop would
+          // silently end renewal for the rest of a long mutation,
+          // letting a contender legitimately break a live holder
+          // after staleMs (detected only at release, after the
+          // interleave the lease exists to prevent)
+          try {
+            readLease(fs, p) match {
+              case Some(t) if t == token =>
+                // TOCTOU residue (documented, bounded): a breaker can
+                // rename+reclaim between the token read above and this
+                // touch, so one touch may land on the SUCCESSOR's
+                // lease, freshening its mtime by up to one period. The
+                // successor's own heartbeat takes over immediately,
+                // our next iteration sees the foreign token and stops,
+                // and our release still fails loudly — the residue
+                // extends a crashed successor's stale window by at
+                // most one period.
+                try fs.setTimes(p, System.currentTimeMillis(), -1)
+                catch { case scala.util.control.NonFatal(e) => degrade(e) }
+              case Some(_) =>
+                // a FOREIGN token is positive evidence of theft: stop
+                // renewing, release will fail loudly
+                live = false
+              case None =>
+                // unreadable: either a transient store error or the
+                // sub-period window of a breaker's rename→claim — do
+                // NOT touch (we might freshen a thief's fresh claim),
+                // do NOT stop (a blip would end renewal); re-read next
+                // period resolves to one of the cases above
+                ()
+            }
+          } catch {
+            case e: InterruptedException => throw e
+            case scala.util.control.NonFatal(e) => degrade(e)
+          }
         }
       } catch {
         case _: InterruptedException => ()

@@ -97,7 +97,9 @@ object StreamAnnServe {
     * [[start]]'s deployment shape for range queries (same frozen book
     * + generation, same per-batch tombstone re-read). */
   def startRadius(queries: DataFrame, dir: String, out: String,
-                  checkpoint: String, tau: Double = 0.3): StreamingQuery = {
+                  checkpoint: String,
+                  tau: Double = graft.queries.SimilarityQueries.RadiusTau)
+      : StreamingQuery = {
     val s = queries.sparkSession
     val book = ServeBooks.coarse(s, dir)
     val dataPath = ServeBooks.annCellsPath(s, dir)

@@ -149,6 +149,7 @@ object StreamWinnow {
   def matchesBoard(s: SparkSession, target: String): DataFrame =
     AnalyticsQueries.winnowMatchesOver(
       AnalyticsQueries.winnowUnpackH(selection(s, target)))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Takedown leg: both stores hold content-derived rows of the
     * flagged docs; erasure partition-prunes to the flagged ids'
@@ -192,11 +193,19 @@ object StreamWinnow {
   def janitor(s: SparkSession, target: String, live: DataFrame,
               maxFilesPerBucket: Int = 4): Unit = {
     val fpsPath = new org.apache.hadoop.fs.Path(s"$target/fps")
+    val lensPath = new org.apache.hadoop.fs.Path(s"$target/lens")
     val fs = fpsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fpsPath)) return
+    if (!fs.exists(fpsPath) && !fs.exists(lensPath)) return
     import s.implicits._
-    val removed = s.read.parquet(s"$target/fps")
-      .select(col("doc_id")).distinct()
+    // eviction keys on the UNION of both stores' doc sets (and runs
+    // if EITHER exists): a doc shorter than k+w−1 tokens has a lens
+    // row but selects ZERO fingerprints, so an fps-only diff would
+    // never evict it and the live q188 board would keep serving the
+    // removed doc forever
+    val held = readOrEmpty(s, s"$target/fps", Seq("doc_id"))
+      .unionByName(readOrEmpty(s, s"$target/lens", Seq("doc_id")))
+      .distinct()
+    val removed = held
       .join(live.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .as[Long].collect().toSeq
     if (removed.nonEmpty) scrubImpl(s, target, removed, register = false)

@@ -121,5 +121,20 @@ class StreamWinnowSpec extends SparkSpec {
     StreamWinnow.janitor(spark, target, live)
     assert((selSet(target), storeBytes) == before2,
       "a second janitor pass must touch nothing")
+
+    // 6. a doc SHORTER than k+w−1 tokens has a lens row but zero
+    // fingerprints — eviction must key on the union of both stores,
+    // or the removed doc's lens row (and its q188 board row) would
+    // survive every janitor pass
+    val shortId = 999999L
+    StreamWinnow.compactBatch(target, 4)(
+      Seq((shortId, "a b c d e")).toDF("doc_id", "text"), 100L)
+    def lensHas(id: Long): Boolean = !StreamWinnow.grams(spark, target)
+      .where(org.apache.spark.sql.functions.col("doc_id") === id).isEmpty
+    assert(lensHas(shortId) && !selSet(target).exists(_._1 == shortId),
+      "witness: the short doc must be lens-only")
+    StreamWinnow.janitor(spark, target, live) // live excludes shortId
+    assert(!lensHas(shortId),
+      "janitor must evict a lens-only (fingerprint-less) doc")
   }
 }
