@@ -654,20 +654,43 @@ object SimilarityQueries {
     * on any corpus change, a retrained book digests differently). The
     * per-batch serving path deliberately does NOT ride this —
     * [[graft.streaming.StreamAnnServe.probedCells]] recomputes from
-    * each live batch's actual queries. */
-  private val probedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Seq[Int]]()
+    * each live batch's actual queries.
+    *
+    * Two r15-advice hardenings: (1) the set is derived from the
+    * UNFILTERED [[vecs]] — tombstones live outside the embeddings
+    * fingerprint, so a served-view derivation could go stale against
+    * the key; the unfiltered set is a superset by construction
+    * (tombstoned queries just probe cells nothing joins — the
+    * candidate join keys probe === cell, so the answer is unchanged)
+    * and is exactly a function of the key. (2) the memo is
+    * LATEST-ONLY: the old per-key map retained every generation a
+    * long-lived serving JVM ever crossed; one (key → set) slot serves
+    * the steady state (repeated queries over the current corpus) and
+    * a generation change simply recomputes one bounded job. */
+  private val probedMemo = new java.util.concurrent.atomic.AtomicReference[
+    Option[((Long, Long), Seq[Int])]](None)
 
-  private def probedCellsFor(s: SparkSession, dir: String,
-                             book: Array[Array[Double]]): Seq[Int] = {
+  /** The memo's current key — spec observability for the latest-only
+    * contract (a stale generation's entry must not be retained). */
+  private[graft] def probedMemoKeyForTest: Option[(Long, Long)] =
+    probedMemo.get().map(_._1)
+
+  private[graft] def probedCellsFor(s: SparkSession, dir: String,
+                                    book: Array[Array[Double]]): Seq[Int] = {
     import graft.llm.ServeBooks
     val key = (graft.ArtifactStore.embeddingsFp(s, dir),
       ServeBooks.bookDigest(book))
-    probedMemo.computeIfAbsent(key, _ =>
-      vecsServed(s, dir).where(col("vec_id") < QuerySetSize)
-        .select(explode(
-          ServeBooks.probeCells(book, IvfProbes, col("v"))).as("p"))
-        .distinct().collect().map(_.getLong(0).toInt).toSeq)
+    probedMemo.get() match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = vecs(s, dir).where(col("vec_id") < QuerySetSize)
+          .select(explode(
+            ServeBooks.probeCells(book, IvfProbes, col("v"))).as("p"))
+          .distinct().collect().map(_.getLong(0).toInt).toSeq
+        // racing generations both compute pure values; last write wins
+        probedMemo.set(Some((key, v)))
+        v
+    }
   }
 
   /** q164's serve tail over ANY codes frame (vec_id, cell, codes) —

@@ -83,6 +83,11 @@ private[graft] object MutationLease {
   }
   private val holds = new ConcurrentHashMap[String, Hold]()
 
+  /** Targets whose heartbeat reported degraded renewal (→ exception
+    * class name) — spec observability for the degradation-is-visible
+    * contract; ops can alert on it. */
+  private[graft] val degradedTargets = new ConcurrentHashMap[String, String]()
+
   private def leasePath(target: String) =
     new org.apache.hadoop.fs.Path(target, "_mutate.lease")
 
@@ -158,11 +163,21 @@ private[graft] object MutationLease {
       var warned = false
       def degrade(e: Throwable): Unit = if (!warned) {
         warned = true
+        degradedTargets.put(target, e.getClass.getName)
         System.err.println(s"graft: lease heartbeat for $target degraded " +
           s"(${e.getClass.getName}: ${e.getMessage}) — mtime renewal " +
           "unavailable; a mutation outliving staleMs will fail loudly " +
           "at release")
       }
+      // r15 ADVICE: the None branch used to retry silently forever — a
+      // lease file persistently unreadable/deleted by an external actor
+      // meant renewal was effectively OFF for the rest of the mutation
+      // with degrade() never called, contradicting the
+      // degradation-is-visible contract (the NonFatal paths warn).
+      // A streak of Nones longer than the stale window is no longer a
+      // transient blip: warn once, keep retrying (a late recovery still
+      // resumes renewal; release arbitrates loudly either way).
+      var noneStreak = 0L
       try {
         val p = leasePath(target)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -179,6 +194,7 @@ private[graft] object MutationLease {
           try {
             readLease(fs, p) match {
               case Some(t) if t == token =>
+                noneStreak = 0
                 // TOCTOU residue (documented, bounded): a breaker can
                 // rename+reclaim between the token read above and this
                 // touch, so one touch may land on the SUCCESSOR's
@@ -199,8 +215,15 @@ private[graft] object MutationLease {
                 // sub-period window of a breaker's rename→claim — do
                 // NOT touch (we might freshen a thief's fresh claim),
                 // do NOT stop (a blip would end renewal); re-read next
-                // period resolves to one of the cases above
-                ()
+                // period resolves to one of the cases above. A streak
+                // outliving the stale window is persistent, not
+                // transient — surface it (degrade warns once).
+                noneStreak += 1
+                if (noneStreak * period > staleMs)
+                  degrade(new IllegalStateException(
+                    s"lease unreadable for $noneStreak consecutive " +
+                      "renewal periods (> staleMs) — renewal is " +
+                      "effectively off"))
             }
           } catch {
             case e: InterruptedException => throw e

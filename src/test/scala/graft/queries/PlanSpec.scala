@@ -189,7 +189,12 @@ class PlanSpec extends SparkSpec {
       "the probed-cells predicate must reach the codes scan as a " +
         "partition filter")
     // expected probe set, re-derived with the query's dials (50
-    // queries, 8 probes — the q164 constants)
+    // queries, 8 probes — the q164 constants) from the RAW corpus
+    // parquet — which since r16 is also the implementation's
+    // definition (probedCellsFor derives from the unfiltered vecs so
+    // the memoized set is a pure function of its (embeddingsFp,
+    // bookDigest) key; tombstones can only make it a superset of the
+    // served queries' probes, never change the q164 answer)
     val book = graft.llm.ServeBooks.coarse(spark, sfDir)
     val expected = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .where(col("vec_id") < 50)
@@ -199,6 +204,41 @@ class PlanSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount == expected,
       s"expected exactly the $expected probed cell directories, got " +
         s"${scans.head.selectedPartitions.partitionCount}")
+  }
+
+  test("q164's probe-set memo is latest-only across corpus generations") {
+    // r15 verdict item 3: the old per-key ConcurrentHashMap retained an
+    // entry for every (corpus fp, book digest) a long-lived serving JVM
+    // ever crossed — unbounded across generations. The memo is now a
+    // single latest-only slot: a new generation's key evicts the stale
+    // one. The probe set itself derives from the UNFILTERED corpus
+    // (pure function of the key — see probedCellsFor's scaladoc).
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries
+    val book = graft.llm.ServeBooks.coarse(spark, sfDir)
+    val keyA = (graft.ArtifactStore.embeddingsFp(spark, sfDir),
+      graft.llm.ServeBooks.bookDigest(book))
+    val p1 = SimilarityQueries.probedCellsFor(spark, sfDir, book)
+    assert(p1.nonEmpty, "witness: the query set must probe something")
+    assert(SimilarityQueries.probedMemoKeyForTest.contains(keyA))
+
+    // generation B: the same vectors under one changed label — a
+    // different embeddings fingerprint, same book
+    val tmp = java.nio.file.Files.createTempDirectory("probe_memo").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("label",
+        when(col("vec_id") === 0, col("label") + 1).otherwise(col("label")))
+      .coalesce(1).write.parquet(s"$tmp/embeddings.parquet")
+    val keyB = (graft.ArtifactStore.embeddingsFp(spark, tmp),
+      graft.llm.ServeBooks.bookDigest(book))
+    assert(keyB != keyA, "witness: the copy must fingerprint differently")
+    val p2 = SimilarityQueries.probedCellsFor(spark, tmp, book)
+    assert(p2.toSet == p1.toSet,
+      "same vectors, same book → same probe set (label is not geometry)")
+    assert(SimilarityQueries.probedMemoKeyForTest.contains(keyB),
+      "the new generation must own the slot")
+    assert(!SimilarityQueries.probedMemoKeyForTest.contains(keyA),
+      "the stale generation's entry must not be retained")
   }
 
   test("audit truth arms ride graft_topk: no WindowExec outside the serve arm") {

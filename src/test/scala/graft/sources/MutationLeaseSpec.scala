@@ -118,6 +118,29 @@ class MutationLeaseSpec extends SparkSpec {
     assert(holder.contains("thief"))
   }
 
+  test("a persistently unreadable lease degrades VISIBLY, not silently") {
+    // r15 ADVICE: the heartbeat's None branch retried silently every
+    // period — a lease file deleted/unreadable by an external actor for
+    // the REST of a mutation meant renewal was effectively off with no
+    // warning, contradicting the degradation-is-visible contract. A
+    // None streak outliving the stale window must now degrade() (warn
+    // once, recorded observably); release still arbitrates loudly.
+    val target = Files.createTempDirectory("lease_none_streak").toString
+    val fs = fsOf(target)
+    MutationLease.degradedTargets.remove(target)
+    val staleMs = 400L // heartbeat period ~133 ms
+    intercept[IllegalStateException] {
+      MutationLease.withLease(spark, target, staleMs = staleMs) {
+        // an external actor deletes the lease mid-mutation and nothing
+        // replaces it: every renewal reads None from here on
+        fs.delete(leaseOf(target), false)
+        Thread.sleep(staleMs * 3) // streak × period crosses staleMs
+      }
+    } // release reads <gone> → loud, as before
+    assert(MutationLease.degradedTargets.containsKey(target),
+      "a None streak longer than staleMs must surface via degrade()")
+  }
+
   test("release on success, on failure, and across re-entry") {
     val target = Files.createTempDirectory("lease_release").toString
     val fs = fsOf(target)
