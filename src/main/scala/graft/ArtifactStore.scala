@@ -477,10 +477,10 @@ object ArtifactStore {
     * off the certificate, carrying unchanged files' recorded sums; the
     * entries must re-sum to `fp` (a mismatch means the corpus mutated
     * mid-build — fail loud, never publish a mislabeled generation). */
-  private def writeGenManifest(s: SparkSession, tmp: Path, fp: Long, nb: Int,
-                               listing: Seq[(String, Long, Long)],
-                               carriedSums: Map[String, Long],
-                               freshCert: DataFrame): Unit = {
+  private def writeFilesManifest(s: SparkSession, tmp: Path, fp: Long,
+                                 listing: Seq[(String, Long, Long)],
+                                 carriedSums: Map[String, Long],
+                                 freshCert: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tmp.toString)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val freshSums = freshCert.groupBy(col("src"))
@@ -498,6 +498,15 @@ object ArtifactStore {
         "mid-build; refusing to publish a mislabeled generation")
     graft.sources.CorpusFiles.writeManifest(fs,
       new org.apache.hadoop.fs.Path(tmp.resolve("files").toString), entries)
+  }
+
+  /** [[writeFilesManifest]] plus the bucket-layout note the
+    * doc-local delta families' dispatch consults. */
+  private def writeGenManifest(s: SparkSession, tmp: Path, fp: Long, nb: Int,
+                               listing: Seq[(String, Long, Long)],
+                               carriedSums: Map[String, Long],
+                               freshCert: DataFrame): Unit = {
+    writeFilesManifest(s, tmp, fp, listing, carriedSums, freshCert)
     // record the generation's bucket LAYOUT alongside (r13 self-review
     // finding 1): the bucket-carry path mixes the prior sidecar's bck
     // values with freshly computed ones, which is only sound when both
@@ -1116,6 +1125,131 @@ object ArtifactStore {
       bytesLinked = linkedBytes,
       bytesWritten = dirBytes(tmp.resolve("data")) - linkedBytes,
       scannedFiles = deltaPaths))
+  }
+
+  // ------------------------------------------------------ pair generations
+
+  /** Observability for the last pair-store build per key: the build
+    * mode ("full" | "delta"), how many NEW docs the delta arm paired,
+    * and which corpus files the build scanned — the rows/bytes-
+    * processed pin for "an append pairs only the delta"
+    * (PairDeltaSpec). */
+  case class PairBuildStat(mode: String, newDocs: Long,
+                           scannedFiles: Seq[String])
+  private[graft] val pairStats = new ConcurrentHashMap[String, PairBuildStat]()
+
+  /** The current corpus certificate over exactly `paths`, flat
+    * (no bucket column — pair generations are not partition-carried). */
+  private def docCertFlat(s: SparkSession, paths: Seq[String]): DataFrame =
+    s.read.parquet(paths: _*).select(col("doc_id"),
+      documentsRowDigest.as("digest"),
+      graft.sources.CorpusFiles.srcCol.as("src"))
+
+  /** [[documentsArtifact]] for PAIR-LOCAL families (near-dup pair
+    * lists, winnow match reports, sim-join results): rows name TWO
+    * documents, so the doc-local delta carry's contract does not hold —
+    * an appended doc changes rows it never appears in only through
+    * global side state (a df cap), and a REMOVED or CHANGED doc
+    * invalidates every pair it sat in. The scale observation (r15
+    * verdict item 1): under a PURE APPEND the old-old pairs are
+    * derivable from the prior generation (most carry verbatim; a
+    * family with a df cap evicts/decrements the pairs whose support
+    * crossed it), and the only new pairs involve a delta doc — so the
+    * pairing join, the build's quadratic-shaped stage, runs at
+    * O(delta × df-capped postings), never O(corpus²-collisions).
+    *
+    * Mechanics: the generation carries a flat (doc_id, digest, src)
+    * certificate and a corpus-file manifest (the doc-local families'
+    * discipline, minus bucketing). A build with a prior generation
+    * scans ONLY the new/changed corpus files, splits the scanned rows
+    * against the prior certificate, and classifies:
+    *
+    *  - pure append (no changed ids, no removals): `deltaFor(priorPairs,
+    *    newIds)` produces the new pair set — the family's incremental
+    *    algebra; the from-scratch `full` thunk never runs;
+    *  - anything else (removal, in-place change): pair-local rows
+    *    cannot be selectively repaired without per-pair provenance —
+    *    demote to `full`, once, like the pre-delta posture.
+    *
+    * Exact-duplicate re-files (same doc_id+digest appearing in a new
+    * file while the original row remains) carry as matched rows — row
+    * MULTIPLICITY is invisible to every pair family (their feeds are
+    * per-doc distinct), the documented residual shared with the
+    * bucket carry. Certificate, manifest, and data publish in ONE
+    * staging dir → one atomic rename. */
+  def documentsPairArtifact(s: SparkSession, dir: String, key: String)
+                           (full: => DataFrame)
+                           (deltaFor: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    val fp = documentsFp(s, dir)
+    val dataDir = publishOnce(s, key, fp) { tmp =>
+      val listing = graft.sources.CorpusFiles.list(s, dir, "documents")
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val prior = priorGeneration(key, fp)
+      val priorManifest = prior.flatMap { pfp =>
+        graft.sources.CorpusFiles.readManifest(hfs,
+          new org.apache.hadoop.fs.Path(filesManifestPath(key, pfp).toString))
+      }
+      def fullBuild(): Unit = {
+        val cert = docCertFlat(s, listing.map(_._1)).localCheckpoint()
+        full.withColumn("fp", lit(fp)).write.mode("overwrite")
+          .parquet(tmp.resolve("data").toString)
+        cert.write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+        writeFilesManifest(s, tmp, fp, listing, Map.empty, cert)
+        pairStats.put(key, PairBuildStat("full", -1L, listing.map(_._1)))
+      }
+      (prior, priorManifest) match {
+        case (Some(pfp), Some(pm)) =>
+          val (unchanged, delta) = listing.partition { case (p, sz, mt) =>
+            pm.get(p).exists { case (s0, m0, _) => s0 == sz && m0 == mt }
+          }
+          val removedOrChanged =
+            (pm.keySet -- unchanged.map(_._1)).toSeq.sorted
+          val deltaPaths = delta.map(_._1)
+          val priorCert = s.read.parquet(docsSidecarPath(key, pfp).toString)
+            .select(col("doc_id"), col("digest"), col("src"))
+          val carriedCert = priorCert
+            .where(!col("src").isin(removedOrChanged: _*))
+          val deltaCert =
+            (if (deltaPaths.isEmpty) priorCert.limit(0)
+             else docCertFlat(s, deltaPaths)).localCheckpoint()
+          // rows the prior certificate cannot vouch for
+          val unvouched = deltaCert
+            .join(priorCert.select(col("doc_id"), col("digest")),
+              Seq("doc_id", "digest"), "left_anti").localCheckpoint()
+          // changed = unvouched rows whose id the prior corpus knew
+          val nChanged = unvouched
+            .join(priorCert.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .count()
+          // removed = prior rows of vanished/changed files that neither
+          // resurfaced in the scan nor survive in an unchanged file
+          val nRemoved = priorCert
+            .where(col("src").isin(removedOrChanged: _*))
+            .join(deltaCert.select(col("doc_id"), col("digest")),
+              Seq("doc_id", "digest"), "left_anti")
+            .join(carriedCert.select(col("doc_id"), col("digest")),
+              Seq("doc_id", "digest"), "left_anti")
+            .count()
+          if (nChanged == 0L && nRemoved == 0L) {
+            val newIds = unvouched.select(col("doc_id")).distinct()
+            val priorPairs = s.read.parquet(dataPath(key, pfp)).drop("fp")
+            deltaFor(priorPairs, newIds).withColumn("fp", lit(fp))
+              .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+            carriedCert.unionByName(deltaCert)
+              .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+            val unchangedSet = unchanged.map(_._1).toSet
+            writeFilesManifest(s, tmp, fp, listing,
+              pm.collect { case (p, (_, _, sum)) if unchangedSet(p) =>
+                p -> sum },
+              deltaCert.select(col("src"), col("digest")))
+            pairStats.put(key,
+              PairBuildStat("delta", newIds.count(), deltaPaths))
+          } else fullBuild()
+        case _ => fullBuild()
+      }
+    }
+    s.read.parquet(dataDir).drop("fp")
   }
 
   /** Janitor: keep the `keep` most recently PUBLISHED fingerprints of

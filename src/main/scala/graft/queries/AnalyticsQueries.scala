@@ -155,7 +155,7 @@ object AnalyticsQueries {
     winnowFpArtifact(s, dir)
 
   /** Distinct (doc_id, fingerprint-hash) — [[winnowSel]] unpacked. */
-  private def winnowSelH(s: SparkSession, dir: String): DataFrame =
+  private[graft] def winnowSelH(s: SparkSession, dir: String): DataFrame =
     winnowSel(s, dir).select(col("doc_id"),
       expr(s"wmin DIV $PosPack").as("h")).distinct()
 
@@ -306,16 +306,108 @@ object AnalyticsQueries {
     * discipline applied to the sampled index): the df-capped pairing
     * join runs once per CORPUS and q191 (the report), q195 (the
     * clusters), and q199 (the source matrix) read the tiny pair
-    * parquet instead of re-pairing per query. FULL REBUILD by design,
-    * like its audit siblings brute_pair_stats_v1/banded_cand_nmatch_v1:
-    * rows are PAIR-local, so an appended doc invalidates rows it never
-    * appears in — the delta carry's doc-local contract does not hold.
-    * In the takedown cascade; oracles recompute from the corpus in
-    * SQL, unchanged. */
+    * parquet instead of re-pairing per query. DELTA ON PURE APPEND
+    * (r15 verdict item 1 — the store used to rebuild the full pairing
+    * per generation because rows are PAIR-local): under an append the
+    * old-old pairs are derivable from the prior generation, so the
+    * build pairs only the delta ([[winnowPairsDelta]] — O(delta ×
+    * df-capped postings), never O(corpus²-collisions)); removals and
+    * in-place changes demote to one full rebuild
+    * ([[graft.ArtifactStore.documentsPairArtifact]]'s dispatch). In
+    * the takedown cascade; oracles recompute from the corpus in SQL,
+    * unchanged. */
   private[graft] def winnowPairsArtifact(s: SparkSession,
                                          dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "winnow_pairs_v1")(
-      winnowMatchesOver(winnowSelH(s, dir)))
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "winnow_pairs_v1")(
+      winnowMatchesOver(winnowSelH(s, dir)))(
+      winnowPairsDelta(s, dir))
+
+  /** The append-incremental pairing algebra (r15 verdict item 1): a
+    * pure append can change the stored pairs in exactly three ways,
+    * each computable without re-pairing old-old —
+    *
+    *  1. fingerprints whose doc frequency CROSSED the [[MaxFpDf]] cap
+    *     (df_old ≤ cap < df_new; df never decreases under append)
+    *     leave the index — every old-old pair loses their shared
+    *     counts (a bounded decrement join: ≤ cap old docs per crossed
+    *     hash), and a pair falling under [[MinSharedFp]] is evicted;
+    *  2. pairs involving a DELTA doc form by (delta fingerprints ⋈
+    *     old postings on touched, still-kept hashes) ∪ (delta ⋈
+    *     delta) — the only place new pairs can appear (old docs'
+    *     selections are untouched, and pruning only shrinks);
+    *  3. everything else carries verbatim (n_a/n_b are per-doc
+    *     selection counts — unchanged for old docs; the overlap
+    *     recompute is the identical expression over identical longs,
+    *     so carried values stay bit-equal).
+    *
+    * Touched hashes (those a delta doc holds) bound every frame here:
+    * df is recomputed ONLY for them (df_new = df_old + df_delta), and
+    * the pairing join's delta side is the appended docs' fingerprints.
+    * The selection itself comes from the delta-carried `winnow_fp_v1`
+    * store — no corpus text is read. */
+  private def winnowPairsDelta(s: SparkSession, dir: String)
+                              (prior: DataFrame,
+                               newIds: DataFrame): DataFrame = {
+    val selH = winnowSelH(s, dir)
+    val selNew = selH.join(newIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val touched = selNew.select(col("h")).distinct()
+    val selOldT = selH.join(newIds, Seq("doc_id"), "left_anti")
+      .join(touched, Seq("h"), "left_semi").localCheckpoint()
+    val dfOld = selOldT.groupBy(col("h")).agg(count(lit(1)).as("df_old"))
+    val dfT = selNew.groupBy(col("h")).agg(count(lit(1)).as("df_delta"))
+      .join(dfOld, Seq("h"), "left")
+      .select(col("h"), coalesce(col("df_old"), lit(0L)).as("df_old"),
+        (coalesce(col("df_old"), lit(0L)) + col("df_delta")).as("df_tot"))
+    // 1. crossed hashes: decrement the prior pairs that counted them
+    val crossed = dfT
+      .where(col("df_old") <= MaxFpDf && col("df_tot") > MaxFpDf)
+      .select(col("h"))
+    val crossPost = selOldT.join(crossed, Seq("h"), "left_semi")
+    val dec = crossPost.as("a").join(crossPost.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_drop"))
+    val oldKept = prior
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+      .join(dec, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_shared") - coalesce(col("n_drop"), lit(0L))).as("n_shared"),
+        col("n_a"), col("n_b"))
+      .where(col("n_shared") >= MinSharedFp)
+    // 2. pairs involving a delta doc, over still-kept touched hashes
+    val kept = dfT.where(col("df_tot") <= MaxFpDf).select(col("h"))
+    val pn = selNew.join(kept, Seq("h"), "left_semi")
+    val po = selOldT.join(kept, Seq("h"), "left_semi")
+    val fresh = pn.as("a").join(po.as("b"), col("a.h") === col("b.h"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .unionByName(pn.as("a").join(pn.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinSharedFp)
+    val ids = fresh.select(col("doc_a").as("doc_id"))
+      .unionByName(fresh.select(col("doc_b").as("doc_id"))).distinct()
+    val perDoc = selH.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val freshFull = fresh
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")),
+        Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"))
+    // 3. carried ∪ fresh, with the overlap recomputed uniformly (the
+    // identical expression over identical longs — bit-equal carry)
+    oldKept.unionByName(freshFull)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap"))
+  }
 
   /** q191's pairing tail over ANY distinct (doc_id, h) fingerprint
     * feed — the batch artifact's projection or the live

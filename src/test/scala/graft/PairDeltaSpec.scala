@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQueries, DedupQueries}
+
+/** Incremental PAIR-store generations on corpus append (r15 verdict
+  * item 1): the pair families (`winnow_pairs_v1`, `minhash_pairs_v1`)
+  * used to rebuild the full pairing per corpus generation because
+  * their rows are pair-local. Under a PURE APPEND the delta algebra
+  * holds — old-old pairs derive from the prior generation (winnow:
+  * minus the df-cap-crossed support; minhash: verbatim) and new pairs
+  * all involve a delta doc — so the pairing join runs at
+  * O(delta × df-capped postings). The delta-built store must equal a
+  * from-scratch derivation ROW FOR ROW, the build must touch only the
+  * appended corpus file (the rows/bytes-processed pin), and any
+  * non-append change must demote to a full rebuild.
+  */
+class PairDeltaSpec extends SparkSpec {
+
+  private val WKey = "winnow_pairs_v1"
+  private val MKey = "minhash_pairs_v1"
+
+  private def wRows(df: DataFrame) = df.collect().map { r =>
+    (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      java.lang.Double.doubleToLongBits(r.getAs[Double]("overlap")))
+  }.toSet
+
+  private def pairRows(df: DataFrame) = df
+    .select(col("doc_a"), col("doc_b")).collect()
+    .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  /** From-scratch winnow pairing over the CURRENT corpus selection —
+    * exactly the full-build thunk's frame. */
+  private def wExpected(dir: String) = wRows(
+    AnalyticsQueries.winnowMatchesOver(
+      AnalyticsQueries.winnowSelH(spark, dir)))
+
+  test("winnow_pairs_v1: a pure append pairs only the delta, evicts " +
+    "df-cap-crossed support, and equals from-scratch row-for-row") {
+    val tmp = Files.createTempDirectory("pair_delta_w").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"wsalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    // the template text: the longest doc under id 200 — long enough
+    // that identical twins share well over MinSharedFp fingerprints
+    val t0 = base.where(col("doc_id") < 200)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .select(col("text"), col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint()
+    def copyAt(id: Long, src: DataFrame = t0): DataFrame =
+      src.select(lit(id).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+
+    // corpus A: docs 0..199 plus twin template copies at 900/901 —
+    // their fingerprints sit at df ≈ 3 (template doc + 2 twins), well
+    // under the MaxFpDf = 10 cap, so generation A reports their pairs
+    val docsA = base.where(col("doc_id") < 200)
+      .unionByName(copyAt(900L)).unionByName(copyAt(901L))
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    assert(wRows(graft.SparkEntry.queries("q191_winnow_matches")(spark, dir))
+      == wExpected(dir), "generation A must match a from-scratch build")
+    assert(ArtifactStore.pairStats.get(WKey).mode == "full",
+      "the first generation has no prior — full build")
+    assert(pairRows(AnalyticsQueries.winnowMatches(spark, dir))
+      .contains((900L, 901L)),
+      "witness: the twin pair must exist in generation A")
+
+    // corpus B: APPEND IN PLACE — 9 more template copies (902..910)
+    // push every template fingerprint's df to 12 > 10: the whole
+    // template support crosses the cap and the twin pairs must be
+    // EVICTED — plus a near-copy of a different long doc (920), the
+    // legitimate new-old pair the delta must surface
+    val y = base.where(col("doc_id") < 200)
+      .join(t0.select(col("text")), Seq("text"), "left_anti")
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    val yId = y.select(col("doc_id")).collect().head.getLong(0)
+    val nearY = y.select(lit(920L).as("doc_id"),
+      concat(col("text"), lit(" zz qq ww rr")).as("text"),
+      col("lang"), col("source"),
+      (length(col("text")) + 12L).as("n_chars"))
+    val appended = (902L to 910L).map(copyAt(_))
+      .reduce(_ unionByName _).unionByName(nearY)
+    appended.coalesce(1).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+
+    val servedB = wRows(
+      graft.SparkEntry.queries("q191_winnow_matches")(spark, dir))
+    assert(servedB == wExpected(dir),
+      "the delta-built pair store must equal from-scratch row-for-row")
+    val stat = ArtifactStore.pairStats.get(WKey)
+    assert(stat.mode == "delta" && stat.newDocs == 10L,
+      s"append must take the delta path over the 10 new docs: $stat")
+    assert(stat.scannedFiles.size == 1,
+      s"the build must scan ONLY the appended corpus file: " +
+        s"${stat.scannedFiles}")
+    val pairsB = pairRows(AnalyticsQueries.winnowMatches(spark, dir))
+    assert(!pairsB.contains((900L, 901L)),
+      "the template pair must be evicted once its support crossed the cap")
+    assert(pairsB.contains((math.min(yId, 920L), math.max(yId, 920L))),
+      s"the near-copy pair ($yId, 920) must surface through the delta arm")
+
+    // corpus C: REMOVE a doc (rewrite in place) — pair-local rows
+    // cannot be selectively repaired, so the build must demote to full
+    val docsC = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") =!= 920L).localCheckpoint()
+    docsC.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    assert(wRows(graft.SparkEntry.queries("q191_winnow_matches")(spark, dir))
+      == wExpected(dir), "the post-removal store must still be correct")
+    assert(ArtifactStore.pairStats.get(WKey).mode == "full",
+      "a removal must demote the pair store to a full rebuild")
+  }
+
+  test("simjoin_pairs_v1: a pure append pairs only the delta and " +
+    "equals the from-scratch prefix-join row-for-row") {
+    val tmp = Files.createTempDirectory("pair_delta_s").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"ssalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val docsA = base.where(col("doc_id") < 200)
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    def sRows(d: String, df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("c"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard")))
+    }.toSet
+    def direct(d: String) = sRows(d, DedupQueries.simJoinPrefixDirect(spark, d))
+    def served(d: String) =
+      sRows(d, graft.SparkEntry.queries("q192_sim_join_prefix")(spark, d))
+
+    assert(served(dir) == direct(dir),
+      "generation A must match the from-scratch prefix join")
+    assert(ArtifactStore.pairStats.get("simjoin_pairs_v1").mode == "full")
+
+    // append an exact copy of the longest doc (J = 1.0) at 940 — the
+    // guaranteed new pair the delta arm must find and verify
+    val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    val xId = x.select(col("doc_id")).collect().head.getLong(0)
+    x.select(lit(940L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+
+    val b = served(dir)
+    assert(b == direct(dir),
+      "the delta-built q192 store must equal from-scratch row-for-row")
+    val stat = ArtifactStore.pairStats.get("simjoin_pairs_v1")
+    assert(stat.mode == "delta" && stat.newDocs == 1L,
+      s"append must take the delta path over the 1 new doc: $stat")
+    assert(b.exists(r => r._1 == math.min(xId, 940L) &&
+      r._2 == math.max(xId, 940L) && r._6 ==
+      java.lang.Double.doubleToLongBits(1.0)),
+      s"the appended exact duplicate's J=1.0 pair ($xId, 940) must surface")
+  }
+
+  test("minhash_pairs_v1: a pure append verifies only delta-touching " +
+    "candidates and equals the q27 pipeline row-for-row") {
+    val tmp = Files.createTempDirectory("pair_delta_m").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"msalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val docsA = base.where(col("doc_id") < 200)
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    // q27 (the from-scratch pipeline over the delta-carried hash
+    // stores) is the reference; the artifact serves q73/q139/q142 etc.
+    def direct(d: String) =
+      pairRows(DedupQueries.minhashNearDup(spark, d))
+    assert(pairRows(DedupQueries.minhashPairsArtifact(spark, dir))
+      == direct(dir), "generation A must match the q27 pipeline")
+    assert(ArtifactStore.pairStats.get(MKey).mode == "full")
+
+    // append an exact copy of the longest doc (Jaccard 1.0 — a
+    // guaranteed near-dup pair) at id 930
+    val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    val xId = x.select(col("doc_id")).collect().head.getLong(0)
+    x.select(lit(930L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+
+    val served = pairRows(DedupQueries.minhashPairsArtifact(spark, dir))
+    assert(served == direct(dir),
+      "the delta-built pair store must equal the q27 pipeline " +
+        "row-for-row after the append")
+    val stat = ArtifactStore.pairStats.get(MKey)
+    assert(stat.mode == "delta" && stat.newDocs == 1L,
+      s"append must take the delta path over the 1 new doc: $stat")
+    assert(served.contains((math.min(xId, 930L), math.max(xId, 930L))),
+      s"the appended duplicate's pair ($xId, 930) must surface")
+    // and the clusters that ride the store see the new member
+    val comps = graft.SparkEntry.queries("q73_dedup_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("comp"))
+      .toMap
+    assert(comps.get(930L) == comps.get(xId) && comps.contains(930L),
+      "the appended duplicate must join its twin's cluster")
+  }
+}
