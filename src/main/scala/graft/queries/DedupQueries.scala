@@ -491,10 +491,55 @@ object DedupQueries {
   /** q27's near-dup pair list as a persistent corpus artifact
     * (ArtifactStore, documents fingerprint): built once per corpus,
     * shared by q73's clustering, q139's leakage audit, q142's LSH
-    * audit, q144's cascade, and q156's source matrix. */
+    * audit, q144's cascade, and q156's source matrix. DELTA ON PURE
+    * APPEND (r15 verdict item 1): an append leaves old docs'
+    * signatures, band buckets, and shingle sets untouched, so the
+    * old-old verified pairs ARE the prior generation verbatim and the
+    * only new pairs collide with a delta doc — [[minhashPairsDelta]]
+    * bands and verifies just those; removals/changes demote to one
+    * full rebuild. In the takedown cascade. */
   private[graft] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "minhash_pairs_v1")(
-      minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "minhash_pairs_v1")(
+      minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))(
+      minhashPairsDelta(s, dir))
+
+  /** The append-incremental q27 algebra: candidates = the banded
+    * self-join RESTRICTED to collisions touching a delta doc (the
+    * delta docs' band rows against the full band table — no old-old
+    * fan-out anywhere), verification = q27's exact shingle-overlap
+    * join over those candidates only, sizes bounded to candidate
+    * docs. Bands, signatures, and shingle hashes all come off their
+    * delta-carried stores, so the build re-hashes only the appended
+    * docs and reads no corpus text. */
+  private def minhashPairsDelta(s: SparkSession, dir: String)
+                               (prior: DataFrame,
+                                newIds: DataFrame): DataFrame = {
+    val bands = Dedup.minhashBands(minhashSig3(s, dir))
+    val bandsNew = bands.join(newIds, Seq("doc_id"), "left_semi")
+    val cand = bandsNew.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    val dt = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
+    val ids = cand.select(col("da").as("doc_id"))
+      .unionByName(cand.select(col("db").as("doc_id"))).distinct()
+    val sz = dt.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(dt.as("x"), col("x.doc_id") === col("da"))
+      .join(dt.as("y"),
+        col("y.doc_id") === col("db") && col("y.h") === col("x.h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val j = col("c").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("c"))
+    val fresh = common
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .where(j >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+    prior.unionByName(fresh)
+  }
 
   /** The component labels as a persistent corpus artifact (r8 verdict
     * item: q145/q129/q141/q156 re-ran Gate + union-find per query).
@@ -1013,8 +1058,32 @@ object DedupQueries {
     * vocabulary-keyed aggregation off the hash-once shingle artifact;
     * the prefix rank is a doc-partitioned window; candidate and
     * verification joins key 8-byte hashes. Nothing all-pairs
-    * anywhere. */
-  def simJoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    * anywhere. SERVED (r16 — r15 verdict item 2): the pairing runs
+    * once per corpus into the [[simJoinPairsArtifact]] store (delta on
+    * pure append) and the query reads the pair parquet. */
+  def simJoinPrefix(s: SparkSession, dir: String): DataFrame =
+    simJoinPairsArtifact(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** q192's qualifying pairs as a persistent corpus artifact
+    * (`simjoin_pairs_v1` — r15 verdict item 2: the exact sim-join was
+    * the suite's most expensive query because it re-ranked df,
+    * re-built prefixes, and re-verified from the shingle store PER
+    * QUERY; its pairs are corpus-keyed exactly like
+    * `winnow_pairs_v1`'s, so the pairing runs once per corpus and the
+    * query reads a tiny parquet). Same pair-store discipline: delta on
+    * pure append ([[simJoinPairsDelta]]), demote-to-full on
+    * removal/change, takedown-cascade invalidated; the oracle
+    * recomputes from the corpus in SQL, unchanged. */
+  private[graft] def simJoinPairsArtifact(s: SparkSession,
+                                          dir: String): DataFrame =
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "simjoin_pairs_v1")(
+      simJoinPrefixDirect(s, dir))(
+      simJoinPairsDelta(s, dir))
+
+  /** The from-scratch q192 pipeline (the artifact's full-build thunk
+    * and the delta spec's reference arm). */
+  private[graft] def simJoinPrefixDirect(s: SparkSession,
+                                         dir: String): DataFrame = {
     // dt/pref are deliberately NOT materialized (measured at sf0.1:
     // localCheckpointing both read 3.85 s min vs 3.10 s recomputed —
     // at ~260k/134k rows the re-derivations off the page-cached
@@ -1022,15 +1091,7 @@ object DedupQueries {
     // q182 persist lesson applies to RE-SCANNED store reads, not to
     // small derived frames)
     val dt = shingleHashes3(s, dir).select(col("doc_id"), col("x")).distinct()
-    val dfT = dt.groupBy(col("x")).agg(count(lit(1)).as("df"))
-    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("x"))
-    val pref = dt.join(dfT, Seq("x"))
-      .join(sz, Seq("doc_id"))
-      .withColumn("r", row_number().over(wOrd))
-      .where(col("r") <= expr("(n div 2) + 1"))
-      .select(col("doc_id"), col("x"), col("r"), col("n"))
+    val pref = simJoinPrefixes(dt)
     // candidates with PPJoin's POSITIONAL upper bound (Xiao et al.
     // 2008): in the shared global order every shared element of a
     // qualifying pair sits at-or-after the EARLIEST shared one, so
@@ -1048,6 +1109,29 @@ object DedupQueries {
         max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .where(col("ub") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    simJoinVerify(dt, cand)
+  }
+
+  /** The rare-first prefix rows (doc_id, x, r, n) over a distinct
+    * (doc_id, x) shingle frame — shared by the full build and the
+    * delta arm (which re-ranks under the CURRENT df so both join
+    * sides share one global order, the prefix theorem's premise). */
+  private def simJoinPrefixes(dt: DataFrame): DataFrame = {
+    val dfT = dt.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    val sz = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("x"))
+    dt.join(dfT, Seq("x"))
+      .join(sz, Seq("doc_id"))
+      .withColumn("r", row_number().over(wOrd))
+      .where(col("r") <= expr("(n div 2) + 1"))
+      .select(col("doc_id"), col("x"), col("r"), col("n"))
+  }
+
+  /** Exact-overlap verification over a (doc_a, doc_b, na, nb)
+    * candidate frame: count shared shingles, keep 3c ≥ na + nb
+    * (J ≥ 1/2 in integers), report the exact Jaccard. */
+  private def simJoinVerify(dt: DataFrame, cand: DataFrame): DataFrame = {
     val common = cand
       .join(dt.as("xx"), col("xx.doc_id") === col("doc_a"))
       .join(dt.as("yy"),
@@ -1060,7 +1144,47 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
         (col("c").cast(DoubleType) /
           (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The append-incremental q192 algebra: the RESULT is exact set
+    * similarity — a pure function of each pair's two shingle sets —
+    * so old-old rows carry verbatim (the df-based rare-first order is
+    * only a candidate-pruning heuristic; reordering prefixes cannot
+    * change which pairs qualify or their (c, na, nb, jaccard)). New
+    * pairs all involve a delta doc: prefixes re-rank under the
+    * CURRENT df (one linear window over the slim hash frame — both
+    * join sides must share one global order for the prefix theorem),
+    * the candidate join pins the delta docs' prefixes on one side
+    * (delta ⋈ old ∪ delta ⋈ delta — no old-old fan-out anywhere),
+    * PPJoin's positional bound prunes before verification, and
+    * verification touches candidate docs only. */
+  private def simJoinPairsDelta(s: SparkSession, dir: String)
+                               (prior: DataFrame,
+                                newIds: DataFrame): DataFrame = {
+    val dt = shingleHashes3(s, dir).select(col("doc_id"), col("x")).distinct()
+    val pref = simJoinPrefixes(dt)
+    val prefNew = pref.join(newIds, Seq("doc_id"), "left_semi")
+    val prefOld = pref.join(newIds, Seq("doc_id"), "left_anti")
+    val bound = least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) + 1L
+    val aFirst = col("a.doc_id") < col("b.doc_id")
+    val collNO = prefNew.as("a")
+      .join(prefOld.as("b"), col("a.x") === col("b.x"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bound.as("ubc"),
+        when(aFirst, col("a.n")).otherwise(col("b.n")).as("na"),
+        when(aFirst, col("b.n")).otherwise(col("a.n")).as("nb"))
+    val collNN = prefNew.as("a")
+      .join(prefNew.as("b"), col("a.x") === col("b.x") && aFirst)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bound.as("ubc"), col("a.n").as("na"), col("b.n").as("nb"))
+    val cand = collNO.unionByName(collNN)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("ubc")).as("ub"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+      .where(col("ub") * 3 >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+    prior.unionByName(simJoinVerify(dt, cand))
   }
 
   /** q197 — triangle enumeration over the near-dup graph: q73's

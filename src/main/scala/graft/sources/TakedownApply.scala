@@ -44,7 +44,7 @@ object TakedownApply {
       "verdict_rowflags_v1",
       "brute_pair_stats_v1", "minhash_sig3_v1", "shingle_hashes3_v1",
       "banded_cand_nmatch_v1", "shingle_hashes8_v1", "winnow_fp_v1",
-      "winnow_pairs_v1")
+      "winnow_pairs_v1", "simjoin_pairs_v1")
 
   /** Leg 1: tombstone flagged docs in the merge target. Returns the
     * number of newly tombstoned docs (0 on a re-run — idempotent). */
