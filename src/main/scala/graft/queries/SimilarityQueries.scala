@@ -144,10 +144,12 @@ object SimilarityQueries {
   def radiusSearch(s: SparkSession, dir: String): DataFrame =
     radiusExactArm(s, dir).orderBy(col("query_id"), col("neighbor_id"))
 
-  /** The exact ball WITHOUT the presentation sort — shared by q193 and
-    * q198's truth arm (a mid-plan global order would be dead weight
-    * under the recall aggregation). */
-  private def radiusExactArm(s: SparkSession, dir: String): DataFrame = {
+  /** The exact ball WITHOUT the presentation sort — shared by q193,
+    * q198's truth arm, and the LIVE feed's recall audit
+    * ([[graft.streaming.StreamAnnServe.radiusRecallAudit]]) (a
+    * mid-plan global order would be dead weight under the recall
+    * aggregation). */
+  private[graft] def radiusExactArm(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -194,12 +196,21 @@ object SimilarityQueries {
     * committing a probe budget to a radius SLA. Queries whose ball is
     * empty have no recall to report and are absent (the truth arm
     * drives the join). Integer milli-ratio — exact cross-engine. */
-  def radiusRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = radiusExactArm(s, dir)
-      .select(col("query_id"), col("neighbor_id"))
-    val served = radiusIvfArm(s, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(served, Seq("query_id", "neighbor_id"), "left")
+  def radiusRecall(s: SparkSession, dir: String): DataFrame =
+    radiusRecallOver(radiusExactArm(s, dir), radiusIvfArm(s, dir))
+
+  /** q198's recall tail over ANY served (query_id, neighbor_id) feed —
+    * the batch q194 arm or the live `startRadius` loop's appended
+    * answers (r15 verdict item 4: the serve loop gets the same audit
+    * the batch arms have — one auditor, two feeds, the keynessOver
+    * idiom). The served side is deduped so a replayed micro-batch's
+    * re-appended answers cannot inflate hit counts. */
+  private[graft] def radiusRecallOver(exact: DataFrame,
+                                      served: DataFrame): DataFrame = {
+    val hits = served.select(col("query_id"), col("neighbor_id"))
+      .distinct().withColumn("hit", lit(1L))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("ball"),
         sum(coalesce(col("hit"), lit(0L))).as("hits"))

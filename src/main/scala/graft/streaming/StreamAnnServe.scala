@@ -118,6 +118,26 @@ object StreamAnnServe {
       .start()
   }
 
+  /** The LIVE radius feed's RECALL MONITOR (r15 verdict item 4): q198
+    * audits the batch arms; this is the same audit over the answers a
+    * [[startRadius]] loop has appended so far — exact ε-ball truth vs
+    * what the live loop actually served, per query. At a quiesced
+    * boundary (every query answered exactly once, same generation) it
+    * equals batch q198 row-for-row: the live loop is spec-pinned equal
+    * to the q194 arm, and the recall tail is one shared code path
+    * ([[graft.queries.SimilarityQueries.radiusRecallOver]] — one
+    * auditor, two feeds). Replayed batches' duplicate appends are
+    * deduped by the audit; mid-stream takedowns can only LOWER live
+    * hits vs the full-corpus truth arm — the drop is the signal an
+    * operator expects, not a parity bug (recall is measured against
+    * the full corpus until the index is rebuilt, q198's own
+    * convention). */
+  def radiusRecallAudit(s: SparkSession, dir: String,
+                        out: String): DataFrame =
+    graft.queries.SimilarityQueries.radiusRecallOver(
+      graft.queries.SimilarityQueries.radiusExactArm(s, dir),
+      s.read.parquet(out))
+
   /** q190's MMR rerank over the LIVE serve feed (r14 verdict item 3):
     * one micro-batch of (query_id, qv DOUBLE[]) diversified against
     * the pinned serve-cells generation — the shortlist reads ONLY the

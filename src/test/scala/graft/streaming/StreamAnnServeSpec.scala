@@ -82,6 +82,21 @@ class StreamAnnServeSpec extends SparkSpec {
     assert(served.nonEmpty, "witness: the ball must be populated")
     assert(served == batch,
       "live radius answers must equal batch q194 bit-for-bit")
+
+    // r15 verdict item 4 — the serve loop's RECALL TWIN: the q198
+    // audit over the live feed's answers must equal batch q198
+    // row-for-row at this quiesced boundary (same truth arm, same
+    // recall tail, served feed pinned equal above)
+    def audit(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("ball"), r.getAs[Long]("hits"),
+          r.getAs[Long]("recall_milli")))).toMap
+    val live = audit(StreamAnnServe.radiusRecallAudit(spark, sfDir, out))
+    val batchAudit = audit(
+      graft.SparkEntry.queries("q198_radius_recall")(spark, sfDir))
+    assert(live.nonEmpty, "witness: the audit must cover the queries")
+    assert(live == batchAudit,
+      "the live radius recall audit must equal batch q198 row-for-row")
   }
 
   test("diversified (MMR) answers off the live serve feed equal batch " +
