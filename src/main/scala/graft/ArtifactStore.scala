@@ -562,10 +562,10 @@ object ArtifactStore {
     * ensure-after-publish self-healing). Prior generations without a
     * file manifest (pre-r13) delta through the row-level fallback and
     * come out in the new layout — one migration build, then steady
-    * state. The quadratic audit families (brute_pair_stats_v1,
-    * banded_cand_nmatch_v1) deliberately keep full rebuild: their rows
-    * are PAIR-local, so an appended doc invalidates rows it never
-    * appears in.
+    * state. The PAIR-local families (brute_pair_stats_v1,
+    * banded_cand_nmatch_v1, the pair stores) cannot ride this carry —
+    * their rows name two documents — and instead append through
+    * [[documentsPairArtifact]]'s pure-append algebra.
     *
     * **`fp` data-column caveat (r13 ADVICE, low):** hard-linked
     * untouched buckets are the PRIOR generation's bytes, so their rows
@@ -1135,8 +1135,28 @@ object ArtifactStore {
     * processed pin for "an append pairs only the delta"
     * (PairDeltaSpec). */
   case class PairBuildStat(mode: String, newDocs: Long,
-                           scannedFiles: Seq[String])
+                           scannedFiles: Seq[String],
+                           certLinked: Boolean = false)
   private[graft] val pairStats = new ConcurrentHashMap[String, PairBuildStat]()
+
+  /** Hard-link `src`'s DATA files (parquet parts; `_`/`.`-prefixed
+    * markers skipped — the fresh write owns its own _SUCCESS) into the
+    * existing dir `dst` — the flat-dir twin of [[linkDirInto]], for
+    * carries that merge linked files beside freshly written ones. */
+  private def linkDataFilesInto(src: Path, dst: Path): Unit = {
+    val kids = Files.list(src)
+    try kids.forEach { f =>
+      val n = f.getFileName.toString
+      if (Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_")) {
+        val t = dst.resolve(n)
+        try Files.createLink(t, f)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          Files.copy(f, t, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    } finally kids.close()
+  }
 
   /** The current corpus certificate over exactly `paths`, flat
     * (no bucket column — pair generations are not partition-carried). */
@@ -1236,15 +1256,28 @@ object ArtifactStore {
             val priorPairs = s.read.parquet(dataPath(key, pfp)).drop("fp")
             deltaFor(priorPairs, newIds).withColumn("fp", lit(fp))
               .write.mode("overwrite").parquet(tmp.resolve("data").toString)
-            carriedCert.unionByName(deltaCert)
-              .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+            // certificate: when no prior file vanished/changed, the new
+            // cert is exactly prior ∪ delta — write the delta's rows
+            // and HARD-LINK the prior generation's cert files beside
+            // them (part names carry per-job UUIDs, so they never
+            // collide), keeping cert maintenance O(delta) like the
+            // manifest; a file-level change writes the full union once
+            val linkCert = removedOrChanged.isEmpty
+            if (linkCert) {
+              deltaCert.write.mode("overwrite")
+                .parquet(tmp.resolve("docs").toString)
+              linkDataFilesInto(docsSidecarPath(key, pfp),
+                tmp.resolve("docs"))
+            } else
+              carriedCert.unionByName(deltaCert)
+                .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
             val unchangedSet = unchanged.map(_._1).toSet
             writeFilesManifest(s, tmp, fp, listing,
               pm.collect { case (p, (_, _, sum)) if unchangedSet(p) =>
                 p -> sum },
               deltaCert.select(col("src"), col("digest")))
             pairStats.put(key,
-              PairBuildStat("delta", newIds.count(), deltaPaths))
+              PairBuildStat("delta", newIds.count(), deltaPaths, linkCert))
           } else fullBuild()
         case _ => fullBuild()
       }

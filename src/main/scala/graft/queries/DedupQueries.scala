@@ -69,22 +69,62 @@ object DedupQueries {
     * intrinsic cost) runs once per corpus instead of once per audit.
     * Invalidated by the takedown cascade like every documents-derived
     * family; DuckDB oracles recompute from the corpus, unchanged. */
-  private[queries] def brutePairStats(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "brute_pair_stats_v1") {
-      // 8-byte keys off the shingle-hash artifact — the build
-      // re-hashes nothing (nested artifact builds are supported)
-      val sh = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a")
-        .join(sh.as("b"),
+  private[graft] def brutePairStats(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "brute_pair_stats_v1")(
+      brutePairStatsDirect(s, dir))(
+      brutePairStatsDelta(s, dir))
+
+  /** The from-scratch pair-facts pipeline (the full-build thunk and
+    * the delta spec's reference arm). */
+  private[graft] def brutePairStatsDirect(s: SparkSession,
+                                          dir: String): DataFrame = {
+    // 8-byte keys off the shingle-hash artifact — the build
+    // re-hashes nothing (nested artifact builds are supported)
+    val sh = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  /** The append-incremental pair-facts algebra: (c, na, nb) is a pure
+    * function of each pair's two shingle sets, which an append never
+    * touches for old docs — prior rows carry verbatim, and the
+    * inverted join runs over collisions touching a delta doc only
+    * (delta ⋈ old ∪ delta ⋈ delta on the 8-byte key; sizes bounded to
+    * the touched docs). This was the LAST O(Σ df²)-on-append family:
+    * with it the whole audit tier appends at O(delta × postings). */
+  private def brutePairStatsDelta(s: SparkSession, dir: String)
+                                 (prior: DataFrame,
+                                  newIds: DataFrame): DataFrame = {
+    val sh = shingleHashes3(s, dir).select(col("doc_id"), col("h"))
+    val shNew = sh.join(newIds, Seq("doc_id"), "left_semi")
+    val shOld = sh.join(newIds, Seq("doc_id"), "left_anti")
+    val coll = shNew.as("a").join(shOld.as("b"), col("a.h") === col("b.h"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .unionByName(shNew.as("a").join(shNew.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-        .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("c"),
-          col("sa.n").as("na"), col("sb.n").as("nb"))
-    }
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+    val c = coll.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val ids = c.select(col("doc_a").as("doc_id"))
+      .unionByName(c.select(col("doc_b").as("doc_id"))).distinct()
+    val sz = sh.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val fresh = c
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+    prior.unionByName(fresh)
+  }
 
   /** The per-document 16-component MinHash signatures over 3-gram
     * shingles (`minhash_sig3_v1`, documents fingerprint) — the
@@ -115,17 +155,51 @@ object DedupQueries {
     * verify) the artifact's build runs, and its plan pin documents
     * that shape. Invalidated by the takedown cascade; oracles
     * recompute from the corpus in SQL, unchanged. */
-  private[queries] def bandedCandNMatch(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsArtifact(s, dir, "banded_cand_nmatch_v1") {
-      val sig = minhashSig3(s, dir)
-      val matches = (0 until Dedup.MinHashK).map(i =>
-        when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      Dedup.bandedCandidates(Dedup.minhashBands(sig))
-        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"), matches.as("n_match"))
-    }
+  private[graft] def bandedCandNMatch(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "banded_cand_nmatch_v1")(
+      bandedCandNMatchDirect(s, dir))(
+      bandedCandNMatchDelta(s, dir))
+
+  /** The from-scratch candidate-agreement pipeline (full-build thunk
+    * and delta-spec reference). */
+  private[graft] def bandedCandNMatchDirect(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val sig = minhashSig3(s, dir)
+    val matches = (0 until Dedup.MinHashK).map(i =>
+      when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Dedup.bandedCandidates(Dedup.minhashBands(sig))
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), matches.as("n_match"))
+  }
+
+  /** Append-incremental candidate agreement: n_match is a pure pair
+    * function of two signatures an append never changes for old docs —
+    * prior rows carry verbatim; fresh candidates are band collisions
+    * touching a delta doc (delta bands against the full table), their
+    * agreement scored by the same 16-component expression. */
+  private def bandedCandNMatchDelta(s: SparkSession, dir: String)
+                                   (prior: DataFrame,
+                                    newIds: DataFrame): DataFrame = {
+    val sig = minhashSig3(s, dir)
+    val bands = Dedup.minhashBands(sig)
+    val bandsNew = bands.join(newIds, Seq("doc_id"), "left_semi")
+    val cand = bandsNew.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    val matches = (0 until Dedup.MinHashK).map(i =>
+      when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val fresh = cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), matches.as("n_match"))
+    prior.unionByName(fresh)
+  }
 
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5, served from
     * the [[brutePairStats]] facts (the inverted shingle join runs at

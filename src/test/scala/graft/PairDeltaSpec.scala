@@ -102,6 +102,9 @@ class PairDeltaSpec extends SparkSpec {
     assert(stat.scannedFiles.size == 1,
       s"the build must scan ONLY the appended corpus file: " +
         s"${stat.scannedFiles}")
+    assert(stat.certLinked,
+      "an in-place append must hard-link the prior certificate files " +
+        "and write only the delta's rows (O(delta) cert maintenance)")
     val pairsB = pairRows(AnalyticsQueries.winnowMatches(spark, dir))
     assert(!pairsB.contains((900L, 901L)),
       "the template pair must be evicted once its support crossed the cap")
@@ -165,6 +168,55 @@ class PairDeltaSpec extends SparkSpec {
       r._2 == math.max(xId, 940L) && r._6 ==
       java.lang.Double.doubleToLongBits(1.0)),
       s"the appended exact duplicate's J=1.0 pair ($xId, 940) must surface")
+  }
+
+  test("brute_pair_stats_v1 and banded_cand_nmatch_v1: the audit tier's " +
+    "pair facts append incrementally and equal from-scratch row-for-row") {
+    val tmp = Files.createTempDirectory("pair_delta_a").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"asalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    val docsA = base.where(col("doc_id") < 150)
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    def bRows(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("c"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    }.toSet
+    def nRows(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("n_match"))
+    }.toSet
+
+    assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+      bRows(DedupQueries.brutePairStatsDirect(spark, dir)))
+    assert(nRows(DedupQueries.bandedCandNMatch(spark, dir)) ==
+      nRows(DedupQueries.bandedCandNMatchDirect(spark, dir)))
+
+    // append a near-copy (guaranteed collisions and band candidates)
+    val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    x.select(lit(960L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+
+    assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+      bRows(DedupQueries.brutePairStatsDirect(spark, dir)),
+      "delta-built pair facts must equal from-scratch row-for-row")
+    val bStat = ArtifactStore.pairStats.get("brute_pair_stats_v1")
+    assert(bStat.mode == "delta" && bStat.newDocs == 1L, s"$bStat")
+    assert(nRows(DedupQueries.bandedCandNMatch(spark, dir)) ==
+      nRows(DedupQueries.bandedCandNMatchDirect(spark, dir)),
+      "delta-built candidate agreement must equal from-scratch row-for-row")
+    val nStat = ArtifactStore.pairStats.get("banded_cand_nmatch_v1")
+    assert(nStat.mode == "delta" && nStat.newDocs == 1L, s"$nStat")
+    // the appended twin's facts exist in both stores
+    assert(bRows(DedupQueries.brutePairStats(spark, dir))
+      .exists(r => r._2 == 960L && r._3 > 0L),
+      "the appended twin must co-shingle with its original")
   }
 
   test("minhash_pairs_v1: a pure append verifies only delta-touching " +
