@@ -12,12 +12,21 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def fresh_con(sf_dir):
+    """One connection per ORACLE query (r16): running all 193 oracles in
+    a single long-lived DuckDB session accumulated enough allocator
+    state at sf0.1 that the biggest query (q190's unrolled MMR) hit a
+    spurious out-of-memory after ~190 predecessors, while the same SQL
+    solo passes. Views are lazy — re-registering them per query costs
+    microseconds and keeps every oracle's memory independent."""
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return con
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name, sql in sorted(oracle.items()):
@@ -26,7 +35,9 @@ def main():
             print(f"FAIL {name}: no spark result parquet"); failures += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
         try:
+            con = fresh_con(sf_dir)
             exp = con.execute(sql).df()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
         got = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
