@@ -34,12 +34,15 @@ def main():
         if not spark_files:
             print(f"FAIL {name}: no spark result parquet"); failures += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+        con = fresh_con(sf_dir)
         try:
-            con = fresh_con(sf_dir)
             exp = con.execute(sql).df()
-            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+        finally:
+            con.close()  # also on failure — a leaked connection per
+            # failing oracle re-accumulates exactly the allocator state
+            # the per-query connection exists to shed
         got = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
         exp = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
         if list(got.columns) != list(exp.columns):

@@ -445,14 +445,19 @@ object ArtifactStore {
   private[graft] val carryStats = new ConcurrentHashMap[String, CarryStat]()
 
   /** Hard-link (fall back to copy where the FS refuses links) every
-    * data file of `src` into `dst`; returns bytes carried. */
-  private def linkDirInto(src: Path, dst: Path): Long = {
+    * data file of `src` into `dst`; returns bytes carried.
+    * `skipMarkers` additionally skips `_`-prefixed files (_SUCCESS) —
+    * for carries that link into a dir a fresh write already owns. */
+  private def linkDirInto(src: Path, dst: Path,
+                          skipMarkers: Boolean = false): Long = {
     Files.createDirectories(dst)
     var bytes = 0L
     val kids = Files.list(src)
     try kids.forEach { f =>
-      if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith(".")) {
-        val t = dst.resolve(f.getFileName.toString)
+      val n = f.getFileName.toString
+      if (Files.isRegularFile(f) && !n.startsWith(".") &&
+          !(skipMarkers && n.startsWith("_"))) {
+        val t = dst.resolve(n)
         try Files.createLink(t, f)
         catch { case _: UnsupportedOperationException |
                      _: java.nio.file.FileSystemException =>
@@ -1139,25 +1144,6 @@ object ArtifactStore {
                            certLinked: Boolean = false)
   private[graft] val pairStats = new ConcurrentHashMap[String, PairBuildStat]()
 
-  /** Hard-link `src`'s DATA files (parquet parts; `_`/`.`-prefixed
-    * markers skipped — the fresh write owns its own _SUCCESS) into the
-    * existing dir `dst` — the flat-dir twin of [[linkDirInto]], for
-    * carries that merge linked files beside freshly written ones. */
-  private def linkDataFilesInto(src: Path, dst: Path): Unit = {
-    val kids = Files.list(src)
-    try kids.forEach { f =>
-      val n = f.getFileName.toString
-      if (Files.isRegularFile(f) && !n.startsWith(".") && !n.startsWith("_")) {
-        val t = dst.resolve(n)
-        try Files.createLink(t, f)
-        catch { case _: UnsupportedOperationException |
-                     _: java.nio.file.FileSystemException =>
-          Files.copy(f, t, StandardCopyOption.COPY_ATTRIBUTES)
-        }
-      }
-    } finally kids.close()
-  }
-
   /** The current corpus certificate over exactly `paths`, flat
     * (no bucket column — pair generations are not partition-carried). */
   private def docCertFlat(s: SparkSession, paths: Seq[String]): DataFrame =
@@ -1266,8 +1252,8 @@ object ArtifactStore {
             if (linkCert) {
               deltaCert.write.mode("overwrite")
                 .parquet(tmp.resolve("docs").toString)
-              linkDataFilesInto(docsSidecarPath(key, pfp),
-                tmp.resolve("docs"))
+              linkDirInto(docsSidecarPath(key, pfp),
+                tmp.resolve("docs"), skipMarkers = true)
             } else
               carriedCert.unionByName(deltaCert)
                 .write.mode("overwrite").parquet(tmp.resolve("docs").toString)

@@ -694,13 +694,21 @@ object SimilarityQueries {
     probedMemo.get() match {
       case Some((k, v)) if k == key => v
       case _ =>
-        val v = vecs(s, dir).where(col("vec_id") < QuerySetSize)
-          .select(explode(
-            ServeBooks.probeCells(book, IvfProbes, col("v"))).as("p"))
-          .distinct().collect().map(_.getLong(0).toInt).toSeq
-        // racing generations both compute pure values; last write wins
-        probedMemo.set(Some((key, v)))
-        v
+        // single-flight under a cold or changed key (the old
+        // computeIfAbsent's property): N concurrent q164 calls at
+        // startup must run ONE probe job, not N
+        probedMemo.synchronized {
+          probedMemo.get() match {
+            case Some((k, v)) if k == key => v
+            case _ =>
+              val v = vecs(s, dir).where(col("vec_id") < QuerySetSize)
+                .select(explode(
+                  ServeBooks.probeCells(book, IvfProbes, col("v"))).as("p"))
+                .distinct().collect().map(_.getLong(0).toInt).toSeq
+              probedMemo.set(Some((key, v)))
+              v
+          }
+        }
     }
   }
 

@@ -83,9 +83,13 @@ private[graft] object MutationLease {
   }
   private val holds = new ConcurrentHashMap[String, Hold]()
 
-  /** Targets whose heartbeat reported degraded renewal (→ exception
-    * class name) — spec observability for the degradation-is-visible
-    * contract; ops can alert on it. */
+  /** Targets whose heartbeat reported degraded renewal during the
+    * CURRENT (or most recently finished) mutation (→ exception class
+    * name) — spec observability for the degradation-is-visible
+    * contract; ops can alert on it. Cleared when a NEW mutation
+    * acquires the target, so one transient blip does not flag a
+    * target forever across a long-lived JVM's later healthy
+    * mutations. */
   private[graft] val degradedTargets = new ConcurrentHashMap[String, String]()
 
   private def leasePath(target: String) =
@@ -104,7 +108,10 @@ private[graft] object MutationLease {
     val hold = holds.computeIfAbsent(target, _ => Hold(new Object))
     hold.monitor.synchronized {
       val first = hold.count == 0
-      if (first) hold.token = acquire(s, target, staleMs)
+      if (first) {
+        hold.token = acquire(s, target, staleMs)
+        degradedTargets.remove(target) // fresh mutation starts clean
+      }
       hold.count += 1
       var bodyFailed = false
       // heartbeat starts INSIDE the try (r14 ADVICE): if Thread.start

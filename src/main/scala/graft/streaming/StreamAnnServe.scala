@@ -133,10 +133,26 @@ object StreamAnnServe {
     * the full corpus until the index is rebuilt, q198's own
     * convention). */
   def radiusRecallAudit(s: SparkSession, dir: String,
-                        out: String): DataFrame =
+                        out: String): DataFrame = {
+    // a loop that has not yet committed a non-empty batch has no
+    // parquet under `out` — the monitor must report zero recall for
+    // the startup window, not throw schema-inference errors (the
+    // StreamWinnow readOrEmpty posture)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val served =
+      if (fs.exists(p) && fs.listStatus(p).exists(
+          _.getPath.getName.endsWith(".parquet")))
+        s.read.parquet(out)
+      else {
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("query_id", LongType),
+            StructField("neighbor_id", LongType))))
+      }
     graft.queries.SimilarityQueries.radiusRecallOver(
-      graft.queries.SimilarityQueries.radiusExactArm(s, dir),
-      s.read.parquet(out))
+      graft.queries.SimilarityQueries.radiusExactArm(s, dir), served)
+  }
 
   /** q190's MMR rerank over the LIVE serve feed (r14 verdict item 3):
     * one micro-batch of (query_id, qv DOUBLE[]) diversified against

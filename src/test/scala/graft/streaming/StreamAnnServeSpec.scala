@@ -64,6 +64,13 @@ class StreamAnnServeSpec extends SparkSpec {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
       .as[(Long, Seq[Double])].collect().toSeq
 
+    // startup window: before the loop commits anything, the recall
+    // monitor reports zero hits — it must not throw on the missing dir
+    val cold = StreamAnnServe.radiusRecallAudit(spark, sfDir, out)
+    assert(cold.count() > 0 &&
+      cold.agg(max(col("hits"))).head.getLong(0) == 0L,
+      "a pre-serve audit must report the truth balls with zero hits")
+
     val stream = MemoryStream[(Long, Seq[Double])]
     val query = StreamAnnServe.startRadius(
       stream.toDS().toDF("query_id", "qv"), sfDir, out, ckpt)
