@@ -170,6 +170,56 @@ class PairDeltaSpec extends SparkSpec {
       s"the appended exact duplicate's J=1.0 pair ($xId, 940) must surface")
   }
 
+  test("chained appends: a delta generation (with a linked certificate) " +
+    "serves as the next append's prior, row-for-row each time") {
+    val tmp = Files.createTempDirectory("pair_delta_chain").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"csalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    base.where(col("doc_id") < 120).coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+
+    def sRows(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("c"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard")))
+    }.toSet
+    def served() =
+      sRows(graft.SparkEntry.queries("q192_sim_join_prefix")(spark, dir))
+    def direct() = sRows(DedupQueries.simJoinPrefixDirect(spark, dir))
+
+    assert(served() == direct(), "generation A (full)")
+
+    // append 1: a near-copy of the longest doc
+    val x = base.where(col("doc_id") < 120)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(1).localCheckpoint()
+    x.select(lit(970L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(served() == direct(), "generation B (delta) must equal direct")
+    val statB = ArtifactStore.pairStats.get("simjoin_pairs_v1")
+    assert(statB.mode == "delta" && statB.certLinked, s"$statB")
+
+    // append 2: ANOTHER copy — generation B (delta-built, linked cert)
+    // is now the prior; its mixed linked+fresh cert dir must vouch for
+    // every pre-C doc and classify this as a pure append again
+    x.select(lit(971L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(served() == direct(), "generation C (delta-on-delta) must equal direct")
+    val statC = ArtifactStore.pairStats.get("simjoin_pairs_v1")
+    assert(statC.mode == "delta" && statC.newDocs == 1L && statC.certLinked,
+      s"the second append must delta off the delta-built prior: $statC")
+    // the three copies pairwise-qualify (J = 1.0 among 970/971/x)
+    val pairs = served().map(r => (r._1, r._2))
+    assert(pairs.contains((970L, 971L)),
+      "the two appended twins must pair with each other")
+  }
+
   test("brute_pair_stats_v1 and banded_cand_nmatch_v1: the audit tier's " +
     "pair facts append incrementally and equal from-scratch row-for-row") {
     val tmp = Files.createTempDirectory("pair_delta_a").toString
