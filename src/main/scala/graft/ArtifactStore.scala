@@ -1141,7 +1141,8 @@ object ArtifactStore {
     * (PairDeltaSpec). */
   case class PairBuildStat(mode: String, newDocs: Long,
                            scannedFiles: Seq[String],
-                           certLinked: Boolean = false)
+                           certLinked: Boolean = false,
+                           dataLinked: Boolean = false)
   private[graft] val pairStats = new ConcurrentHashMap[String, PairBuildStat]()
 
   /** The current corpus certificate over exactly `paths`, flat
@@ -1182,8 +1183,22 @@ object ArtifactStore {
     * MULTIPLICITY is invisible to every pair family (their feeds are
     * per-doc distinct), the documented residual shared with the
     * bucket carry. Certificate, manifest, and data publish in ONE
-    * staging dir → one atomic rename. */
-  def documentsPairArtifact(s: SparkSession, dir: String, key: String)
+    * staging dir → one atomic rename.
+    *
+    * `appendOnly = true` declares the family's delta PURE-UNION: an
+    * append never changes or removes a prior pair row (true for the
+    * families whose rows are pure pair functions of append-invariant
+    * per-doc state — minhash/brute/banded/simjoin; NOT for winnow,
+    * whose df cap evicts/decrements). Under it `deltaFor` returns
+    * ONLY the fresh rows and the prior generation's data files
+    * HARD-LINK beside them — O(delta) data maintenance, the cert
+    * carry's discipline applied to the pairs themselves. Linked files
+    * retain the prior generation's `fp` column value inside the new
+    * directory — the delta-carried families' documented caveat: the
+    * DIRECTORY is the generation's identity, this read drops `fp`,
+    * and no oracle reads these globs. */
+  def documentsPairArtifact(s: SparkSession, dir: String, key: String,
+                            appendOnly: Boolean = false)
                            (full: => DataFrame)
                            (deltaFor: (DataFrame, DataFrame) => DataFrame)
       : DataFrame = {
@@ -1242,6 +1257,11 @@ object ArtifactStore {
             val priorPairs = s.read.parquet(dataPath(key, pfp)).drop("fp")
             deltaFor(priorPairs, newIds).withColumn("fp", lit(fp))
               .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+            // pure-union families: fresh rows were written above; the
+            // prior generation's pair rows carry as hard links
+            if (appendOnly)
+              linkDirInto(Paths.get(dataPath(key, pfp)),
+                tmp.resolve("data"), skipMarkers = true)
             // certificate: when no prior file vanished/changed, the new
             // cert is exactly prior ∪ delta — write the delta's rows
             // and HARD-LINK the prior generation's cert files beside
@@ -1263,7 +1283,8 @@ object ArtifactStore {
                 p -> sum },
               deltaCert.select(col("src"), col("digest")))
             pairStats.put(key,
-              PairBuildStat("delta", newIds.count(), deltaPaths, linkCert))
+              PairBuildStat("delta", newIds.count(), deltaPaths, linkCert,
+                dataLinked = appendOnly))
           } else fullBuild()
         case _ => fullBuild()
       }

@@ -70,7 +70,8 @@ object DedupQueries {
     * Invalidated by the takedown cascade like every documents-derived
     * family; DuckDB oracles recompute from the corpus, unchanged. */
   private[graft] def brutePairStats(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsPairArtifact(s, dir, "brute_pair_stats_v1")(
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "brute_pair_stats_v1",
+      appendOnly = true)(
       brutePairStatsDirect(s, dir))(
       brutePairStatsDelta(s, dir))
 
@@ -123,7 +124,7 @@ object DedupQueries {
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("c"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
-    prior.unionByName(fresh)
+    fresh // appendOnly: the store hard-links the prior rows beside these
   }
 
   /** The per-document 16-component MinHash signatures over 3-gram
@@ -156,7 +157,8 @@ object DedupQueries {
     * that shape. Invalidated by the takedown cascade; oracles
     * recompute from the corpus in SQL, unchanged. */
   private[graft] def bandedCandNMatch(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsPairArtifact(s, dir, "banded_cand_nmatch_v1")(
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "banded_cand_nmatch_v1",
+      appendOnly = true)(
       bandedCandNMatchDirect(s, dir))(
       bandedCandNMatchDelta(s, dir))
 
@@ -198,7 +200,7 @@ object DedupQueries {
       .join(sig.as("sa"), col("da") === col("sa.doc_id"))
       .join(sig.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), matches.as("n_match"))
-    prior.unionByName(fresh)
+    fresh // appendOnly: the store hard-links the prior rows beside these
   }
 
   /** q25 — brute-force word-3-gram Jaccard pairs ≥ 0.5, served from
@@ -573,7 +575,8 @@ object DedupQueries {
     * bands and verifies just those; removals/changes demote to one
     * full rebuild. In the takedown cascade. */
   private[graft] def minhashPairsArtifact(s: SparkSession, dir: String): DataFrame =
-    graft.ArtifactStore.documentsPairArtifact(s, dir, "minhash_pairs_v1")(
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "minhash_pairs_v1",
+      appendOnly = true)(
       minhashNearDup(s, dir).select(col("doc_a"), col("doc_b")))(
       minhashPairsDelta(s, dir))
 
@@ -612,7 +615,7 @@ object DedupQueries {
       .join(sz.as("sb"), col("db") === col("sb.doc_id"))
       .where(j >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"))
-    prior.unionByName(fresh)
+    fresh // appendOnly: the store hard-links the prior rows beside these
   }
 
   /** The component labels as a persistent corpus artifact (r8 verdict
@@ -1150,7 +1153,8 @@ object DedupQueries {
     * recomputes from the corpus in SQL, unchanged. */
   private[graft] def simJoinPairsArtifact(s: SparkSession,
                                           dir: String): DataFrame =
-    graft.ArtifactStore.documentsPairArtifact(s, dir, "simjoin_pairs_v1")(
+    graft.ArtifactStore.documentsPairArtifact(s, dir, "simjoin_pairs_v1",
+      appendOnly = true)(
       simJoinPrefixDirect(s, dir))(
       simJoinPairsDelta(s, dir))
 
@@ -1258,7 +1262,7 @@ object DedupQueries {
         max(col("nb")).as("nb"))
       .where(col("ub") * 3 >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-    prior.unionByName(simJoinVerify(dt, cand))
+    simJoinVerify(dt, cand) // appendOnly: prior rows hard-link beside these
   }
 
   /** q197 — triangle enumeration over the near-dup graph: q73's

@@ -105,6 +105,9 @@ class PairDeltaSpec extends SparkSpec {
     assert(stat.certLinked,
       "an in-place append must hard-link the prior certificate files " +
         "and write only the delta's rows (O(delta) cert maintenance)")
+    assert(!stat.dataLinked,
+      "winnow's df-cap eviction mutates prior rows — its data must " +
+        "REWRITE, never link (appendOnly would corrupt it)")
     val pairsB = pairRows(AnalyticsQueries.winnowMatches(spark, dir))
     assert(!pairsB.contains((900L, 901L)),
       "the template pair must be evicted once its support crossed the cap")
@@ -162,8 +165,20 @@ class PairDeltaSpec extends SparkSpec {
     assert(b == direct(dir),
       "the delta-built q192 store must equal from-scratch row-for-row")
     val stat = ArtifactStore.pairStats.get("simjoin_pairs_v1")
-    assert(stat.mode == "delta" && stat.newDocs == 1L,
+    assert(stat.mode == "delta" && stat.newDocs == 1L && stat.dataLinked,
       s"append must take the delta path over the 1 new doc: $stat")
+    // the prior generation's pair rows carry as HARD LINKS (O(delta)
+    // data maintenance): the new generation's data dir must hold at
+    // least one inode shared with the prior generation
+    val fpNow = ArtifactStore.documentsFp(spark, dir)
+    val dataDir = java.nio.file.Paths.get(
+      ArtifactStore.dataPath("simjoin_pairs_v1", fpNow))
+    val shared = java.nio.file.Files.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue >= 2)
+    assert(shared >= 1,
+      "at least one carried pair part must be a shared inode (hard link)")
     assert(b.exists(r => r._1 == math.min(xId, 940L) &&
       r._2 == math.max(xId, 940L) && r._6 ==
       java.lang.Double.doubleToLongBits(1.0)),
@@ -212,7 +227,8 @@ class PairDeltaSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
     assert(served() == direct(), "generation C (delta-on-delta) must equal direct")
     val statC = ArtifactStore.pairStats.get("simjoin_pairs_v1")
-    assert(statC.mode == "delta" && statC.newDocs == 1L && statC.certLinked,
+    assert(statC.mode == "delta" && statC.newDocs == 1L && statC.certLinked
+      && statC.dataLinked,
       s"the second append must delta off the delta-built prior: $statC")
     // the three copies pairwise-qualify (J = 1.0 among 970/971/x)
     val pairs = served().map(r => (r._1, r._2))
@@ -257,12 +273,14 @@ class PairDeltaSpec extends SparkSpec {
       bRows(DedupQueries.brutePairStatsDirect(spark, dir)),
       "delta-built pair facts must equal from-scratch row-for-row")
     val bStat = ArtifactStore.pairStats.get("brute_pair_stats_v1")
-    assert(bStat.mode == "delta" && bStat.newDocs == 1L, s"$bStat")
+    assert(bStat.mode == "delta" && bStat.newDocs == 1L && bStat.dataLinked,
+      s"$bStat")
     assert(nRows(DedupQueries.bandedCandNMatch(spark, dir)) ==
       nRows(DedupQueries.bandedCandNMatchDirect(spark, dir)),
       "delta-built candidate agreement must equal from-scratch row-for-row")
     val nStat = ArtifactStore.pairStats.get("banded_cand_nmatch_v1")
-    assert(nStat.mode == "delta" && nStat.newDocs == 1L, s"$nStat")
+    assert(nStat.mode == "delta" && nStat.newDocs == 1L && nStat.dataLinked,
+      s"$nStat")
     // the appended twin's facts exist in both stores
     assert(bRows(DedupQueries.brutePairStats(spark, dir))
       .exists(r => r._2 == 960L && r._3 > 0L),
@@ -304,7 +322,7 @@ class PairDeltaSpec extends SparkSpec {
       "the delta-built pair store must equal the q27 pipeline " +
         "row-for-row after the append")
     val stat = ArtifactStore.pairStats.get(MKey)
-    assert(stat.mode == "delta" && stat.newDocs == 1L,
+    assert(stat.mode == "delta" && stat.newDocs == 1L && stat.dataLinked,
       s"append must take the delta path over the 1 new doc: $stat")
     assert(served.contains((math.min(xId, 930L), math.max(xId, 930L))),
       s"the appended duplicate's pair ($xId, 930) must surface")
