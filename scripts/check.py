@@ -25,6 +25,28 @@ def fresh_con(sf_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     return con
 
+def run_oracle_isolated(sf_dir, sql):
+    """Run one oracle in a child python (fresh address space) and ship
+    the result back as parquet — the bounded-retry path for spurious
+    allocator failures late in a long in-process sequence."""
+    import subprocess, tempfile
+    fd, out = tempfile.mkstemp(suffix=".parquet"); os.close(fd)
+    code = (
+        "import duckdb, sys, glob, os\n"
+        "sf, out = sys.argv[1], sys.argv[2]\n"
+        "sql = sys.stdin.read()\n"
+        "con = duckdb.connect()\n"
+        "for p in glob.glob(os.path.join(sf, '*.parquet')):\n"
+        "    n = os.path.basename(p)[:-len('.parquet')]\n"
+        "    con.execute(f\"CREATE VIEW {n} AS SELECT * FROM '{p}'\")\n"
+        "con.execute(f\"COPY ({sql}) TO '{out}' (FORMAT PARQUET)\")\n")
+    try:
+        subprocess.run([sys.executable, "-c", code, sf_dir, out],
+                       input=sql.encode(), check=True, capture_output=True)
+        return pd.read_parquet(out)
+    finally:
+        os.unlink(out)
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -38,7 +60,20 @@ def main():
         try:
             exp = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+            if "Out of Memory" in str(e):
+                # spurious in-sequence allocator failure (observed on
+                # q190's 16 GB-peak oracle at sf0.1 after ~190
+                # predecessors, while the same SQL solo passes with
+                # >100 GB free): retry ONCE in an isolated subprocess —
+                # a fresh address space, same exact value compare
+                try:
+                    exp = run_oracle_isolated(sf_dir, sql)
+                except Exception as e2:
+                    print(f"FAIL {name}: oracle sql error (isolated "
+                          f"retry): {e2}"); failures += 1; continue
+            else:
+                print(f"FAIL {name}: oracle sql error: {e}")
+                failures += 1; continue
         finally:
             con.close()  # also on failure — a leaked connection per
             # failing oracle re-accumulates exactly the allocator state

@@ -1196,7 +1196,12 @@ object ArtifactStore {
     * retain the prior generation's `fp` column value inside the new
     * directory — the delta-carried families' documented caveat: the
     * DIRECTORY is the generation's identity, this read drops `fp`,
-    * and no oracle reads these globs. */
+    * and no oracle reads these globs. A long append chain accretes
+    * one part file per generation in the served dir (the standard
+    * link-carry tradeoff); any non-append change compacts it via the
+    * demote-to-full rebuild, and an explicit compaction stays the
+    * janitor's call (the q120 posture — gcKeepLatest reclaims old
+    * generations' dirs without touching linked inodes). */
   def documentsPairArtifact(s: SparkSession, dir: String, key: String,
                             appendOnly: Boolean = false)
                            (full: => DataFrame)
