@@ -27,10 +27,16 @@ def fresh_con(sf_dir):
 
 def run_oracle_isolated(sf_dir, sql):
     """Run one oracle in a child python (fresh address space) and ship
-    the result back as parquet — the bounded-retry path for spurious
-    allocator failures late in a long in-process sequence."""
+    the result back as a pickled DataFrame — the bounded-retry path for
+    spurious allocator failures late in a long in-process sequence.
+    Pickle, not parquet: the retry must produce the SAME frame
+    con.execute(sql).df() would have (dtype-exact — a parquet roundtrip
+    can remap DECIMAL/HUGEINT or NaN-vs-None and false-FAIL the
+    compare). The SQL is never interpolated into an f-string (oracle
+    text may legally contain braces); it arrives via stdin and is
+    passed to execute() verbatim."""
     import subprocess, tempfile
-    fd, out = tempfile.mkstemp(suffix=".parquet"); os.close(fd)
+    fd, out = tempfile.mkstemp(suffix=".pkl"); os.close(fd)
     code = (
         "import duckdb, sys, glob, os\n"
         "sf, out = sys.argv[1], sys.argv[2]\n"
@@ -38,12 +44,13 @@ def run_oracle_isolated(sf_dir, sql):
         "con = duckdb.connect()\n"
         "for p in glob.glob(os.path.join(sf, '*.parquet')):\n"
         "    n = os.path.basename(p)[:-len('.parquet')]\n"
-        "    con.execute(f\"CREATE VIEW {n} AS SELECT * FROM '{p}'\")\n"
-        "con.execute(f\"COPY ({sql}) TO '{out}' (FORMAT PARQUET)\")\n")
+        "    con.execute(\"CREATE VIEW \" + n + \" AS SELECT * FROM '\""
+        " + p + \"'\")\n"
+        "con.execute(sql).df().to_pickle(out)\n")
     try:
         subprocess.run([sys.executable, "-c", code, sf_dir, out],
                        input=sql.encode(), check=True, capture_output=True)
-        return pd.read_parquet(out)
+        return pd.read_pickle(out)
     finally:
         os.unlink(out)
 

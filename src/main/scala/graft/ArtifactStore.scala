@@ -447,14 +447,25 @@ object ArtifactStore {
   /** Hard-link (fall back to copy where the FS refuses links) every
     * data file of `src` into `dst`; returns bytes carried.
     * `skipMarkers` additionally skips `_`-prefixed files (_SUCCESS) —
-    * for carries that link into a dir a fresh write already owns. */
+    * for carries that link into a dir a fresh write already owns.
+    * `requireFlat` fails LOUDLY on a subdirectory in `src` (r16
+    * ADVICE): only top-level regular files are linked, so a carry
+    * whose prior generation unexpectedly holds subdirectories (a
+    * hand-compacted or hive-partitioned layout) would otherwise
+    * silently carry zero of their bytes — the flat-dir callers assert
+    * the invariant instead of presuming it. */
   private def linkDirInto(src: Path, dst: Path,
-                          skipMarkers: Boolean = false): Long = {
+                          skipMarkers: Boolean = false,
+                          requireFlat: Boolean = false): Long = {
     Files.createDirectories(dst)
     var bytes = 0L
     val kids = Files.list(src)
     try kids.forEach { f =>
       val n = f.getFileName.toString
+      if (requireFlat && Files.isDirectory(f))
+        throw new IllegalStateException(
+          s"link carry expected a flat dir but $src holds subdirectory " +
+            s"$n — its files would be silently dropped; refusing the carry")
       if (Files.isRegularFile(f) && !n.startsWith(".") &&
           !(skipMarkers && n.startsWith("_"))) {
         val t = dst.resolve(n)
@@ -467,6 +478,21 @@ object ArtifactStore {
       }
     } finally kids.close()
     bytes
+  }
+
+  /** Count of data part files in a served directory (regular,
+    * non-hidden, non-marker) — the link-carry accretion metric the
+    * pair stores' voluntary compaction thresholds on. */
+  private def partFileCount(dir: Path): Int = {
+    if (!Files.isDirectory(dir)) return 0
+    var n = 0
+    val kids = Files.list(dir)
+    try kids.forEach { f =>
+      val name = f.getFileName.toString
+      if (Files.isRegularFile(f) && !name.startsWith(".") &&
+          !name.startsWith("_")) n += 1
+    } finally kids.close()
+    n
   }
 
   private def dirBytes(p: Path): Long = {
@@ -1135,14 +1161,28 @@ object ArtifactStore {
   // ------------------------------------------------------ pair generations
 
   /** Observability for the last pair-store build per key: the build
-    * mode ("full" | "delta"), how many NEW docs the delta arm paired,
-    * and which corpus files the build scanned — the rows/bytes-
-    * processed pin for "an append pairs only the delta"
-    * (PairDeltaSpec). */
+    * mode ("full" | "delta" | "purge" | "purge+delta" | "compact"),
+    * how many NEW docs the delta arm paired, which corpus files the
+    * build scanned — the rows/bytes-processed pin for "an append
+    * pairs only the delta" and "a removal scans only the delta"
+    * (PairDeltaSpec) — and, on the purge modes, how many dead
+    * (removed or in-place-changed) docs the purge anti-joined out. */
   case class PairBuildStat(mode: String, newDocs: Long,
                            scannedFiles: Seq[String],
                            certLinked: Boolean = false,
-                           dataLinked: Boolean = false)
+                           dataLinked: Boolean = false,
+                           deadDocs: Long = -1L)
+
+  /** Part-file count past which an appendOnly pair store's next PURE
+    * APPEND compacts (full rebuild) instead of link-carrying (r16
+    * verdict item 3): every link-carried append accretes one part-file
+    * set in the served dir, and an unbounded chain degrades scan
+    * parallelism / small-file behavior long before any demotion
+    * compacts it. 64 ≈ two tasks per local[32] core of pure file
+    * overhead — far below harm, far above any realistic same-corpus
+    * append cadence between natural compactions. Var, not val: specs
+    * lower it to pin the trigger without writing 64 generations. */
+  private[graft] var pairCompactFileBound: Int = 64
   private[graft] val pairStats = new ConcurrentHashMap[String, PairBuildStat]()
 
   /** The current corpus certificate over exactly `paths`, flat
@@ -1174,9 +1214,23 @@ object ArtifactStore {
     *  - pure append (no changed ids, no removals): `deltaFor(priorPairs,
     *    newIds)` produces the new pair set — the family's incremental
     *    algebra; the from-scratch `full` thunk never runs;
-    *  - anything else (removal, in-place change): pair-local rows
-    *    cannot be selectively repaired without per-pair provenance —
-    *    demote to `full`, once, like the pre-delta posture.
+    *  - removal / in-place change under `appendOnly` (r16 verdict item
+    *    1): every stored row is an exact pair-local truth keyed by its
+    *    two doc ids — global side state (the df-based rare-first
+    *    order, band layout) only shapes candidate GENERATION, never a
+    *    verified row's value — so a removal is an anti-join PURGE
+    *    (pairs touching a dead doc die; no other pair changes) and an
+    *    in-place change is purge + the append algebra with the changed
+    *    ids riding `newIds` (their doc-local store rows already hold
+    *    the new content). Corpus I/O stays O(delta files): the purge
+    *    reads the prior PAIR store (linear in stored pairs, and the
+    *    rewrite doubles as a compaction), never re-pairs the corpus;
+    *  - anything else (a non-appendOnly family's removal/change, or a
+    *    MAJORITY-dead change set — see the inline cost guard):
+    *    demote to `full`, once, like the pre-delta posture — winnow's
+    *    df cap EVICTS pairs when support crosses it, and an eviction
+    *    is not invertible from the stored rows (the evicted pair's
+    *    per-hash support is gone), so its removals must re-derive.
     *
     * Exact-duplicate re-files (same doc_id+digest appearing in a new
     * file while the original row remains) carry as matched rows — row
@@ -1198,12 +1252,18 @@ object ArtifactStore {
     * DIRECTORY is the generation's identity, this read drops `fp`,
     * and no oracle reads these globs. A long append chain accretes
     * one part file per generation in the served dir (the standard
-    * link-carry tradeoff); any non-append change compacts it via the
-    * demote-to-full rebuild, and an explicit compaction stays the
-    * janitor's call (the q120 posture — gcKeepLatest reclaims old
-    * generations' dirs without touching linked inodes). */
+    * link-carry tradeoff); any purge or removal rewrite compacts it as
+    * a side effect, and a pure-append chain that crosses
+    * [[pairCompactFileBound]] part files triggers one voluntary
+    * compacting full build (mode "compact") so the tail stays bounded
+    * without waiting for a janitor (gcKeepLatest still reclaims old
+    * generations' dirs without touching linked inodes).
+    *
+    * `pairCols` names the two doc-id columns of the family's rows —
+    * the purge's anti-join keys (banded stores pairs as (da, db)). */
   def documentsPairArtifact(s: SparkSession, dir: String, key: String,
-                            appendOnly: Boolean = false)
+                            appendOnly: Boolean = false,
+                            pairCols: (String, String) = ("doc_a", "doc_b"))
                            (full: => DataFrame)
                            (deltaFor: (DataFrame, DataFrame) => DataFrame)
       : DataFrame = {
@@ -1217,13 +1277,13 @@ object ArtifactStore {
         graft.sources.CorpusFiles.readManifest(hfs,
           new org.apache.hadoop.fs.Path(filesManifestPath(key, pfp).toString))
       }
-      def fullBuild(): Unit = {
+      def fullBuild(mode: String = "full"): Unit = {
         val cert = docCertFlat(s, listing.map(_._1)).localCheckpoint()
         full.withColumn("fp", lit(fp)).write.mode("overwrite")
           .parquet(tmp.resolve("data").toString)
         cert.write.mode("overwrite").parquet(tmp.resolve("docs").toString)
         writeFilesManifest(s, tmp, fp, listing, Map.empty, cert)
-        pairStats.put(key, PairBuildStat("full", -1L, listing.map(_._1)))
+        pairStats.put(key, PairBuildStat(mode, -1L, listing.map(_._1)))
       }
       (prior, priorManifest) match {
         case (Some(pfp), Some(pm)) =>
@@ -1245,28 +1305,50 @@ object ArtifactStore {
             .join(priorCert.select(col("doc_id"), col("digest")),
               Seq("doc_id", "digest"), "left_anti").localCheckpoint()
           // changed = unvouched rows whose id the prior corpus knew
-          val nChanged = unvouched
+          val changedIds = unvouched
             .join(priorCert.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .count()
+            .select(col("doc_id")).distinct().localCheckpoint()
+          val nChanged = changedIds.count()
           // removed = prior rows of vanished/changed files that neither
           // resurfaced in the scan nor survive in an unchanged file
-          val nRemoved = priorCert
+          val removedIds = priorCert
             .where(col("src").isin(removedOrChanged: _*))
             .join(deltaCert.select(col("doc_id"), col("digest")),
               Seq("doc_id", "digest"), "left_anti")
             .join(carriedCert.select(col("doc_id"), col("digest")),
               Seq("doc_id", "digest"), "left_anti")
-            .count()
-          if (nChanged == 0L && nRemoved == 0L) {
+            .select(col("doc_id")).distinct().localCheckpoint()
+          val nRemoved = removedIds.count()
+          val priorDataDir = Paths.get(dataPath(key, pfp))
+          // the purge modes and the full build rewrite everything, so
+          // the accretion check gates only the link-carried pure append
+          val wantCompact = appendOnly &&
+            partFileCount(priorDataDir) >= pairCompactFileBound
+          def writeDeltaManifest(): Unit = {
+            val unchangedSet = unchanged.map(_._1).toSet
+            writeFilesManifest(s, tmp, fp, listing,
+              pm.collect { case (p, (_, _, sum)) if unchangedSet(p) =>
+                p -> sum },
+              deltaCert.select(col("src"), col("digest")))
+          }
+          def writeCertAndManifest(): Unit = {
+            carriedCert.unionByName(deltaCert)
+              .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
+            writeDeltaManifest()
+          }
+          if (nChanged == 0L && nRemoved == 0L && !wantCompact) {
             val newIds = unvouched.select(col("doc_id")).distinct()
             val priorPairs = s.read.parquet(dataPath(key, pfp)).drop("fp")
             deltaFor(priorPairs, newIds).withColumn("fp", lit(fp))
               .write.mode("overwrite").parquet(tmp.resolve("data").toString)
             // pure-union families: fresh rows were written above; the
-            // prior generation's pair rows carry as hard links
+            // prior generation's pair rows carry as hard links. The
+            // carry asserts the flat-dir invariant (r16 ADVICE): a
+            // subdirectory in the prior data dir would silently drop
+            // every old-old pair row, so it fails the build instead.
             if (appendOnly)
-              linkDirInto(Paths.get(dataPath(key, pfp)),
-                tmp.resolve("data"), skipMarkers = true)
+              linkDirInto(priorDataDir, tmp.resolve("data"),
+                skipMarkers = true, requireFlat = true)
             // certificate: when no prior file vanished/changed, the new
             // cert is exactly prior ∪ delta — write the delta's rows
             // and HARD-LINK the prior generation's cert files beside
@@ -1278,19 +1360,59 @@ object ArtifactStore {
               deltaCert.write.mode("overwrite")
                 .parquet(tmp.resolve("docs").toString)
               linkDirInto(docsSidecarPath(key, pfp),
-                tmp.resolve("docs"), skipMarkers = true)
-            } else
-              carriedCert.unionByName(deltaCert)
-                .write.mode("overwrite").parquet(tmp.resolve("docs").toString)
-            val unchangedSet = unchanged.map(_._1).toSet
-            writeFilesManifest(s, tmp, fp, listing,
-              pm.collect { case (p, (_, _, sum)) if unchangedSet(p) =>
-                p -> sum },
-              deltaCert.select(col("src"), col("digest")))
+                tmp.resolve("docs"), skipMarkers = true, requireFlat = true)
+              writeDeltaManifest()
+            } else writeCertAndManifest()
             pairStats.put(key,
               PairBuildStat("delta", newIds.count(), deltaPaths, linkCert,
                 dataLinked = appendOnly))
-          } else fullBuild()
+          } else if (appendOnly && (nChanged > 0L || nRemoved > 0L) && {
+            // PURGE only when the dead set is a sliver of the prior
+            // corpus (the takedown shape). When MOST prior docs are
+            // dead — the degenerate case being a prior generation of
+            // the same key built from an UNRELATED corpus directory
+            // sharing the store — the anti-join would scan the prior
+            // pairs only to discard nearly all of them and then
+            // delta-pair nearly the whole corpus: strictly worse than
+            // the from-scratch build it exists to avoid. Majority-dead
+            // demotes to full (one slim distinct-count against the
+            // certificate decides).
+            val nPriorDocs =
+              priorCert.select(col("doc_id")).distinct().count()
+            (nChanged + nRemoved) * 2 <= nPriorDocs
+          }) {
+            // PURGE (r16 verdict item 1): rows are exact pair-local
+            // truths keyed by (a, b) — pairs touching a removed or
+            // changed doc die by anti-join (both sides), nothing else
+            // moves; changed and brand-new docs then ride the append
+            // algebra (their doc-local stores already hold current
+            // content). Corpus scan stays O(delta files); the prior
+            // PAIR store is read once, linearly, and its rewrite
+            // compacts the link-carried tail as a side effect.
+            val (aCol, bCol) = pairCols
+            val deadIds = changedIds.unionByName(removedIds).distinct()
+              .localCheckpoint()
+            val nDead = deadIds.count()
+            val priorPairs = s.read.parquet(dataPath(key, pfp)).drop("fp")
+            val purged = priorPairs
+              .join(deadIds.withColumnRenamed("doc_id", aCol),
+                Seq(aCol), "left_anti")
+              .join(deadIds.withColumnRenamed("doc_id", bCol),
+                Seq(bCol), "left_anti")
+              .select(priorPairs.columns.map(col): _*)
+            val freshIds = unvouched.select(col("doc_id")).distinct()
+            val nFresh = freshIds.count()
+            val out =
+              if (nFresh == 0L) purged
+              else purged.unionByName(
+                deltaFor(purged, freshIds).select(purged.columns.map(col): _*))
+            out.withColumn("fp", lit(fp)).write.mode("overwrite")
+              .parquet(tmp.resolve("data").toString)
+            writeCertAndManifest()
+            pairStats.put(key, PairBuildStat(
+              if (nFresh == 0L) "purge" else "purge+delta",
+              nFresh, deltaPaths, deadDocs = nDead))
+          } else fullBuild(if (wantCompact) "compact" else "full")
         case _ => fullBuild()
       }
     }

@@ -313,7 +313,12 @@ object AnalyticsQueries {
     * build pairs only the delta ([[winnowPairsDelta]] — O(delta ×
     * df-capped postings), never O(corpus²-collisions)); removals and
     * in-place changes demote to one full rebuild
-    * ([[graft.ArtifactStore.documentsPairArtifact]]'s dispatch). In
+    * ([[graft.ArtifactStore.documentsPairArtifact]]'s dispatch —
+    * deliberately NOT the pure-union families' anti-join purge: the
+    * df cap EVICTS a pair's contributions when a hash's support
+    * crosses MaxFpDf, and a removal that drops support back under the
+    * cap must resurrect contributions the store no longer holds —
+    * eviction is not invertible from the stored rows). In
     * the takedown cascade; oracles recompute from the corpus in SQL,
     * unchanged. */
   private[graft] def winnowPairsArtifact(s: SparkSession,

@@ -158,7 +158,7 @@ object DedupQueries {
     * recompute from the corpus in SQL, unchanged. */
   private[graft] def bandedCandNMatch(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsPairArtifact(s, dir, "banded_cand_nmatch_v1",
-      appendOnly = true)(
+      appendOnly = true, pairCols = ("da", "db"))(
       bandedCandNMatchDirect(s, dir))(
       bandedCandNMatchDelta(s, dir))
 

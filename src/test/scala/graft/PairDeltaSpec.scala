@@ -23,6 +23,22 @@ class PairDeltaSpec extends SparkSpec {
   private val WKey = "winnow_pairs_v1"
   private val MKey = "minhash_pairs_v1"
 
+  /** The corpus's parquet part files — fixture bookkeeping so a
+    * removal leg can delete ONE file (a true file-level removal, the
+    * shape a 100 TB corpus actually mutates in) instead of rewriting
+    * the table. */
+  private def partFiles(dir: String): Set[java.nio.file.Path] = {
+    val d = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    java.nio.file.Files.list(d).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSet
+  }
+
+  private def parquetCount(dir: java.nio.file.Path): Int =
+    java.nio.file.Files.list(dir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+
   private def wRows(df: DataFrame) = df.collect().map { r =>
     (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
       r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
@@ -123,7 +139,19 @@ class PairDeltaSpec extends SparkSpec {
     assert(wRows(graft.SparkEntry.queries("q191_winnow_matches")(spark, dir))
       == wExpected(dir), "the post-removal store must still be correct")
     assert(ArtifactStore.pairStats.get(WKey).mode == "full",
-      "a removal must demote the pair store to a full rebuild")
+      "a removal must demote the pair store to a full rebuild — winnow " +
+        "is NOT pure-union (df-cap eviction is not invertible), so the " +
+        "appendOnly purge must never fire for it")
+
+    // corpus D: append AFTER the demotion — the algebra must recover
+    // the delta path across the mode transition (r16 verdict item 4)
+    copyAt(911L).coalesce(1).write.mode("append")
+      .parquet(s"$dir/documents.parquet")
+    assert(wRows(graft.SparkEntry.queries("q191_winnow_matches")(spark, dir))
+      == wExpected(dir), "generation D (delta after demote) must be correct")
+    val statD = ArtifactStore.pairStats.get(WKey)
+    assert(statD.mode == "delta" && statD.newDocs == 1L,
+      s"an append after a demotion must delta off the rebuilt prior: $statD")
   }
 
   test("simjoin_pairs_v1: a pure append pairs only the delta and " +
@@ -169,14 +197,23 @@ class PairDeltaSpec extends SparkSpec {
       s"append must take the delta path over the 1 new doc: $stat")
     // the prior generation's pair rows carry as HARD LINKS (O(delta)
     // data maintenance): the new generation's data dir must hold at
-    // least one inode shared with the prior generation
+    // least one inode shared with the prior generation. Read through
+    // the portable "unix:nlink" view only where the filesystem
+    // supports it (r16 ADVICE: the raw getAttribute throws on
+    // non-POSIX filesystems — assume() keeps the spec honest there
+    // instead of failing on an environment property).
     val fpNow = ArtifactStore.documentsFp(spark, dir)
     val dataDir = java.nio.file.Paths.get(
       ArtifactStore.dataPath("simjoin_pairs_v1", fpNow))
-    val shared = java.nio.file.Files.list(dataDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    val nlinkOf = (p: java.nio.file.Path) => scala.util.Try(
+      java.nio.file.Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue)
+    val parts = java.nio.file.Files.list(dataDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .count(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
-        .asInstanceOf[Number].intValue >= 2)
+    assume(parts.headOption.exists(p => nlinkOf(p).isSuccess),
+      "unix:nlink attribute unsupported on this filesystem")
+    val shared = parts.count(p => nlinkOf(p).getOrElse(1) >= 2)
     assert(shared >= 1,
       "at least one carried pair part must be a shared inode (hard link)")
     assert(b.exists(r => r._1 == math.min(xId, 940L) &&
@@ -265,9 +302,11 @@ class PairDeltaSpec extends SparkSpec {
     // append a near-copy (guaranteed collisions and band candidates)
     val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
       .localCheckpoint()
+    val filesA = partFiles(dir)
     x.select(lit(960L).as("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))
       .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val fileB = partFiles(dir) -- filesA
 
     assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
       bRows(DedupQueries.brutePairStatsDirect(spark, dir)),
@@ -285,6 +324,32 @@ class PairDeltaSpec extends SparkSpec {
     assert(bRows(DedupQueries.brutePairStats(spark, dir))
       .exists(r => r._2 == 960L && r._3 > 0L),
       "the appended twin must co-shingle with its original")
+
+    // IN-PLACE CHANGE (r16 verdict item 1): 960's file is replaced by
+    // one holding the SAME id with different text. The old rows'
+    // pair facts are stale pair-locally, so one build must purge every
+    // pair touching 960 and re-pair it from its doc-local stores'
+    // CURRENT content — for both families, including banded's
+    // (da, db)-named purge keys
+    fileB.foreach(java.nio.file.Files.delete)
+    x.select(lit(960L).as("doc_id"),
+        concat(col("text"), lit(" tail tail tail")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 15L).as("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+      bRows(DedupQueries.brutePairStatsDirect(spark, dir)),
+      "purge+delta pair facts must equal from-scratch row-for-row " +
+        "after an in-place change")
+    val bStatC = ArtifactStore.pairStats.get("brute_pair_stats_v1")
+    assert(bStatC.mode == "purge+delta" && bStatC.newDocs == 1L &&
+      bStatC.deadDocs == 1L && bStatC.scannedFiles.size == 1, s"$bStatC")
+    assert(nRows(DedupQueries.bandedCandNMatch(spark, dir)) ==
+      nRows(DedupQueries.bandedCandNMatchDirect(spark, dir)),
+      "purge+delta candidate agreement must equal from-scratch " +
+        "row-for-row after an in-place change")
+    val nStatC = ArtifactStore.pairStats.get("banded_cand_nmatch_v1")
+    assert(nStatC.mode == "purge+delta" && nStatC.deadDocs == 1L,
+      s"$nStatC")
   }
 
   test("minhash_pairs_v1: a pure append verifies only delta-touching " +
@@ -299,6 +364,7 @@ class PairDeltaSpec extends SparkSpec {
       .localCheckpoint()
     val docsA = base.where(col("doc_id") < 200)
     docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val filesA = partFiles(dir)
 
     // q27 (the from-scratch pipeline over the delta-carried hash
     // stores) is the reference; the artifact serves q73/q139/q142 etc.
@@ -316,6 +382,7 @@ class PairDeltaSpec extends SparkSpec {
     x.select(lit(930L).as("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))
       .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val fileB = partFiles(dir) -- filesA
 
     val served = pairRows(DedupQueries.minhashPairsArtifact(spark, dir))
     assert(served == direct(dir),
@@ -332,5 +399,154 @@ class PairDeltaSpec extends SparkSpec {
       .toMap
     assert(comps.get(930L) == comps.get(xId) && comps.contains(930L),
       "the appended duplicate must join its twin's cluster")
+
+    // REPLACE the appended file (r16 verdict item 1): 930's file
+    // vanishes and a new file lands with twin 931 — one build must
+    // purge 930's pairs by anti-join AND delta-pair 931, never
+    // re-pairing the 200 old docs
+    fileB.foreach(java.nio.file.Files.delete)
+    x.select(lit(931L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val servedC = pairRows(DedupQueries.minhashPairsArtifact(spark, dir))
+    assert(servedC == direct(dir),
+      "the purge+delta store must equal the q27 pipeline row-for-row")
+    val statC = ArtifactStore.pairStats.get(MKey)
+    assert(statC.mode == "purge+delta" && statC.newDocs == 1L &&
+      statC.deadDocs == 1L && statC.scannedFiles.size == 1,
+      s"a file replacement must purge the dead doc and pair only the " +
+        s"arriving one, scanning only the arriving file: $statC")
+    assert(!servedC.exists(r => r._1 == 930L || r._2 == 930L),
+      "every pair touching the removed doc must be purged")
+    assert(servedC.contains((math.min(xId, 931L), math.max(xId, 931L))),
+      s"the replacement twin's pair ($xId, 931) must surface")
+  }
+
+  test("simjoin_pairs_v1: a pure file-level removal PURGES by anti-join " +
+    "— zero corpus files scanned — and the next append deltas off the " +
+    "purged prior (mixed 3-step history)") {
+    val tmp = Files.createTempDirectory("pair_purge_s").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"psalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    def sRows(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("c"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("jaccard")))
+    }.toSet
+    def served() =
+      sRows(graft.SparkEntry.queries("q192_sim_join_prefix")(spark, dir))
+    def direct() = sRows(DedupQueries.simJoinPrefixDirect(spark, dir))
+
+    // fileA: docs < 150; fileB: twins 940/941 of the longest doc — the
+    // first generation builds over BOTH files, so deleting fileB later
+    // yields a corpus fingerprint no generation has served yet
+    val docsA = base.where(col("doc_id") < 150)
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val filesA = partFiles(dir)
+    val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    val xId = x.select(col("doc_id")).collect().head.getLong(0)
+    Seq(940L, 941L).map(id =>
+        x.select(lit(id).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val fileB = partFiles(dir) -- filesA
+    assert(served() == direct(), "generation 1 (full over A∪B)")
+    assert(ArtifactStore.pairStats.get("simjoin_pairs_v1").mode == "full")
+    assert(served().exists(r => r._1 == 940L && r._2 == 941L),
+      "witness: the twin pair must exist before the removal")
+
+    // PURE REMOVAL: fileB vanishes — the exact shape of a takedown on
+    // a file-organized corpus. The build must classify it as a purge
+    // (pairs touching 940/941 die by anti-join, nothing else moves)
+    // and scan ZERO corpus files
+    fileB.foreach(java.nio.file.Files.delete)
+    val served2 = served()
+    assert(served2 == direct(),
+      "the purged store must equal a from-scratch build row-for-row")
+    val pStat = ArtifactStore.pairStats.get("simjoin_pairs_v1")
+    assert(pStat.mode == "purge" && pStat.deadDocs == 2L &&
+      pStat.newDocs == 0L && pStat.scannedFiles.isEmpty,
+      s"a pure removal must purge without scanning any corpus file " +
+        s"or re-pairing anything: $pStat")
+    assert(!served2.exists(r =>
+      Set(r._1, r._2).exists(Set(940L, 941L))),
+      "every pair touching a removed doc must be purged")
+
+    // append twin 943: the PURGED generation is now the prior — the
+    // algebra must recover the link-carried delta path across the
+    // mode transition (r16 verdict item 4)
+    x.select(lit(943L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val served3 = served()
+    assert(served3 == direct(),
+      "generation 3 (delta off the purged prior) must equal direct")
+    val dStat = ArtifactStore.pairStats.get("simjoin_pairs_v1")
+    assert(dStat.mode == "delta" && dStat.newDocs == 1L && dStat.dataLinked,
+      s"the append after a purge must delta off the purged prior: $dStat")
+    assert(served3.exists(r => r._1 == math.min(xId, 943L) &&
+      r._2 == math.max(xId, 943L) &&
+      r._6 == java.lang.Double.doubleToLongBits(1.0)),
+      s"the post-purge twin's J=1.0 pair ($xId, 943) must surface")
+  }
+
+  test("appendOnly pair stores compact when the link-carried part-file " +
+    "tail crosses the bound — row-for-row unchanged") {
+    val tmp = Files.createTempDirectory("pair_compact").toString
+    val dir = s"$tmp/corpus"
+    val salt = s"ksalt ${java.util.UUID.randomUUID.toString.take(8)} "
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), concat(lit(salt), col("text")).as("text"),
+        col("lang"), col("source"),
+        length(concat(lit(salt), col("text"))).cast("long").as("n_chars"))
+      .localCheckpoint()
+    def bRows(df: DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("c"),
+        r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    }.toSet
+    def dataDir() = java.nio.file.Paths.get(ArtifactStore.dataPath(
+      "brute_pair_stats_v1", ArtifactStore.documentsFp(spark, dir)))
+
+    val docsA = base.where(col("doc_id") < 100)
+    docsA.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val x = docsA.orderBy(col("n_chars").desc, col("doc_id")).limit(1)
+      .localCheckpoint()
+    assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+      bRows(DedupQueries.brutePairStatsDirect(spark, dir)))
+    // two link-carried appends accrete the part-file tail
+    x.select(lit(955L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+      bRows(DedupQueries.brutePairStatsDirect(spark, dir)))
+    assert(ArtifactStore.pairStats.get("brute_pair_stats_v1").mode
+      == "delta")
+    val accreted = parquetCount(dataDir())
+    val prev = ArtifactStore.pairCompactFileBound
+    try {
+      // the served dir now holds `accreted` parts; with the bound at
+      // that count, the NEXT pure append must compact instead of link
+      ArtifactStore.pairCompactFileBound = accreted
+      x.select(lit(956L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+      assert(bRows(DedupQueries.brutePairStats(spark, dir)) ==
+        bRows(DedupQueries.brutePairStatsDirect(spark, dir)),
+        "the compacting rebuild must be row-for-row correct")
+      val stat = ArtifactStore.pairStats.get("brute_pair_stats_v1")
+      assert(stat.mode == "compact",
+        s"crossing the part-file bound must trigger a compacting " +
+          s"full build: $stat")
+      assert(parquetCount(dataDir()) < accreted,
+        "the compaction must re-bound the served dir's file count " +
+          s"below the accreted $accreted")
+    } finally ArtifactStore.pairCompactFileBound = prev
   }
 }
