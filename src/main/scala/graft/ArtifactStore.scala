@@ -134,13 +134,18 @@ object ArtifactStore {
     * attributed back to it (normalization drift would otherwise
     * silently zero its contribution). */
   private def fpOf(s: SparkSession, dir: String, table: String,
-                   digest: => Column): Long = {
-    val key = (dir, table)
+                   digest: => Column, cacheTag: String = null): Long = {
+    // cacheTag separates fp caches when TWO different digests read the
+    // same table (the lineitem graph fp digests only the two graph
+    // columns) — a shared cache would serve one digest's sums to the
+    // other and silently mislabel every generation
+    val tag = if (cacheTag == null) table else cacheTag
+    val key = (dir, tag)
     val listing = graft.sources.CorpusFiles.list(s, dir, table)
     val sig = listing.map { case (p, sz, mt) => s"$p|$sz|$mt" }.mkString("\n")
     val memo = fpMemo.get(key)
     if (memo != null && memo._1 == sig) return memo._2
-    val cache = fpCachePath(dir, table)
+    val cache = fpCachePath(dir, tag)
     val fs = cache.getFileSystem(s.sparkContext.hadoopConfiguration)
     val prior = graft.sources.CorpusFiles.readManifest(fs, cache)
       .getOrElse(Map.empty[String, (Long, Long, Long)])
@@ -177,6 +182,23 @@ object ArtifactStore {
 
   def documentsFp(s: SparkSession, dir: String): Long =
     fpOf(s, dir, "documents", documentsRowDigest)
+
+  /** Lineitem fingerprint over ONLY the graph columns (l_suppkey,
+    * l_partkey) — the key of the supplier–part co-occurrence graph
+    * artifacts (q91's edge list and degrees, r16 verdict item 2). A
+    * lineitem append that touches no (supplier, part) combination the
+    * graph hasn't seen still changes this fp (the digest sums row
+    * multiplicity) — a rebuild more than strictly necessary, but the
+    * fp must be computable without the distinct-pair shuffle it
+    * exists to avoid; columns OUTSIDE the pair (prices, dates) never
+    * invalidate it because they never enter the digest. File-
+    * incremental like every fpOf (own cacheTag: the same table could
+    * later carry a full-row fingerprint without cache collision). */
+  def lineitemGraphFp(s: SparkSession, dir: String): Long =
+    fpOf(s, dir, "lineitem",
+      queries.OpsQueries.checksumHash("lineitem_sp",
+        Seq("l_suppkey", "l_partkey")),
+      cacheTag = "lineitem_sp")
 
   // ------------------------------------------------------------ store
 

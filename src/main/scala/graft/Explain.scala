@@ -36,7 +36,14 @@ object Explain {
     }
     for (n <- names) {
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // q91's served query is lineage-truncated (localCheckpoint per
+      // iteration); `q91_step` exposes the iteration-1 plan over the
+      // real graph store for the audit
+      if (n == "q91_step")
+        queries.AnalyticsQueries.prStepForAudit(spark, sfDir)
+          .explain("formatted")
+      else
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

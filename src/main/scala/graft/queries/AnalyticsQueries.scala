@@ -778,8 +778,10 @@ object AnalyticsQueries {
     * bit-identical BIGINTs in both engines: iterative graph analytics
     * with none of float-PageRank's summation-order nondeterminism.
     *
-    * Scale shape: the edge list is built once (distinct pair dedupe =
-    * one partial-agg shuffle), persisted, and re-joined each
+    * Scale shape: the edge list and degrees are generation-managed
+    * artifacts ([[prGraph]] — the distinct-pair dedupe runs once per
+    * CORPUS, not per query), read as FileScans, persisted, and
+    * re-joined each
     * iteration on 8-byte BIGINT node ids (suppliers = 2·sk, parts =
     * 2·pk+1 — the display strings are formatted only in the final
     * 20-row projection, so no VARCHAR rides the iteration shuffles).
@@ -803,11 +805,25 @@ object AnalyticsQueries {
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val (edgesRaw, degRaw) = prGraph(s, dir)
+    // NOTE (round 17): persisting the edges pre-repartitioned on the
+    // join key was tried and MEASURED SLOWER at sf0.1 (4.16 s vs
+    // 1.89 s min, shuffle 50 -> 65 MB): under AQE the persisted
+    // partitioning is not recognized as satisfying the join's
+    // distribution (coalesced stage boundaries), so every iteration
+    // re-exchanged BOTH sides plus the upfront repartition. The plain
+    // persisted scan stays.
     val edges = edgesRaw.persist()
     val deg = degRaw.persist()
     val n = deg.count()
     val pr0 = PrScale / n
     val base = (3L * pr0) / 20L
+    // node-count-driven join strategy (the count above is already
+    // paid): the rank frame is exactly n rows of three BIGINTs; under
+    // ~8 MB it broadcasts statically and the edge list never leaves
+    // its persisted partitions — at large n the hint is withheld and
+    // the keyed shuffle is the honest plan. A cost decision from a
+    // measured statistic, not a fixed hint.
+    val broadcastRank = n * 24L < (8L << 20)
     // NOTE (round 8): unrolling the 5 rounds into one declarative plan
     // (no per-round localCheckpoint) was tried and MEASURED SLOWER at
     // sf0.1 (5.8 s vs ~4 s min): the cost is the 10 shuffle stages
@@ -816,14 +832,18 @@ object AnalyticsQueries {
     // boundaries. The checkpointed loop stays.
     var pr: DataFrame = deg.select(col("node"), col("deg"), lit(pr0).as("pr"))
     var prevCkpt: DataFrame = null
-    for (_ <- 1 to PrIters) {
-      val next = prStep(pr, edges, deg, base)
+    // iterations 1..N−1 checkpoint (each is the next one's input); the
+    // LAST iteration fuses into the 20-row projection instead — its
+    // rank frame is consumed exactly once, so materializing it first
+    // would be one wasted job + checkpoint
+    for (_ <- 1 until PrIters) {
+      val next = prStep(pr, edges, base, broadcastRank)
         .localCheckpoint() // eager: materializes before prev is dropped
       if (prevCkpt != null) prevCkpt.unpersist()
       prevCkpt = next
       pr = next
     }
-    val out = pr
+    val out = prStep(pr, edges, base, broadcastRank)
       .select(concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
           expr("node div 2").cast("string")).as("node"),
         col("deg"), col("pr"))
@@ -835,36 +855,102 @@ object AnalyticsQueries {
     out
   }
 
+  /** The q91 iteration-1 frame over the REAL served graph, for plan
+    * audits (`runMain graft.Explain q91_step`): pageRank's returned
+    * query is lineage-truncated by the per-iteration localCheckpoint,
+    * so the iteration join/agg shape — FileScan of `pr_edges_v2`
+    * feeding the fixpoint — is only visible here and in PlanSpec. */
+  def prStepForAudit(s: SparkSession, dir: String): DataFrame = {
+    val (edges, deg) = prGraph(s, dir)
+    val n = deg.count()
+    val pr0 = PrScale / n
+    prStep(deg.select(col("node"), col("deg"), lit(pr0).as("pr")),
+      edges, (3L * pr0) / 20L, broadcastRank = n * 24L < (8L << 20))
+  }
+
   /** The supplier–part co-occurrence graph: symmetric BIGINT edge list
-    * (suppliers = 2·sk, parts = 2·pk+1) and per-node out-degrees.
-    * Extracted (with [[prStep]]) so PlanSpec can assert the iteration
-    * plan shape on the real graph. Returned unpersisted — pageRank
-    * owns the persist/unpersist lifecycle. */
+    * (suppliers = 2·sk, parts = 2·pk+1) and per-node out-degrees,
+    * served from generation-managed artifacts (r16 verdict item 2 —
+    * the distinct-pair dedupe was the only corpus-scale shuffle left
+    * in the suite's most expensive query, paid before EVERY
+    * 5-iteration fixpoint; like the pair stores, the graph is derived
+    * state keyed by its corpus, so it builds once per corpus and every
+    * fixpoint run starts from a FileScan). The key is
+    * [[graft.ArtifactStore.lineitemGraphFp]] — a fingerprint over only
+    * (l_suppkey, l_partkey), so price/date-only corpus changes reuse
+    * the graph verbatim. Degrees persist beside the edges (same fp):
+    * one groupBy of the just-written edge store at build time buys
+    * every later run its degree table for a footer-cheap read instead
+    * of an edges-scan shuffle. Extracted (with [[prStep]]) so PlanSpec
+    * can assert the iteration plan shape on the real (served) graph.
+    * Returned unpersisted — pageRank owns the persist lifecycle. */
   private[queries] def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val pairs = Tables.lineitem(s, dir)
-      .select(col("l_suppkey").cast(LongType).as("sk"),
-        col("l_partkey").cast(LongType).as("pk")).distinct()
-    val edges = pairs.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
-      .union(pairs.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node")
+    val fp = graft.ArtifactStore.lineitemGraphFp(s, dir)
+    val edges = graft.ArtifactStore.parquetOnce(s, "pr_edges_v2", fp)(
+      prGraphDirect(s, dir)).drop("fp")
+    val deg = graft.ArtifactStore.parquetOnce(s, "pr_deg_v1", fp)(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node")).drop("fp")
     (edges, deg)
   }
 
-  /** One PageRank iteration — one shuffle join (rank × edges) plus one
-    * partial aggregation (inflow by dst) plus the degree re-join, all
-    * on BIGINT node keys. Extracted so PlanSpec can assert the
-    * iteration plan shape (localCheckpoint truncates lineage, so the
-    * returned query's plan no longer contains the iteration joins). */
+  /** The from-scratch edge build (the artifact's build thunk and the
+    * spec's reference arm): one distinct-pair partial-agg shuffle,
+    * both orientations, then BOTH endpoint degrees denormalized onto
+    * the edge (v2): deg_src divides the outflow, deg_dst rides into
+    * the iteration's aggregation key so the rank update folds into the
+    * aggregate projection — the per-iteration `deg ⟕ inflow` re-join
+    * (one extra shuffle stage per iteration) disappears. Sound because
+    * the symmetrized graph gives every node an in-edge, so the
+    * aggregation's dst key set IS the node set (the old left-join's
+    * coalesce(inflow, 0) arm was dead). Degree joins run at BUILD
+    * time, once per corpus. */
+  private[queries] def prGraphDirect(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast(LongType).as("sk"),
+        col("l_partkey").cast(LongType).as("pk")).distinct()
+    val edges = pairs
+      .select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+      .union(pairs.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    edges
+      .join(deg.select(col("node").as("src"), col("deg").as("deg_src")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("deg_dst")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), col("deg_src"), col("deg_dst"))
+  }
+
+  /** One PageRank iteration — ONE shuffle join (rank × edges) plus one
+    * partial aggregation (inflow by dst), all on BIGINT node keys. The
+    * per-edge contribution `pr div deg` is computed in the NODE-sized
+    * rank frame before the join (the division is per-src, so it never
+    * needs to ride the edge fan-out), the edge side projects only
+    * (src, dst, deg_dst) — deg_src stays pruned at the parquet scan —
+    * and the rank update folds into the aggregate's projection off the
+    * edge-carried deg_dst (v2 store): no degree re-join per iteration;
+    * every node is a dst by symmetry, so no coalesce arm is needed.
+    * Extracted so PlanSpec can assert the iteration plan shape
+    * (localCheckpoint truncates lineage, so the returned query's plan
+    * no longer contains the iteration joins). */
   private[queries] def prStep(pr: DataFrame, edges: DataFrame,
-      deg: DataFrame, base: Long): DataFrame = {
-    val inflow = pr.join(edges, pr("node") === edges("src"))
-      .select(col("dst").as("node"), expr("pr div deg").as("c"))
-      .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-    deg.join(inflow, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        (lit(base) + expr("(17 * coalesce(inflow, CAST(0 AS BIGINT))) div 20"))
-          .as("pr"))
+      base: Long, broadcastRank: Boolean = false): DataFrame = {
+    val contrib0 = pr.select(col("node"), expr("pr div deg").as("c"))
+    // cost-based static broadcast (pageRank decides from the MEASURED
+    // node count): a localCheckpoint'ed rank frame carries no usable
+    // size estimate, so without the hint the planner inserts a keyed
+    // exchange on BOTH sides and AQE's runtime BHJ conversion still
+    // pays the edge side's shuffle WRITE every iteration. When the
+    // rank frame is provably tiny the hint removes the edge exchange
+    // entirely (edges stream from the persisted store scan); when it
+    // is not, the keyed shuffle IS the right plan and no hint is given.
+    val contrib = if (broadcastRank) broadcast(contrib0) else contrib0
+    contrib.join(edges.select(col("src"), col("dst"), col("deg_dst")),
+        contrib("node") === col("src"))
+      .groupBy(col("dst"), col("deg_dst")).agg(sum(col("c")).as("inflow"))
+      .select(col("dst").as("node"), col("deg_dst").as("deg"),
+        (lit(base) + expr("(17 * inflow) div 20")).as("pr"))
   }
 
   // ---------------------------------------------------------------- q92

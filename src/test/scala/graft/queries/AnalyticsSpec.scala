@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{ArtifactStore, SparkSpec}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Independent (non-DuckDB) evidence for the round-3/4 analytics surface
   * q88–q94: brute-force Scala re-computations and algebraic invariants,
@@ -124,6 +125,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(prs.sameElements(prs.sorted.reverse), "pr must be descending")
     // integer fixpoint => bit-identical across executions
     assert(run1.map(_.toString).sameElements(run2.map(_.toString)))
+  }
+
+  test("q91 graph store: edges/degrees serve from the lineitem-keyed " +
+    "artifact, equal the from-scratch build, and rebuild nothing on reuse") {
+    val (edges, deg) = AnalyticsQueries.prGraph(spark, sfDir)
+    def eSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("deg_src"), r.getAs[Long]("deg_dst"))).toSet
+    val direct = eSet(AnalyticsQueries.prGraphDirect(spark, sfDir))
+    assert(eSet(edges) == direct,
+      "the served edge list must equal the from-scratch distinct-pair build")
+    val degDirect = direct.groupBy(_._1)
+      .map { case (srcN, es) => srcN -> es.size.toLong }
+    assert(deg.collect().map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap == degDirect,
+      "the served degree table must equal a degree count over the edges")
+    assert(direct.forall { case (srcN, dstN, ds, dd) =>
+      degDirect(srcN) == ds && degDirect(dstN) == dd },
+      "edge-carried degrees must equal the true endpoint degrees")
+    // generation reuse: a second derivation runs NO build thunk and the
+    // served plan is a FileScan of the store (no lineitem scan, no
+    // distinct-pair shuffle anywhere in the fixpoint's input)
+    val builds = ArtifactStore.buildCount.getOrDefault("pr_edges_v2", 0)
+    val (edges2, _) = AnalyticsQueries.prGraph(spark, sfDir)
+    assert(ArtifactStore.buildCount.getOrDefault("pr_edges_v2", 0) == builds,
+      "a same-corpus rerun must serve the published graph, not rebuild")
+    val plan = edges2.queryExecution.executedPlan.toString
+    assert(plan.contains("pr_edges_v2") && !plan.contains("lineitem"),
+      s"the served edges must FileScan the store, not the corpus:\n$plan")
   }
 
   test("q92: n_bigrams matches token count; avg_p is a probability") {

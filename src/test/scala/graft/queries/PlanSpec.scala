@@ -417,26 +417,28 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
-  test("q91 iteration step: two equi-joins, no cartesian, BIGINT-only shuffle keys") {
+  test("q91 iteration step: one equi-join, no cartesian, BIGINT-only shuffle keys") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types.LongType
     // the step plan is asserted directly — localCheckpoint truncates the
     // returned query's lineage, so the iteration joins never appear there
     val (edges, deg) = AnalyticsQueries.prGraph(spark, sfDir)
     val pr = deg.select(col("node"), col("deg"), lit(1000000L).as("pr"))
-    val step = AnalyticsQueries.prStep(pr, edges, deg, 50L)
+    val step = AnalyticsQueries.prStep(pr, edges, 50L)
     val plan = step.queryExecution.sparkPlan
     val p = step.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
-    // exactly one rank×edges join plus the degree re-join per iteration
+    // exactly ONE rank×edges join per iteration — the rank update folds
+    // into the aggregation off the edge-carried deg_dst (no degree
+    // re-join; r17: one fewer shuffle stage per iteration)
     val joins = plan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
     }
-    assert(joins.size == 2, s"expected 2 equi-joins per iteration, got ${joins.size}")
+    assert(joins.size == 1, s"expected 1 equi-join per iteration, got ${joins.size}")
     assert(joins.flatten.forall(_.dataType == LongType),
       "iteration join keys must be BIGINT node ids — VARCHAR must never ride " +
         "the per-iteration shuffles")
