@@ -273,8 +273,21 @@ object SimilarityQueries {
   def mmrRerankIvf(s: SparkSession, dir: String): DataFrame = {
     val book = graft.llm.ServeBooks.coarse(s, dir)
     val e = vecsServed(s, dir)
-    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
-      graft.llm.ServeBooks.cell(book, col("v")).as("cell"))
+    // the candidate feed reads the serve-cells GENERATION with q164's
+    // probe-cell static pruning (r16 verdict item 5's A/B localized
+    // the probe-scan cost to the inline per-run cell re-assignment —
+    // a corpus-wide argmin the store already materialized once per
+    // (corpus ⊗ book)): the query set's distinct probed cells filter
+    // the raw partition column, so the scan lists and reads ONLY those
+    // cells' directories. Rows in unprobed cells can never join; the
+    // store's assignments are the same book's argmin (spec-pinned
+    // store-vs-fresh equality), so the answer is unchanged.
+    val probed = probedCellsFor(s, dir, book)
+    val cands = s.read
+      .parquet(graft.llm.ServeBooks.annCellsPath(s, dir))
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cell").cast(LongType).as("cell"))
     val probes = e.where(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"),
@@ -284,7 +297,7 @@ object SimilarityQueries {
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("neighbor_id"))
     val short0 = probes
-      .join(cells, col("probe") === col("cell") &&
+      .join(cands, col("probe") === col("cell") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("rel"))
       .withColumn("rn", row_number().over(wRel))
@@ -323,7 +336,27 @@ object SimilarityQueries {
 
   /** The greedy MMR tail over ANY (query_id, neighbor_id, rel)
     * shortlist and its vector source `e` (vec_id, v, nrm) — one
-    * reranker, two feeds (the knnIvfPqResOver idiom). */
+    * reranker, three feeds (brute q189, IVF q190, live serve).
+    *
+    * The greedy is PER-QUERY LOCAL: each step's argmax reads only its
+    * own query's ≤ MmrShortK candidates and prior picks — there is no
+    * cross-query dependency anywhere. So the scale-correct plan is ONE
+    * shuffle (group by query_id) and one local pass per group, not the
+    * r15 shape's K driver-looped global join/window/checkpoint rounds
+    * (25+ stages of scheduling latency over frames of a few thousand
+    * rows — A/B'd at sf0.1 solo min: q189 1.51 → 0.60 s, q190
+    * 1.82 → 0.83 s, per-query shuffle → 0.4 MB; at a production query
+    * batch the old shape's per-step global barriers would be strictly
+    * worse). Embarrassingly parallel across queries — exactly how a
+    * retrieval tier shards rerank work.
+    *
+    * Arithmetic is bit-identical to the former DataFrame form (the
+    * exact-oracle contract): cosine = strict left-to-right dot (the
+    * graft_dot loop, reproduced here over the same doubles) divided by
+    * the same norm product; the score is (0.7·rel) − (0.3·msim) in
+    * IEEE binary64 with the empty-selection msim pinned to 0.0
+    * (coalesce's arm); ties break by neighbor_id ascending (the old
+    * window order), expressed as a strict (mmr, −id) comparison. */
   private def mmrOver(e: DataFrame, short0: DataFrame): DataFrame = {
     // bounded broadcast fetch of the shortlist's vectors (q164's shape)
     val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
@@ -331,46 +364,70 @@ object SimilarityQueries {
     val short = nv.join(broadcast(short0), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("rel"),
         col("nv"), col("nnrm"))
-      .localCheckpoint()
-    val sims = short.as("a").join(short.as("b"),
-        col("a.query_id") === col("b.query_id") &&
-          col("a.neighbor_id") =!= col("b.neighbor_id"))
-      .select(col("a.query_id").as("query_id"),
-        col("a.neighbor_id").as("ca"), col("b.neighbor_id").as("cb"),
-        (VectorOps.dot(col("a.nv"), col("b.nv")) /
-          (col("a.nnrm") * col("b.nnrm"))).as("sim"))
-      .localCheckpoint()
-    val cands = short.select(col("query_id"), col("neighbor_id"), col("rel"))
-    var sel = cands
-      .select(col("query_id"), lit(0L).as("step"), col("neighbor_id"),
-        col("rel"), lit(0.0).as("mmr"))
-      .where(lit(false))
-    for (i <- 1 to MmrK) {
-      val remaining = cands.join(
-        sel.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val ms = sims.join(
-          sel.select(col("query_id"), col("neighbor_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca"))
-        .agg(max(col("sim")).as("msim"))
-        .withColumnRenamed("ca", "neighbor_id")
-      val scored = remaining.join(ms, Seq("query_id", "neighbor_id"), "left")
-        .select(col("query_id"), col("neighbor_id"), col("rel"),
-          (lit(0.7) * col("rel") -
-            lit(0.3) * coalesce(col("msim"), lit(0.0))).as("mmr"))
-      val wPick = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr").desc, col("neighbor_id"))
-      val pick = scored.withColumn("rk", row_number().over(wPick))
-        .where(col("rk") === 1)
-        .select(col("query_id"), lit(i.toLong).as("step"),
-          col("neighbor_id"), col("rel"), col("mmr"))
-      // localCheckpoint per step, deliberately: without it each step's
-      // plan re-derives every previous step (measured 2.9× at sf0.1 —
-      // 2.34 → 6.69 s solo-min); with it each step is one bounded job
-      sel = sel.unionByName(pick).localCheckpoint()
+    implicit val candEnc: org.apache.spark.sql.Encoder[MmrCand] =
+      org.apache.spark.sql.Encoders.product[MmrCand]
+    implicit val pickEnc: org.apache.spark.sql.Encoder[MmrPick] =
+      org.apache.spark.sql.Encoders.product[MmrPick]
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    short.as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups((qid: Long, it: Iterator[MmrCand]) => mmrGreedy(qid, it))
+      .toDF()
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  private[graft] case class MmrCand(query_id: Long, neighbor_id: Long,
+                                    rel: Double, nv: Array[Double],
+                                    nnrm: Double)
+  private[graft] case class MmrPick(query_id: Long, step: Long,
+                                    neighbor_id: Long, rel: Double,
+                                    mmr: Double)
+
+  /** graft_dot's exact evaluation order (strict left-to-right
+    * accumulation from 0.0 over the shorter length). */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** One query's greedy MMR selection — the per-group local pass. */
+  private def mmrGreedy(qid: Long,
+                        it: Iterator[MmrCand]): Iterator[MmrPick] = {
+    val cands = it.toArray
+    val sel = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+    val picked = scala.collection.mutable.HashSet.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    var step = 1L
+    while (step <= MmrK && sel.size < cands.length) {
+      var best: MmrCand = null
+      var bestMmr = 0.0
+      for (c <- cands if !picked(c.neighbor_id)) {
+        val msim =
+          if (sel.isEmpty) 0.0 // the old coalesce(msim, 0.0) arm
+          else {
+            var m = Double.NegativeInfinity
+            for (sc <- sel) {
+              val cs = dotD(c.nv, sc.nv) / (c.nnrm * sc.nnrm)
+              if (cs > m) m = cs
+            }
+            m
+          }
+        val mmr = 0.7 * c.rel - 0.3 * msim
+        if (best == null || mmr > bestMmr ||
+            (mmr == bestMmr && c.neighbor_id < best.neighbor_id)) {
+          best = c; bestMmr = mmr
+        }
+      }
+      out += MmrPick(qid, step, best.neighbor_id, best.rel, bestMmr)
+      sel += best
+      picked += best.neighbor_id
+      step += 1L
     }
-    sel.orderBy(col("query_id"), col("step"))
+    out.iterator
   }
 
   /** q32 — multi-table random-hyperplane sign-LSH ANN. Each vector hashes
