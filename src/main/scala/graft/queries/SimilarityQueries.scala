@@ -1459,14 +1459,32 @@ object SimilarityQueries {
   }
 
   /** Exact-L2 brute top-K — the ground truth the ADC paths rank
-    * against (q64/q113's re-rank metric is L2, not cosine), in the
-    * same pure dot forms. Internal arm of q162/q163/q165/q168.
-    * Ranking rides the `graft_topk` bounded heap (q31's rationale);
-    * ascending L2 maps onto the heap's descending score by negating
-    * the `graft_dsort` encoding (safe: no real double encodes to
-    * Long.MinValue). Only the admitted (query_id, neighbor_id) set is
-    * read by the audits, so no decode stage is needed. */
-  private def knnBruteL2(s: SparkSession, dir: String): DataFrame = {
+    * against — as a persistent corpus artifact (round 17): the truth
+    * set is a pure function of the embeddings corpus and FOUR audits
+    * consume it (q162/q163/q165, q168 twice — once per arm branch),
+    * so the Q×corpus brute scan ran five times per suite pass for an
+    * identical 5,000-row answer. The brute_pair_stats_v1 discipline
+    * applied to the vector side: scan once per corpus, serve
+    * FileScans. Corpus-fingerprint keyed; oracles recompute the truth
+    * in SQL from the corpus, unchanged (the documentsArtifact rule).
+    * Honest A/B at sf0.1: per-query solo mins are UNCHANGED within
+    * noise (~1.0/1.0/0.9/1.5 s — the audits' cost is their serve
+    * arms' stage latency, not the heap scan); what the store buys is
+    * the corpus-scale posture (at 100 TB the truth arm is days of
+    * compute — it must be derived state, never a per-audit rerun) and
+    * five fewer corpus scans per suite pass. */
+  private def knnBruteL2(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.parquetOnce(s, "brute_l2_topk_v1",
+      graft.ArtifactStore.embeddingsFp(s, dir))(knnBruteL2Direct(s, dir))
+      .drop("fp")
+
+  /** The from-scratch truth scan (the artifact's build thunk): q31's
+    * rationale — the `graft_topk` bounded heap; ascending L2 maps onto
+    * the heap's descending score by negating the `graft_dsort`
+    * encoding (safe: no real double encodes to Long.MinValue). Only
+    * the admitted (query_id, neighbor_id) set is read by the audits,
+    * so no decode stage is needed. */
+  private def knnBruteL2Direct(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorOps.toDoubleArr(col("embedding")).as("v"))
     val q = e.where(col("vec_id") < QuerySetSize)
