@@ -246,6 +246,9 @@ class PlanSpec extends SparkSpec {
     // all Q×N scored pairs in a per-query row_number window; it now
     // aggregates through the bounded graft_dsort+graft_topk heap. The
     // only windows left belong to the serve arms' bounded re-ranks.
+    // r17: the L2 truth arm of the ADC audits is served from the
+    // brute_l2_topk_v1 artifact — graft_topk runs once in its build,
+    // so the audits' own plans must show the store FileScan instead
     val expectWindows = Map(
       "q31_knn_brute" -> 0,   // pure truth — fully windowless
       "q134_prefix_recall" -> 0, // both arms brute — fully windowless
@@ -253,6 +256,8 @@ class PlanSpec extends SparkSpec {
       "q162_adc_recall" -> 2, // q64's ADC shortlist + exact re-rank
       "q165_res_recall" -> 2, // q164's shortlist + re-rank
       "q168_adc_rank_audit" -> 4) // both arms × (shortlist + re-rank)
+    val storeServed = Set("q162_adc_recall", "q165_res_recall",
+      "q168_adc_rank_audit")
     for ((q, n) <- expectWindows) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val wins = df.queryExecution.sparkPlan.collect {
@@ -261,8 +266,12 @@ class PlanSpec extends SparkSpec {
       assert(wins.size == n,
         s"$q: expected $n serve-arm windows, got ${wins.size} — " +
           "a truth-arm window sort crept back in")
-      assert(plan(q).contains("graft_topk"),
-        s"$q: the truth arm must rank via the bounded heap")
+      if (storeServed(q))
+        assert(plan(q).contains("brute_l2_topk_v1"),
+          s"$q: the truth arm must FileScan the once-per-corpus store")
+      else
+        assert(plan(q).contains("graft_topk"),
+          s"$q: the truth arm must rank via the bounded heap")
     }
   }
 

@@ -244,9 +244,17 @@ class StreamAnnServeSpec extends SparkSpec {
         "late answers must equal the frozen-book serve minus the victim")
       // erasure reached the pinned artifact too: the takedown scrubbed
       // the victim's row out of the frozen serve-cells generation in
-      // place (not just the anti-join) — no published generation holds
-      // the deleted vector's bytes
-      graft.ArtifactStore.publishedFps(ServeBooks.AnnCellsKey).foreach { fp =>
+      // place (not just the anti-join) — no published generation OF
+      // THIS CORPUS holds the deleted vector's bytes. Scoped via
+      // annCellsFpsFor, matching the scrub's own content-scoped
+      // contract: a generation of a DIFFERENT corpus (another scale
+      // factor or a salted spec fixture sharing the store) may hold
+      // the same numeric vec_id bound to different bytes, and the
+      // scrub rightly leaves it alone.
+      val thisCorpus = ServeBooks.annCellsFpsFor(spark, sfDir).toSet
+      assert(thisCorpus.nonEmpty,
+        "witness: the serving generation must belong to this corpus")
+      thisCorpus.foreach { fp =>
         assert(spark.read.parquet(
             graft.ArtifactStore.dataPath(ServeBooks.AnnCellsKey, fp))
           .where(col("vec_id") === victim).count() == 0L,
