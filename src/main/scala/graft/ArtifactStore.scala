@@ -200,6 +200,18 @@ object ArtifactStore {
         Seq("l_suppkey", "l_partkey")),
       cacheTag = "lineitem_sp")
 
+  /** Customer fingerprint over ONLY c_name — the key of the fuzzy
+    * name-pair artifact (q72's Levenshtein-1 blocklist). Like
+    * [[lineitemGraphFp]], columns outside the digest (balances,
+    * addresses) never invalidate the pair list because they never
+    * enter it; the digest sums row multiplicity, so any name
+    * add/remove/change produces a new key. Own cacheTag: customer
+    * could later carry a full-row fingerprint without collision. */
+  def customerNameFp(s: SparkSession, dir: String): Long =
+    fpOf(s, dir, "customer",
+      queries.OpsQueries.checksumHash("customer_name", Seq("c_name")),
+      cacheTag = "customer_name")
+
   // ------------------------------------------------------------ store
 
   /** Build-thunk invocations, observable by ArtifactStoreSpec's

@@ -39,6 +39,64 @@ object AnalyticsQueries {
     * of Lee et al. scaled to this corpus's ~54-token documents. */
   private val SpanGram = 8
 
+  /** Positional 8-gram occurrences over ANY (doc_id, text) frame —
+    * the `gram_occ8_v1` build thunk and the parity specs' reference
+    * arm: one (doc_id, pos, g) row per gram START position (the
+    * positional twin of the distinct `shingle_hashes8_v1` rows; the
+    * substring family needs positions for coverage/excision/runs,
+    * the containment family only membership). */
+  private def gramOccFor(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), toks.as("w"))
+    docs
+      .select(col("doc_id"), col("w"), explode(expr(
+        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        call_function("graft_h60",
+          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
+  }
+
+  /** The corpus's positional 8-gram occurrences (`gram_occ8_v1`,
+    * documents fingerprint) — the substring-dedup family's shared
+    * input: q88 (coverage), q98 (excision), q196 (longest run), and
+    * the `dup_edges_v1` build all re-exploded and re-hashed the
+    * corpus text per query. Rows are doc-local, so the store is
+    * DELTA-GENERATIONAL like `shingle_hashes8_v1` (an append explodes
+    * only the appended docs; the rest hard-carries by bucket). The r3
+    * recompute-over-persist note on q88 adjudicated executor-memory
+    * `persist()` of ~|tokens| rows, which would spill at corpus
+    * scale; a parquet generation is disk-resident, column-pruned at
+    * every consumer's scan, and amortized across the family — the
+    * same storage posture as `winnow_fp_v1` (also O(corpus-token)
+    * rows), at 100 TB a deliberate substring-index spend (Lee et
+    * al.'s suffix arrays materialize strictly more). In the takedown
+    * cascade like every documents-derived key. */
+  private[queries] def gramOcc(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsDeltaArtifact(s, dir, "gram_occ8_v1")(
+      gramOccFor)
+
+  /** The from-scratch occurrence derivation (spec reference arm). */
+  private[queries] def gramOccDirect(s: SparkSession, dir: String): DataFrame =
+    gramOccFor(Tables.documents(s, dir))
+
+  /** Per-gram corpus statistics of the duplicated 8-grams
+    * (`gram_stats8_v1`, documents fingerprint): for every gram in ≥ 2
+    * distinct docs, the distinct-doc count `nd` and the packed
+    * corpus-first occurrence `fk` (min over doc_id·2²¹ + pos — q98's
+    * keep-one-copy arg-min). ONE groupBy of the occurrence store per
+    * CORPUS replaces the identical corpus-global shuffle q88, q98,
+    * q196, and the dup_edges build each ran per query: q88/q196
+    * filter it to the dup set, q98 joins `fk`, dup_edges caps `nd`.
+    * Derives FROM gram_occ8_v1 (the cluster_labels_v1 pattern); both
+    * die together in the takedown cascade. */
+  private[queries] def gramStats(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "gram_stats8_v1")(
+      gramOcc(s, dir)
+        .groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id") * lit(PosPack) + col("pos")).as("fk"))
+        .where(col("nd") >= 2))
+
   /** q88 — duplicated-substring coverage (substring-level dedup, the
     * step document-level MinHash misses: boilerplate headers, quoted
     * replies, license blocks duplicated INSIDE otherwise-unique docs).
@@ -56,23 +114,15 @@ object AnalyticsQueries {
     * doc_id-partitioned. Nothing global, nothing quadratic.
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"))
-    // `occ` feeds both the dup-set aggregation and the coverage join and is
-    // deliberately recomputed, not persisted: both consumers re-derive it
-    // from the (page-cached) parquet scan, whereas materializing ~|tokens|
-    // rows of (doc_id, pos, g) would have to spill at corpus scale.
-    // Measured at sf0.1 (r3 bench): recompute keeps q88 ≈ 2.9 s, scale-safe.
-    val occ = docs
-      .select(col("doc_id"), col("w"), explode(expr(
-        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        call_function("graft_h60",
-          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
-    val dup = occ.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select(col("g"))
+    // fully store-served since r17: occurrences from gram_occ8_v1,
+    // the dup-gram set from gram_stats8_v1, token counts from the
+    // doclens store (dl is the size of the SAME whitespace split) —
+    // zero corpus text I/O per query; the oracle recomputes from the
+    // corpus, so the gate proves the stores, not just the build
+    val lens = CurationQueries.doclenArtifact(s, dir)
+      .select(col("doc_id"), col("dl").as("n_tok"))
+    val occ = gramOcc(s, dir)
+    val dup = gramStats(s, dir).select(col("g"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val cov = occ.join(dup, Seq("g"))
       .withColumn("prev", lag(col("pos"), 1).over(w))
@@ -502,18 +552,12 @@ object AnalyticsQueries {
     * joins back on the 8-byte key) plus one doc_id-partitioned window
     * and a two-level rollup — nothing new crosses documents. */
   def dupLongestRun(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val lens = docs.select(col("doc_id"), size(col("w")).cast(LongType).as("n_tok"))
-    val occ = docs
-      .select(col("doc_id"), col("w"), explode(expr(
-        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        call_function("graft_h60",
-          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
-    val dup = occ.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= 2).select(col("g"))
+    // store-served like q88 (occurrences, dup set, and lengths all
+    // FileScans; the oracle recomputes from the corpus)
+    val lens = CurationQueries.doclenArtifact(s, dir)
+      .select(col("doc_id"), col("dl").as("n_tok"))
+    val occ = gramOcc(s, dir)
+    val dup = gramStats(s, dir).select(col("g"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = occ.join(dup, Seq("g"))
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -563,22 +607,12 @@ object AnalyticsQueries {
     */
   def dupSpanRemove(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    // same recompute-over-persist choice as q88 (documented there)
-    val occ = docs
-      .select(col("doc_id"), col("w"), explode(expr(
-        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        call_function("graft_h60",
-          expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
-    // ONE stats pass per gram (distinct-doc count for the dup test AND
-    // the packed first-occurrence arg-min together) — folding the two
-    // aggregations saves a shuffle, an occ recompute, and a join
+    // occurrences and the folded (nd, first-occurrence) stats are the
+    // r17 stores — the one corpus scan left is the text rebuild below,
+    // intrinsic: the output embeds the excised clean_text
+    val occ = gramOcc(s, dir)
     val packed = col("doc_id") * lit(PosPack) + col("pos")
-    val first = occ
-      .groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"), min(packed).as("fk"))
-      .where(col("nd") >= 2).select(col("g"), col("fk"))
+    val first = gramStats(s, dir).select(col("g"), col("fk"))
     val extra = occ.join(first, Seq("g")).where(packed =!= col("fk"))
     val rem = extra
       .select(col("doc_id"),
@@ -1210,19 +1244,17 @@ object AnalyticsQueries {
       buildDupEdges(s, dir))
 
   private def buildDupEdges(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count() // metadata-only parquet count (q81/q96 precedent)
+    val nDocs = Tables.documents(s, dir)
+      .count() // metadata-only parquet count (q81/q96 precedent)
     val dfCap = math.max(5L, math.ceil(0.01 * nDocs).toLong)
-    val occ = docs.select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), col("w"), explode(expr(
-        s"CASE WHEN size(w) >= $SpanGram THEN sequence(0, size(w) - $SpanGram) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END")).as("pos"))
-      .select(col("doc_id"), call_function("graft_h60",
-        expr(s"concat_ws(' ', slice(w, pos + 1, $SpanGram))")).as("g"))
-      .distinct()
+    // the build consumes the r17 span-gram stores (postings from the
+    // positional occurrences, the df filter from the stats table — nd
+    // there is the same distinct-doc count, floored at 2) instead of
+    // re-exploding the corpus; stats rows are dup-grams only, so the
+    // df-window join below sees exactly the old kept set
+    val occ = gramOcc(s, dir).select(col("doc_id"), col("g")).distinct()
     val kept = occ.join(
-      occ.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-        .where(col("nd") >= 2 && col("nd") <= dfCap).select(col("g")),
+      gramStats(s, dir).where(col("nd") <= dfCap).select(col("g")),
       Seq("g"))
     kept.as("a")
       .join(kept.as("b"),
@@ -1283,10 +1315,10 @@ object AnalyticsQueries {
     * iteration discipline: lineage stays O(1) deep, at the documented
     * executor-loss trade).
     */
-  /** Per-node labels after [[LpaIters]] synchronous rounds — q125
-    * reports their sizes, q126 scores the partition. Takes the edge
-    * frame as input so q126 can reuse its already-checkpointed edges
-    * instead of paying the gram pair join a second time. */
+  /** Per-node labels after [[LpaIters]] synchronous rounds — the
+    * fixpoint computation itself (the `lpa_labels_v1` build thunk and
+    * the spec's reference arm). Takes the edge frame as input so the
+    * build reuses the already-served `dup_edges_v1` generation. */
   private def lpaLabels(edges: DataFrame): DataFrame = {
     val und = edges.select(col("x").as("node"), col("y").as("nbr"))
       .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
@@ -1306,8 +1338,26 @@ object AnalyticsQueries {
     labels
   }
 
-  def labelPropagation(s: SparkSession, dir: String): DataFrame =
+  /** The LPA partition both consumers read (`lpa_labels_v1`,
+    * documents fingerprint): the 5-round fixpoint is a pure function
+    * of the served `dup_edges_v1` generation, and q125 AND q126 each
+    * re-ran it per query — 5 join+agg rounds with per-round
+    * localCheckpoints, twice per suite pass (the q91 lesson applied
+    * to the LPA fixpoint: derived state, never a per-query rerun).
+    * Keyed by the corpus fingerprint like the edge store it derives
+    * from; a takedown invalidates both together
+    * ([[graft.sources.TakedownApply.DocArtifactKeys]] — the
+    * cluster_labels_v1 precedent: labels must die with their edges). */
+  private[queries] def lpaLabelsServed(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "lpa_labels_v1")(
+      lpaLabels(dupEdges(s, dir)))
+
+  /** The from-scratch fixpoint (spec reference arm). */
+  private[queries] def lpaLabelsDirect(s: SparkSession, dir: String): DataFrame =
     lpaLabels(dupEdges(s, dir))
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame =
+    lpaLabelsServed(s, dir)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("size"))
       .orderBy(col("community"))
@@ -1333,10 +1383,12 @@ object AnalyticsQueries {
     * DECIMAL(38,0).
     */
   def modularityAudit(s: SparkSession, dir: String): DataFrame = {
-    // parquet-backed via ArtifactStore — already lineage-truncated, no
-    // localCheckpoint (which would pin the edges in executor memory)
+    // both inputs parquet-backed via ArtifactStore — already
+    // lineage-truncated, no localCheckpoint (which would pin the
+    // edges in executor memory); the labels FileScan the shared
+    // lpa_labels_v1 generation instead of re-running the fixpoint
     val edges = dupEdges(s, dir)
-    val labels = lpaLabels(edges)
+    val labels = lpaLabelsServed(s, dir)
     val m = edges.agg(count(lit(1)).as("m"))
     val lx = labels.select(col("node").as("x"), col("label").as("cx"))
     val ly = labels.select(col("node").as("y"), col("label").as("cy"))

@@ -35,16 +35,19 @@ import org.apache.spark.sql.functions._
 object TakedownApply {
 
   /** The documents-derived artifact families a takedown invalidates.
-    * cluster_labels_v1 derives FROM minhash_pairs_v1 (same
-    * fingerprint): both must die together or the labels would keep
-    * serving severed-edge clusters. */
+    * cluster_labels_v1 derives FROM minhash_pairs_v1 and
+    * lpa_labels_v1 FROM dup_edges_v1 (same fingerprint): each pair
+    * must die together or the labels would keep serving severed-edge
+    * clusters. */
   val DocArtifactKeys: Seq[String] =
     Seq("minhash_pairs_v1", "cluster_labels_v1", "dup_edges_v1",
+      "lpa_labels_v1",
       "postings_v1", "doclens_v1", "verdict_flags_v1",
       "verdict_rowflags_v1",
       "brute_pair_stats_v1", "minhash_sig3_v1", "shingle_hashes3_v1",
       "banded_cand_nmatch_v1", "shingle_hashes8_v1", "winnow_fp_v1",
-      "winnow_pairs_v1", "simjoin_pairs_v1")
+      "winnow_pairs_v1", "simjoin_pairs_v1",
+      "gram_occ8_v1", "gram_stats8_v1")
 
   /** Leg 1: tombstone flagged docs in the merge target. Returns the
     * number of newly tombstoned docs (0 on a re-run — idempotent). */

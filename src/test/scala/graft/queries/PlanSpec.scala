@@ -382,10 +382,48 @@ class PlanSpec extends SparkSpec {
       "postings head must ride the bounded graft_topk heap")
   }
 
+  test("q88/q196 are fully store-served; q98 scans the corpus only for " +
+    "the text rebuild") {
+    for (q <- Seq("q88_dup_spans", "q196_dup_longest_run")) {
+      val p = plan(q)
+      assert(p.contains("gram_occ8_v1") && p.contains("gram_stats8_v1") &&
+        p.contains("doclens_v1"),
+        s"$q must read the span-gram + doclen stores:\n${p.take(1200)}")
+      assert(!p.contains("documents.parquet"),
+        s"$q must not touch corpus text — every arm is a store read")
+    }
+    val p98 = plan("q98_dup_span_remove")
+    assert(p98.contains("gram_occ8_v1") && p98.contains("gram_stats8_v1"),
+      p98.take(1200))
+    assert(p98.contains("documents.parquet"),
+      "q98's clean_text rebuild must still read the corpus (intrinsic: " +
+        "the output embeds excised text)")
+  }
+
   test("q72 fuzzy join generates candidates by equality, never all-pairs") {
-    val p = plan("q72_fuzzy_join")
+    // the BUILD path (the served query is a fuzzy_pairs_v1 FileScan —
+    // its plan proves nothing about candidate generation)
+    val p = RelationalQueries.fuzzyJoinDirect(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1200))
+  }
+
+  test("q72 serves from the fuzzy_pairs_v1 store, equals the deletion-" +
+    "variant build, and rebuilds nothing on reuse") {
+    def pSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val served = graft.SparkEntry.queries("q72_fuzzy_join")(spark, sfDir)
+    assert(pSet(served) == pSet(RelationalQueries.fuzzyJoinDirect(spark, sfDir)),
+      "the served pair list must equal the from-scratch SymSpell build")
+    val builds = graft.ArtifactStore.buildCount.getOrDefault("fuzzy_pairs_v1", 0)
+    val again = graft.SparkEntry.queries("q72_fuzzy_join")(spark, sfDir)
+    assert(graft.ArtifactStore.buildCount.getOrDefault("fuzzy_pairs_v1", 0) == builds,
+      "a same-names rerun must serve the published pairs, not rebuild")
+    val p2 = again.queryExecution.executedPlan.toString
+    assert(p2.contains("fuzzy_pairs_v1") && !p2.contains("customer"),
+      s"the served pairs must FileScan the store, not the corpus:\n$p2")
   }
 
   test("q30 above the brute gate falls through to the LSH bucket join") {
