@@ -1715,11 +1715,11 @@ object AnalyticsQueries {
     * (q91/q125's discipline), and the input edges are the ArtifactStore
     * parquet — the corpus is never rescanned.
     */
-  def kcore(s: SparkSession, dir: String): DataFrame = {
+  private def kcoreCompute(edgesIn: DataFrame): DataFrame = {
     def degrees(edges: DataFrame): DataFrame = edges
       .select(col("x").as("node")).unionAll(edges.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    var edges = dupEdges(s, dir)
+    var edges = edgesIn
     for (_ <- 1 to KcoreRounds) {
       val keep = degrees(edges).where(col("deg") >= KcoreK).select(col("node"))
       edges = edges
@@ -1728,8 +1728,23 @@ object AnalyticsQueries {
         .localCheckpoint()
     }
     degrees(edges).select(col("node"), col("deg").as("deg_core"))
-      .orderBy(col("node"))
   }
+
+  /** The peeled 2-core, served (`kcore_deg_v1`, documents
+    * fingerprint): the [[KcoreRounds]]-round peel is a pure function
+    * of the served `dup_edges_v1` generation — the lpa_labels_v1
+    * discipline (derived graph state, never a per-query rerun); dies
+    * with its edges in the takedown cascade. */
+  private[queries] def kcoreServed(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "kcore_deg_v1")(
+      kcoreCompute(dupEdges(s, dir)))
+
+  /** The from-scratch peel (spec reference arm). */
+  private[queries] def kcoreDirect(s: SparkSession, dir: String): DataFrame =
+    kcoreCompute(dupEdges(s, dir))
+
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreServed(s, dir).orderBy(col("node"))
 
   // ---------------------------------------------------------------- q149
 
@@ -1757,7 +1772,7 @@ object AnalyticsQueries {
     * discipline); the corpus is scanned once for seeds and never again
     * (edges come from the ArtifactStore parquet).
     */
-  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+  private def bfsHopsCompute(s: SparkSession, dir: String): DataFrame = {
     val edges = dupEdges(s, dir)
     val und = edges.select(col("x").as("node"), col("y").as("nbr"))
       .unionAll(edges.select(col("y").as("node"), col("x").as("nbr")))
@@ -1775,8 +1790,24 @@ object AnalyticsQueries {
         .select(col("node"), lit(i.toLong).as("hop"))
       dist = dist.unionAll(fresh).localCheckpoint()
     }
-    dist.orderBy(col("node"))
+    dist
   }
+
+  /** The hop map, served (`bfs_hops_v1`, documents fingerprint): a
+    * pure function of the corpus — the seed set is a doc_id hash and
+    * the adjacency is the served `dup_edges_v1` generation — that the
+    * traversal re-ran per query ([[kcoreServed]]/lpa_labels_v1's
+    * discipline); dies with its edges in the takedown cascade. */
+  private[queries] def bfsHopsServed(s: SparkSession, dir: String): DataFrame =
+    graft.ArtifactStore.documentsArtifact(s, dir, "bfs_hops_v1")(
+      bfsHopsCompute(s, dir))
+
+  /** The from-scratch traversal (spec reference arm). */
+  private[queries] def bfsHopsDirect(s: SparkSession, dir: String): DataFrame =
+    bfsHopsCompute(s, dir)
+
+  def bfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsHopsServed(s, dir).orderBy(col("node"))
 
   // ------------------------------------------------------------ oracles
 

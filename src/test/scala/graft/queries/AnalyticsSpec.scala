@@ -340,6 +340,31 @@ class AnalyticsSpec extends SparkSpec {
       s"the served labels must FileScan the store, not re-run the fixpoint:\n$plan")
   }
 
+  test("kcore/bfs stores: served state equals the from-scratch fixpoints " +
+    "and rebuilds nothing on reuse") {
+    def kSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg_core"))).toSet
+    def bSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("hop"))).toSet
+    assert(kSet(AnalyticsQueries.kcoreServed(spark, sfDir)) ==
+      kSet(AnalyticsQueries.kcoreDirect(spark, sfDir)),
+      "served 2-core must equal the inline peel")
+    assert(bSet(AnalyticsQueries.bfsHopsServed(spark, sfDir)) ==
+      bSet(AnalyticsQueries.bfsHopsDirect(spark, sfDir)),
+      "served hop map must equal the inline traversal")
+    for (key <- Seq("kcore_deg_v1", "bfs_hops_v1")) {
+      val builds = ArtifactStore.buildCount.getOrDefault(key, 0)
+      val again = if (key == "kcore_deg_v1")
+        AnalyticsQueries.kcoreServed(spark, sfDir)
+      else AnalyticsQueries.bfsHopsServed(spark, sfDir)
+      assert(ArtifactStore.buildCount.getOrDefault(key, 0) == builds,
+        s"a same-corpus rerun of $key must serve, not rebuild")
+      val plan = again.queryExecution.executedPlan.toString
+      assert(plan.contains(key) && !plan.contains("dup_edges_v1"),
+        s"$key must FileScan the store, not re-run the fixpoint:\n$plan")
+    }
+  }
+
   test("q125: community sizes equal a brute synchronous-LPA simulation") {
     val res = AnalyticsQueries.labelPropagation(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
