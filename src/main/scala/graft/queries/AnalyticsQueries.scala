@@ -88,7 +88,18 @@ object AnalyticsQueries {
     * q196, and the dup_edges build each ran per query: q88/q196
     * filter it to the dup set, q98 joins `fk`, dup_edges caps `nd`.
     * Derives FROM gram_occ8_v1 (the cluster_labels_v1 pattern); both
-    * die together in the takedown cascade. */
+    * die together in the takedown cascade.
+    *
+    * Append posture: a corpus append re-runs this groupBy over the
+    * (delta-carried) occurrence store — an O(|occ|) columnar scan of
+    * 3 BIGINT columns, never a corpus-text re-explode. A mergeable
+    * form (keep nd ≥ 1 rows; append = union + re-agg, nd sums and fk
+    * mins over disjoint doc sets) was considered and rejected: most
+    * 8-grams are unique, so |all-grams| ≈ |occ| and the merge shuffle
+    * is the same order as the re-aggregation — at double the storage
+    * and a consumer-side nd≥2 filter. Unlike the doc-bucketed carries,
+    * gram-keyed deltas hash into every bucket, so no layout makes the
+    * append sub-linear in the store. */
   private[queries] def gramStats(s: SparkSession, dir: String): DataFrame =
     graft.ArtifactStore.documentsArtifact(s, dir, "gram_stats8_v1")(
       gramOcc(s, dir)

@@ -33,19 +33,24 @@ object TextQueries {
     * rows-only check; algorithm correctness is covered by Porter2Spec's
     * golden vectors.
     *
-    * The stem runs AFTER the token count, not per occurrence:
-    * cnt(stem) = Σ over the stem's token preimage of cnt(token), so
-    * counting raw tokens first (q01's partial-agg word-count shape,
-    * shuffle bounded at |vocab|×partitions) and stemming only the
-    * |vocab| distinct survivors is exactly equivalent — and turns a
-    * corpus-sized stemmer scan (1.31 s min at sf0.1) into a
-    * vocab-sized one. */
+    * The stem AND the stop-word filter run AFTER the token count, not
+    * per occurrence: cnt(stem) = Σ over the stem's token preimage of
+    * cnt(token), and dropping a stop word's occurrences is the same as
+    * dropping its count row, so counting raw tokens first (q01's
+    * partial-agg word-count shape, shuffle bounded at
+    * |vocab|×partitions) and stop-filtering + stemming only the
+    * |vocab| distinct survivors is exactly equivalent. Both moves are
+    * corpus-to-vocab demotions: the stemmer scan (1.31 s min at sf0.1
+    * per-occurrence) and the stop check (the in-array form is O(|stop|)
+    * string compares per TOKEN; the post-count `isin` compiles to an
+    * O(1) InSet over vocab ROWS — StemCountSpec pins equality against
+    * the per-occurrence reference arm). */
   def stemTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(
-        Tokenize.removeStopWords(
-          Tokenize.tokenize(Clean.clean(col("text"))))).as("tok"))
+        Tokenize.tokenize(Clean.clean(col("text")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
+      .where(not(col("tok").isin(Tokenize.stopWords: _*)))
       .select(call_function("graft_stem", col("tok")).as("token"), col("c"))
       .groupBy("token").agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
