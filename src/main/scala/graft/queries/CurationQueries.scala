@@ -191,25 +191,28 @@ object CurationQueries {
     * boilerplate; score each document by the fraction of its distinct
     * 3-grams that are boilerplate and keep it under 30%.
     *
-    * Scale shape: the gram→doc-frequency aggregation is map-side
-    * partial (each task emits one row per distinct gram), and the
-    * flagged set is broadcast back — its size is bounded by
-    * total-gram-occurrences / threshold ≤ 100 × avg-grams-per-doc
-    * regardless of corpus size, so the broadcast never grows with N.
+    * Scale shape: every arm reads the hash-once
+    * `shingle_hashes3_v1` store (one row per distinct (doc, 3-gram),
+    * the 8-byte key — the corpus text is never re-exploded and the
+    * shuffles carry BIGINTs, not gram strings); the gram→doc-frequency
+    * aggregation is map-side partial, and the flagged set is broadcast
+    * back — its size is bounded by total-gram-occurrences / threshold
+    * ≤ 100 × avg-grams-per-doc regardless of corpus size, so the
+    * broadcast never grows with N. q177/q183's parity caveat applies:
+    * the engine counts over the 64-bit hash, the oracle over raw
+    * strings — equal unless two distinct shingles collide (~n²/2⁶⁵).
     */
   def boilerplateGrams(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
-    val n = docs.count() // metadata-only parquet count (q69 precedent)
+    val n = Tables.documents(s, dir)
+      .count() // metadata-only parquet count (q69 precedent)
     val thr = math.max(5L, math.ceil(0.01 * n).toLong)
-    val gdocs = docs
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))")).as("g"))
-      .distinct()
-    val boiler = gdocs.groupBy(col("g")).agg(count(lit(1)).as("d"))
+    val gdocs = DedupQueries.shingleHashes3(s, dir)
+      .select(col("doc_id"), col("h"))
+    val boiler = gdocs.groupBy(col("h")).agg(count(lit(1)).as("d"))
       .where(col("d") >= thr)
     val perDoc = gdocs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"))
-    val hits = gdocs.join(broadcast(boiler.select(col("g"))), Seq("g"))
+    val hits = gdocs.join(broadcast(boiler.select(col("h"))), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     val frac = coalesce(col("n_boiler"), lit(0L)).cast(DoubleType) /
       col("n_grams").cast(DoubleType)
