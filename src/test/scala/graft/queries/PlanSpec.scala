@@ -693,18 +693,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q132 k-core rounds join on 8-byte node ids only, no cartesian") {
-    val p = plan("q132_kcore")
+    // the BUILD arm (the served query is a kcore_deg_v1 FileScan —
+    // its plan proves nothing about the peel's join shape)
+    val direct = AnalyticsQueries.kcoreDirect(spark, sfDir)
+    val p = direct.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "peel rounds must stay equi-join-shaped")
-    val windows = graft.SparkEntry.queries("q132_kcore")(spark, sfDir)
-      .queryExecution.sparkPlan.collect {
+    val windows = direct.queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.isEmpty, "degree counting must be a partial agg, not a window")
   }
 
   test("q149 BFS rounds stay equi-join-shaped on 8-byte node ids") {
-    val p = plan("q149_bfs_hops")
+    // the BUILD arm (the served query is a bfs_hops_v1 FileScan)
+    val p = AnalyticsQueries.bfsHopsDirect(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "frontier expansion must stay equi-join-shaped")
