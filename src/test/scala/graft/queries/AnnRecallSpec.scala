@@ -37,6 +37,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"recall=$recall%.3f")
   }
 
+  test("vec-pair and LSH-bucket stores equal their from-scratch arms " +
+    "and rebuild nothing on reuse") {
+    val bSet = SimilarityQueries.lshBuckets(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bSet == SimilarityQueries.lshBucketsDirect(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet,
+      "served plane buckets must equal the inline hash")
+    val pSet = SimilarityQueries.embedNearDup(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pSet == SimilarityQueries.embedNearDupBruteDirect(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet,
+      "served near-dup pairs must equal the inline all-pairs scan")
+    for (key <- Seq("lsh_buckets_p6_v1", "vec_pair_cos_v1")) {
+      val builds = graft.ArtifactStore.buildCount.getOrDefault(key, 0)
+      val again = if (key.startsWith("lsh"))
+        SimilarityQueries.lshBuckets(spark, dir)
+      else SimilarityQueries.embedNearDup(spark, dir)
+      again.collect()
+      assert(graft.ArtifactStore.buildCount.getOrDefault(key, 0) == builds,
+        s"a same-corpus reuse of $key must serve, not rebuild")
+    }
+  }
+
   // exact-L2 top-5: ground truth for the ADC paths (q64/q113), whose
   // re-rank metric is L2 — computed here, not registered (brute
   // baselines in the registry are capped at q31)
