@@ -31,8 +31,8 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = args.headOption match {
-      case Some(n) => Seq(n)
-      case None => SparkEntry.queries.keys.toSeq.sorted
+      case Some("all") | None => SparkEntry.queries.keys.toSeq.sorted
+      case Some(n) => n.split(",").toSeq
     }
     for (n <- names) {
       println(s"\n========== $n ==========")
