@@ -1021,6 +1021,13 @@ object AnalyticsQueries {
     */
   def lmQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    // r17 A/B note: three "obvious" improvements were each measured
+    // SLOWER solo at sf0.1 and rejected — persist(bigrams) 1.0 → 1.2 s
+    // (the raw string-pair rows outweigh the codegen'd re-explode),
+    // c1-folded-from-c2 1.0 → 1.9 s (c2 gains a second consumer and
+    // re-runs the explode unshared), and persist(c2) + fold 1.0 → 1.2 s
+    // (the persist barrier serializes subtrees the scheduler otherwise
+    // overlaps). The independent-aggregation shape stays.
     val bigrams = docs
       .select(col("doc_id"), col("w"), explode(expr(
         "CASE WHEN size(w) >= 2 THEN sequence(0, size(w) - 2) " +

@@ -814,8 +814,12 @@ object CurationQueries {
       .select(col("doc_id"), col("source"),
         pmod(call_function("graft_h60", concat(lit("dsir|"), col("b"))),
           lit(4096L)).as("f"))
+    // persist: dc feeds BOTH the global histogram and the per-doc dot
+    // join — unpersisted, the explode + per-bigram graft_h60 pipeline
+    // (the query's dominant cost) runs once per consumer (guide §5)
     val dc = bg.groupBy(col("doc_id"), col("source"), col("f"))
       .agg(count(lit(1)).as("c"))
+      .persist()
     val gc = dc.groupBy(col("f"))
       .agg(sum(col("c")).as("cr"),
         sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("ct"))

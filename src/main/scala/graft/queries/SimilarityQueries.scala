@@ -562,7 +562,13 @@ object SimilarityQueries {
     * crossJoin, no per-vector window, no shuffle before the candidate
     * join (r7 verdict item 8).
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvfCore(s, dir).orderBy(col("query_id"), col("rn"))
+
+  /** q55's plan minus the presentation sort — the shape the
+    * [[annTopk]] audit store materializes (r17: the audits read the
+    * stored lists; THIS serve pipeline still runs per q55 query). */
+  private[queries] def knnIvfCore(s: SparkSession, dir: String): DataFrame = {
     val book = graft.llm.ServeBooks.coarse(s, dir)
     val e = vecsServed(s, dir)
     val cells = e.select(col("vec_id"), col("v"), col("nrm"),
@@ -579,7 +585,6 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** q181 — label-FILTERED IVF ANN: q55's exact pipeline with a
@@ -681,7 +686,11 @@ object SimilarityQueries {
     * corpus-fingerprinted artifact shared with the oracle), every
     * distance an identical expression tree in DuckDB —
     * exact-oracle-able end to end. */
-  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame =
+    knnIvfPqCore(s, dir).orderBy(col("query_id"), col("rn"))
+
+  /** q64's plan minus the presentation sort (the [[annTopk]] shape). */
+  private[queries] def knnIvfPqCore(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.{Pq, ServeBooks}
     val book = ServeBooks.coarse(s, dir)
     val pqBooks = ServeBooks.pq(s, dir)
@@ -709,7 +718,6 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** q164 — IVF-PQ with RESIDUAL encoding: IVFADC as actually published
@@ -752,6 +760,19 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
         col("codes"))
     knnIvfPqResOver(s, dir, codes)
+  }
+
+  /** q164's plan minus the presentation sort (the [[annTopk]] shape):
+    * the same probe-pruned codes read feeding the shared serve tail. */
+  private[queries] def knnIvfPqResCore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.ServeBooks
+    val book = ServeBooks.coarse(s, dir)
+    val probed = probedCellsFor(s, dir, book)
+    val codes = s.read.parquet(ServeBooks.pqResCodesPath(s, dir))
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("codes"))
+    knnIvfPqResOverCore(s, dir, codes)
   }
 
   /** q164's probe set per (corpus fingerprint ⊗ coarse-book digest) —
@@ -814,7 +835,11 @@ object SimilarityQueries {
     * stream-maintained target (StreamAnnIndexSpec proves both serve
     * identically). */
   def knnIvfPqResOver(s: SparkSession, dir: String,
-                      codes: DataFrame): DataFrame = {
+                      codes: DataFrame): DataFrame =
+    knnIvfPqResOverCore(s, dir, codes).orderBy(col("query_id"), col("rn"))
+
+  private def knnIvfPqResOverCore(s: SparkSession, dir: String,
+                                  codes: DataFrame): DataFrame = {
     import graft.llm.{Pq, ServeBooks}
     val book = ServeBooks.coarse(s, dir)
     val resBooks = ServeBooks.pqRes(s, dir)
@@ -855,7 +880,6 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)
-      .orderBy(col("query_id"), col("rn"))
   }
 
   /** q59 — array-function surface over the embedding column: size,
@@ -1037,7 +1061,11 @@ object SimilarityQueries {
     * shortlist-50 window, exact re-rank fetches raw vectors via a
     * bounded-shortlist broadcast — the corpus never shuffles.
     */
-  def knnIvfInt8(s: SparkSession, dir: String): DataFrame = {
+  def knnIvfInt8(s: SparkSession, dir: String): DataFrame =
+    knnIvfInt8Core(s, dir).orderBy(col("query_id"), col("rn"))
+
+  /** q113's plan minus the presentation sort (the [[annTopk]] shape). */
+  private[queries] def knnIvfInt8Core(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.ServeBooks
     val e = vecsServed(s, dir)
     val book = ServeBooks.coarse(s, dir)
@@ -1080,7 +1108,6 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), l2.as("l2"))
       .withColumn("rn", row_number().over(wRank).cast(LongType))
       .where(col("rn") <= K)
-      .orderBy(col("query_id"), col("rn"))
   }
 
   // ---------------------------------------------------------------- q106
@@ -1319,7 +1346,7 @@ object SimilarityQueries {
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val b = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
-    val i = knnIvf(s, dir).select(col("query_id"), col("neighbor_id"),
+    val i = annTopkIvf(s, dir).select(col("query_id"), col("neighbor_id"),
       lit(1L).as("hit"))
     b.join(i, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1549,9 +1576,45 @@ object SimilarityQueries {
     * every per-query hit count, proving the PQ arm, the L2 truth arm,
     * and the intersection at once. Scale shape: q64's documented plan
     * plus the bounded brute arm and a Q×K equi-join. */
+  /** The four ANN arms' top-K lists over the fixed query set, served as
+    * generation-managed artifacts (r17 second pass — brute_l2_topk_v1's
+    * discipline applied to the approximate arms): each list is a pure
+    * function of (corpus minus tombstones, trained books), both of which
+    * are keyed by the embeddings fingerprint, so the stores key the same
+    * way and are invalidated in the SAME takedown cascade as the books
+    * ([[graft.sources.VecTakedown.embArtifactKeys]]) — a flag/reset
+    * kills the stored lists with the model state they derive from, and
+    * the next audit rebuilds from the filtered corpus with retrained
+    * books, preserving the serve arms' immediate-exclusion semantics.
+    * Consumers are the AUDITS ONLY (q129/q162/q163/q165/q168, which
+    * formerly re-ran 6 arm pipelines per suite pass); the serve queries
+    * q55/q64/q113/q164 still compute their pipelines per run — they ARE
+    * the serve paths the audits grade. The DuckDB oracles recompute
+    * every arm from the corpus, so the hash gate proves store ==
+    * recomputation at every sf. */
+  private[graft] val AnnTopkKeys: Seq[String] = Seq(
+    "ann_topk_ivf_v1", "ann_topk_pq_v1", "ann_topk_res_v1",
+    "ann_topk_int8_v1")
+
+  private[queries] def annTopk(s: SparkSession, dir: String, key: String)
+                     (core: => DataFrame): DataFrame =
+    graft.ArtifactStore.parquetOnce(s, key,
+      graft.ArtifactStore.embeddingsFp(s, dir))(
+      core.select(col("query_id"), col("neighbor_id"), col("rn")))
+      .drop("fp")
+
+  private[queries] def annTopkIvf(s: SparkSession, dir: String): DataFrame =
+    annTopk(s, dir, "ann_topk_ivf_v1")(knnIvfCore(s, dir))
+  private[queries] def annTopkPq(s: SparkSession, dir: String): DataFrame =
+    annTopk(s, dir, "ann_topk_pq_v1")(knnIvfPqCore(s, dir))
+  private[queries] def annTopkRes(s: SparkSession, dir: String): DataFrame =
+    annTopk(s, dir, "ann_topk_res_v1")(knnIvfPqResCore(s, dir))
+  private[queries] def annTopkInt8(s: SparkSession, dir: String): DataFrame =
+    annTopk(s, dir, "ann_topk_int8_v1")(knnIvfInt8Core(s, dir))
+
   def adcRecall(s: SparkSession, dir: String): DataFrame = {
     val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
-    val i = knnIvfPq(s, dir).select(col("query_id"), col("neighbor_id"),
+    val i = annTopkPq(s, dir).select(col("query_id"), col("neighbor_id"),
       lit(1L).as("hit"))
     b.join(i, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1563,7 +1626,7 @@ object SimilarityQueries {
   /** q163 — q162 for the int8-ADC arm (q113). */
   def int8Recall(s: SparkSession, dir: String): DataFrame = {
     val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
-    val i = knnIvfInt8(s, dir).select(col("query_id"), col("neighbor_id"),
+    val i = annTopkInt8(s, dir).select(col("query_id"), col("neighbor_id"),
       lit(1L).as("hit"))
     b.join(i, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1577,7 +1640,7 @@ object SimilarityQueries {
     * residual-encoding gain as an oracle-checked number. */
   def resRecall(s: SparkSession, dir: String): DataFrame = {
     val b = knnBruteL2(s, dir).select(col("query_id"), col("neighbor_id"))
-    val i = knnIvfPqRes(s, dir).select(col("query_id"), col("neighbor_id"),
+    val i = annTopkRes(s, dir).select(col("query_id"), col("neighbor_id"),
       lit(1L).as("hit"))
     b.join(i, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1614,8 +1677,8 @@ object SimilarityQueries {
           .as("rw60"),
           sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("hits"))
         .select(col("query_id"), lit(name).as("arm"), col("rw60"), col("hits"))
-    armOf(knnIvfPq(s, dir), "pq")
-      .unionByName(armOf(knnIvfPqRes(s, dir), "res"))
+    armOf(annTopkPq(s, dir), "pq")
+      .unionByName(armOf(annTopkRes(s, dir), "res"))
       .orderBy(col("arm"), col("query_id"))
   }
 

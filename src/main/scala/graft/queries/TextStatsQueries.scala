@@ -340,11 +340,13 @@ object TextStatsQueries {
 
   private[queries] def invertedIndexCapped(
       s: SparkSession, dir: String, gapCap: Long): DataFrame = {
-    val td = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(toks).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    // r17: (term, doc_id, tf) IS the postings_v1 store's grain (q153's
+    // serve artifact — doc-local rows, delta-generational appends), so
+    // the index summary reads the store instead of re-exploding corpus
+    // text per run; the DuckDB oracle still recomputes the explode from
+    // `documents`, so the hash gate proves store == recomputation
+    val td = CurationQueries.postingsArtifact(s, dir)
+      .select(col("t").as("term"), col("doc_id"), col("tf"))
     val stats = td.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
         min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"),

@@ -53,7 +53,12 @@ object VecTakedown {
     * ([[graft.llm.ServeBooks.pqResCodesFpsFor]]) in [[reset]]. */
   def embArtifactKeys: Seq[String] = Seq(
     ServeBooks.CoarseKey, ServeBooks.PqKey, ServeBooks.PqResKey,
-    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey)
+    ServeBooks.Int8ScalesKey, ServeBooks.Int8CodesKey) ++
+    // the audit-tier arm top-K stores (r17): derived from the corpus
+    // minus THIS tombstone set through the books above, so they die in
+    // the same cascade — a flag/reset must kill the stored lists with
+    // the model state or a later audit would serve pre-takedown ranks
+    graft.queries.SimilarityQueries.AnnTopkKeys
 
   /** Erase every pre-v2 codes generation (raw-fp ids, never rebuilt,
     * read by nothing since the v2 migration): invalidating only the

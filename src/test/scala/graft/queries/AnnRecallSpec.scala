@@ -60,6 +60,38 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("r17 arm top-K stores equal their inline cores, serve without " +
+    "rebuilding, and are wired into the vector-takedown cascade") {
+    def rset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select("query_id", "neighbor_id", "rn")
+        .as[(Long, Long, Long)].collect().toSet
+    val arms: Seq[(String, org.apache.spark.sql.DataFrame,
+                   org.apache.spark.sql.DataFrame)] = Seq(
+      ("ann_topk_ivf_v1", SimilarityQueries.annTopkIvf(spark, dir),
+        SimilarityQueries.knnIvfCore(spark, dir)),
+      ("ann_topk_pq_v1", SimilarityQueries.annTopkPq(spark, dir),
+        SimilarityQueries.knnIvfPqCore(spark, dir)),
+      ("ann_topk_res_v1", SimilarityQueries.annTopkRes(spark, dir),
+        SimilarityQueries.knnIvfPqResCore(spark, dir)),
+      ("ann_topk_int8_v1", SimilarityQueries.annTopkInt8(spark, dir),
+        SimilarityQueries.knnIvfInt8Core(spark, dir)))
+    for ((key, served, inline) <- arms) {
+      assert(rset(served) == rset(inline),
+        s"$key must equal its from-scratch serve pipeline, rank for rank")
+      val builds = graft.ArtifactStore.buildCount.getOrDefault(key, 0)
+      SimilarityQueries.annTopk(spark, dir, key)(
+        sys.error("reuse must not invoke the build thunk")).collect()
+      assert(graft.ArtifactStore.buildCount.getOrDefault(key, 0) == builds,
+        s"a same-corpus reuse of $key must serve, not rebuild")
+    }
+    // takedown wiring: the stored lists derive from the tombstone-
+    // filtered corpus through the books, so they must die in the same
+    // cascade (a flag/reset that spared them would serve stale ranks)
+    assert(SimilarityQueries.AnnTopkKeys.toSet.subsetOf(
+      graft.sources.VecTakedown.embArtifactKeys.toSet),
+      "every arm top-K store must be in VecTakedown.embArtifactKeys")
+  }
+
   // exact-L2 top-5: ground truth for the ADC paths (q64/q113), whose
   // re-rank metric is L2 — computed here, not registered (brute
   // baselines in the registry are capped at q31)
