@@ -161,15 +161,33 @@ object Media {
   def fingerprints(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init (stands for per-batch model/codec setup)
+      // per-partition init (stands for per-batch model/codec setup).
+      // r17 per-task-work pass (guide §1.2 step 2): md5(payload ++
+      // "|j") shares the payload-length prefix across all FeatDim
+      // words, so the payload is absorbed ONCE per record and the
+      // per-j digests fork from the cloned mid-state (MD5 supports
+      // clone()) — identical bytes out, FeatDim× less hashing. The
+      // hex word comes from a nibble table over the first 6 bytes
+      // instead of formatting all 16 through `f"%02x"` (a per-byte
+      // format-string parse that dominated the old profile).
       val digest = MessageDigest.getInstance("MD5")
+      val hexDigits = "0123456789abcdef".toCharArray
       it.flatMap { r =>
+        digest.reset()
+        digest.update(r.payload)
+        val mid = digest.clone().asInstanceOf[MessageDigest]
         (0 until FeatDim).iterator.map { j =>
-          digest.reset()
-          digest.update(r.payload)
-          digest.update(s"|$j".getBytes(StandardCharsets.UTF_8))
-          val hex = digest.digest().map(b => f"$b%02x").mkString.substring(0, 12)
-          MediaFingerprint(r.mediaId, r.kind, j, hex)
+          val d = mid.clone().asInstanceOf[MessageDigest]
+          d.update(s"|$j".getBytes(StandardCharsets.UTF_8))
+          val out = d.digest()
+          val sb = new java.lang.StringBuilder(12)
+          var i = 0
+          while (i < 6) {
+            val b = out(i) & 0xff
+            sb.append(hexDigits(b >>> 4)); sb.append(hexDigits(b & 0xf))
+            i += 1
+          }
+          MediaFingerprint(r.mediaId, r.kind, j, sb.toString)
         }
       }
     }

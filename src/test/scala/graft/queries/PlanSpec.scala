@@ -249,15 +249,30 @@ class PlanSpec extends SparkSpec {
     // r17: the L2 truth arm of the ADC audits is served from the
     // brute_l2_topk_v1 artifact — graft_topk runs once in its build,
     // so the audits' own plans must show the store FileScan instead
+    // r17 second pass: the APPROXIMATE arms are served from the
+    // ann_topk_* stores too (their shortlist/re-rank windows run once
+    // in the store builds), so every audit plan is now fully
+    // windowless — two FileScans and a join, nothing corpus-shaped.
     val expectWindows = Map(
       "q31_knn_brute" -> 0,   // pure truth — fully windowless
       "q134_prefix_recall" -> 0, // both arms brute — fully windowless
-      "q129_ann_recall" -> 1, // q55's serve ranking only
-      "q162_adc_recall" -> 2, // q64's ADC shortlist + exact re-rank
-      "q165_res_recall" -> 2, // q164's shortlist + re-rank
-      "q168_adc_rank_audit" -> 4) // both arms × (shortlist + re-rank)
-    val storeServed = Set("q162_adc_recall", "q165_res_recall",
-      "q168_adc_rank_audit")
+      "q129_ann_recall" -> 0, // ivf arm off ann_topk_ivf_v1
+      "q162_adc_recall" -> 0, // pq arm off ann_topk_pq_v1
+      "q163_int8_recall" -> 0, // int8 arm off ann_topk_int8_v1
+      "q165_res_recall" -> 0, // res arm off ann_topk_res_v1
+      "q168_adc_rank_audit" -> 0) // both arms off their stores
+    // (query, substrings its plan must contain): the L2-truth store for
+    // the ADC audits, the arm store each audit grades, and the bounded
+    // heap for the still-inline cosine truth arm of q129
+    val expectScans = Map(
+      "q129_ann_recall" -> Seq("graft_topk", "ann_topk_ivf_v1"),
+      "q162_adc_recall" -> Seq("brute_l2_topk_v1", "ann_topk_pq_v1"),
+      "q163_int8_recall" -> Seq("brute_l2_topk_v1", "ann_topk_int8_v1"),
+      "q165_res_recall" -> Seq("brute_l2_topk_v1", "ann_topk_res_v1"),
+      "q168_adc_rank_audit" -> Seq("brute_l2_topk_v1", "ann_topk_pq_v1",
+        "ann_topk_res_v1"),
+      "q31_knn_brute" -> Seq("graft_topk"),
+      "q134_prefix_recall" -> Seq("graft_topk"))
     for ((q, n) <- expectWindows) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val wins = df.queryExecution.sparkPlan.collect {
@@ -265,13 +280,11 @@ class PlanSpec extends SparkSpec {
       }
       assert(wins.size == n,
         s"$q: expected $n serve-arm windows, got ${wins.size} — " +
-          "a truth-arm window sort crept back in")
-      if (storeServed(q))
-        assert(plan(q).contains("brute_l2_topk_v1"),
-          s"$q: the truth arm must FileScan the once-per-corpus store")
-      else
-        assert(plan(q).contains("graft_topk"),
-          s"$q: the truth arm must rank via the bounded heap")
+          "an arm pipeline crept back into the audit plan")
+      val p = plan(q)
+      for (needle <- expectScans(q))
+        assert(p.contains(needle),
+          s"$q: plan must read $needle (store-served audit shape)")
     }
   }
 
