@@ -275,12 +275,21 @@ object AnalyticsQueries {
     * disagree only on recency. */
   private[graft] def winnowFingerprintOver(grams: DataFrame,
                                            sel: DataFrame): DataFrame = {
-    val selH = sel.select(col("doc_id"),
-      expr(s"wmin DIV $PosPack").as("h")).distinct()
-    val shared = selH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    // r17: one (doc_id, h)-grained aggregation feeds all three score
+    // inputs instead of three independent passes over the selection
+    // (distinct, per-doc count, distinct-again + shared join) — the
+    // grain is exactly selH with the duplicate multiplicity kept, so
+    // n_fp = Σc, the shared set groups the same distinct keys, and
+    // per-doc shared counts join the same rows (outputs identical;
+    // WinnowSpec + the live-twin spec pin both feeds). Persisting the
+    // small grain lets the three tiny aggregations share it (guide §5).
+    val dc = sel.select(col("doc_id"), expr(s"wmin DIV $PosPack").as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .persist()
+    val shared = dc.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("h"))
-    val perDoc = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val perShared = selH.join(shared, Seq("h"))
+    val perDoc = dc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_fp"))
+    val perShared = dc.join(shared, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     grams
       .join(perDoc, Seq("doc_id"), "left")
